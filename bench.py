@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline declared queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_pipeline_spark.queries import QUERIES  # noqa: E402
+from data_pipeline_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family (scan/filter/join/agg/window/setop/
+# text/dedup/vector/cdc/dsl) — the queries a user would actually run hot.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_shipping_priority",
+    "q03_order_priority_count",
+    "q04_local_supplier_volume",
+    "q05_revenue_forecast",
+    "q06_customer_order_distribution",
+    "w03_first_lineitem_per_order",
+    "w06_top10_orders",
+    "a13_event_types_per_user",
+    "t02_customers_without_orders",
+    "p04_date_proximity_pairs",
+    "a16_top5_words",
+    "d01_dedup_exact",
+    "d05_lang_id",
+    "d06_ngram_jaccard_pairs",
+    "v01_knn_bruteforce",
+    "r01_watermark_window_counts",
+    "dsl_q01_customers_in_germany",
+    "dsl_q05_parts_in_german_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session startup
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        q = QUERIES[name]
+        t0 = time.perf_counter()
+        df = q.spark_fn(spark, sf_dir)
+        n = df.count()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+    total = round(sum(per_query.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

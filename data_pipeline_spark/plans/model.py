@@ -1,0 +1,80 @@
+"""Entity/edge model over the testdata star schema — the search-DSL's
+queryable universe (the Spark analog of the reference's flattened
+triples+facets form, SURVEY §1.5/§2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def build_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform entities(id, type, name, number) over all testdata rows."""
+
+    def ent(df, prefix, typ, key, name_col, number_col):
+        return df.select(
+            F.concat(F.lit(prefix), F.col(key).cast("string")).alias("id"),
+            F.lit(typ).alias("type"),
+            (F.col(name_col) if name_col else F.lit(None).cast("string")).alias("name"),
+            (
+                F.col(number_col).cast("double")
+                if number_col
+                else F.lit(None).cast("double")
+            ).alias("number"),
+        )
+
+    return (
+        ent(load_table(spark, sf_dir, "customer"), "customer:", "customer", "c_custkey", "c_name", "c_acctbal")
+        .unionAll(ent(load_table(spark, sf_dir, "supplier"), "supplier:", "supplier", "s_suppkey", "s_name", "s_acctbal"))
+        .unionAll(ent(load_table(spark, sf_dir, "part"), "part:", "part", "p_partkey", "p_name", "p_retailprice"))
+        .unionAll(ent(load_table(spark, sf_dir, "nation"), "nation:", "nation", "n_nationkey", "n_name", None))
+        .unionAll(ent(load_table(spark, sf_dir, "region"), "region:", "region", "r_regionkey", "r_name", None))
+        .unionAll(ent(load_table(spark, sf_dir, "orders"), "order:", "order", "o_orderkey", None, "o_totalprice"))
+    )
+
+
+def build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edges(subject, predicate, object) — FK relations as triples."""
+
+    def edge(df, s_prefix, s_col, pred, o_prefix, o_col):
+        return df.select(
+            F.concat(F.lit(s_prefix), F.col(s_col).cast("string")).alias("subject"),
+            F.lit(pred).alias("predicate"),
+            F.concat(F.lit(o_prefix), F.col(o_col).cast("string")).alias("object"),
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        edge(orders, "order:", "o_orderkey", "placed_by", "customer:", "o_custkey")
+        .unionAll(edge(cust, "customer:", "c_custkey", "in_nation", "nation:", "c_nationkey"))
+        .unionAll(edge(supp, "supplier:", "s_suppkey", "in_nation", "nation:", "s_nationkey"))
+        .unionAll(edge(nation, "nation:", "n_nationkey", "in_region", "region:", "n_regionkey"))
+        .unionAll(edge(li, "order:", "l_orderkey", "contains", "part:", "l_partkey"))
+        .unionAll(edge(li, "order:", "l_orderkey", "supplied_by", "supplier:", "l_suppkey"))
+    )
+
+
+def build_planner(spark: SparkSession, sf_dir: str):
+    """Planner over a MATERIALIZED entity/edge model.
+
+    `.cache()` here is load-bearing: DSL plans nest semi-joins over these
+    relations, and with raw 6-way-union lineage at every leaf Catalyst's
+    optimization time grows exponentially with traversal depth (measured:
+    137s of pure `explain()` at depth 4). Caching truncates the lineage to
+    an InMemoryRelation leaf — and mirrors the production design, where
+    entities/edges are persistent extracted tables (SURVEY §1.5), not
+    recomputed per query. Spark's CacheManager dedupes by canonicalized
+    plan, so every build_planner() call in a session shares one copy.
+    """
+    from .planner import SearchPlanner
+
+    return SearchPlanner(
+        build_entities(spark, sf_dir).cache(), build_edges(spark, sf_dir).cache()
+    )

@@ -1,0 +1,146 @@
+"""Parser for the LUX-style search DSL.
+
+Grammar (the surface of storage/marklogic/ml_lexer.py:408-588 and
+query_token_rules.py — tokens BOOL/LPAREN/RPAREN/COMMA/WORD/COLON/QUOTE/COMP
+— re-implemented from scratch as a regex lexer + recursive descent):
+
+    expr  := BOOL '(' expr (',' expr)* ')'          BOOL in {AND, OR, NOT}
+           | ['^'] WORD '(' expr (',' expr)* ')'    relationship traversal
+           | WORD COMP value                        leaf field comparison
+    value := '"' chars '"' | number | word
+    COMP  := = | != | > | >= | < | <=
+
+Relationship children are an implicit AND. `^rel` is the inverse traversal
+(Q6: documents pointed TO by matches).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\()
+      | (?P<rparen>\))
+      | (?P<comma>,)
+      | (?P<caret>\^)
+      | (?P<comp>>=|<=|!=|=|>|<)
+      | (?P<quoted>"(?:[^"\\]|\\.)*")
+      | (?P<number>-?\d+(?:\.\d+)?)
+      | (?P<word>[A-Za-z_][A-Za-z0-9_#]*)
+    )""",
+    re.VERBOSE,
+)
+
+BOOL_OPS = {"AND", "OR", "NOT"}
+
+
+@dataclass
+class Leaf:
+    field: str
+    op: str
+    value: str | float | int
+
+
+@dataclass
+class Bool:
+    op: str  # AND | OR | NOT
+    children: list
+
+
+@dataclass
+class Rel:
+    predicate: str
+    inverse: bool
+    child: object  # AST node
+
+
+def _lex(s: str) -> list[tuple[str, str]]:
+    tokens = []
+    pos = 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m or m.end() == pos:
+            if s[pos:].strip() == "":
+                break
+            raise ValueError(f"lex error at {pos}: {s[pos:pos + 20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        tokens.append((kind, m.group(kind)))
+    return tokens
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self, k: int = 0):
+        return self.toks[self.i + k] if self.i + k < len(self.toks) else (None, None)
+
+    def eat(self, kind: str) -> str:
+        k, v = self.peek()
+        if k != kind:
+            raise ValueError(f"expected {kind}, got {k}:{v!r} at token {self.i}")
+        self.i += 1
+        return v
+
+    def parse_expr(self):
+        kind, val = self.peek()
+        if kind == "caret":
+            self.eat("caret")
+            name = self.eat("word")
+            return self._parse_call(name, inverse=True)
+        if kind != "word":
+            raise ValueError(f"expected word, got {kind}:{val!r}")
+        if val in BOOL_OPS:
+            self.eat("word")
+            children = self._parse_args()
+            if val == "NOT" and len(children) != 1:
+                raise ValueError("NOT takes exactly one argument")
+            return Bool(val, children)
+        nxt_kind, _ = self.peek(1)
+        if nxt_kind == "lparen":
+            name = self.eat("word")
+            return self._parse_call(name, inverse=False)
+        return self._parse_leaf()
+
+    def _parse_call(self, name: str, inverse: bool):
+        children = self._parse_args()
+        child = children[0] if len(children) == 1 else Bool("AND", children)
+        return Rel(name, inverse, child)
+
+    def _parse_args(self) -> list:
+        self.eat("lparen")
+        children = [self.parse_expr()]
+        while self.peek()[0] == "comma":
+            self.eat("comma")
+            children.append(self.parse_expr())
+        self.eat("rparen")
+        return children
+
+    def _parse_leaf(self) -> Leaf:
+        field = self.eat("word")
+        op = self.eat("comp")
+        kind, val = self.peek()
+        if kind == "quoted":
+            self.eat("quoted")
+            value: str | float | int = re.sub(r"\\(.)", r"\1", val[1:-1])
+        elif kind == "number":
+            self.eat("number")
+            value = float(val) if "." in val else int(val)
+        elif kind == "word":
+            value = self.eat("word")
+        else:
+            raise ValueError(f"expected value, got {kind}:{val!r}")
+        return Leaf(field, op, value)
+
+
+def parse(query: str):
+    """Parse a DSL string into the AST (Leaf / Bool / Rel nodes)."""
+    p = _Parser(_lex(query))
+    ast = p.parse_expr()
+    if p.i != len(p.toks):
+        raise ValueError(f"trailing tokens at {p.i}: {p.toks[p.i:]}")
+    return ast

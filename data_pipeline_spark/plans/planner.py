@@ -1,0 +1,94 @@
+"""Planner: search-DSL AST -> DataFrame plan over the entities/edges model.
+
+Replaces the reference's cts emission (storage/marklogic/cts.py:5-160 — AST
+-> MarkLogic cts.* JS) with a builder that emits declarative DataFrame ops,
+so Catalyst handles pushdown/join-selection and the same query scales from
+the sf0.001 smoke table to a 100TB entities table unchanged.
+
+Plan shapes:
+- Leaf comparison  -> pushed-down filter on `entities`
+- AND              -> chain of id semi-joins (each leg prunes the next)
+- OR               -> union + distinct
+- NOT              -> anti-join against the universe
+- rel(sub)         -> edges semi-join: subject where object IN sub-plan (Q5)
+- ^rel(sub)        -> reversed direction (Q6)
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .parser import Bool, Leaf, Rel, parse
+
+_OPS = {
+    "=": lambda c, v: c == v,
+    "!=": lambda c, v: c != v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+}
+
+
+class SearchPlanner:
+    """Compile DSL queries against an entity/edge model.
+
+    ``entities`` must have an `id` column plus queryable field columns
+    (e.g. type, name, number, date). ``edges`` is (subject, predicate,
+    object). ``field_map`` renames DSL field names to entity columns.
+    """
+
+    def __init__(
+        self,
+        entities: DataFrame,
+        edges: DataFrame,
+        field_map: dict[str, str] | None = None,
+    ):
+        self.entities = entities
+        self.edges = edges
+        self.field_map = field_map or {}
+
+    def plan(self, query: str | object) -> DataFrame:
+        """Return a DataFrame of matching entity `id`s (distinct)."""
+        ast = parse(query) if isinstance(query, str) else query
+        return self._plan(ast).distinct()
+
+    def search(self, query: str | object) -> DataFrame:
+        """Plan + join back to the entity row (the 'fetch record' step)."""
+        ids = self.plan(query)
+        return self.entities.join(ids, "id", "left_semi")
+
+    # -- recursive plan builder ------------------------------------------
+    def _plan(self, node) -> DataFrame:
+        if isinstance(node, Leaf):
+            col = self.field_map.get(node.field, node.field)
+            cond = _OPS[node.op](F.col(col), F.lit(node.value))
+            return self.entities.filter(cond).select("id")
+        if isinstance(node, Bool):
+            if node.op == "AND":
+                legs = [self._plan(c) for c in node.children]
+                return reduce(lambda acc, leg: acc.join(leg, "id", "left_semi"), legs)
+            if node.op == "OR":
+                legs = [self._plan(c) for c in node.children]
+                return reduce(lambda a, b: a.union(b), legs)
+            if node.op == "NOT":
+                matched = self._plan(node.children[0])
+                return self.entities.select("id").join(matched, "id", "left_anti")
+            raise ValueError(f"unknown bool op {node.op}")
+        if isinstance(node, Rel):
+            sub = self._plan(node.child)
+            e = self.edges.filter(F.col("predicate") == node.predicate)
+            if node.inverse:
+                # entities pointed TO by matches of the sub-plan
+                return (
+                    e.join(sub, e.subject == sub.id, "left_semi")
+                    .select(F.col("object").alias("id"))
+                )
+            return (
+                e.join(sub, e.object == sub.id, "left_semi")
+                .select(F.col("subject").alias("id"))
+            )
+        raise TypeError(f"unknown AST node {node!r}")

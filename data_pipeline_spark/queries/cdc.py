@@ -1,0 +1,119 @@
+"""Incremental/CDC operators (SURVEY §2.11 R1–R6) in deterministic batch form.
+
+The streaming twins live in data_pipeline_spark/streaming/ (Structured
+Streaming with watermarks); these declared-query forms are the exact batch
+semantics the streaming path must agree with, checked against the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+@query(
+    "r05_first_change_per_key",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts FROM (
+        SELECT event_id, user_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    survey="R5,S2",
+)
+def r05_first_change_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seen-dedupe (R5, harvester.py:219-222: first change per ident wins):
+    dropDuplicates made deterministic via an explicit total order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.select("event_id", "user_id", "event_type", "ts", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "r03_change_classification",
+    oracle="""
+    SELECT CASE WHEN event_type IN ('signup') THEN 'create'
+                WHEN event_type IN ('click', 'view') THEN 'update'
+                WHEN event_type IN ('error') THEN 'delete'
+                ELSE 'refresh' END AS change,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+    survey="R3",
+)
+def r03_change_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-type classification (R3, harvester.py:190-203): CDC column
+    derivation via a when-chain, then per-class counts."""
+    ev = load_table(spark, sf_dir, "events")
+    change = (
+        F.when(F.col("event_type").isin("signup"), "create")
+        .when(F.col("event_type").isin("click", "view"), "update")
+        .when(F.col("event_type").isin("error"), "delete")
+        .otherwise("refresh")
+    )
+    return (
+        ev.select(change.alias("change"), "user_id")
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "r06_skip_if_fresher",
+    oracle="""
+    WITH latest AS (SELECT user_id, MAX(ts) AS max_ts FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id, e.ts
+    FROM events e JOIN latest l ON e.user_id = l.user_id
+    WHERE epoch_us(l.max_ts) - epoch_us(e.ts) <= 86400000000
+    """,
+    survey="R6,R1",
+)
+def r06_skip_if_fresher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness gate (R6, harvester.py:242-251: skip if cache newer):
+    keep only events within 1 day of each key's watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(F.max("ts").alias("max_ts"))
+    e = ev.alias("e")
+    return (
+        e.join(latest.alias("l"), "user_id")
+        .filter(F.unix_micros(F.col("max_ts")) - F.unix_micros(F.col("e.ts")) <= 86_400_000_000)
+        .select("event_id", "user_id", F.col("e.ts").alias("ts"))
+    )
+
+
+@query(
+    "r01_watermark_window_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+    GROUP BY 1, 2
+    """,
+    survey="R1,R2",
+)
+def r01_watermark_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation — the batch twin of the
+    streaming watermark path (streaming/ingest.py). F.window() emits the
+    same hour buckets as DuckDB's time_bucket."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") >= "2024-01-10 00:00:00")
+        .groupBy(F.window("ts", "1 hour").getField("start").alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+        )
+    )

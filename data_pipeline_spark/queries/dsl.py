@@ -1,0 +1,107 @@
+"""Declared search-DSL queries (SURVEY §2.10 Q1-Q6): each runs a LUX-style
+string query through the parser + planner (plans/), with a hand-written SQL
+oracle expressing the same semantics for DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.model import build_planner
+from .registry import query
+
+
+@query(
+    "dsl_q01_customers_in_germany",
+    oracle="""
+    SELECT 'customer:' || c_custkey AS id
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+    """,
+    survey="Q1,Q3,Q4,Q5",
+)
+def dsl_q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`AND(type=customer, in_nation(name="NATION_7"))`: boolean + leaf +
+    relationship traversal (ml_lexer.py:227-248 semantics)."""
+    planner = build_planner(spark, sf_dir)
+    return planner.plan('AND(type=customer, in_nation(name="NATION_7"))')
+
+
+@query(
+    "dsl_q02_rich_or_named",
+    oracle="""
+    SELECT 'customer:' || c_custkey AS id FROM customer
+    WHERE c_acctbal > 9900 OR c_name = 'Customer#000000001'
+    """,
+    survey="Q1,Q3,Q4",
+)
+def dsl_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`AND(type=customer, OR(acctbal>9900, name="..."))`: OR + typed
+    comparison leaves (ml_lexer.py:154-195 comparators)."""
+    planner = build_planner(spark, sf_dir)
+    return planner.plan(
+        'AND(type=customer, OR(number>9900, name="Customer#000000001"))'
+    )
+
+
+@query(
+    "dsl_q03_orders_not_from_asia",
+    oracle="""
+    SELECT 'order:' || o_orderkey AS id
+    FROM orders
+    WHERE o_totalprice > 300000
+      AND o_orderkey NOT IN (
+        SELECT o_orderkey FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+      )
+    """,
+    survey="Q3,Q5",
+)
+def dsl_q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested traversal under NOT: big orders whose customer is NOT in
+    ASIA — NOT compiles to an anti-join against the universe, scoped by the
+    enclosing AND (cts.py:30-60 notQuery semantics)."""
+    planner = build_planner(spark, sf_dir)
+    return planner.plan(
+        "AND(type=order, number>300000,"
+        ' NOT(placed_by(in_nation(in_region(name="ASIA")))))'
+    )
+
+
+@query(
+    "dsl_q04_nations_with_rich_customers",
+    oracle="""
+    SELECT DISTINCT 'nation:' || c_nationkey AS id
+    FROM customer WHERE c_acctbal > 9500
+    """,
+    survey="Q6",
+)
+def dsl_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse traversal (`^in_nation`): nations pointed TO by high-balance
+    customers (Q6, ml_lexer.py:250-257 / cts.py:95-106)."""
+    planner = build_planner(spark, sf_dir)
+    return planner.plan("AND(type=nation, ^in_nation(AND(type=customer, number>9500)))")
+
+
+@query(
+    "dsl_q05_parts_in_german_orders",
+    oracle="""
+    SELECT DISTINCT 'part:' || l_partkey AS id
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+    """,
+    survey="Q5,Q6",
+)
+def dsl_q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop inverse chain: parts contained in orders placed by German
+    customers — `^contains` after a forward `placed_by/in_nation` walk."""
+    planner = build_planner(spark, sf_dir)
+    return planner.plan(
+        'AND(type=part, ^contains(AND(type=order, placed_by(in_nation(name="NATION_7")))))'
+    )

@@ -1,0 +1,94 @@
+"""Graph-shaped operators: edge extraction (X1) and transitive closure (J5–J7)
+expressed over the relational testdata, with recursive-CTE oracles.
+
+The production-grade versions over record envelopes live in
+data_pipeline_spark/pipeline/ (closure.py, edges.py); these declared queries
+pin the semantics against DuckDB on data the driver owns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..pipeline.closure import connected_components
+from .registry import query
+
+
+@query(
+    "x01_edges_extraction",
+    oracle="""
+    SELECT subject, predicate, object FROM (
+        SELECT 'order:' || o_orderkey AS subject, 'placed_by' AS predicate,
+               'customer:' || o_custkey AS object
+        FROM orders
+        UNION ALL
+        SELECT 'customer:' || c_custkey, 'in_nation', 'nation:' || c_nationkey
+        FROM customer
+        UNION ALL
+        SELECT 'nation:' || n_nationkey, 'in_region', 'region:' || n_regionkey
+        FROM nation
+        UNION ALL
+        SELECT 'supplier:' || s_suppkey, 'in_nation', 'nation:' || s_nationkey
+        FROM supplier
+    )
+    """,
+    survey="X1,X3,K6",
+)
+def x01_edges_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple extraction (X1, marklogic/mapper.py:195-846): flatten typed
+    rows into a uniform edges(subject, predicate, object) relation — the
+    first-class queryable model for DSL traversals and NT export."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    def edge(df, s_prefix, s_col, pred, o_prefix, o_col):
+        return df.select(
+            F.concat(F.lit(s_prefix), F.col(s_col).cast("string")).alias("subject"),
+            F.lit(pred).alias("predicate"),
+            F.concat(F.lit(o_prefix), F.col(o_col).cast("string")).alias("object"),
+        )
+
+    return (
+        edge(orders, "order:", "o_orderkey", "placed_by", "customer:", "o_custkey")
+        .unionAll(edge(cust, "customer:", "c_custkey", "in_nation", "nation:", "c_nationkey"))
+        .unionAll(edge(nation, "nation:", "n_nationkey", "in_region", "region:", "n_regionkey"))
+        .unionAll(edge(supp, "supplier:", "s_suppkey", "in_nation", "nation:", "s_nationkey"))
+    )
+
+
+@query(
+    "j05_connected_components",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        -- undirected nation graph: nations sharing a region
+        SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+        FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+    ),
+    walk(node, label) AS (
+        SELECT n_nationkey, n_nationkey FROM nation
+        UNION
+        SELECT e.dst, w.label
+        FROM walk w JOIN edges e ON w.node = e.src
+        WHERE w.label < e.dst
+    )
+    SELECT node, MIN(label) AS component FROM walk GROUP BY node
+    """,
+    survey="J5,J6,J7",
+)
+def j05_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive equivalence closure (J5/J7, collector.py:108-278 +
+    reference_manager.py:212-407): connected-components labeling via
+    iterative label propagation (pipeline/closure.py), pinned here against
+    a recursive-CTE oracle on the nation/region graph."""
+    nation = load_table(spark, sf_dir, "nation")
+    a = nation.alias("a")
+    b = nation.alias("b")
+    edges = a.join(b, F.col("a.n_regionkey") == F.col("b.n_regionkey")).select(
+        F.col("a.n_nationkey").alias("src"), F.col("b.n_nationkey").alias("dst")
+    )
+    comps = connected_components(edges, src="src", dst="dst")
+    return comps.select(F.col("node"), F.col("component"))

@@ -1,0 +1,308 @@
+"""Text-analysis and deduplication operators over the `documents` table.
+
+These are the training-data-pipeline operators (dedup, quality scoring,
+language ID, token counting, fingerprinting) built as declared queries with
+DuckDB oracles. All logic stays JVM-side (built-in functions), so at 100TB
+these are single-scan whole-stage-codegen pipelines; only MinHash signatures
+(see pipeline/dedup.py) need a vectorized UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+# Deterministic language marker words (shared Spark/DuckDB logic; the
+# reference's analog is the 3->2-letter language map F15 + per-language name
+# priorities of process/base/mapper.py:47-114).
+_LANG_MARKERS = {
+    "en": ("the", "fast", "small"),
+    "es": ("data", "key", "order"),
+    "de": ("window", "batch", "stream"),
+    "fr": ("join", "merge", "sort"),
+    "zh": ("spark", "vector", "query"),
+}
+
+
+def _norm_text() -> F.Column:
+    return F.lower(F.trim(F.col("text")))
+
+
+@query(
+    "d01_dedup_exact",
+    oracle="""
+    SELECT fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+    FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents)
+    GROUP BY fp HAVING COUNT(*) > 1
+    """,
+    survey="dedup-exact",
+)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on a normalized-content fingerprint, keep
+    min doc_id. One shuffle on the 32-char digest; at 100TB, map-side
+    partial agg shrinks it to ~distinct-count rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(_norm_text()).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "d02_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+    survey="fingerprint",
+)
+def d02_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whitespace-normalized content digest
+    (the reference's dedupe-by-lowercased-content A3, merger.py:750-842)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace(_norm_text(), r"\s+", " ")).alias("fingerprint"),
+    )
+
+
+@query(
+    "d03_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           length(text) AS n_chars_computed,
+           n_chars
+    FROM documents
+    """,
+    survey="token-count",
+)
+def d03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) + char counts, verified against
+    the table's own n_chars column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        "n_chars",
+    )
+
+
+@query(
+    "d04_quality_score",
+    oracle="""
+    SELECT doc_id,
+           n_tokens,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(length(text) AS DOUBLE) / n_tokens AS avg_token_len,
+           CASE WHEN n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM (
+      SELECT doc_id, text,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop
+      FROM documents
+    )
+    """,
+    survey="quality-score",
+)
+def d04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / stopword-ratio heuristics with a
+    keep/drop verdict. Ratios are single-division doubles on identical
+    operands → bit-exact across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    low_toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(low_toks, lambda t: t.isin("the", "a", "of", "and")))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        (F.length("text").cast("double") / n_tokens).alias("avg_token_len"),
+        F.when((n_tokens >= 20) & (stop_ratio < 0.5), F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("verdict"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+        f" t -> t IN ({words})))"
+    )
+
+
+@query(
+    "d05_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE GREATEST(
+                  {_lang_score_sql('en')} * 10 + 4,
+                  {_lang_score_sql('es')} * 10 + 3,
+                  {_lang_score_sql('de')} * 10 + 2,
+                  {_lang_score_sql('fr')} * 10 + 1,
+                  {_lang_score_sql('zh')} * 10 + 0)
+                % 10
+             WHEN 4 THEN 'en' WHEN 3 THEN 'es' WHEN 2 THEN 'de'
+             WHEN 1 THEN 'fr' ELSE 'zh' END AS predicted_lang
+    FROM documents
+    """,
+    survey="lang-id",
+)
+def d05_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by marker-word voting: argmax over per-language marker
+    counts with a deterministic priority tiebreak (encode score*10+prio,
+    take GREATEST, decode). Pure integer arithmetic → engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    low_toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    prio = {"en": 4, "es": 3, "de": 2, "fr": 1, "zh": 0}
+    encoded = [
+        (F.size(F.filter(low_toks, lambda t: t.isin(*_LANG_MARKERS[lang]))) * 10 + p)
+        for lang, p in prio.items()
+    ]
+    best = F.greatest(*encoded) % 10
+    pred = (
+        F.when(best == 4, "en")
+        .when(best == 3, "es")
+        .when(best == 2, "de")
+        .when(best == 1, "fr")
+        .otherwise("zh")
+    )
+    return docs.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+@query(
+    "a16_top5_words",
+    oracle="""
+    SELECT word, n FROM (
+        SELECT word, COUNT(*) AS n
+        FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+              FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+    ) ORDER BY n DESC, word LIMIT 5
+    """,
+    survey="A16,W7",
+)
+def a16_top5_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-frequency top-k (A16, ml_lexer.py:65-87: similar-query keyword
+    synthesis): explode(split) + count + ordered limit with tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(5)
+    )
+
+
+@query(
+    "d06_ngram_jaccard_pairs",
+    oracle="""
+    WITH shingles AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                  FROM documents)
+            WHERE len(toks) >= 3
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_both
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) AS jaccard
+    FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+               JOIN sizes sb ON inter.doc_b = sb.doc_id
+    WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.6
+    """,
+    survey="dedup-ngram-jaccard",
+)
+def d06_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by 3-gram Jaccard >= 0.6: shingle -> inverted
+    index self-join -> intersection counts -> Jaccard. This exact-Jaccard
+    form is the oracle twin of the MinHash/LSH scale path
+    (pipeline/dedup.py): LSH banding replaces the full shingle self-join
+    with bucketed candidate generation at 100TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    with_toks = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+    shingles = (
+        with_toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_both").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_both"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+@query(
+    "f08_clean_names",
+    oracle=r"""
+    SELECT c_custkey,
+           lower(trim(regexp_replace(c_name,
+               '[\x{200B}-\x{200F}\x{202A}-\x{202E}#]', '', 'g'))) AS name_clean
+    FROM customer
+    """,
+    survey="F8,P6",
+)
+def f08_clean_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_names (F8, process/base/reconciler.py:58-59): strip zero-width
+    and bidi control characters, lowercase, trim — the reconcile join key."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.lower(
+            F.trim(
+                F.regexp_replace(
+                    F.col("c_name"), r"[\x{200B}-\x{200F}\x{202A}-\x{202E}#]", ""
+                )
+            )
+        ).alias("name_clean"),
+    )

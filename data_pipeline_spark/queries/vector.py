@@ -1,0 +1,122 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variant (pipeline/similarity.py) is the 100TB scale path — random-hyperplane
+bucketing turns the O(n^2) cross join into per-bucket joins.
+
+Determinism: cosine is computed component-order-sequentially on doubles in
+both engines, then ROUNDed to 6 digits before ranking, with vec_id
+tiebreaks — rank flips from low-bit FP noise would need two cosines within
+1e-6 of each other AND of the rounding boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+def cosine_expr(a: str, b: str) -> F.Column:
+    """Cosine similarity between two array<double> columns, JVM-side only:
+    zip_with products + aggregate sums (whole-stage codegen, no UDF)."""
+    dot = F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(F.col(a), F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(F.col(b), F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+_COS_SQL = """
+    list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * b.emb[i]))
+    / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+       * sqrt(list_sum(list_transform(b.emb, x -> x * x))))
+"""
+
+
+@query(
+    "v01_knn_bruteforce",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS neighbor_label,
+               ROUND({_COS_SQL}, 6) AS cos_sim
+        FROM vecs a JOIN vecs b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM pairs
+    ) WHERE rn <= 5
+    """,
+    survey="similarity-knn",
+)
+def v01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 10 query vectors.
+    The query side is tiny → broadcast it against the full corpus; at scale
+    this exact plan handles any small-query-batch ANN lookup."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("emb").alias("nemb"),
+    )
+    pairs = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine_expr("qemb", "nemb"), 6))
+        .select("query_id", "neighbor_id", "neighbor_label", "cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@query(
+    "v02_label_centroid_norms",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DECIMAL(30,9)))
+             AS DOUBLE) AS sum_sq_norm
+    FROM embeddings GROUP BY label
+    """,
+    survey="similarity-stats",
+)
+def v02_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label corpus stats (cluster sizing for IVF-style partitioning):
+    squared-norm sums accumulated in decimal for order-independence."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq_norm = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v * v,
+    )
+    return (
+        emb.select("label", sq_norm.alias("sq"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("sq").cast("decimal(30,9)")).cast("double").alias("sum_sq_norm"),
+        )
+    )

