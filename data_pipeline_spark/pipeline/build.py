@@ -1,0 +1,60 @@
+"""End-to-end build: the reference's full pipeline as chained DataFrame jobs.
+
+run-all.sh's 24-process, file-flag-barrier orchestration (SURVEY §3.1)
+collapses into ~6 chained Spark stages — map/parse, reconcile (join family),
+closure+idmap (component labeling), reidentify, merge (grouped fold),
+extract (edges/facets/names). Stage boundaries that the reference persists
+as Postgres cache tiers become DataFrames; callers persist whichever tiers
+they want as Parquet/Delta tables (sinks/).
+
+At 100TB: every stage is shuffle-bounded by its key (uri or yuid), the
+closure iterates O(component diameter) bounded rounds, and nothing ever
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .edges import extract_edges, extract_facets, extract_names_table
+from .envelope import with_doc
+from .idmap import build_idmap
+from .merge_records import merge_by_yuid
+from .reconcile import reconcile
+from .reidentify import reidentify
+
+
+def run_build(
+    spark: SparkSession,
+    records: DataFrame,
+    indexes: dict[str, DataFrame],
+    idmap_prev: DataFrame | None = None,
+    merge_order: dict[str, int] | None = None,
+) -> dict[str, DataFrame]:
+    """records + reconcile indexes (+ prev idmap) -> all output tiers."""
+    equiv_edges = reconcile(records, indexes)
+
+    all_uris = with_doc(records).select(
+        F.coalesce(F.col("doc.id"), F.concat_ws("/", "source", "identifier")).alias("uri")
+    )
+    idmap = build_idmap(equiv_edges, all_uris, idmap_prev)
+
+    reidentified = reidentify(
+        records.select("source", "identifier", "rectype", "data"), idmap
+    )
+    merged = merge_by_yuid(
+        reidentified.select("yuid", "source", "identifier", "data"), merge_order
+    )
+    edges = extract_edges(merged)
+    facets = extract_facets(merged)
+    names = extract_names_table(merged)
+    return {
+        "equiv_edges": equiv_edges,
+        "idmap": idmap,
+        "reidentified": reidentified,
+        "merged": merged,
+        "edges": edges,
+        "facets": facets,
+        "names": names,
+    }

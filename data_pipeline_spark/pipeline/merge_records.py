@@ -1,0 +1,179 @@
+"""Per-entity record merge (SURVEY §2.5 A1–A7): the aggregation family.
+
+The reference folds N co-referent records into one with per-property rules
+(RecordMerger, process/merger.py:670-1022 in /root/reference): copy-if-
+absent scalars, set-union-by-id arrays (A2), name dedupe by lowercased
+content (A3), statement dedupe (A4), dimension dedupe on the (value, unit,
+classification) triple (A5), timespan pick-best = smallest non-estimated
+interval (A6), geometry pick-best by parseability/shape/vertices (A7), with
+order sensitivity supplied by the configured ``merge_order`` (W2).
+
+Spark restatement: ``groupBy(yuid).applyInPandas`` — an Arrow-batched
+grouped reduction. Each group is a handful of co-referent documents (bounded
+by the equivalence-class size, not the table), so the Python fold is tiny
+per group and the stage scales with one shuffle on yuid. Docs are sorted by
+(merge_order, source, identifier) INSIDE the fold so the result is
+independent of partitioning.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+
+# lower = folded earlier = wins copy-if-absent conflicts (run-merge.py:80-81)
+DEFAULT_MERGE_ORDER: dict[str, int] = {}
+
+_ID_ARRAYS = ("classified_as", "equivalent", "member_of", "part_of", "broader")
+
+
+def _union_by_id(a: list, b: list) -> list:
+    seen = {e.get("id") for e in a if isinstance(e, dict)}
+    out = list(a)
+    for e in b:
+        if isinstance(e, dict) and e.get("id") not in seen:
+            seen.add(e.get("id"))
+            out.append(e)
+    return out
+
+
+def _dedupe_names(items: list) -> list:
+    seen, out = set(), []
+    for e in items:
+        key = (" ".join(str(e.get("content", "")).split()).lower(), e.get("type"))
+        if key not in seen:
+            seen.add(key)
+            out.append(e)
+    return out
+
+
+def _dedupe_statements(items: list) -> list:
+    seen, out = set(), []
+    for e in items:
+        key = str(e.get("content", "")).strip()
+        if key not in seen:
+            seen.add(key)
+            out.append(e)
+    return out
+
+
+def _dedupe_dimensions(items: list) -> list:
+    seen, out = set(), []
+    for e in items:
+        cls = tuple(sorted(c.get("id", "") for c in e.get("classified_as") or []))
+        key = (e.get("value"), (e.get("unit") or {}).get("id"), cls)
+        if key not in seen:
+            seen.add(key)
+            out.append(e)
+    return out
+
+
+def _interval_len(ts: dict) -> float:
+    """Seconds covered by a timespan dict, BCE-safe (F1 parser)."""
+    from ..functions.dates import parse_datetime
+
+    b = parse_datetime(ts.get("begin_of_the_begin"))
+    e = parse_datetime(ts.get("end_of_the_end") or ts.get("begin_of_the_begin"))
+    if b is None or e is None:
+        return float("inf")
+    return max(0, e[3] - b[2])
+
+
+def _pick_timespan(a: dict | None, b: dict | None) -> dict | None:
+    """A6: prefer parseable, then the smallest interval (merger.py:542-622)."""
+    if not a:
+        return b
+    if not b:
+        return a
+    ts_a, ts_b = a.get("timespan") or {}, b.get("timespan") or {}
+    return a if _interval_len(ts_a) <= _interval_len(ts_b) else b
+
+
+def _geom_score(wkt: str | None) -> tuple:
+    """A7 (merger.py:177-244): parseable > polygon > point; more vertices;
+    more coordinate precision; deterministic final tiebreak on the text."""
+    if not wkt or not isinstance(wkt, str):
+        return (0, 0, 0, 0, "")
+    w = wkt.strip().upper()
+    shape = 2 if w.startswith("POLYGON") else 1 if w.startswith("POINT") else 0
+    vertices = wkt.count(",") + 1 if shape else 0
+    precision = max((len(p.split(".")[1]) for p in wkt.replace(",", " ").split() if "." in p), default=0)
+    return (1 if shape else 0, shape, vertices, precision, wkt)
+
+
+def merge_docs(docs: list[dict]) -> dict:
+    """Fold an ordered list of co-referent documents into one (A1)."""
+    base = dict(docs[0])
+    for other in docs[1:]:
+        for k, v in other.items():
+            if k in ("id", "type"):
+                continue
+            if k not in base or base[k] is None:
+                base[k] = v  # copy-if-absent (merge_common)
+            elif k in _ID_ARRAYS:
+                base[k] = _union_by_id(base[k], v)
+            elif k == "identified_by":
+                base[k] = _dedupe_names(list(base[k]) + list(v))
+            elif k == "referred_to_by":
+                base[k] = _dedupe_statements(list(base[k]) + list(v))
+            elif k == "dimension":
+                base[k] = _dedupe_dimensions(list(base[k]) + list(v))
+            elif k in ("born", "died", "produced_by"):
+                base[k] = _pick_timespan(base[k], v)
+            elif k == "defined_by":
+                base[k] = max((base[k], v), key=_geom_score)
+            # else: keep base's value (first-in-merge-order wins)
+    # normalization applies to single-source docs too (dups can pre-exist
+    # inside one record, A5/A9): dedupe families + id-array uniqueness
+    if base.get("identified_by"):
+        base["identified_by"] = _dedupe_names(base["identified_by"])
+    if base.get("referred_to_by"):
+        base["referred_to_by"] = _dedupe_statements(base["referred_to_by"])
+    if base.get("dimension"):
+        base["dimension"] = _dedupe_dimensions(base["dimension"])
+    for k in _ID_ARRAYS:
+        if base.get(k):
+            base[k] = _union_by_id([], base[k])
+    # final clean (subset of sources/lux/final/mapper.py:778-908):
+    # self-reference removal (P8) on the parent links
+    self_id = base.get("id")
+    for k in ("part_of", "broader", "member_of"):
+        if k in base and isinstance(base[k], list):
+            kept = [e for e in base[k] if e.get("id") != self_id]
+            if kept:
+                base[k] = kept
+            else:
+                del base[k]
+    return base
+
+
+def merge_by_yuid(
+    reidentified: DataFrame, merge_order: dict[str, int] | None = None
+) -> DataFrame:
+    """records(yuid, source, identifier, data) -> merged(yuid, rectype, data).
+
+    One shuffle on yuid; each group folds in merge-order inside an
+    Arrow-batched pandas group-map."""
+    import pandas as pd
+
+    order = merge_order or DEFAULT_MERGE_ORDER
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.assign(_prio=pdf["source"].map(lambda s: order.get(s, 100))).sort_values(
+            ["_prio", "source", "identifier"], kind="mergesort"
+        )
+        docs = [json.loads(d) for d in pdf["data"]]
+        merged = merge_docs(docs)
+        merged["id"] = pdf["yuid"].iloc[0]
+        return pd.DataFrame(
+            {
+                "yuid": [pdf["yuid"].iloc[0]],
+                "rectype": [merged.get("type")],
+                "data": [json.dumps(merged, sort_keys=True)],
+            }
+        )
+
+    return reidentified.groupBy("yuid").applyInPandas(
+        fold, schema="yuid string, rectype string, data string"
+    )

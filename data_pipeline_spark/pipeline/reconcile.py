@@ -1,0 +1,167 @@
+"""Reconciliation: the join family (SURVEY §2.4 J1–J6).
+
+The reference reconciles per record against LMDB KV indexes inside a
+Python BFS (process/base/reconciler.py:197-274, process/collector.py:108-278
+in /root/reference). Restated Spark-first, reconciliation is a handful of
+whole-dataset joins producing one ``equiv_edges(src_uri, dst_uri, rectype,
+provenance)`` relation:
+
+- J1 name-equality: broadcast hash join names ⋈ name_index on
+  (clean name, rectype) — the index side is bounded (curated indexes),
+  so it broadcasts; the record side streams.
+- J2 uri-equivalence: explode `equivalent[]` ⋈ uri_index.
+- J4 sameAs: curated pairs unioned in as edges.
+- J3 differentFrom: curated pairs remove edges (both directions) BEFORE
+  closure — a left-anti join, so a veto splits components exactly like the
+  reference's trash_different_from.
+- P4 date plausibility: candidate pairs whose birth years differ by >10y
+  are dropped (collector.py:35-106).
+
+All of it is one Catalyst plan per stage — no fixpoint is needed for edge
+GENERATION (the closure lives in closure.py); the reference's fixpoint loop
+(J6, process/reconciler.py:34-125) exists because it discovers edges one
+record at a time over the network; with whole-dataset joins every name/uri
+edge is found in a single pass, and transitivity is the component labeling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .envelope import extract_equivalents, extract_names, extract_timespans, with_doc
+from .fixtures import URI
+
+
+def local_uri_expr(source_col, ident_col):
+    return F.concat(F.lit(URI + "/"), source_col, F.lit("/"), ident_col)
+
+
+def name_join(names: DataFrame, name_index: DataFrame) -> DataFrame:
+    """J1: records' prioritized clean names probed against the per-source
+    name index; type must match; the highest-priority hit per (record,
+    index-source) wins (reconciler.py:197-274 semantics)."""
+    from pyspark.sql import Window as W
+
+    idx = F.broadcast(
+        name_index.select(
+            F.col("source").alias("idx_source"),
+            "name_clean",
+            "target_identifier",
+            F.col("rectype").alias("idx_rectype"),
+        )
+    )
+    hits = names.join(
+        idx,
+        (names.name_clean == idx.name_clean) & (names.rectype == idx.idx_rectype),
+    ).filter(F.col("source") != F.col("idx_source"))  # not-self-source (P3)
+    w = W.partitionBy("uri", "idx_source").orderBy("priority", "target_identifier")
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("uri").alias("src_uri"),
+            local_uri_expr(F.col("idx_source"), F.col("target_identifier")).alias("dst_uri"),
+            "rectype",
+            F.lit("name").alias("provenance"),
+        )
+    )
+
+
+def uri_join(equivs: DataFrame, uri_index: DataFrame) -> DataFrame:
+    """J2: records' equivalent[].id probed against the inverse uri index
+    (ext_uri -> local identifier), normalizing http/https + www variants
+    on BOTH sides so protocol drift still matches (F10)."""
+    from ..functions.strings import normalize_url
+
+    idx = F.broadcast(
+        uri_index.select(
+            normalize_url(F.col("ext_uri")).alias("ext_norm"),
+            F.col("source").alias("idx_source"),
+            "target_identifier",
+            F.col("rectype").alias("idx_rectype"),
+        )
+    )
+    return (
+        equivs.withColumn("dst_norm", normalize_url(F.col("dst_uri")))
+        .join(idx, (F.col("dst_norm") == idx.ext_norm))
+        .filter(F.col("rectype") == F.col("idx_rectype"))
+        .select(
+            "src_uri",
+            local_uri_expr(F.col("idx_source"), F.col("target_identifier")).alias("dst_uri"),
+            "rectype",
+            F.lit("uri").alias("provenance"),
+        )
+    )
+
+
+def apply_constraints(
+    edges: DataFrame, same_as: DataFrame, different_from: DataFrame
+) -> DataFrame:
+    """J4 + J3: union curated sameAs edges in; veto differentFrom pairs in
+    both directions via anti-join. Veto happens BEFORE closure so a vetoed
+    pair splits the component (sources/lux/final/reconciler.py:21-55 used
+    at process/reconciler.py:133-143)."""
+    sa = same_as.select(
+        F.col("uri_a").alias("src_uri"),
+        F.col("uri_b").alias("dst_uri"),
+        F.lit(None).cast("string").alias("rectype"),
+        F.lit("sameAs").alias("provenance"),
+    )
+    all_edges = edges.unionByName(sa)
+    veto = F.broadcast(
+        different_from.select("uri_a", "uri_b")
+        .union(different_from.select(F.col("uri_b"), F.col("uri_a")))
+    )
+    return all_edges.join(
+        veto,
+        (all_edges.src_uri == veto.uri_a) & (all_edges.dst_uri == veto.uri_b),
+        "left_anti",
+    )
+
+
+def date_plausibility_filter(edges: DataFrame, timespans: DataFrame) -> DataFrame:
+    """P4 (collector.py:35-106): drop candidate equivalences whose birth
+    years differ by more than ±10 years, and any edge touching a record
+    with an implausible lifespan (F5). Equi-join on the edge endpoints +
+    a post-join range predicate — the reference's only non-equi check."""
+    ts = timespans.select(
+        "uri",
+        "born_begin_sec",
+        F.col("lifespan_ok").alias("ok"),
+    )
+    ten_years = int(10 * 365.25 * 86400)
+    a = ts.alias("a")
+    b = ts.alias("b")
+    return (
+        edges.join(a, edges.src_uri == F.col("a.uri"), "left")
+        .join(b, edges.dst_uri == F.col("b.uri"), "left")
+        .filter(F.coalesce(F.col("a.ok"), F.lit(True)) & F.coalesce(F.col("b.ok"), F.lit(True)))
+        .filter(
+            F.col("a.born_begin_sec").isNull()
+            | F.col("b.born_begin_sec").isNull()
+            | (F.abs(F.col("a.born_begin_sec") - F.col("b.born_begin_sec")) <= ten_years)
+        )
+        .select("src_uri", "dst_uri", "rectype", "provenance")
+    )
+
+
+def reconcile(records: DataFrame, indexes: dict[str, DataFrame]) -> DataFrame:
+    """Full reconcile pass: one equiv_edges relation from all join families.
+
+    ``indexes`` carries name_index, uri_index, same_as, different_from
+    (each may be empty). Returns distinct directed edges; closure.py
+    symmetrizes."""
+    docs = with_doc(records)
+    names = extract_names(docs)
+    equivs = extract_equivalents(docs)
+    timespans = extract_timespans(docs)
+
+    record_edges = equivs  # J2 input doubles as direct record-asserted edges
+    name_edges = name_join(names, indexes["name_index"])
+    uri_edges = uri_join(equivs, indexes["uri_index"])
+
+    edges = record_edges.unionByName(name_edges).unionByName(uri_edges)
+    edges = apply_constraints(edges, indexes["same_as"], indexes["different_from"])
+    edges = date_plausibility_filter(edges, timespans)
+    return edges.dropDuplicates(["src_uri", "dst_uri"])

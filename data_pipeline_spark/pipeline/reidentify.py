@@ -1,0 +1,67 @@
+"""Reidentification (J8): rewrite every URI in a document to its YUID.
+
+The reference walks each JSON tree recursively, consulting the Redis idmap
+per URI (process/reidentifier.py:43-218 in /root/reference). That is a
+per-record RPC storm; the Spark restatement is a distributed
+extract-join-reassemble:
+
+1. extract all URI occurrences per record (one ``regexp_extract_all`` over
+   the raw JSON — cheap, JVM-side);
+2. join the exploded (record, uri) pairs against the idmap — an equi-join
+   that shuffles only (uri, yuid) pairs, never documents;
+3. collect each record's private ``uri -> yuid`` map (tiny: the record's
+   own reference set) back onto the row;
+4. apply the substitutions in one Arrow-batched pandas pass.
+
+No broadcast of the full idmap, no driver loop — both sides stream, so a
+billion-record idmap is fine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_URI_RE = r'"(https?://[^"]+)"'
+
+
+def reidentify(records: DataFrame, idmap: DataFrame) -> DataFrame:
+    """records(source, identifier, rectype, data) + idmap(qua_uri, yuid)
+    -> same rows with `data` rewritten and a `yuid` column attached."""
+    import pandas as pd
+
+    keyed = records.withColumn(
+        "_rk", F.concat_ws("|", F.col("source"), F.col("identifier"))
+    )
+    refs = keyed.select(
+        "_rk", F.explode(F.regexp_extract_all(F.col("data"), F.lit(_URI_RE), 1)).alias("uri")
+    ).distinct()
+    mapped = refs.join(idmap, refs.uri == idmap.qua_uri).select(
+        "_rk", "uri", "yuid"
+    )
+    per_record = mapped.groupBy("_rk").agg(
+        F.map_from_entries(F.collect_list(F.struct("uri", "yuid"))).alias("_submap")
+    )
+    joined = keyed.join(per_record, "_rk", "left")
+
+    def rewrite(batches):
+        for pdf in batches:
+            out_data = []
+            for data, submap in zip(pdf["data"], pdf["_submap"]):
+                sub = dict(submap) if submap is not None else {}
+                s = data
+                # exact quoted-string matches only, so partial-prefix URIs
+                # never clobber longer ones
+                for uri, yuid in sub.items():
+                    s = s.replace(f'"{uri}"', f'"{yuid}"')
+                out_data.append(s)
+            yield pdf.assign(data=out_data).drop(columns=["_submap"])
+
+    schema = ", ".join(f"{c} string" for c in joined.drop("_submap").columns)
+    rewritten = joined.mapInPandas(rewrite, schema=schema)
+
+    # the record's own yuid is its rewritten doc id (the reference also
+    # rewrites the top-level id, reidentifier.py:190-218)
+    return rewritten.withColumn(
+        "yuid", F.get_json_object(F.col("data"), "$.id")
+    ).drop("_rk")

@@ -1,0 +1,186 @@
+"""End-to-end tests of the ETL pipeline over the Family-B fixtures
+(FIXTURES.md): reconcile joins, differentFrom splits, sameAs bridges,
+closure, deterministic minting, prev-build yuid stability (merge + split),
+reidentification, per-entity merge rules, and edge extraction.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_spark.pipeline.build import run_build
+from data_pipeline_spark.pipeline.fixtures import (
+    PREV_YUID_P1,
+    PREV_YUID_P4,
+    PREV_YUID_P5,
+    PREV_YUID_P67,
+    fixture_tables,
+    uri,
+)
+from data_pipeline_spark.pipeline.idmap import uuid5_col
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    t = fixture_tables(spark)
+    out = run_build(
+        spark,
+        t["records"],
+        {k: t[k] for k in ("name_index", "uri_index", "same_as", "different_from")},
+        idmap_prev=t["idmap_prev"],
+        merge_order={"srcA": 0, "extX": 1, "extY": 2},
+    )
+    # materialize the interesting tiers once
+    return {
+        "idmap": {r.qua_uri: r.yuid for r in out["idmap"].collect()},
+        "edges_df": out["equiv_edges"],
+        "merged": {r.yuid: json.loads(r.data) for r in out["merged"].collect()},
+        "graph_edges": [(r.subject, r.predicate, r.object) for r in out["edges"].collect()],
+        "reidentified": {
+            (r.source, r.identifier): r.data for r in out["reidentified"].collect()
+        },
+        "facets": {r.yuid: r.asDict() for r in out["facets"].collect()},
+    }
+
+
+def test_uuid5_col_matches_python(spark):
+    names = ["https://fixture.test/srcA/p1", "x", "héllo/ünïcode", ""]
+    df = spark.createDataFrame([(n,) for n in names], ["n"]).select(
+        "n", uuid5_col(F.col("n")).alias("u")
+    )
+    for r in df.collect():
+        assert r.u == str(uuid.uuid5(uuid.NAMESPACE_URL, r.n)), r.n
+
+
+def test_chain_closure_one_component(built):
+    """srcA/p1 -> extX/e1 -> extY/f1 must share one yuid (J5 transitivity)."""
+    ids = built["idmap"]
+    assert ids[uri("srcA", "p1")] == ids[uri("extX", "e1")] == ids[uri("extY", "f1")]
+
+
+def test_prev_yuid_stability(built):
+    """Unchanged component keeps its previous build's yuid (R7/J7)."""
+    assert built["idmap"][uri("srcA", "p1")] == PREV_YUID_P1
+
+
+def test_prev_yuid_merge_on_component_join(built):
+    """p4+p5 connected this build: both get ONE yuid = lexical min of the
+    two previous yuids (the union-of-YUIDs rule)."""
+    ids = built["idmap"]
+    assert ids[uri("srcA", "p4")] == ids[uri("srcA", "p5")] == ids[uri("extX", "e4")]
+    assert ids[uri("srcA", "p4")] == min(PREV_YUID_P4, PREV_YUID_P5)
+
+
+def test_prev_yuid_split(built):
+    """p6/p7 no longer linked: exactly one keeps the old shared yuid, the
+    other re-mints deterministically."""
+    ids = built["idmap"]
+    y6, y7 = ids[uri("srcA", "p6")], ids[uri("srcA", "p7")]
+    assert y6 != y7
+    assert PREV_YUID_P67 in (y6, y7)
+    minted = y7 if y6 == PREV_YUID_P67 else y6
+    keeper_uri = uri("srcA", "p7") if y6 == PREV_YUID_P67 else uri("srcA", "p6")
+    assert minted == str(uuid.uuid5(uuid.NAMESPACE_URL, keeper_uri))
+
+
+def test_different_from_splits_component(built):
+    """p2 and e2 share a name (name_index hit) but are vetoed (J3)."""
+    ids = built["idmap"]
+    assert ids[uri("srcA", "p2")] != ids[uri("extX", "e2")]
+
+
+def test_same_as_bridges_components(built):
+    """p3 and f3 have no record/name/uri link — only the curated sameAs."""
+    ids = built["idmap"]
+    assert ids[uri("srcA", "p3")] == ids[uri("extY", "f3")]
+
+
+def test_http_https_variant_uri_join(built):
+    """g1's http://www... equivalent matches f9's https index entry (F10)."""
+    ids = built["idmap"]
+    assert ids[uri("srcA", "g1")] == ids[uri("extY", "f9")]
+
+
+def test_type_mismatch_no_name_edge(built):
+    """name_index has 'guild of st luke' -> e2 with rectype Person; the
+    Group record must NOT join to it (type gate, J1)."""
+    ids = built["idmap"]
+    assert ids[uri("srcA", "g1")] != ids[uri("extX", "e2")]
+
+
+def test_deterministic_minting(built):
+    """Unlinked records mint uuid5(NAMESPACE_URL, min component member)."""
+    ids = built["idmap"]
+    anc = uri("srcA", "anc1")
+    assert ids[anc] == str(uuid.uuid5(uuid.NAMESPACE_URL, anc))
+
+
+def test_merged_doc_rules(built):
+    """A2 set-union by id, A3 name dedupe, A5 dimension dedupe on the
+    Rembrandt component."""
+    merged = built["merged"][PREV_YUID_P1]
+    names = [n["content"] for n in merged["identified_by"] if n.get("type") == "Name"]
+    # case/whitespace duplicate "REMBRANDT  van rijn" survives A3 only once
+    lowered = [" ".join(n.lower().split()) for n in names]
+    assert len(lowered) == len(set(lowered))
+    assert "Rembrandt van Rijn" in names
+    # dimension dup folded (A5)
+    assert len(merged["dimension"]) == 1
+    # equivalents unioned across all three sources (A2)
+    eq_ids = {e["id"] for e in merged["equivalent"]}
+    assert len(eq_ids) == len(merged["equivalent"])
+
+
+def test_merge_copy_if_absent_and_order(built):
+    """referred_to_by exists only on srcA/p1 and must survive; merge base
+    is srcA (merge_order 0)."""
+    merged = built["merged"][PREV_YUID_P1]
+    assert merged["referred_to_by"][0]["content"] == "Dutch painter"
+    assert merged["_label"] == "Rembrandt van Rijn"
+
+
+def test_self_reference_removed(built):
+    """pl1's self part_of is dropped (P8), the real parent kept."""
+    ids = built["idmap"]
+    pl1 = built["merged"][ids[uri("srcA", "pl1")]]
+    part_ids = [e["id"] for e in pl1.get("part_of", [])]
+    assert ids[uri("srcA", "pl1")] not in part_ids
+    assert ids[uri("srcA", "pl2")] in part_ids
+
+
+def test_reidentified_rewrites_refs(built):
+    """Every known URI inside p1's doc is rewritten to a yuid (J8)."""
+    data = built["reidentified"][("srcA", "p1")]
+    assert uri("extX", "e1") not in data
+    doc = json.loads(data)
+    assert doc["id"] == PREV_YUID_P1
+    assert doc["equivalent"][0]["id"] == PREV_YUID_P1  # e1 is co-referent
+
+
+def test_edges_extraction(built):
+    """X1: rdf:type for every merged entity; part_of edges between yuids."""
+    ids = built["idmap"]
+    triples = set(built["graph_edges"])
+    assert (PREV_YUID_P1, "rdf:type", "Person") in triples
+    assert (ids[uri("srcA", "pl1")], "part_of", ids[uri("srcA", "pl2")]) in triples
+    # broader edge from the Type hierarchy
+    assert (ids[uri("srcA", "t1")], "broader", ids[uri("srcA", "t2")]) in triples
+
+
+def test_facets(built):
+    f = built["facets"][PREV_YUID_P1]
+    assert f["dataType"] == "Person"
+    assert f["hasName"] is True
+    assert f["nStatements"] == 1
+
+
+def test_implausible_lifespan_edge_veto(spark, built):
+    """e6 (190y lifespan) must not gain any equivalence edges (P4/F5)."""
+    bad = uri("extX", "e6")
+    edf = built["edges_df"]
+    n = edf.filter((F.col("src_uri") == bad) | (F.col("dst_uri") == bad)).count()
+    assert n == 0
