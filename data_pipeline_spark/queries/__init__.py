@@ -12,5 +12,6 @@ from . import relational  # noqa: F401, E402
 from . import text  # noqa: F401, E402
 from . import vector  # noqa: F401, E402
 from . import cdc  # noqa: F401, E402
+from . import dedup  # noqa: F401, E402
 from . import graph  # noqa: F401, E402
 from . import dsl  # noqa: F401, E402

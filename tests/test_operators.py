@@ -1,0 +1,87 @@
+"""Tests for the scale-path operators: LSH ANN recall vs brute force, and
+the multimodal binary-column plumbing (schema/batch shapes are real; decode
+is a deterministic fake)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_spark.catalog import load_table
+from data_pipeline_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    MEDIA_SCHEMA,
+    extract_features,
+    sample_frames,
+)
+from data_pipeline_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb")
+    )
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, emb):
+    dim = len(emb.first().emb)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb"))
+    exact = knn_bruteforce(queries, corpus, k=5).collect()
+    approx = knn_lsh(queries, corpus, dim=dim, k=5, n_planes=4, n_tables=3).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(truth & got) / len(truth)
+    # random (worst-case) embeddings: 4 planes x 3 tables + multiprobe
+    # measures 0.88 deterministically; tripwire below that
+    assert recall >= 0.7, f"recall@5 = {recall}"
+    # every ANN hit must carry the exact cosine of the brute-force path
+    exact_sims = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_sims:
+            assert r.cos_sim == exact_sims[(r.query_id, r.neighbor_id)]
+
+
+def _media_rows():
+    rows = []
+    for i in range(10):
+        content = bytes([i]) * (100 + i)
+        rows.append(
+            (f"m{i}", "image" if i % 2 == 0 else "video", content,
+             "image/png" if i % 2 == 0 else "video/mp4", 64, 64,
+             None if i % 2 == 0 else 3000)
+        )
+    return rows
+
+
+def test_multimodal_feature_extraction(spark):
+    media = spark.createDataFrame(_media_rows(), MEDIA_SCHEMA)
+    feats = extract_features(media)
+    assert feats.schema.simpleString() == (
+        "struct<" + FEATURE_SCHEMA.replace(", ", ",").replace(" string", ":string")
+        .replace(" bigint", ":bigint").replace(" array<float>", ":array<float>") + ">"
+    )
+    rows = {r.media_id: r for r in feats.collect()}
+    assert len(rows) == 10
+    # deterministic fake decode: sha256 of the bytes, 8-dim feature
+    expect = hashlib.sha256(bytes([3]) * 103).hexdigest()
+    assert rows["m3"].sha256 == expect
+    assert len(rows["m3"].feat) == 8
+    assert rows["m3"].n_bytes == 103
+
+
+def test_multimodal_frame_sampling(spark):
+    media = spark.createDataFrame(_media_rows(), MEDIA_SCHEMA)
+    frames = sample_frames(media, every_ms=1000)
+    got = frames.groupBy("media_id").count().collect()
+    # videos have duration 3000ms -> frames at 0,1000,2000 (+2999 guard): 3
+    for r in got:
+        assert r["count"] == 3
+    assert {r.media_id for r in got} == {f"m{i}" for i in range(10) if i % 2 == 1}
