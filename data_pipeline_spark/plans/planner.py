@@ -61,6 +61,37 @@ class SearchPlanner:
         ids = self.plan(query)
         return self.entities.join(ids, "id", "left_semi")
 
+    def similar(self, entity_id: str, number_window: float = 100.0) -> DataFrame:
+        """Q7 similar-to (QBE, ml_lexer.py:22-148 semantics): synthesize a
+        query from the entity's own attributes — same type AND (shares an
+        outbound edge target OR numeric field within ±window), self
+        excluded. The target row broadcasts (single row); candidates come
+        from the edges index, so no full scan beyond the type filter."""
+        tgt = self.entities.filter(F.col("id") == entity_id).select(
+            F.col("id").alias("tid"),
+            F.col("type").alias("ttype"),
+            F.col("number").alias("tnum"),
+        )
+        tgt_edges = self.edges.join(
+            F.broadcast(tgt), F.col("subject") == F.col("tid")
+        ).select("predicate", "object")
+        shared = (
+            self.edges.join(F.broadcast(tgt_edges), ["predicate", "object"], "left_semi")
+            .select(F.col("subject").alias("id"))
+        )
+        near = (
+            self.entities.crossJoin(F.broadcast(tgt))
+            .filter(F.abs(F.col("number") - F.col("tnum")) <= number_window)
+            .select("id")
+        )
+        return (
+            self.entities.join(shared.union(near).distinct(), "id", "left_semi")
+            .crossJoin(F.broadcast(tgt))
+            .filter((F.col("type") == F.col("ttype")) & (F.col("id") != F.col("tid")))
+            .select("id")
+            .distinct()
+        )
+
     # -- recursive plan builder ------------------------------------------
     def _plan(self, node) -> DataFrame:
         if isinstance(node, Leaf):

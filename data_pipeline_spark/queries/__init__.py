@@ -9,6 +9,7 @@ from .registry import QUERIES, Query, query  # noqa: F401
 
 # Importing the modules populates the registry.
 from . import relational  # noqa: F401, E402
+from . import relational2  # noqa: F401, E402
 from . import text  # noqa: F401, E402
 from . import vector  # noqa: F401, E402
 from . import cdc  # noqa: F401, E402

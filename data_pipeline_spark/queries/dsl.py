@@ -87,6 +87,27 @@ def dsl_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dsl_q06_similar_customers",
+    oracle="""
+    WITH tgt AS (SELECT c_custkey, c_nationkey, c_acctbal
+                 FROM customer WHERE c_custkey = 42)
+    SELECT DISTINCT 'customer:' || c.c_custkey AS id
+    FROM customer c, tgt
+    WHERE c.c_custkey <> tgt.c_custkey
+      AND (c.c_nationkey = tgt.c_nationkey
+           OR abs(c.c_acctbal - tgt.c_acctbal) <= 100.0)
+    """,
+    survey="Q7,A16",
+)
+def dsl_q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar-to / query-by-example (Q7, ml_lexer.py:22-148): synthesize a
+    predicate tree from customer:42's own edges + numeric window and run it
+    through the same planner."""
+    planner = build_planner(spark, sf_dir)
+    return planner.similar("customer:42", number_window=100.0)
+
+
+@query(
     "dsl_q05_parts_in_german_orders",
     oracle="""
     SELECT DISTINCT 'part:' || l_partkey AS id

@@ -1,0 +1,395 @@
+"""Second relational batch: the remaining TPC-H-shaped plan families over
+the testdata schema — multi-fact joins with group-by-derived columns,
+conditional aggregation, correlated-average predicates, disjunctive
+pushdown, scalar-subquery joins, and distinct-count aggregation.
+
+These widen the declared surface for the join (J), aggregation (A) and
+window (W) inventories of SURVEY §2 with plan shapes the first batch
+doesn't cover; every float aggregate uses the exact-decimal accumulation
+contract (registry.dsum) so hashes match DuckDB bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import dsum, query, sql_dsum
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q08_nation_trade_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, {sql_dsum('volume')} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(year FROM l_shipdate) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                      JOIN orders ON o_orderkey = l_orderkey
+                      JOIN customer ON c_custkey = o_custkey
+                      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) GROUP BY supp_nation, cust_nation, l_year
+    """,
+    survey="J2,J9,A2,F6",
+)
+def q08_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral-nation trade by year. The symmetric
+    two-nation disjunction stays on the broadcast dims, so the fact join
+    is unchanged; year extraction is a scan-level expression."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "q09_product_profit_by_nation",
+    oracle=f"""
+    SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS profit
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN orders ON o_orderkey = l_orderkey
+                  JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%aa%'
+    GROUP BY n_name, o_year
+    """,
+    survey="J9,A2,P1,F6",
+)
+def q09_product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per (nation, year) for a part-name pattern.
+    The LIKE filter prunes the part dim BEFORE it broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%aa%"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit"))
+    )
+
+
+@query(
+    "q10_returned_item_losses",
+    oracle=f"""
+    SELECT c_custkey, c_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    survey="J9,A2,W6,W7",
+)
+def q10_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned revenue — returnflag
+    filter pushed to the fact scan, ordered limit with key tiebreak."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q12_priority_by_status",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate
+    GROUP BY l_linestatus
+    """,
+    survey="J1,A2,P4",
+)
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional (pivot-style) counting after a
+    non-equi ship-after-order predicate."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue_ratio",
+    oracle=f"""
+    SELECT CAST(100.0 AS DOUBLE) * {sql_dsum("CASE WHEN p_type LIKE 'SMALL%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+           / {sql_dsum('l_extendedprice * (1 - l_discount)')} AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+    """,
+    survey="J1,A2,F6",
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-revenue ratio. Both operands are exact
+    decimal sums; the single final division is bit-identical across
+    engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1996-01-01 00:00:00")
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("SMALL%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg((F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_pct"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    survey="J9,A14,A15,T3",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: scalar-subquery (global max) against a derived
+    aggregate — the max is a broadcast single-row join, not a collect."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q16_supplier_diversity",
+    oracle="""
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'BRAND_1' AND p_size IN (1, 5, 9, 13)
+    GROUP BY p_brand, p_size
+    """,
+    survey="A13,A14,P1",
+)
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-count per group with dim-side IN/<>
+    pushdown (adapted to the lineitem bridge — no partsupp table here)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "BRAND_1") & F.col("p_size").isin(1, 5, 9, 13)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_share",
+    oracle=f"""
+    WITH avgs AS (
+        SELECT l_partkey AS pk, AVG(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {sql_dsum('l_extendedprice')} AS total_price, COUNT(*) AS n_small
+    FROM lineitem JOIN avgs ON l_partkey = pk
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+    survey="J9,A2,T3",
+)
+def q17_small_quantity_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-key average decorrelated into a
+    groupBy + re-join (what Catalyst would do to the subquery anyway).
+    The avg itself never leaves the predicate so float noise cannot reach
+    the output columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    avgs = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(avgs, li.l_partkey == avgs.pk)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            dsum(F.col("l_extendedprice")).alias("total_price"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey, o_orderdate
+    HAVING SUM(CAST(l_quantity AS DECIMAL(30,6))) > 250
+    """,
+    survey="J9,A2,T3",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a grouped sum (the IN-subquery form
+    decorrelated — one aggregation, filter after)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select(
+            "c_custkey", "o_orderkey", "o_orderdate",
+            F.col("_q").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue, COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'BRAND_1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'BRAND_2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'BRAND_3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    survey="P1,J1,A2",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides — Catalyst
+    extracts the common l_quantity/p_size bounds for pushdown."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    c1 = (F.col("p_brand") == "BRAND_1") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11)
+    c2 = (F.col("p_brand") == "BRAND_2") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20)
+    c3 = (F.col("p_brand") == "BRAND_3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30)
+    return j.filter(c1 | c2 | c3).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle=f"""
+    WITH avg_bal AS (
+        SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment, COUNT(*) AS numcust, {sql_dsum('c_acctbal')} AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    survey="T2,A2,A14",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no orders —
+    scalar-average broadcast + anti-join. The average appears only in the
+    predicate, so cross-engine float noise cannot surface."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "w09_revenue_rank_in_nation",
+    oracle="""
+    SELECT n_name, s_name, s_acctbal,
+           RANK() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) AS rk,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(30,6)))
+                OVER (PARTITION BY n_name) AS DOUBLE) AS nation_total
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+    survey="W1,W3,A2",
+)
+def w09_revenue_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK + partition-total in one window pass (the name-election scoring
+    shape A8 with an added group aggregate)."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    j = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    wr = W.partitionBy("n_name").orderBy(F.desc("s_acctbal"), "s_suppkey")
+    wt = W.partitionBy("n_name")
+    return j.select(
+        "n_name", "s_name", "s_acctbal",
+        F.rank().over(wr).alias("rk"),
+        F.sum(F.col("s_acctbal").cast("decimal(30,6)")).over(wt).cast("double").alias("nation_total"),
+    )

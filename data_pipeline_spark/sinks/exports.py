@@ -1,0 +1,78 @@
+"""Sink operators (SURVEY §2.2 K1–K9).
+
+K1 upsert: the reference's ``INSERT ... ON CONFLICT DO UPDATE``
+(storage/cache/postgres.py:402-459 in /root/reference) is expressed as a
+key-level merge: updates win over existing rows. On a Delta/Iceberg
+deployment this is literally ``MERGE INTO``; on plain parquet (this
+environment) the same semantics are produced by anti-join + union and an
+atomic directory swap. K2 bulk batching and K7's heap-merge are native to
+Spark's writer. Exports (K4/K6/K8/K9) are sharded writes — the reference's
+24-slice export files map to output partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(existing: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """K1 as a dataflow: rows from ``updates`` replace same-key rows of
+    ``existing``; order-independent and deterministic (one shuffle on key
+    each side; at scale both tiers should be bucketed by the key so the
+    anti-join is co-located)."""
+    kept = existing.join(updates.select(key), key, "left_anti")
+    return kept.unionByName(updates)
+
+
+def write_upsert_parquet(
+    spark: SparkSession, updates: DataFrame, path: str, key: str
+) -> None:
+    """Apply merge_upsert against the parquet table at ``path`` and commit
+    via write-new + atomic swap (the no-Delta stand-in for MERGE INTO;
+    swap to ``delta.merge`` on a real deployment for ACID + concurrency)."""
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        merged = merge_upsert(existing, updates, key)
+    else:
+        merged = updates
+    tmp = path + ".__new__"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = path + ".__old__"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def export_jsonl(df: DataFrame, path: str, shards: int = 24, compress: bool = True) -> None:
+    """K4: sharded JSONL export (run-export.py:48-69 analog — the 24 slice
+    files are output partitions)."""
+    w = df.repartition(shards).write.mode("overwrite")
+    if compress:
+        w = w.option("compression", "gzip")
+    w.json(path)
+
+
+def export_ntriples(edges: DataFrame, path: str, shards: int = 24) -> None:
+    """K6: edges -> gzipped N-Triples shard files (manage-data.py:221-250)."""
+    from ..pipeline.edges import to_ntriples
+
+    to_ntriples(edges).repartition(shards).write.mode("overwrite").option(
+        "compression", "gzip"
+    ).text(path)
+
+
+def export_csv(df: DataFrame, path: str) -> None:
+    """K8: index/CSV export with header."""
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def export_by_source(df: DataFrame, path: str, source_col: str = "source") -> None:
+    """K9: per-source partitioned export (zip-per-source analog:
+    partitionBy gives one directory per source)."""
+    df.write.mode("overwrite").partitionBy(source_col).json(path)

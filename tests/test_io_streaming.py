@@ -1,0 +1,175 @@
+"""Tests for sources (JSONL dump load with pre-parse skip), sinks (upsert
+merge, sharded exports, NT lines), and the change-feed ingestion in both
+batch and Structured-Streaming form."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_spark.sinks.exports import (
+    export_jsonl,
+    export_ntriples,
+    merge_upsert,
+    write_upsert_parquet,
+)
+from data_pipeline_spark.sources.loaders import load_jsonl_dump
+from data_pipeline_spark.streaming.ingest import apply_changes, stream_changes
+
+
+# ---------------------------------------------------------------------- S5
+def test_jsonl_dump_load_with_sniff_skip(spark, tmp_path):
+    dump = tmp_path / "dump.jsonl.gz"
+    rows = [{"id": f"rec{i}", "type": "Person", "name": f"P{i}"} for i in range(10)]
+    rows.append({"type": "property", "junk": True})  # no id -> dropped by sniff
+    with gzip.open(dump, "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    existing = spark.createDataFrame([(f"rec{i}",) for i in range(5)], ["identifier"])
+    out = load_jsonl_dump(
+        spark,
+        str(dump),
+        schema="id string, type string, name string",
+        existing_keys=existing,
+    )
+    got = {r.identifier for r in out.collect()}
+    assert got == {f"rec{i}" for i in range(5, 10)}
+    assert out.filter(F.col("doc.name").isNull()).count() == 0
+
+
+def test_jsonl_prefilter(spark, tmp_path):
+    dump = tmp_path / "d.jsonl"
+    with open(dump, "w") as f:
+        f.write('{"id": "a", "type": "property"}\n{"id": "b", "type": "item"}\n')
+    out = load_jsonl_dump(
+        spark, str(dump), schema="id string, type string",
+        prefilter=r'"type":\s*"property"',
+    )
+    assert [r.identifier for r in out.collect()] == ["b"]
+
+
+# ---------------------------------------------------------------------- K1
+def test_merge_upsert_semantics(spark):
+    existing = spark.createDataFrame(
+        [("a", 1, "old"), ("b", 1, "keep")], ["k", "v", "tag"]
+    )
+    updates = spark.createDataFrame(
+        [("a", 2, "new"), ("c", 1, "insert")], ["k", "v", "tag"]
+    )
+    got = {r.k: (r.v, r.tag) for r in merge_upsert(existing, updates, "k").collect()}
+    assert got == {"a": (2, "new"), "b": (1, "keep"), "c": (1, "insert")}
+
+
+def test_write_upsert_parquet_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "tier")
+    write_upsert_parquet(
+        spark, spark.createDataFrame([("a", 1)], ["k", "v"]), path, key="k"
+    )
+    write_upsert_parquet(
+        spark, spark.createDataFrame([("a", 2), ("b", 1)], ["k", "v"]), path, key="k"
+    )
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 2, "b": 1}
+
+
+# ------------------------------------------------------------------- K4/K6
+def test_exports(spark, tmp_path):
+    df = spark.createDataFrame([(i, f"n{i}") for i in range(100)], ["id", "name"])
+    jdir = str(tmp_path / "jsonl")
+    export_jsonl(df, jdir, shards=4)
+    back = spark.read.json(jdir)
+    assert back.count() == 100
+    assert len([f for f in os.listdir(jdir) if f.startswith("part-")]) == 4
+
+    edges = spark.createDataFrame(
+        [("https://a.test/x", "broader", "https://a.test/y"),
+         ("yuid-1", "rdf:type", "Person")],
+        ["subject", "predicate", "object"],
+    )
+    ndir = str(tmp_path / "nt")
+    export_ntriples(edges, ndir, shards=1)
+    lines = set(spark.read.text(ndir).toPandas()["value"])
+    assert "<https://a.test/x> <https://lux.example/ns/broader> <https://a.test/y> ." in lines
+    assert '<urn:yuid:yuid-1> <https://lux.example/ns/rdf:type> "Person" .' in lines
+
+
+# ---------------------------------------------------------------- R1-R8
+@pytest.fixture()
+def cache(spark):
+    return spark.createDataFrame(
+        [
+            ("uri:a", "2026-01-15 00:00:00", '{"id":"uri:a","v":1}'),
+            ("uri:b", "2026-01-15 00:00:00", '{"id":"uri:b","v":1}'),
+            ("uri:c", "2026-01-15 00:00:00", '{"id":"uri:c","v":1}'),
+        ],
+        "object_uri string, record_time string, data string",
+    ).withColumn("record_time", F.col("record_time").cast("timestamp"))
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "seq bigint, end_time string, change string, object_uri string, payload string"
+    ).withColumn("end_time", F.col("end_time").cast("timestamp"))
+
+
+def test_apply_changes_upsert_delete_watermark(spark, cache):
+    ch = _changes(
+        spark,
+        [
+            (1, "2026-02-01 10:00:00", "update", "uri:a", '{"id":"uri:a","v":2}'),
+            (2, "2026-02-01 09:00:00", "update", "uri:a", '{"id":"uri:a","v":99}'),  # loses dedupe
+            (3, "2026-02-01 08:00:00", "delete", "uri:b", None),
+            (4, "2026-01-01 00:00:00", "update", "uri:c", '{"id":"uri:c","v":9}'),  # pre-watermark
+            (5, "2026-02-01 11:00:00", "create", "uri:d", '{"id":"uri:d","v":1}'),
+        ],
+    )
+    out = apply_changes(cache, ch, last_harvest="2026-01-10 00:00:00")
+    got = {r.object_uri: json.loads(r.data)["v"] for r in out.collect()}
+    assert got == {"uri:a": 2, "uri:c": 1, "uri:d": 1}  # b deleted, c unchanged
+
+
+def test_delete_vetoed_by_inbound_refs(spark, cache):
+    ch = _changes(spark, [(1, "2026-02-01 10:00:00", "delete", "uri:b", None)])
+    edges = spark.createDataFrame(
+        [("uri:a", "part_of", "uri:b")], ["subject", "predicate", "object"]
+    )
+    out = apply_changes(cache, ch, edges=edges)
+    assert "uri:b" in {r.object_uri for r in out.collect()}  # survives (R8 veto)
+
+
+def test_freshness_gate(spark, cache):
+    ch = _changes(
+        spark,
+        [(1, "2026-01-10 00:00:00", "update", "uri:a", '{"id":"uri:a","v":0}')],
+    )
+    out = apply_changes(cache, ch)  # change older than cached record_time
+    got = {r.object_uri: json.loads(r.data)["v"] for r in out.collect()}
+    assert got["uri:a"] == 1  # R6: skip-if-fresher kept the cache row
+
+
+# --------------------------------------------------- Structured Streaming
+def test_stream_changes_end_to_end(spark, tmp_path):
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    rows = [
+        {"seq": 1, "end_time": "2026-02-01T10:00:00", "change": "create",
+         "object_uri": "uri:x", "payload": '{"id":"uri:x","v":1}'},
+        {"seq": 2, "end_time": "2026-02-01T11:00:00", "change": "update",
+         "object_uri": "uri:x", "payload": '{"id":"uri:x","v":2}'},
+        {"seq": 3, "end_time": "2026-02-01T12:00:00", "change": "create",
+         "object_uri": "uri:y", "payload": '{"id":"uri:y","v":1}'},
+    ]
+    with open(feed_dir / "page1.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    cache_path = str(tmp_path / "cache")
+    q = stream_changes(
+        spark, str(feed_dir), cache_path, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = {r.object_uri: json.loads(r.data)["v"] for r in spark.read.parquet(cache_path).collect()}
+    assert got == {"uri:x": 2, "uri:y": 1}
