@@ -26,6 +26,9 @@ HEADLINE = [
     "q04_local_supplier_volume",
     "q05_revenue_forecast",
     "q06_customer_order_distribution",
+    "q09_product_profit_by_nation",
+    "q10_returned_item_losses",
+    "q18_large_orders",
     "w03_first_lineitem_per_order",
     "w06_top10_orders",
     "a13_event_types_per_user",
@@ -35,6 +38,7 @@ HEADLINE = [
     "d01_dedup_exact",
     "d05_lang_id",
     "d06_ngram_jaccard_pairs",
+    "d07_minhash_lsh_pairs",
     "v01_knn_bruteforce",
     "r01_watermark_window_counts",
     "dsl_q01_customers_in_germany",

@@ -56,11 +56,12 @@ def shingles_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
     """(id, s0..s{N_SIGS-1}): per-doc min-hash signature. One scan, one
-    groupBy — each permutation is min(substr(md5(i:shingle),1,8))."""
+    groupBy. Hash economy: one md5 yields four independent 8-hex-char
+    permutation values (32 hex chars / 8), so 8 signatures cost 2 md5
+    calls per shingle, not 8 — at 100TB the md5 work dominates this stage."""
+    salted = [F.md5(F.col("shingle")), F.md5(F.concat(F.lit("x:"), F.col("shingle")))]
     mins = [
-        F.min(
-            F.substring(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))), 1, 8)
-        ).alias(f"s{i}")
+        F.min(F.substring(salted[i // 4], (i % 4) * 8 + 1, 8)).alias(f"s{i}")
         for i in range(N_SIGS)
     ]
     return shingles.groupBy("id").agg(*mins)
@@ -131,8 +132,11 @@ _SHINGLES_SQL = """
 
 
 def _sig_sql() -> str:
+    def src(i: int) -> str:
+        return "md5(shingle)" if i < 4 else "md5('x:' || shingle)"
+
     mins = ",\n               ".join(
-        f"MIN(substr(md5('{i}' || ':' || shingle), 1, 8)) AS s{i}" for i in range(N_SIGS)
+        f"MIN(substr({src(i)}, {(i % 4) * 8 + 1}, 8)) AS s{i}" for i in range(N_SIGS)
     )
     return f"sigs AS (SELECT id, {mins} FROM shingles GROUP BY id)"
 
@@ -177,6 +181,10 @@ def d07_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100TB the band join touches ~n_docs*4 rows instead of the shingle
     index square; everything is md5/substr inside whole-stage codegen."""
     docs = load_table(spark, sf_dir, "documents")
+    # shingles feed signatures, sizes and both sides of the intersection
+    # join; recompute beats cache here (measured 2x) — the explode is
+    # cheaper than materializing 50x the doc bytes through the block store.
+    # At 100TB the shingle tier is a persisted table instead (SURVEY §7.1).
     sh = shingles_df(docs)
     cands = lsh_candidates(minhash_signatures(sh))
     return verified_pairs(sh, cands, JACCARD_T)
