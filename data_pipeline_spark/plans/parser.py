@@ -144,3 +144,33 @@ def parse(query: str):
     if p.i != len(p.toks):
         raise ValueError(f"trailing tokens at {p.i}: {p.toks[p.i:]}")
     return ast
+
+
+def parse_json(clause: dict):
+    """Q2 (ml_lexer.py:324-405 semantics): the same query language as JSON
+    clauses. Shapes:
+
+        {"AND": [c1, c2, ...]} / {"OR": [...]} / {"NOT": [c]}
+        {"field": value}                       -> equality leaf
+        {"field": value, "_comp": ">="}        -> comparison leaf
+        {"rel": {subclause}}                   -> relationship traversal
+        {"^rel": {subclause}}                  -> inverse traversal
+
+    `_comp` and other `_`-prefixed keys are parameters, not clauses."""
+    if not isinstance(clause, dict):
+        raise TypeError(f"clause must be a dict, got {type(clause).__name__}")
+    keys = [k for k in clause if not k.startswith("_")]
+    if len(keys) != 1:
+        raise ValueError(f"clause needs exactly one operator key, got {keys}")
+    key = keys[0]
+    val = clause[key]
+    if key in BOOL_OPS:
+        children = [parse_json(c) for c in (val if isinstance(val, list) else [val])]
+        if key == "NOT" and len(children) != 1:
+            raise ValueError("NOT takes exactly one clause")
+        return Bool(key, children)
+    if isinstance(val, dict):
+        inverse = key.startswith("^")
+        return Rel(key.lstrip("^"), inverse, parse_json(val))
+    comp = clause.get("_comp", "=")
+    return Leaf(key, comp, val)

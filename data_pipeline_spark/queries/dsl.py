@@ -87,6 +87,27 @@ def dsl_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dsl_q07_json_form",
+    oracle="""
+    SELECT 'customer:' || c_custkey AS id
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+    """,
+    survey="Q2,Q3,Q5",
+)
+def dsl_q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: the same query as dsl_q01 expressed as JSON clauses
+    (ml_lexer.py:324-405's JSON parser) — must plan identically."""
+    from ..plans.parser import parse_json
+
+    planner = build_planner(spark, sf_dir)
+    ast = parse_json(
+        {"AND": [{"type": "customer"}, {"in_nation": {"name": "NATION_7"}}]}
+    )
+    return planner.plan(ast)
+
+
+@query(
     "dsl_q06_similar_customers",
     oracle="""
     WITH tgt AS (SELECT c_custkey, c_nationkey, c_acctbal

@@ -1,0 +1,164 @@
+"""Tests for geometry functions (F16-F19), data-driven patches (F20/U3),
+type overrides, metatype enrichment (J12), primary-name election (A8), the
+JSON query form (Q2), and the source registry (U1/U2)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from data_pipeline_spark.functions.geometry import (
+    clamp_coords,
+    geometry_score,
+    parse_wkt,
+    rdp_simplify,
+    simplify_wkt,
+    wkt_point,
+)
+from data_pipeline_spark.pipeline.enrich import elect_primary_names, metatype_edges
+from data_pipeline_spark.pipeline.patches import (
+    apply_patch,
+    apply_patches,
+    apply_type_overrides,
+)
+from data_pipeline_spark.plans.parser import Bool, Leaf, Rel, parse, parse_json
+from data_pipeline_spark.registry import SourceRegistry
+
+
+# ------------------------------------------------------------- geometry
+def test_wkt_roundtrip_and_score():
+    assert parse_wkt("POINT ( 4.89 52.37 )") == ("POINT", [(4.89, 52.37)])
+    poly = "POLYGON (( 0 0, 10 0, 10 10, 0 10, 0 0 ))"
+    shape, coords = parse_wkt(poly)
+    assert shape == "POLYGON" and len(coords) == 5
+    # polygon beats point, more vertices beat fewer, parseable beats junk
+    assert geometry_score(poly) > geometry_score("POINT ( 1 1 )")
+    assert geometry_score("POINT ( 1.12345 1 )") > geometry_score("POINT ( 1.1 1 )")
+    assert geometry_score("not wkt")[0] == 0
+
+
+def test_rdp_simplify_drops_collinear():
+    line = [(0.0, 0.0), (1.0, 0.001), (2.0, 0.0), (3.0, 5.0)]
+    simp = rdp_simplify(line, epsilon=0.01)
+    assert simp == [(0.0, 0.0), (2.0, 0.0), (3.0, 5.0)]
+    s = simplify_wkt("LINESTRING ( 0 0, 1 0.001, 2 0, 3 5 )", epsilon=0.01)
+    assert s == "LINESTRING ( 0.0 0.0, 2.0 0.0, 3.0 5.0 )"
+
+
+def test_clamp_and_point_exprs(spark):
+    df = spark.createDataFrame(
+        [(4.89, 52.37, "POLYGON (( 180 90, -180 -90, 179.5 10 ))")],
+        ["lng", "lat", "wkt"],
+    ).select(
+        wkt_point(F.col("lng"), F.col("lat")).alias("pt"),
+        clamp_coords(F.col("wkt")).alias("clamped"),
+    )
+    r = df.first()
+    assert r.pt == "POINT ( 4.89 52.37 )"
+    assert r.clamped == "POLYGON (( 179.75 89.75, -179.75 -89.75, 179.5 10 ))"
+
+
+# ------------------------------------------------------------- patches
+def test_apply_patch_ops():
+    doc = {"a": {"b": [1, 2, 3]}, "keep": True}
+    assert apply_patch(dict(doc), "a.b[1]", "DELETE", None)["a"]["b"] == [1, 3]
+    assert apply_patch(dict(doc), "a.b", "UPDATE", "[9]")["a"]["b"] == [9]
+    assert apply_patch(dict(doc), "missing.path", "DELETE", None) == doc  # no-op
+
+
+def test_apply_patches_df(spark):
+    records = spark.createDataFrame(
+        [
+            ("srcA", "r1", json.dumps({"id": "x", "bad": 1, "good": 2})),
+            ("srcA", "r2", json.dumps({"id": "y", "bad": 1})),
+        ],
+        "source string, identifier string, data string",
+    )
+    patches = spark.createDataFrame(
+        [("srcA", "r1", "bad", "DELETE", None),
+         ("srcA", "r1", "good", "UPDATE", "99")],
+        "source string, identifier string, path string, operation string, argument string",
+    )
+    out = {r.identifier: json.loads(r.data) for r in apply_patches(records, patches).collect()}
+    assert "bad" not in out["r1"] and out["r1"]["good"] == 99
+    assert out["r2"] == {"id": "y", "bad": 1}  # untouched row passes through
+
+
+def test_type_overrides(spark):
+    records = spark.createDataFrame(
+        [("srcA", "r1", "Group", json.dumps({"id": "uri:1"}))],
+        "source string, identifier string, rectype string, data string",
+    )
+    ov = spark.createDataFrame([("uri:1", "Person")], "ext_uri string, new_type string")
+    out = apply_type_overrides(records, ov).first()
+    assert out.rectype == "Person"
+
+
+# ------------------------------------------------------- enrich / election
+def test_metatype_edges(spark):
+    merged = spark.createDataFrame(
+        [("y1", "Type", json.dumps({"id": "y1", "type": "Type",
+                                     "classified_as": [{"id": "uri:mat"}]}))],
+        "yuid string, rectype string, data string",
+    )
+    meta = spark.createDataFrame([("uri:mat", "uri:metatype")],
+                                 "concept_uri string, metatype_uri string")
+    got = metatype_edges(merged, meta).collect()
+    assert [(r.yuid, r.metatype_uri) for r in got] == [("y1", "uri:metatype")]
+
+
+def test_primary_name_election(spark):
+    doc = {
+        "id": "y1", "type": "Person",
+        "identified_by": [
+            {"type": "Name", "content": "JMW", "language": [{"id": "lang/en"}]},
+            {"type": "Name", "content": "Joseph Mallord William Turner",
+             "language": [{"id": "lang/en"}],
+             "classified_as": [{"id": "vocab/primaryName"}]},
+            {"type": "Name", "content": "A Long English Alternate",
+             "language": [{"id": "lang/en"}]},
+            {"type": "Name", "content": "Turner", "language": [{"id": "lang/de"}]},
+        ],
+    }
+    merged = spark.createDataFrame(
+        [("y1", "Person", json.dumps(doc))], "yuid string, rectype string, data string"
+    )
+    got = {(r.lang): r.primary_name for r in elect_primary_names(merged).collect()}
+    # primaryName classification wins in en despite being longer; the
+    # all-caps acronym is demoted below everything
+    assert got["en"] == "Joseph Mallord William Turner"
+    assert got["de"] == "Turner"
+
+
+# ------------------------------------------------------------- Q2 parser
+def test_parse_json_matches_string_form():
+    s = parse('AND(type=customer, in_nation(name="NATION_7"))')
+    j = parse_json({"AND": [{"type": "customer"}, {"in_nation": {"name": "NATION_7"}}]})
+    assert s == j
+
+
+def test_parse_json_comp_and_inverse():
+    j = parse_json({"NOT": {"^in_nation": {"number": 9500, "_comp": ">"}}})
+    assert isinstance(j, Bool) and j.op == "NOT"
+    rel = j.children[0]
+    assert isinstance(rel, Rel) and rel.inverse and rel.predicate == "in_nation"
+    assert rel.child == Leaf("number", ">", 9500)
+
+
+# ------------------------------------------------------------- registry
+def _double_mapper(df):
+    return df.withColumn("v", F.col("v") * 2)
+
+
+def test_source_registry(spark):
+    reg = SourceRegistry()
+    reg.register_config(
+        {"name": "toy", "mapper": f"{__name__}:_double_mapper", "merge_order": 3}
+    )
+    assert "toy" in reg and reg.names() == ["toy"]
+    assert reg.merge_order_map() == {"toy": 3}
+    mapper = reg.get("toy").component("mapper")
+    df = spark.createDataFrame([(1,)], ["v"])
+    assert mapper(df).first().v == 2
+    assert reg.get("toy").component("reconciler") is None
