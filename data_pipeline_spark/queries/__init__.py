@@ -11,6 +11,7 @@ from .registry import QUERIES, Query, query  # noqa: F401
 from . import relational  # noqa: F401, E402
 from . import relational2  # noqa: F401, E402
 from . import text  # noqa: F401, E402
+from . import text2  # noqa: F401, E402
 from . import vector  # noqa: F401, E402
 from . import cdc  # noqa: F401, E402
 from . import dedup  # noqa: F401, E402

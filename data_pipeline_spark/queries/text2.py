@@ -1,0 +1,133 @@
+"""Additional text/sessionization/rollup operators.
+
+- d10: BPE-ish regex tokenization — the second tokenizer of the driver's
+  token-counting mandate (whitespace tokenizer is d03). The pattern is
+  restricted to constructs with identical semantics in Java regex (Spark)
+  and RE2 (DuckDB): character classes + alternation, no backrefs.
+- r07: gap-based sessionization — the classic event-stream operator the
+  reference lacks entirely; lag + conditional cumulative sum, one window
+  chain, no UDF.
+- a18: ROLLUP aggregation — SURVEY §2.5 notes the reference has no
+  grouping sets; Spark supplies them natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query, sql_dsum
+
+_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@query(
+    "d10_bpe_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS n_bpe_tokens,
+           len(list_filter(regexp_extract_all(lower(text), '{_BPE_PATTERN}'),
+                           t -> t ~ '^[0-9]+$')) AS n_number_tokens,
+           len(list_filter(regexp_extract_all(lower(text), '{_BPE_PATTERN}'),
+                           t -> t ~ '^[^a-z0-9]$')) AS n_punct_tokens
+    FROM documents
+    """,
+    survey="token-count,F14",
+)
+def d10_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenizer: words / number runs / punctuation as separate
+    tokens (the pre-tokenization split every BPE vocab builds on), counted
+    per class. Pure regexp_extract_all — single scan, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    # lit() pattern, not expr(): a SQL string literal would eat the \s
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))).alias("n_number_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[^a-z0-9]$"))).alias("n_punct_tokens"),
+    )
+
+
+@query(
+    "r07_sessionization",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id, session_no, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_no
+    """,
+    survey="R1,W1,A12",
+)
+def r07_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity closes a session):
+    lag -> boundary flag -> running sum = session id -> per-session
+    aggregates. Two window passes over one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    marked = ev.select(
+        "user_id", "event_id", "ts",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0).alias("new_session"),
+    )
+    sessions = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "a18_rollup_revenue",
+    oracle=f"""
+    SELECT COALESCE(r_name, '(all)') AS region,
+           COALESCE(n_name, '(all)') AS nation,
+           {sql_dsum('c_acctbal')} AS total_balance,
+           COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    survey="A2,A14",
+)
+def a18_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region -> nation -> grand total) in one pass — hierarchy
+    aggregation the reference would need three queries for."""
+    from .registry import dsum
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    j = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(dsum(F.col("c_acctbal")).alias("total_balance"),
+             F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("(all)")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("(all)")).alias("nation"),
+            "total_balance",
+            "n_customers",
+        )
+    )
