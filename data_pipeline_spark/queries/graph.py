@@ -61,6 +61,58 @@ def x01_edges_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x04_reference_distances",
+    oracle="""
+    WITH RECURSIVE walk(uri, distance) AS (
+        SELECT 'customer:' || c_custkey, 0
+        FROM customer WHERE c_custkey < 5
+        UNION
+        SELECT e.object, w.distance + 1
+        FROM walk w
+        JOIN (
+            SELECT 'customer:' || c_custkey AS subject,
+                   'nation:' || c_nationkey AS object FROM customer
+            UNION ALL
+            SELECT 'nation:' || n_nationkey, 'region:' || r_regionkey
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+        ) e ON w.uri = e.subject
+        WHERE w.distance < 3
+    )
+    SELECT uri, MIN(distance) AS distance FROM walk GROUP BY uri
+    """,
+    survey="X3,X4,A12",
+)
+def x04_reference_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference walk with BFS distance (X3/X4, reference_manager.py:
+    141-210): min distance from seed customers through the FK graph,
+    bounded at 3 hops — the iterative-join operator pinned against a
+    recursive-CTE oracle."""
+    from ..pipeline.references import reference_distances
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    edges = (
+        cust.select(
+            F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("subject"),
+            F.lit("in_nation").alias("predicate"),
+            F.concat(F.lit("nation:"), F.col("c_nationkey").cast("string")).alias("object"),
+        )
+        .unionAll(
+            nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+                F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("subject"),
+                F.lit("in_region").alias("predicate"),
+                F.concat(F.lit("region:"), F.col("r_regionkey").cast("string")).alias("object"),
+            )
+        )
+    )
+    seeds = cust.filter(F.col("c_custkey") < 5).select(
+        F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("uri")
+    )
+    return reference_distances(edges, seeds, max_distance=3)
+
+
+@query(
     "j05_connected_components",
     oracle="""
     WITH RECURSIVE edges AS (

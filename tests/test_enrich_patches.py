@@ -162,3 +162,33 @@ def test_source_registry(spark):
     df = spark.createDataFrame([(1,)], ["v"])
     assert mapper(df).first().v == 2
     assert reg.get("toy").component("reconciler") is None
+
+
+# ------------------------------------------------------------- validation
+def test_validate_records(spark):
+    from data_pipeline_spark.pipeline.validate import split_valid, validate_records
+
+    rows = [
+        ("srcA", "ok", "Person",
+         json.dumps({"id": "uri:ok", "type": "Person",
+                     "identified_by": [{"type": "Name", "content": "Fine"}]})),
+        ("srcA", "badtype", "Person",
+         json.dumps({"id": "uri:bt", "type": "Martian"})),
+        ("srcA", "mismatch", "Group",
+         json.dumps({"id": "uri:mm", "type": "Person"})),
+        ("srcA", "noid", "Person", json.dumps({"type": "Person"})),
+        ("srcA", "noname", "Person",
+         json.dumps({"id": "uri:nn", "type": "Person",
+                     "identified_by": [{"type": "Name"}]})),
+    ]
+    records = spark.createDataFrame(
+        rows, "source string, identifier string, rectype string, data string"
+    )
+    errs = {r.identifier: list(r.errors) for r in validate_records(records).collect()}
+    assert errs["ok"] == []
+    assert errs["badtype"] == ["unknown record type", "type/rectype mismatch"]
+    assert errs["mismatch"] == ["type/rectype mismatch"]
+    assert errs["noid"] == ["missing id"]
+    assert errs["noname"] == ["name without content"]
+    valid, quarantine = split_valid(records)
+    assert valid.count() == 1 and quarantine.count() == 4
