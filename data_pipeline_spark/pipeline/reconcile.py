@@ -39,8 +39,10 @@ def local_uri_expr(source_col, ident_col):
 
 def name_join(names: DataFrame, name_index: DataFrame) -> DataFrame:
     """J1: records' prioritized clean names probed against the per-source
-    name index; type must match; the highest-priority hit per (record,
-    index-source) wins (reconciler.py:197-274 semantics)."""
+    name index; type must match. Candidate election (W4,
+    reconciler.py:266-274): when several index entries match, the target
+    supported by the MOST of the record's names wins, then best (lowest)
+    priority, then identifier — all deterministic."""
     from pyspark.sql import Window as W
 
     idx = F.broadcast(
@@ -55,9 +57,14 @@ def name_join(names: DataFrame, name_index: DataFrame) -> DataFrame:
         idx,
         (names.name_clean == idx.name_clean) & (names.rectype == idx.idx_rectype),
     ).filter(F.col("source") != F.col("idx_source"))  # not-self-source (P3)
-    w = W.partitionBy("uri", "idx_source").orderBy("priority", "target_identifier")
+    votes = hits.groupBy("uri", "rectype", "idx_source", "target_identifier").agg(
+        F.count(F.lit(1)).alias("n_votes"), F.min("priority").alias("best_prio")
+    )
+    w = W.partitionBy("uri", "idx_source").orderBy(
+        F.desc("n_votes"), "best_prio", "target_identifier"
+    )
     return (
-        hits.withColumn("rn", F.row_number().over(w))
+        votes.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
             F.col("uri").alias("src_uri"),
@@ -146,19 +153,34 @@ def date_plausibility_filter(edges: DataFrame, timespans: DataFrame) -> DataFram
     )
 
 
-def reconcile(records: DataFrame, indexes: dict[str, DataFrame]) -> DataFrame:
+def reconcile(
+    records: DataFrame, indexes: dict[str, DataFrame], min_equivs: int = 3
+) -> DataFrame:
     """Full reconcile pass: one equiv_edges relation from all join families.
 
     ``indexes`` carries name_index, uri_index, same_as, different_from
     (each may be empty). Returns distinct directed edges; closure.py
-    symmetrizes."""
+    symmetrizes.
+
+    ``min_equivs`` is the J6 gate (process/reconciler.py:23-25,76-86):
+    name-matching — the fuzziest join — only runs for records that still
+    hold fewer than this many asserted equivalents; well-connected records
+    skip it, which both mirrors the reference and prunes the name join's
+    probe side at scale."""
     docs = with_doc(records)
     names = extract_names(docs)
     equivs = extract_equivalents(docs)
     timespans = extract_timespans(docs)
 
     record_edges = equivs  # J2 input doubles as direct record-asserted edges
-    name_edges = name_join(names, indexes["name_index"])
+    well_connected = (
+        equivs.groupBy("src_uri")
+        .agg(F.count(F.lit(1)).alias("n_eq"))
+        .filter(F.col("n_eq") >= min_equivs)
+        .select(F.col("src_uri").alias("uri"))
+    )
+    gated_names = names.join(well_connected, "uri", "left_anti")
+    name_edges = name_join(gated_names, indexes["name_index"])
     uri_edges = uri_join(equivs, indexes["uri_index"])
 
     edges = record_edges.unionByName(name_edges).unionByName(uri_edges)

@@ -97,6 +97,32 @@ def r07_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a19_json_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(props::JSON->>'k' AS INTEGER)) AS BIGINT) AS k_total,
+           MAX(CAST(props::JSON->>'k' AS INTEGER)) AS k_max,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    survey="S5,F20,A2",
+)
+def a19_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-document column handling on driver-owned data: extract a field
+    from the props JSON string (get_json_object — the jsonb `->>` of the
+    reference's caches, postgres.py:357-400) and aggregate it. Integer
+    sums are exact in both engines, no decimal dance needed."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("k_total"),
+        F.max(k).alias("k_max"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "a18_rollup_revenue",
     oracle=f"""
     SELECT COALESCE(r_name, '(all)') AS region,
