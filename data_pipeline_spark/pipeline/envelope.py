@@ -167,6 +167,71 @@ def extract_names(records: DataFrame) -> DataFrame:
     )
 
 
+def name_variants(names: DataFrame) -> DataFrame:
+    """F9 variant synthesis (process/base/reconciler.py:61-166): widen the
+    names relation with derived probe keys —
+
+    - person ``last, first`` inversion: "claude monet" -> "monet, claude"
+      and the reverse un-inversion "monet, claude" -> "claude monet";
+    - place ``A--B`` -> "a (b)" and "b (a)" forms.
+
+    Variants carry priority+10 so direct names always outrank them in
+    candidate election. Input/output schema matches extract_names."""
+    base = names.select("uri", "source", "identifier", "rectype", "name_clean", "priority")
+
+    person = base.filter(F.col("rectype") == "Person")
+    toks = F.split(F.col("name_clean"), " ")
+    inverted = (
+        person.filter(~F.col("name_clean").contains(",") & (F.size(toks) >= 2))
+        .select(
+            "uri", "source", "identifier", "rectype",
+            F.concat(
+                F.element_at(toks, -1),
+                F.lit(", "),
+                F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)),
+            ).alias("name_clean"),
+            (F.col("priority") + 10).alias("priority"),
+        )
+    )
+    parts = F.split(F.col("name_clean"), ", ")
+    uninverted = (
+        person.filter(F.col("name_clean").contains(", ") & (F.size(parts) == 2))
+        .select(
+            "uri", "source", "identifier", "rectype",
+            F.concat(F.element_at(parts, 2), F.lit(" "), F.element_at(parts, 1)).alias(
+                "name_clean"
+            ),
+            (F.col("priority") + 10).alias("priority"),
+        )
+    )
+
+    place = base.filter(
+        (F.col("rectype") == "Place") & F.col("name_clean").contains("--")
+    )
+    seg = F.split(F.col("name_clean"), "--")
+    place_ab = place.filter(F.size(seg) == 2).select(
+        "uri", "source", "identifier", "rectype",
+        F.format_string("%s (%s)", F.element_at(seg, 1), F.element_at(seg, 2)).alias(
+            "name_clean"
+        ),
+        (F.col("priority") + 10).alias("priority"),
+    )
+    place_ba = place.filter(F.size(seg) == 2).select(
+        "uri", "source", "identifier", "rectype",
+        F.format_string("%s (%s)", F.element_at(seg, 2), F.element_at(seg, 1)).alias(
+            "name_clean"
+        ),
+        (F.col("priority") + 10).alias("priority"),
+    )
+    return (
+        base.unionByName(inverted)
+        .unionByName(uninverted)
+        .unionByName(place_ab)
+        .unionByName(place_ba)
+        .dropDuplicates(["uri", "name_clean"])
+    )
+
+
 def extract_equivalents(records: DataFrame) -> DataFrame:
     """equiv_edges(src_uri, dst_uri, rectype, provenance='record'): the
     record's own `equivalent[].id` links (J2 input)."""

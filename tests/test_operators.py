@@ -85,3 +85,52 @@ def test_multimodal_frame_sampling(spark):
     for r in got:
         assert r["count"] == 3
     assert {r.media_id for r in got} == {f"m{i}" for i in range(10) if i % 2 == 1}
+
+
+# ------------------------------------------------------------- skew tools
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.skew import salted_agg, salted_join
+
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}") for i in range(1000)], ["row_id", "k"]
+    )
+    small = spark.createDataFrame([("hot", 1), ("k10", 2), ("k20", 3)], ["k", "v"])
+    plain = {(r.row_id, r.v) for r in big.join(small, "k").collect()}
+    salted = {
+        (r.row_id, r.v)
+        for r in salted_join(big, small, "k", spread_cols=["row_id"], n_salts=8).collect()
+    }
+    assert salted == plain
+
+    # two-phase aggregation equals single-phase
+    expect = {(r.k, r["cnt"]) for r in big.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    got = {
+        (r.k, r.cnt)
+        for r in salted_agg(
+            big, ["k"], ["row_id"],
+            [F.count(F.lit(1)).alias("c")],
+            lambda p: p.groupBy("k").agg(F.sum("c").alias("cnt")),
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_name_variants(spark):
+    from data_pipeline_spark.pipeline.envelope import name_variants
+
+    names = spark.createDataFrame(
+        [
+            ("u1", "s", "i1", "Person", "claude monet", 0),
+            ("u2", "s", "i2", "Person", "monet, claude", 0),
+            ("u3", "s", "i3", "Place", "netherlands--amsterdam", 0),
+        ],
+        "uri string, source string, identifier string, rectype string, name_clean string, priority int",
+    )
+    got = {(r.uri, r.name_clean): r.priority for r in name_variants(names).collect()}
+    assert got[("u1", "monet, claude")] == 10  # person inversion
+    assert got[("u2", "claude monet")] == 10  # un-inversion
+    assert got[("u3", "netherlands (amsterdam)")] == 10
+    assert got[("u3", "amsterdam (netherlands)")] == 10
+    assert got[("u1", "claude monet")] == 0  # originals keep priority
