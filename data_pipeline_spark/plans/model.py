@@ -61,6 +61,40 @@ def build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def materialize_model(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the entity/edge model as parquet tables (the production
+    form: SURVEY §1.5's extracted relational view). Edges are written
+    twice-sorted — one layout clustered by subject, one by object — so
+    forward and inverse DSL traversals both read co-located data (the
+    bucketed-join strategy of SCALE.md; on a real warehouse use
+    bucketBy(subject)/(object) saveAsTable instead)."""
+    import os
+
+    build_entities(spark, sf_dir).write.mode("overwrite").parquet(
+        os.path.join(path, "entities")
+    )
+    edges = build_edges(spark, sf_dir)
+    edges.sortWithinPartitions("subject").write.mode("overwrite").parquet(
+        os.path.join(path, "edges_by_subject")
+    )
+    edges.sortWithinPartitions("object").write.mode("overwrite").parquet(
+        os.path.join(path, "edges_by_object")
+    )
+
+
+def load_planner(spark: SparkSession, path: str):
+    """Planner over a materialized model directory (no cache warm-up —
+    lineage is already truncated at the parquet boundary)."""
+    import os
+
+    from .planner import SearchPlanner
+
+    return SearchPlanner(
+        spark.read.parquet(os.path.join(path, "entities")),
+        spark.read.parquet(os.path.join(path, "edges_by_subject")),
+    )
+
+
 def build_planner(spark: SparkSession, sf_dir: str):
     """Planner over a MATERIALIZED entity/edge model.
 

@@ -134,3 +134,17 @@ def test_name_variants(spark):
     assert got[("u3", "netherlands (amsterdam)")] == 10
     assert got[("u3", "amsterdam (netherlands)")] == 10
     assert got[("u1", "claude monet")] == 0  # originals keep priority
+
+
+def test_materialized_model_planner(spark, tmp_path):
+    from data_pipeline_spark.plans.model import build_planner, load_planner, materialize_model
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "model")
+    materialize_model(spark, sf, path)
+    live = build_planner(spark, sf)
+    stored = load_planner(spark, path)
+    q = 'AND(type=customer, in_nation(name="NATION_7"))'
+    a = {r.id for r in live.plan(q).collect()}
+    b = {r.id for r in stored.plan(q).collect()}
+    assert a == b and len(a) > 0
