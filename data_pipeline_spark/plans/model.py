@@ -109,6 +109,19 @@ def build_planner(spark: SparkSession, sf_dir: str):
     """
     from .planner import SearchPlanner
 
-    return SearchPlanner(
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PLANNERS.get(key)
+    if cached is not None:
+        return cached
+    planner = SearchPlanner(
         build_entities(spark, sf_dir).cache(), build_edges(spark, sf_dir).cache()
     )
+    _PLANNERS[key] = planner
+    return planner
+
+
+# planner memo: building the 12-table union model costs ~5s of pure
+# analysis per call even when the DATA is already cached (CacheManager
+# dedupes storage, not DataFrame construction) — every DSL query in a
+# session shares one planner instance instead.
+_PLANNERS: dict = {}
