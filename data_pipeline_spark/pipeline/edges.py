@@ -74,6 +74,72 @@ def extract_edges(merged: DataFrame) -> DataFrame:
     )
 
 
+def any_edges(edges: DataFrame) -> DataFrame:
+    """X1's `any` reachability predicate (marklogic/mapper.py's `any` /
+    `referenceAny`): every non-type edge collapsed onto one predicate so
+    "references at all" traversals are a single-predicate probe instead of
+    an OR over the full predicate inventory."""
+    return (
+        edges.filter(F.col("predicate") != "rdf:type")
+        .select("subject", F.lit("any").alias("predicate"), "object")
+        .distinct()
+    )
+
+
+def reference_counts(edges: DataFrame, exclude_top_k: int = 0) -> DataFrame:
+    """X1's refCtr: inbound-reference count per entity (the popularity
+    signal), optionally dropping the top-k most-referenced entities — the
+    reference maintains exactly such an exclusion list for hub concepts
+    (marklogic/mapper.py's refCtr top-k exclusion). One groupBy on the
+    object key; the top-k cut is a tiny ordered limit anti-joined back."""
+    counts = (
+        edges.filter(F.col("predicate") != "rdf:type")
+        .groupBy(F.col("object").alias("yuid"))
+        .agg(F.count(F.lit(1)).alias("ref_count"))
+    )
+    if exclude_top_k > 0:
+        top = counts.orderBy(F.desc("ref_count"), "yuid").limit(exclude_top_k)
+        counts = counts.join(top.select("yuid"), "yuid", "left_anti")
+    return counts
+
+
+def extract_texts(merged: DataFrame) -> DataFrame:
+    """texts(yuid, field, text): the full-text tier (SURVEY §7.1) — names
+    and statement contents, one row per text value, ready for tokenized
+    word queries (Q4) and the top-k keyword synthesis (A16)."""
+    docs = with_doc(merged)
+    names = (
+        docs.select(
+            "yuid",
+            F.explode(F.coalesce(F.col("doc.identified_by"), F.array())).alias("nm"),
+        )
+        .filter((F.col("nm.type") == "Name") & F.col("nm.content").isNotNull())
+        .select("yuid", F.lit("name").alias("field"), F.col("nm.content").alias("text"))
+    )
+    stmts = (
+        docs.select(
+            "yuid",
+            F.explode(F.coalesce(F.col("doc.referred_to_by"), F.array())).alias("st"),
+        )
+        .filter(F.col("st.content").isNotNull())
+        .select("yuid", F.lit("statement").alias("field"), F.col("st.content").alias("text"))
+    )
+    return names.unionByName(stmts)
+
+
+def word_query(texts: DataFrame, term: str, field: str | None = None) -> DataFrame:
+    """Q4's word query over the texts tier: tokenized, case-folded
+    whole-word match (the unstemmed core of cts word queries). Returns
+    distinct yuids."""
+    t = texts if field is None else texts.filter(F.col("field") == field)
+    toks = F.split(F.lower(F.col("text")), r"\W+")
+    return (
+        t.filter(F.array_contains(toks, term.lower()))
+        .select("yuid")
+        .distinct()
+    )
+
+
 def extract_facets(merged: DataFrame) -> DataFrame:
     """X2 facet columns (marklogic/mapper.py:248-845 analog): per-entity
     booleans/ids derived in one pass."""

@@ -97,6 +97,68 @@ def r07_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a20_salted_user_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    survey="A2,A17,S9",
+)
+def a20_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.salted_agg): hot
+    keys fan out over 16 salts in phase 1, phase 2 folds the partials.
+    The oracle is the PLAIN group-by — salting must be semantically
+    invisible, which is exactly what the driver's hash check proves."""
+    from ..operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        group_cols=["user_id"],
+        spread_cols=["event_id"],
+        partial=[
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("v"),
+        ],
+        final=lambda p: p.groupBy("user_id").agg(
+            F.sum("c").alias("n_events"),
+            F.sum("v").cast("double").alias("total_value"),
+        ),
+    )
+
+
+@query(
+    "x05_reference_counts",
+    oracle="""
+    WITH refs AS (
+        SELECT 'nation:' || c_nationkey AS yuid FROM customer
+        UNION ALL
+        SELECT 'nation:' || s_nationkey FROM supplier
+        UNION ALL
+        SELECT 'region:' || n_regionkey FROM nation
+    ),
+    counts AS (SELECT yuid, COUNT(*) AS ref_count FROM refs GROUP BY yuid),
+    top3 AS (SELECT yuid FROM counts ORDER BY ref_count DESC, yuid LIMIT 3)
+    SELECT c.yuid, c.ref_count FROM counts c
+    WHERE c.yuid NOT IN (SELECT yuid FROM top3)
+    """,
+    survey="X1,A14,A17,W7",
+)
+def x05_reference_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """refCtr with top-k exclusion (X1, the reference's most-referenced
+    exclusion list): inbound-reference counts over the edges model minus
+    the 3 hottest hubs."""
+    from ..pipeline.edges import reference_counts
+    from ..plans.model import build_edges
+
+    edges = build_edges(spark, sf_dir).filter(
+        F.col("predicate").isin("in_nation", "in_region")
+    )
+    return reference_counts(edges, exclude_top_k=3)
+
+
+@query(
     "a19_json_props_stats",
     oracle="""
     SELECT event_type,

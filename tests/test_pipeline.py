@@ -184,3 +184,34 @@ def test_implausible_lifespan_edge_veto(spark, built):
     edf = built["edges_df"]
     n = edf.filter((F.col("src_uri") == bad) | (F.col("dst_uri") == bad)).count()
     assert n == 0
+
+
+def test_any_edges_and_texts_and_word_query(spark, built):
+    import json as _json
+
+    from data_pipeline_spark.pipeline.edges import (
+        any_edges,
+        extract_texts,
+        word_query,
+    )
+    from data_pipeline_spark.pipeline.fixtures import PREV_YUID_P1
+
+    edges = spark.createDataFrame(
+        [(s, p, o) for s, p, o in built["graph_edges"]],
+        ["subject", "predicate", "object"],
+    )
+    anys = any_edges(edges)
+    assert {r.predicate for r in anys.collect()} == {"any"}
+    assert anys.count() <= edges.count()
+
+    merged = spark.createDataFrame(
+        [(y, "Person", _json.dumps(d)) for y, d in built["merged"].items()],
+        "yuid string, rectype string, data string",
+    )
+    texts = extract_texts(merged)
+    fields = {r.field for r in texts.collect()}
+    assert fields == {"name", "statement"}
+    hits = {r.yuid for r in word_query(texts, "painter").collect()}
+    assert hits == {PREV_YUID_P1}  # "Dutch painter" statement
+    hits = {r.yuid for r in word_query(texts, "REMBRANDT", field="name").collect()}
+    assert PREV_YUID_P1 in hits
