@@ -80,6 +80,96 @@ def knn_bruteforce(
     )
 
 
+def ivf_centroids(corpus: DataFrame, k: int = 16, iters: int = 2) -> DataFrame:
+    """IVF coarse quantizer: k centroids via deterministic k-means —
+    seeds are the k lexically-first vectors (no RNG), then ``iters`` Lloyd
+    steps as DataFrame joins (assign = broadcast-argmin, update = groupBy
+    mean). Returns (cluster_id, cemb). Deterministic end to end, so the
+    index is reproducible across builds."""
+    seeds = (
+        corpus.orderBy("neighbor_id")
+        .limit(k)
+        .select(F.col("nemb").alias("cemb"))
+        .withColumn("cluster_id", F.monotonically_increasing_id())
+    )
+    # monotonically_increasing_id on a 1-partition limit is 0..k-1 ordered
+    cents = seeds.coalesce(1).withColumn(
+        "cluster_id", F.row_number().over(W.orderBy(F.lit(1))) - 1
+    )
+    for _ in range(iters):
+        assigned = _assign(corpus, cents)
+        # mean per (cluster, dimension): posexplode -> groupBy -> rebuild,
+        # the layout that scales (never a whole cluster in one row)
+        per_dim = (
+            assigned.select("cluster_id", F.posexplode("nemb").alias("d", "v"))
+            .groupBy("cluster_id", "d")
+            .agg(F.avg("v").alias("mean_v"))
+        )
+        cents = (
+            per_dim.groupBy("cluster_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("d", "mean_v"))
+                ).alias("dims")
+            )
+            .select(
+                "cluster_id",
+                F.expr("transform(dims, x -> x.mean_v)").alias("cemb"),
+            )
+        )
+    return cents
+
+
+def _assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast centroids, argmin by cosine
+    with deterministic (cluster_id) tiebreak."""
+    scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
+        "sim", F.round(cosine("nemb", "cemb"), 9)
+    )
+    w = W.partitionBy("neighbor_id").orderBy(F.desc("sim"), "cluster_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "nemb", "cluster_id")
+    )
+
+
+def knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN: assign the corpus to coarse clusters once (the persisted,
+    partition-pruned index at scale), probe each query's ``nprobe``
+    nearest clusters, exact-cosine re-rank inside. Candidates ≈
+    corpus * nprobe / n_clusters."""
+    cents = ivf_centroids(corpus, n_clusters)
+    indexed = _assign(corpus, cents)
+    qscored = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", F.round(cosine("qemb", "cemb"), 9)
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("sim"), "cluster_id")
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qemb", "cluster_id")
+    )
+    pairs = (
+        indexed.join(F.broadcast(probes), "cluster_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine("qemb", "nemb"), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        pairs.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
 def knn_lsh(
     queries: DataFrame,
     corpus: DataFrame,

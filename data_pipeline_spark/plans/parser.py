@@ -8,7 +8,7 @@ query_token_rules.py — tokens BOOL/LPAREN/RPAREN/COMMA/WORD/COLON/QUOTE/COMP
            | ['^'] WORD '(' expr (',' expr)* ')'    relationship traversal
            | WORD COMP value                        leaf field comparison
     value := '"' chars '"' | number | word
-    COMP  := = | != | > | >= | < | <=
+    COMP  := = | != | > | >= | < | <= | ~     (~ = tokenized word match, Q4)
 
 Relationship children are an implicit AND. `^rel` is the inverse traversal
 (Q6: documents pointed TO by matches).
@@ -25,7 +25,7 @@ _TOKEN_RE = re.compile(
       | (?P<rparen>\))
       | (?P<comma>,)
       | (?P<caret>\^)
-      | (?P<comp>>=|<=|!=|=|>|<)
+      | (?P<comp>>=|<=|!=|=|>|<|~)
       | (?P<quoted>"(?:[^"\\]|\\.)*")
       | (?P<number>-?\d+(?:\.\d+)?)
       | (?P<word>[A-Za-z_][A-Za-z0-9_#]*)

@@ -87,6 +87,23 @@ def dsl_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dsl_q08_word_query",
+    oracle=r"""
+    SELECT 'part:' || p_partkey AS id
+    FROM part
+    WHERE len(list_filter(regexp_split_to_array(lower(p_name), '\W+'),
+                          t -> t = 'lavender')) > 0
+    """,
+    survey="Q4,A16",
+)
+def dsl_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word query (`name~lavender`): tokenized whole-word match on the
+    name field — the cts word-query core (Q4) as a DSL comparator."""
+    planner = build_planner(spark, sf_dir)
+    return planner.plan('AND(type=part, name~"lavender")')
+
+
+@query(
     "dsl_q07_json_form",
     oracle="""
     SELECT 'customer:' || c_custkey AS id

@@ -148,3 +148,21 @@ def test_materialized_model_planner(spark, tmp_path):
     a = {r.id for r in live.plan(q).collect()}
     b = {r.id for r in stored.plan(q).collect()}
     assert a == b and len(a) > 0
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, emb):
+    from data_pipeline_spark.operators.similarity import knn_ivf
+
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb"))
+    exact = knn_bruteforce(queries, corpus, k=5).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_ivf(queries, corpus, k=5, n_clusters=16, nprobe=6).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    # deterministic k-means (no RNG): measures 0.89 on random embeddings
+    assert recall >= 0.75, f"recall@5 = {recall}"
