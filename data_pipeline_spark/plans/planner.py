@@ -32,9 +32,7 @@ _OPS = {
     "<=": lambda c, v: c <= v,
     # Q4 word query: tokenized, case-folded whole-word containment (the
     # unstemmed core of the reference's cts word queries)
-    "~": lambda c, v: F.array_contains(
-        F.split(F.lower(c), r"\W+"), str(v).lower()
-    ),
+    "~": lambda c, v: F.array_contains(F.split(F.lower(c), r"\W+"), F.lower(v)),
 }
 
 

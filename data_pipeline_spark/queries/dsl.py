@@ -92,15 +92,15 @@ def dsl_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'part:' || p_partkey AS id
     FROM part
     WHERE len(list_filter(regexp_split_to_array(lower(p_name), '\W+'),
-                          t -> t = 'lavender')) > 0
+                          t -> t = 'widget')) > 0
     """,
     survey="Q4,A16",
 )
 def dsl_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word query (`name~lavender`): tokenized whole-word match on the
+    """Word query (`name~widget`): tokenized whole-word match on the
     name field — the cts word-query core (Q4) as a DSL comparator."""
     planner = build_planner(spark, sf_dir)
-    return planner.plan('AND(type=part, name~"lavender")')
+    return planner.plan('AND(type=part, name~"widget")')
 
 
 @query(
