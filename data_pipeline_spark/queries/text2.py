@@ -97,6 +97,45 @@ def r07_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d11_near_query",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    pa AS (SELECT doc_id, unnest(list_transform(range(1, len(t)+1),
+                    i -> CASE WHEN t[i] = 'spark' THEN i ELSE NULL END)) AS p
+           FROM toks),
+    pb AS (SELECT doc_id, unnest(list_transform(range(1, len(t)+1),
+                    i -> CASE WHEN t[i] = 'query' THEN i ELSE NULL END)) AS p
+           FROM toks)
+    SELECT DISTINCT pa.doc_id
+    FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+    WHERE pa.p IS NOT NULL AND pb.p IS NOT NULL AND abs(pa.p - pb.p) <= 3
+    """,
+    survey="Q3,Q4,A16",
+)
+def d11_near_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR token-distance query (the cts NEAR operator, Q3): documents
+    where 'spark' occurs within 3 tokens of 'query'. Token positions via
+    posexplode; the proximity check is an equi-join on doc + range
+    predicate — same shape as the reconcile date veto (P4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("p", "w"),
+    )
+    pa = toks.filter(F.col("w") == "spark").select("doc_id", F.col("p").alias("pa"))
+    pb = toks.filter(F.col("w") == "query").select("doc_id", F.col("p").alias("pb"))
+    return (
+        pa.join(pb, "doc_id")
+        .filter(F.abs(F.col("pa") - F.col("pb")) <= 3)
+        .select("doc_id")
+        .distinct()
+    )
+
+
+@query(
     "a20_salted_user_totals",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
