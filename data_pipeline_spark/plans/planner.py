@@ -64,6 +64,23 @@ class SearchPlanner:
         ids = self.plan(query)
         return self.entities.join(ids, "id", "left_semi")
 
+    def search_scored(self, query: str | object, boost: str | object | None = None) -> DataFrame:
+        """Q3's BOOST: rank the primary query's matches by whether they
+        also satisfy the boost query (cts boostQuery semantics — boost
+        affects order, never membership). Returns (id, score) with
+        score = 1 + 1 per satisfied boost, deterministically ordered."""
+        ids = self.plan(query)
+        if boost is None:
+            return ids.withColumn("score", F.lit(1))
+        boosted = self.plan(boost).withColumn("_b", F.lit(1))
+        return (
+            ids.join(boosted, "id", "left")
+            .select(
+                "id",
+                (F.lit(1) + F.coalesce(F.col("_b"), F.lit(0))).alias("score"),
+            )
+        )
+
     def similar(self, entity_id: str, number_window: float = 100.0) -> DataFrame:
         """Q7 similar-to (QBE, ml_lexer.py:22-148 semantics): synthesize a
         query from the entity's own attributes — same type AND (shares an

@@ -104,6 +104,27 @@ def dsl_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dsl_q09_boost_scoring",
+    oracle="""
+    SELECT 'customer:' || c_custkey AS id,
+           CASE WHEN c_acctbal > 5000 THEN 2 ELSE 1 END AS score
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+    """,
+    survey="Q3,Q8",
+)
+def dsl_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOST (cts boostQuery): NATION_7 customers, scored +1 when the
+    boost leg (balance>5000) also matches — boost changes order, never
+    membership."""
+    planner = build_planner(spark, sf_dir)
+    return planner.search_scored(
+        'AND(type=customer, in_nation(name="NATION_7"))',
+        boost="AND(type=customer, number>5000)",
+    )
+
+
+@query(
     "dsl_q07_json_form",
     oracle="""
     SELECT 'customer:' || c_custkey AS id

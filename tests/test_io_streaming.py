@@ -173,3 +173,45 @@ def test_stream_changes_end_to_end(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.object_uri: json.loads(r.data)["v"] for r in spark.read.parquet(cache_path).collect()}
     assert got == {"uri:x": 2, "uri:y": 1}
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: per-user running totals must accumulate
+    across micro-batches (two files, maxFilesPerTrigger=1 -> two batches
+    in one run; memory sink cannot recover checkpoints, so state
+    continuity is exercised WITHIN the run)."""
+    from data_pipeline_spark.streaming.stateful import running_user_totals
+
+    feed = tmp_path / "sfeed"
+    feed.mkdir()
+    with open(feed / "a.jsonl", "w") as f:
+        for r in [{"user_id": 1, "value": 10.0}, {"user_id": 1, "value": 5.0},
+                  {"user_id": 2, "value": 7.0}]:
+            f.write(json.dumps(r) + "\n")
+    with open(feed / "b.jsonl", "w") as f:
+        f.write(json.dumps({"user_id": 1, "value": 1.0}) + "\n")
+
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("totals")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM totals").collect()
+    # update mode re-emits per batch: the final state per user is the max
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.total_value)
+    assert final == {1: (3, 16.0), 2: (1, 7.0)}
+    # state actually spanned more than one emission for user 1
+    assert len([r for r in rows if r.user_id == 1]) >= 2
