@@ -146,6 +146,41 @@ def dsl_q07(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dsl_q10_sparql_shape",
+    oracle="""
+    SELECT n.id AS nation_id, COUNT(*) AS n_suppliers FROM (
+        SELECT 'nation:' || n_nationkey AS id FROM nation
+    ) n JOIN (
+        SELECT 'supplier:' || s_suppkey AS subject,
+               'nation:' || s_nationkey AS object FROM supplier
+    ) e ON e.object = n.id
+    GROUP BY n.id
+    ORDER BY n_suppliers DESC, nation_id
+    LIMIT 5
+    """,
+    survey="Q9,A14,W7",
+)
+def dsl_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: the reference's SPARQL usage is type + edge-chain + aggregate +
+    ORDER/LIMIT patterns (qlever/mapper.py:5-63) — expressed directly as
+    Spark SQL over the registered edges/entities views, the engine's
+    SPARQL-equivalent surface."""
+    planner = build_planner(spark, sf_dir)
+    planner.entities.createOrReplaceTempView("v_entities")
+    planner.edges.createOrReplaceTempView("v_edges")
+    return spark.sql(
+        """
+        SELECT e.object AS nation_id, COUNT(*) AS n_suppliers
+        FROM v_edges e
+        WHERE e.predicate = 'in_nation' AND e.subject LIKE 'supplier:%'
+        GROUP BY e.object
+        ORDER BY n_suppliers DESC, nation_id
+        LIMIT 5
+        """
+    )
+
+
+@query(
     "dsl_q06_similar_customers",
     oracle="""
     WITH tgt AS (SELECT c_custkey, c_nationkey, c_acctbal

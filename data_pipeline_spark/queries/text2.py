@@ -224,6 +224,33 @@ def a19_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a21_cube_event_stats",
+    oracle="""
+    SELECT COALESCE(event_type, '(all)') AS etype,
+           COALESCE(CAST(EXTRACT(day FROM ts) AS BIGINT), -1) AS day_of_month,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, EXTRACT(day FROM ts))
+    """,
+    survey="A2,A14",
+)
+def a21_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day): all four grouping combinations in one
+    pass — with rollup (a18), completes the grouping-sets family the
+    reference lacks (SURVEY §2.5 note)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.cube("event_type", F.dayofmonth("ts").alias("dom"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("(all)")).alias("etype"),
+            F.coalesce(F.col("dom").cast("bigint"), F.lit(-1)).alias("day_of_month"),
+            "n",
+        )
+    )
+
+
+@query(
     "a18_rollup_revenue",
     oracle=f"""
     SELECT COALESCE(r_name, '(all)') AS region,
