@@ -1,0 +1,109 @@
+"""Tests for the AS/OAI harvest walkers (S2/S3) and the registry-wired
+example source (U1/U2/F23)."""
+
+from __future__ import annotations
+
+import json
+
+from data_pipeline_spark.registry import SourceRegistry
+from data_pipeline_spark.sources.harvester import crawl_activity_stream, crawl_oai_pmh
+
+
+def _feed():
+    """Two-page feed, newest page = 'last'. Items stored oldest-first per
+    page (the AS convention the walker must reverse)."""
+    pages = {
+        "coll": {"last": {"id": "p2"}},
+        "p2": {
+            "prev": {"id": "p1"},
+            "orderedItems": [
+                {"type": "Update", "endTime": "2026-02-01T10:00:00",
+                 "object": {"id": "uri:a"}},
+                {"type": "Create", "endTime": "2026-02-01T11:00:00",
+                 "object": {"id": "uri:b"}},
+                {"type": "Delete", "endTime": "2026-02-01T12:00:00",
+                 "object": {"id": "uri:a"}},  # newest change for a
+            ],
+        },
+        "p1": {
+            "orderedItems": [
+                {"type": "Update", "endTime": "2026-01-01T00:00:00",
+                 "object": {"id": "uri:old"}},
+                {"type": "Update", "endTime": "2026-01-20T00:00:00",
+                 "object": {"id": "uri:c"}},
+            ],
+        },
+    }
+    return lambda url: pages[url]
+
+
+def test_as_crawl_newest_first_dedupe_and_watermark():
+    rows = list(crawl_activity_stream(_feed(), "coll", last_harvest="2026-01-10T00:00:00"))
+    # newest first: delete of a wins over the older update (R5)
+    assert [(r["object_uri"], r["change"]) for r in rows] == [
+        ("uri:a", "delete"),
+        ("uri:b", "create"),
+        ("uri:c", "update"),
+    ]
+    # uri:old (before the watermark) stopped the walk (R1)
+    assert all(r["object_uri"] != "uri:old" for r in rows)
+
+
+def test_as_crawl_harvest_from_upper_bound():
+    rows = list(
+        crawl_activity_stream(
+            _feed(), "coll",
+            last_harvest="2026-01-10T00:00:00",
+            harvest_from="2026-02-01T10:30:00",
+        )
+    )
+    # only items at/below the replay bound survive (R2); the delete and
+    # create are too new, so the OLDER update of uri:a is now first-seen
+    assert [(r["object_uri"], r["change"]) for r in rows] == [
+        ("uri:a", "update"),
+        ("uri:c", "update"),
+    ]
+
+
+def test_oai_crawl_resumption_and_tombstones():
+    responses = [
+        {"identifiers": [{"identifier": "r1", "datestamp": "2026-01-01"},
+                          {"identifier": "r2", "datestamp": "2026-01-02", "deleted": True}],
+         "resumptionToken": "tok1"},
+        {"identifiers": [{"identifier": "r3", "datestamp": "2026-01-03"}]},
+    ]
+    calls = []
+
+    def fetch(params):
+        calls.append(dict(params))
+        return responses[len(calls) - 1]
+
+    rows = list(crawl_oai_pmh(fetch, from_datestamp="2025-12-31"))
+    assert [(r["object_uri"], r["change"]) for r in rows] == [
+        ("r1", "update"), ("r2", "delete"), ("r3", "update"),
+    ]
+    assert calls[0]["from"] == "2025-12-31"
+    assert calls[1]["resumptionToken"] == "tok1"
+
+
+def test_example_source_end_to_end(spark, tmp_path):
+    from data_pipeline_spark.sources.example_museum import CONFIG
+
+    dump = tmp_path / "museum.jsonl"
+    with open(dump, "w") as f:
+        f.write(json.dumps({"id": "obj1", "kind": "painting",
+                            "title": "Night Watch", "maker": "a1"}) + "\n")
+        f.write(json.dumps({"id": "a1", "kind": "artist",
+                            "title": "Rembrandt"}) + "\n")
+
+    reg = SourceRegistry()
+    src = reg.register_config(dict(CONFIG))
+    loaded = src.component("loader")(spark, {"dump_path": str(dump)})
+    records = src.component("mapper")(loaded)
+    rows = {r.identifier: r for r in records.collect()}
+    assert rows["obj1"].rectype == "HumanMadeObject"  # F23 guess_type
+    assert rows["a1"].rectype == "Person"
+    doc = json.loads(rows["obj1"].data)
+    assert doc["id"] == "https://fixture.test/museum/obj1"
+    assert doc["identified_by"][0]["content"] == "Night Watch"
+    assert reg.merge_order_map() == {"museum": 10}
