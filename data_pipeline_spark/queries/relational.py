@@ -78,14 +78,16 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="J1,J9,A2,W6,W7",
 )
 def q02_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-shaped join+agg+top-k. customer is the small side →
-    broadcast (the LMDB-index join pattern of reconciler.py:197-274)."""
+    """TPC-H Q3-shaped join+agg+top-k. customer auto-broadcasts from
+    stats at test SF; at 100TB it scales with the data, so no forced
+    hint — AQE picks the join strategy (the LMDB-index join pattern of
+    reconciler.py:197-274 only broadcasts BOUNDED curated indexes)."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -133,8 +135,10 @@ def q03_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="J2,J9,A2",
 )
 def q04_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-shaped 6-way join. Dims (region/nation/supplier/customer)
-    broadcast; only orders⋈lineitem shuffles — the shape that survives 100×."""
+    """TPC-H Q5-shaped 6-way join. Fixed-size dims (region/nation) are
+    hinted broadcast; customer/supplier scale with SF so their strategy is
+    left to stats/AQE — at test SF they broadcast, at 100TB they degrade
+    gracefully to shuffled joins. Only orders⋈lineitem must shuffle."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -143,9 +147,9 @@ def q04_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
