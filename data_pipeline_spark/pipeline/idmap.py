@@ -79,9 +79,9 @@ def assign_yuids(components: DataFrame, idmap_prev: DataFrame | None = None) -> 
 
     from pyspark.sql import Window as W
 
-    prev_hits = comps.join(
-        F.broadcast(idmap_prev.select("qua_uri", "yuid")), "qua_uri"
-    )
+    # no broadcast hint: the previous idmap scales with the corpus —
+    # this is a plain equi-join on qua_uri (both sides bucketable)
+    prev_hits = comps.join(idmap_prev.select("qua_uri", "yuid"), "qua_uri")
     # one winner component per prev yuid (split handling)
     w = W.partitionBy("yuid").orderBy("qua_uri")
     winners = (
@@ -90,9 +90,10 @@ def assign_yuids(components: DataFrame, idmap_prev: DataFrame | None = None) -> 
         .select("component", "yuid")
     )
     # one adopted yuid per component (join/merge handling: lexical min wins)
+    # adopted scales with component count — shuffled join, not broadcast
     adopted = winners.groupBy("component").agg(F.min("yuid").alias("adopted_yuid"))
     return (
-        comps.join(F.broadcast(adopted), "component", "left")
+        comps.join(adopted, "component", "left")
         .select(
             "qua_uri",
             F.coalesce(
