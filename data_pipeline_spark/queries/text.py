@@ -283,6 +283,56 @@ def d06_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f10_webpage_dedupe",
+    oracle="""
+    WITH pages AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN 'http://www.example.org/c/' || (c_custkey // 3)
+                    WHEN c_custkey % 3 = 1
+                    THEN 'https://example.org/c/' || (c_custkey // 3) || '/'
+                    ELSE 'example.org/c/' || (c_custkey // 3) END AS url
+        FROM customer
+    ),
+    normed AS (
+        SELECT c_custkey,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     CASE WHEN url LIKE 'http://%' OR url LIKE 'https://%'
+                          THEN url ELSE 'https://' || url END,
+                     '^http://', 'https://'),
+                   '^https://www\\.', 'https://'),
+                 '/$', '') AS norm_url
+        FROM pages
+    )
+    SELECT norm_url, MIN(c_custkey) AS keeper, COUNT(*) AS n_variants
+    FROM normed GROUP BY norm_url HAVING COUNT(*) > 1
+    """,
+    survey="A10,F10",
+)
+def f10_webpage_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webpage dedupe (A10, final/mapper.py:713-776): scheme default,
+    http->https, www-strip, trailing-slash strip — three URL variants per
+    key collapse onto one normalized form; keep the first."""
+    from ..functions.strings import normalize_url
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    url = (
+        F.when(k % 3 == 0, F.concat(F.lit("http://www.example.org/c/"), (k / 3).cast("bigint").cast("string")))
+        .when(k % 3 == 1, F.concat(F.lit("https://example.org/c/"), (k / 3).cast("bigint").cast("string"), F.lit("/")))
+        .otherwise(F.concat(F.lit("example.org/c/"), (k / 3).cast("bigint").cast("string")))
+    )
+    return (
+        c.select(k.alias("c_custkey"), normalize_url(url).alias("norm_url"))
+        .groupBy("norm_url")
+        .agg(F.min("c_custkey").alias("keeper"), F.count(F.lit(1)).alias("n_variants"))
+        .filter(F.col("n_variants") > 1)
+    )
+
+
+@query(
     "f08_clean_names",
     oracle=r"""
     SELECT c_custkey,
