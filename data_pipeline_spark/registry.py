@@ -83,5 +83,14 @@ class SourceRegistry:
         """The merge_order dict consumed by pipeline.merge_records."""
         return {n: s.merge_order for n, s in self._sources.items()}
 
+    def schedule_order(self, size_estimates: dict[str, int]) -> list[str]:
+        """W5 (run-reconcile.py:83-85): smallest-source-first job ordering —
+        small sources finish and free capacity while the big ones stream.
+        Unknown sizes sort last; name tiebreak keeps the order stable."""
+        return sorted(
+            self._sources,
+            key=lambda n: (size_estimates.get(n, float("inf")), n),
+        )
+
 
 REGISTRY = SourceRegistry()

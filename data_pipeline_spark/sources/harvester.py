@@ -64,6 +64,47 @@ def crawl_activity_stream(
         page_url = (page.get("prev") or {}).get("id")
 
 
+def run_harvest(
+    spark,
+    fetch_page: Callable[[str], dict[str, Any]],
+    collection_url: str,
+    cache_path: str,
+    fetch_record: Callable[[str], str | None] | None = None,
+    last_harvest: str | None = None,
+    edges=None,
+) -> int:
+    """§3.2 integration: walk the feed, land the changes as a DataFrame,
+    apply them to the cache tier with the R1–R8 semantics, upsert-commit.
+    ``fetch_record(uri)`` supplies payloads for create/update (None ->
+    change rows carry no body and only deletes take effect). Returns the
+    number of change rows applied."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..sinks.exports import write_upsert_parquet
+    from ..streaming.ingest import apply_changes
+
+    rows = []
+    for ch in crawl_activity_stream(fetch_page, collection_url, last_harvest):
+        payload = fetch_record(ch["object_uri"]) if fetch_record and ch["change"] != "delete" else None
+        rows.append((ch["seq"], ch["end_time"], ch["change"], ch["object_uri"], payload))
+    if not rows:
+        return 0
+    changes = spark.createDataFrame(
+        rows, "seq bigint, end_time string, change string, object_uri string, payload string"
+    ).withColumn("end_time", F.col("end_time").cast("timestamp"))
+    if os.path.exists(cache_path):
+        cache = spark.read.parquet(cache_path)
+    else:
+        cache = spark.createDataFrame(
+            [], "object_uri string, record_time timestamp, data string"
+        )
+    new_cache = apply_changes(cache, changes, edges=edges)
+    write_upsert_parquet(spark, new_cache, cache_path, key="object_uri")
+    return len(rows)
+
+
 def crawl_oai_pmh(
     fetch_page: Callable[[dict[str, str]], dict[str, Any]],
     metadata_prefix: str = "oai_dc",

@@ -107,3 +107,36 @@ def test_example_source_end_to_end(spark, tmp_path):
     assert doc["id"] == "https://fixture.test/museum/obj1"
     assert doc["identified_by"][0]["content"] == "Night Watch"
     assert reg.merge_order_map() == {"museum": 10}
+
+
+def test_run_harvest_end_to_end(spark, tmp_path):
+    """Feed walk -> change rows -> cache application -> parquet tier."""
+    from data_pipeline_spark.sources.harvester import run_harvest
+
+    bodies = {
+        "uri:a": '{"id":"uri:a","v":2}',
+        "uri:b": '{"id":"uri:b","v":1}',
+        "uri:c": '{"id":"uri:c","v":1}',
+    }
+    cache_path = str(tmp_path / "tier")
+    n = run_harvest(
+        spark, _feed(), "coll", cache_path,
+        fetch_record=lambda uri: bodies.get(uri),
+        last_harvest="2026-01-10T00:00:00",
+    )
+    assert n == 3  # delete a, create b, update c
+    got = {r.object_uri: json.loads(r.data)["v"]
+           for r in spark.read.parquet(cache_path).collect()}
+    # a was deleted (tombstone on empty cache -> absent); b and c created
+    assert got == {"uri:b": 1, "uri:c": 1}
+
+
+def test_schedule_order():
+    reg = SourceRegistry()
+    for name in ("wikidata", "lcsh", "ycba"):
+        reg.register(name)
+    order = reg.schedule_order({"wikidata": 100_000_000, "lcsh": 450_000, "ycba": 197_711})
+    assert order == ["ycba", "lcsh", "wikidata"]
+    # unknown sizes go last
+    reg.register("mystery")
+    assert reg.schedule_order({"wikidata": 1, "lcsh": 2, "ycba": 3})[-1] == "mystery"
