@@ -173,11 +173,29 @@ def extract_names_table(merged: DataFrame) -> DataFrame:
 def to_ntriples(edges: DataFrame, base: str = "https://lux.example/ns/") -> DataFrame:
     """X5/K6: edges -> N-Triples lines (one string column `nt`), ready for
     ``df.write.text`` (manage-data.py:221-250 analog). URIs pass through;
-    non-URI objects become typed literals."""
+    literal objects get xsd datatypes the way the reference's serializer
+    does (qlever/mapper.py:210-412): numerics -> xsd:decimal, ISO
+    timestamps -> xsd:dateTime, else plain strings."""
     is_uri = F.col("object").rlike("^https?://")
-    obj = F.when(
-        is_uri, F.format_string("<%s>", F.col("object"))
-    ).otherwise(F.format_string('"%s"', F.regexp_replace(F.col("object"), '"', '\\\\"')))
+    is_num = F.col("object").rlike(r"^-?\d+(\.\d+)?$")
+    is_dt = F.col("object").rlike(r"^-?\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}")
+    escaped = F.regexp_replace(F.col("object"), '"', '\\\\"')
+    obj = (
+        F.when(is_uri, F.format_string("<%s>", F.col("object")))
+        .when(
+            is_num,
+            F.format_string(
+                '"%s"^^<http://www.w3.org/2001/XMLSchema#decimal>', F.col("object")
+            ),
+        )
+        .when(
+            is_dt,
+            F.format_string(
+                '"%s"^^<http://www.w3.org/2001/XMLSchema#dateTime>', F.col("object")
+            ),
+        )
+        .otherwise(F.format_string('"%s"', escaped))
+    )
     subj = F.when(
         F.col("subject").rlike("^https?://"),
         F.format_string("<%s>", F.col("subject")),

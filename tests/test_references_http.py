@@ -63,3 +63,18 @@ def test_http_load_batching(spark, tmp_path):
     assert sorted(len(b) for b in batches) == [5, 10, 10]
     ids = sorted(r["id"] for b in batches for r in b)
     assert ids == list(range(25))
+
+
+def test_ntriples_typed_literals(spark):
+    from data_pipeline_spark.pipeline.edges import to_ntriples
+
+    edges = spark.createDataFrame(
+        [("y1", "height", "1.69"),
+         ("y1", "born", "1606-07-15T00:00:00"),
+         ("y1", "label", 'say "hi"')],
+        ["subject", "predicate", "object"],
+    )
+    lines = {r.nt for r in to_ntriples(edges).collect()}
+    assert any('"1.69"^^<http://www.w3.org/2001/XMLSchema#decimal>' in l for l in lines)
+    assert any('"1606-07-15T00:00:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>' in l for l in lines)
+    assert any('"say \\"hi\\""' in l for l in lines)
