@@ -53,6 +53,25 @@ def connected_components(
             labels.union(prop)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer shortcut (path halving): component ids are node ids, so
+        # every node can also adopt its component's OWN component —
+        # label(u) := min(label(u), label(label(u))). This turns O(chain
+        # length) convergence into O(log n): without it a 120-node chain
+        # needs 120 rounds; with it, ~8.
+        step = new_labels
+        right = step.select(
+            F.col("node").alias("_ptr_node"), F.col("component").alias("_ptr_comp")
+        )
+        new_labels = (
+            step.join(right, step.component == F.col("_ptr_node"), "left")
+            .select(
+                step.node,
+                F.least(
+                    step.component,
+                    F.coalesce(F.col("_ptr_comp"), step.component),
+                ).alias("component"),
+            )
             .localCheckpoint()
         )
         changed = (

@@ -215,3 +215,15 @@ def test_any_edges_and_texts_and_word_query(spark, built):
     assert hits == {PREV_YUID_P1}  # "Dutch painter" statement
     hits = {r.yuid for r in word_query(texts, "REMBRANDT", field="name").collect()}
     assert PREV_YUID_P1 in hits
+
+
+def test_closure_long_chain_converges(spark):
+    """Path-halving makes a 120-node chain converge in O(log n) rounds —
+    without it, min-label propagation needs one round per hop and a
+    bounded max_iter leaves the chain fragmented."""
+    from data_pipeline_spark.pipeline.closure import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(120)], ["src", "dst"])
+    comps = connected_components(edges, max_iter=15)
+    assert {r.component for r in comps.collect()} == {0}
+    assert comps.count() == 121
