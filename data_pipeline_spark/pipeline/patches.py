@@ -109,6 +109,64 @@ def apply_patches(records: DataFrame, patches: DataFrame) -> DataFrame:
     return joined.mapInPandas(run, schema=schema)
 
 
+def repair_timespans(records: DataFrame) -> DataFrame:
+    """F3 (mapper_utils.py:83-127): walk every `timespan` object in each
+    document, re-derive begin_of_the_begin / end_of_the_end through the F1
+    parser (so free-text like "early 12th century" becomes ISO bounds, and
+    the BCE-safe epoch seconds ride along as _seconds_since_epoch_*), and
+    strip timespans that cannot be parsed at all. Runs as one Arrow pass;
+    documents without a 'timespan' substring skip Python entirely."""
+    import json as _json
+
+    import pandas as pd
+
+    from ..functions.dates import parse_datetime
+
+    def _fix(obj):
+        if isinstance(obj, dict):
+            ts = obj.get("timespan")
+            if isinstance(ts, dict):
+                raw = ts.get("begin_of_the_begin") or ts.get("end_of_the_end")
+                parsed = parse_datetime(raw)
+                if parsed is None:
+                    obj.pop("timespan", None)
+                else:
+                    b, e, bs, es = parsed
+                    # widen with the end side if it parses separately
+                    raw_end = ts.get("end_of_the_end")
+                    pe = parse_datetime(raw_end) if raw_end else None
+                    if pe is not None:
+                        e, es = pe[1], pe[3]
+                    obj["timespan"] = {
+                        "begin_of_the_begin": b,
+                        "end_of_the_end": e,
+                        "_seconds_since_epoch_begin": bs,
+                        "_seconds_since_epoch_end": es,
+                    }
+            for v in obj.values():
+                _fix(v)
+        elif isinstance(obj, list):
+            for v in obj:
+                _fix(v)
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for data in pdf["data"]:
+                if '"timespan"' not in data:
+                    out.append(data)
+                    continue
+                doc = _json.loads(data)
+                _fix(doc)
+                out.append(_json.dumps(doc, sort_keys=True))
+            yield pdf.assign(data=out)
+
+    schema = ", ".join(f"{c} string" for c in records.columns)
+    only = records.filter(F.col("data").contains('"timespan"'))
+    rest = records.filter(~F.col("data").contains('"timespan"'))
+    return only.mapInPandas(run, schema=schema).unionByName(rest)
+
+
 def apply_type_overrides(records: DataFrame, overrides: DataFrame) -> DataFrame:
     """post-reconcile type overrides (mapper.py:434-440): rewrite rectype
     where the record's URI appears in the override table."""

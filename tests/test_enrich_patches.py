@@ -192,3 +192,31 @@ def test_validate_records(spark):
     assert errs["noname"] == ["name without content"]
     valid, quarantine = split_valid(records)
     assert valid.count() == 1 and quarantine.count() == 4
+
+
+def test_repair_timespans(spark):
+    from data_pipeline_spark.pipeline.patches import repair_timespans
+
+    doc = {
+        "id": "uri:x", "type": "Person",
+        "born": {"type": "Birth",
+                 "timespan": {"begin_of_the_begin": "early 12th century"}},
+        "died": {"type": "Death",
+                 "timespan": {"begin_of_the_begin": "not a date at all"}},
+        "produced_by": {"timespan": {"begin_of_the_begin": "-0450",
+                                      "end_of_the_end": "-0425"}},
+    }
+    records = spark.createDataFrame(
+        [("s", "r1", json.dumps(doc)), ("s", "r2", json.dumps({"id": "uri:y"}))],
+        "source string, identifier string, data string",
+    )
+    out = {r.identifier: json.loads(r.data) for r in repair_timespans(records).collect()}
+    born = out["r1"]["born"]["timespan"]
+    assert born["begin_of_the_begin"] == "1101-01-01T00:00:00"
+    assert born["end_of_the_end"] == "1133-12-31T23:59:59"
+    assert "timespan" not in out["r1"]["died"]  # unparsable stripped
+    prod = out["r1"]["produced_by"]["timespan"]
+    assert prod["begin_of_the_begin"] == "-0450-01-01T00:00:00"
+    assert prod["end_of_the_end"] == "-0425-12-31T23:59:59"
+    assert prod["_seconds_since_epoch_begin"] < 0
+    assert out["r2"] == {"id": "uri:y"}  # untouched fast path
