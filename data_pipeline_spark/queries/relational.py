@@ -242,6 +242,21 @@ def q07_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "p06_reference_stub",
+    oracle="""
+    SELECT doc_id, source, lang FROM documents
+    """,
+    survey="P6",
+)
+def p06_reference_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record projection to a reference stub (P6, mapper.py:291-303:
+    reduce to {id, type, _label}): a pure column-pruned select — the scan
+    must read only 3 of 5 columns (ReadSchema shows the pruning)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "source", "lang")
+
+
 # --------------------------------------------------------------------------
 # Scan family (S9–S12)
 # --------------------------------------------------------------------------
