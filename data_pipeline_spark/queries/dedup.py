@@ -190,6 +190,59 @@ def d07_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_pairs(sh, cands, JACCARD_T)
 
 
+DEDUP_GROUPS_ORACLE = f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_sig_sql()},
+    {_bands_sql()},
+    cands AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM shingles GROUP BY id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_both
+        FROM cands c
+        JOIN shingles sa ON c.id_a = sa.id
+        JOIN shingles sb ON c.id_b = sb.id AND sa.shingle = sb.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes na ON id_a = na.id JOIN sizes nb ON id_b = nb.id
+        WHERE ROUND(CAST(n_both AS DOUBLE) / (na.n + nb.n - n_both), 6) >= {JACCARD_T}
+    ),
+    sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    walk(node, label) AS (
+        SELECT s, s FROM sym
+        UNION
+        SELECT e.d, w.label FROM walk w JOIN sym e ON w.node = e.s
+        WHERE w.label < e.d
+    )
+    SELECT node AS doc_id, MIN(label) AS keeper_doc_id
+    FROM walk GROUP BY node
+"""
+
+
+@query("d12_dedup_groups", oracle=DEDUP_GROUPS_ORACLE, survey="dedup-groups,J5,J7")
+def d12_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION: LSH-verified near-dup pairs -> connected
+    components -> one keeper per group (min doc_id). This is the full
+    corpus-cleaning composition — candidate generation, verification,
+    transitive grouping — each stage the scale-path form, pinned against a
+    recursive-CTE oracle."""
+    from ..pipeline.closure import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs)
+    pairs = verified_pairs(sh, lsh_candidates(minhash_signatures(sh)), JACCARD_T)
+    comps = connected_components(pairs.select("id_a", "id_b"), src="id_a", dst="id_b")
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("keeper_doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (16-bit, word-level)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,56 @@
+"""Physical-plan regression tests: the scale claims of SCALE.md pinned as
+assertions on the optimized plans. A future change that silently breaks
+predicate pushdown, column pruning, or flips a dim join to sort-merge
+fails here, not in production."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].spark_fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q04_broadcasts_all_dims_no_sort_merge(spark):
+    plan = _plan(spark, "q04_local_supplier_volume")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q05_filters_reach_the_scan(spark):
+    plan = _plan(spark, "q05_revenue_forecast")
+    # predicates appear at the FileScan (toString truncates the full
+    # PushedFilters list, so assert the scan-level DataFilters and that
+    # the scan projects only the 4 needed of 11 lineitem columns)
+    scan = plan.split("FileScan parquet", 1)[1]
+    assert "DataFilters: [isnotnull(l_shipdate" in scan
+    assert scan.startswith(" [l_quantity")
+    assert "l_returnflag" not in scan.split("DataFilters")[0]
+
+
+def test_p06_scan_is_column_pruned(spark):
+    plan = _plan(spark, "p06_reference_stub")
+    # documents has 5 columns; the stub needs 3 — text/n_chars must NOT
+    # be read
+    assert "ReadSchema" in plan
+    assert "text" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_q01_has_partial_aggregation(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    # map-side partial agg = two HashAggregate levels around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_top_k_uses_take_ordered(spark):
+    plan = _plan(spark, "w06_top10_orders")
+    # global ordered limit must be per-partition top-k + tiny merge,
+    # never a full sort
+    assert "TakeOrderedAndProject" in plan
