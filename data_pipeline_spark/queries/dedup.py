@@ -243,6 +243,84 @@ def d12_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CORPUS_CLEAN_ORACLE = f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_sig_sql()},
+    {_bands_sql()},
+    cands AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM shingles GROUP BY id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_both
+        FROM cands c
+        JOIN shingles sa ON c.id_a = sa.id
+        JOIN shingles sb ON c.id_b = sb.id AND sa.shingle = sb.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes na ON id_a = na.id JOIN sizes nb ON id_b = nb.id
+        WHERE ROUND(CAST(n_both AS DOUBLE) / (na.n + nb.n - n_both), 6) >= {JACCARD_T}
+    ),
+    sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    walk(node, label) AS (
+        SELECT s, s FROM sym
+        UNION
+        SELECT e.d, w.label FROM walk w JOIN sym e ON w.node = e.s
+        WHERE w.label < e.d
+    ),
+    groups AS (SELECT node AS doc_id, MIN(label) AS keeper FROM walk GROUP BY node),
+    quality AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                 len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                 t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop
+          FROM documents
+        ) WHERE n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5
+    )
+    SELECT q.doc_id FROM quality q
+    LEFT JOIN groups g ON q.doc_id = g.doc_id
+    WHERE g.doc_id IS NULL OR g.keeper = q.doc_id
+"""
+
+
+@query("d13_corpus_clean", oracle=CORPUS_CLEAN_ORACLE, survey="dedup-groups,quality-score")
+def d13_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-cleaning pipeline in one plan: quality gate
+    (length + stopword ratio) AND near-dup removal (keep only group
+    keepers). What a 100TB training-data prep job actually runs — every
+    stage is the scale-path form and the whole composition stays one
+    Catalyst plan (no materialization between stages)."""
+    from ..pipeline.closure import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    low_toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(low_toks, lambda t: t.isin("the", "a", "of", "and")))
+    quality = docs.filter(
+        (n_tokens >= 20) & ((n_stop.cast("double") / n_tokens) < 0.5)
+    ).select("doc_id")
+
+    sh = shingles_df(docs)
+    pairs = verified_pairs(sh, lsh_candidates(minhash_signatures(sh)), JACCARD_T)
+    groups = connected_components(
+        pairs.select("id_a", "id_b"), src="id_a", dst="id_b"
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("keeper"))
+
+    return (
+        quality.join(groups, "doc_id", "left")
+        .filter(F.col("keeper").isNull() | (F.col("keeper") == F.col("doc_id")))
+        .select("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (16-bit, word-level)
 # ---------------------------------------------------------------------------
