@@ -97,6 +97,56 @@ def r07_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f11_fuzzy_name_pairs",
+    oracle="""
+    SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+           levenshtein(a.s_name, b.s_name) AS dist
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 2
+    """,
+    survey="J1,F8,dedup-fuzzy",
+)
+def f11_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy name matching: supplier-name pairs within edit distance 2 —
+    the reconcile name join's tolerance extension (exact-key joins are J1;
+    this is the candidate widener). At scale the self-join is blocked by
+    a cheap key first (length bucket / first char) — here n is small."""
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    a = supp.select(F.col("s_suppkey").alias("id_a"), F.col("s_name").alias("na"))
+    b = supp.select(F.col("s_suppkey").alias("id_b"), F.col("s_name").alias("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("na", "nb"))
+        .filter(F.col("dist") <= 2)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+@query(
+    "a22_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           MAX(value) AS vmax
+    FROM events GROUP BY event_type
+    """,
+    survey="A14,A15",
+)
+def a22_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (p50/p90): identical
+    linear-interpolation definition in both engines on the same sorted
+    doubles -> bit-equal. The approx_percentile sketch is the 100TB path;
+    the exact form is the oracle-checkable twin."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.max("value").alias("vmax"),
+    )
+
+
+@query(
     "d11_near_query",
     oracle=r"""
     WITH toks AS (
