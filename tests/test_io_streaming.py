@@ -215,3 +215,46 @@ def test_stateful_running_totals(spark, tmp_path):
     assert final == {1: (3, 16.0), 2: (1, 7.0)}
     # state actually spanned more than one emission for user 1
     assert len([r for r in rows if r.user_id == 1]) >= 2
+
+
+def test_stream_dedup_against_indexed_corpus(spark, tmp_path):
+    """Near-dup matching of streamed docs against a persisted LSH index;
+    later batches see earlier batches' documents (index append)."""
+    from data_pipeline_spark.streaming.dedup_stream import (
+        index_corpus,
+        stream_dedup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again today "
+        "while the patient grey owl watches from a very tall oak tree and "
+        "counts every single jump with great care and quiet amusement"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different words about spark sql engines here")],
+        "doc_id bigint, text string",
+    )
+    index_dir = str(tmp_path / "lsh_index")
+    index_corpus(corpus, index_dir)
+
+    feed = tmp_path / "docfeed"
+    feed.mkdir()
+    with open(feed / "batch1.jsonl", "w") as f:
+        # near-copy of doc 1 (one word changed) + an unrelated doc
+        f.write(json.dumps({"doc_id": 10, "text": base.replace("dog", "cat")}) + "\n")
+        f.write(json.dumps({"doc_id": 11, "text": "nothing like anything else at all in this corpus of text"}) + "\n")
+    matches_dir = str(tmp_path / "matches")
+    q = stream_dedup(spark, str(feed), index_dir, matches_dir,
+                     checkpoint=str(tmp_path / "ckpt3"))
+    q.awaitTermination(120)
+    got = {(r.new_id, r.corpus_id) for r in spark.read.parquet(matches_dir).collect()}
+    assert (10, 1) in got
+    assert all(n != 11 for n, _ in got)
+    # the streamed docs joined the index: a later near-copy of doc 10 matches it
+    with open(feed / "batch2.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 20, "text": base.replace("dog", "cat").replace("today", "tomorrow")}) + "\n")
+    q2 = stream_dedup(spark, str(feed), index_dir, matches_dir,
+                      checkpoint=str(tmp_path / "ckpt3"))
+    q2.awaitTermination(120)
+    got2 = {(r.new_id, r.corpus_id) for r in spark.read.parquet(matches_dir).collect()}
+    assert (20, 10) in got2
