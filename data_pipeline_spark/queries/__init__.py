@@ -10,6 +10,7 @@ from .registry import QUERIES, Query, query  # noqa: F401
 # Importing the modules populates the registry.
 from . import relational  # noqa: F401, E402
 from . import relational2  # noqa: F401, E402
+from . import relational3  # noqa: F401, E402
 from . import text  # noqa: F401, E402
 from . import text2  # noqa: F401, E402
 from . import vector  # noqa: F401, E402
