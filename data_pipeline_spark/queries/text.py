@@ -333,6 +333,57 @@ def f10_webpage_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f12_identifier_fix",
+    oracle=r"""
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(' "cust/' || c_custkey || '.html" ',
+                              '[[:space:]''"]+', '', 'g'),
+               '\.html$', ''),
+             '/$', '') AS fixed
+    FROM customer
+    """,
+    survey="F12,F13",
+)
+def f12_identifier_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identifier cleanup (F12, config.py:171-186): strip whitespace,
+    quotes, trailing .html — applied to a synthesized dirty identifier."""
+    from ..functions.strings import fix_identifier
+
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = F.concat(
+        F.lit(' "cust/'), F.col("c_custkey").cast("string"), F.lit('.html" ')
+    )
+    return cust.select("c_custkey", fix_identifier(dirty).alias("fixed"))
+
+
+@query(
+    "f25_qua_roundtrip",
+    oracle="""
+    SELECT c_custkey,
+           'https://x.test/c/' || c_custkey || '##qua' || 'Person' AS qua,
+           'https://x.test/c/' || c_custkey AS uri_back,
+           'Person' AS type_back
+    FROM customer
+    """,
+    survey="F25",
+)
+def f25_qua_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qua algebra (F25, config.py:130-145): make the ##qua-suffixed form
+    and split it back — the boundary codec between the reference's
+    string-suffix typing and the engine's two-column model."""
+    from ..functions.strings import make_qua, split_qua
+
+    cust = load_table(spark, sf_dir, "customer")
+    uri = F.concat(F.lit("https://x.test/c/"), F.col("c_custkey").cast("string"))
+    qua = make_qua(uri, F.lit("Person"))
+    with_qua = cust.select("c_custkey", qua.alias("qua"))
+    u, t = split_qua(F.col("qua"))
+    return with_qua.select("c_custkey", "qua", u.alias("uri_back"), t.alias("type_back"))
+
+
+@query(
     "f08_clean_names",
     oracle=r"""
     SELECT c_custkey,
