@@ -91,6 +91,40 @@ def v01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("v03_ann_lsh", oracle=None, survey="similarity-ann-lsh")
+def v03_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN top-5 (rows-only check: approximate results have no
+    SQL oracle; recall vs brute force is asserted in
+    tests/test_operators.py — 0.88 on worst-case random embeddings).
+    Deterministic: hyperplanes derive from md5, no RNG."""
+    from ..operators.similarity import knn_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb"))
+    return knn_lsh(queries_df, corpus, dim=64, k=5, n_planes=4, n_tables=3)
+
+
+@query("v04_ann_ivf", oracle=None, survey="similarity-ann-ivf")
+def v04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 (rows-only; recall 0.89 asserted in tests). The
+    coarse quantizer is deterministic k-means — reproducible index."""
+    from ..operators.similarity import knn_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb"))
+    return knn_ivf(queries_df, corpus, k=5, n_clusters=16, nprobe=6)
+
+
 @query(
     "v02_label_centroid_norms",
     oracle="""
