@@ -91,6 +91,40 @@ def v01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "m01_multimodal_features",
+    oracle="""
+    SELECT 'doc' || doc_id AS media_id,
+           'image' AS kind,
+           'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+    survey="multimodal,F14",
+)
+def m01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the driver gate: documents' text bytes
+    stand in for media payloads (no media libs in this env — the binary
+    column, Arrow batch shape and metadata flow are the real thing, the
+    decode is the deterministic fake). Digest + byte counts are
+    oracle-exact; the derived feature vector is covered by
+    tests/test_operators.py."""
+    from ..operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit("text/plain").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    return extract_features(media).select("media_id", "kind", "mime", "n_bytes", "sha256")
+
+
 @query("v03_ann_lsh", oracle=None, survey="similarity-ann-lsh")
 def v03_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH ANN top-5 (rows-only check: approximate results have no
