@@ -2,10 +2,11 @@
 
 entry(spark)   -> flagship query DataFrame on sf0.001
 queries()      -> {name: fn(spark, sf_dir) -> DataFrame} for SURVEY §2 ops
-                  (78 declared queries spanning scans, joins, aggregations,
-                  windows, set ops, scalar fns, graph closure/BFS, search
-                  DSL, CDC, dedup/MinHash/SimHash, ANN, text analysis —
-                  see README.md's coverage matrix)
+                  (88 declared queries spanning scans, joins, aggregations,
+                  windows/pivot/rollup/cube, set ops, scalar fns, graph
+                  closure/BFS, search DSL, CDC/sessionization,
+                  dedup/MinHash/SimHash/corpus-clean, ANN, multimodal,
+                  text analysis — see README.md's coverage matrix)
 oracle_sql()   -> {name: DuckDB SQL} correctness oracles (same column names)
 """
 
