@@ -89,3 +89,110 @@ def w10_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_prev"
         ),
     )
+
+
+@query(
+    "w11_ntile_quartiles",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer
+    """,
+    survey="W1,W3,A8",
+)
+def w11_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing: balance quartiles with a deterministic total order
+    (the scored-ranking family A8 as equal-frequency banding)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.orderBy(F.desc("c_acctbal"), "c_custkey")
+    return cust.select(
+        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@query(
+    "a24_conditional_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT CASE WHEN o_totalprice > 200000 THEN o_custkey END) AS big_spenders,
+           COUNT(DISTINCT o_custkey) AS all_customers
+    FROM orders GROUP BY o_orderpriority
+    """,
+    survey="A13,A14",
+)
+def a24_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional distinct-count: distinct customers filtered inside the
+    aggregate (metatype-accumulation A13 with a predicate gate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct(
+            F.when(F.col("o_totalprice") > 200000, F.col("o_custkey"))
+        ).alias("big_spenders"),
+        F.countDistinct("o_custkey").alias("all_customers"),
+    )
+
+
+@query(
+    "q20_part_promotion",
+    oracle="""
+    SELECT DISTINCT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'small%'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 50
+    )
+    ORDER BY s_suppkey
+    """,
+    survey="J9,T3,A2,P1",
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved >50 units of any 'small%'
+    part — nested IN decorrelated to groupBy + semi-join."""
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    movers = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(movers, supp.s_suppkey == movers.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q21_sole_supplier_orders",
+    oracle="""
+    SELECT l_suppkey AS suppkey, COUNT(DISTINCT l_orderkey) AS n_sole_orders
+    FROM lineitem a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem b
+        WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey
+    )
+    GROUP BY l_suppkey
+    """,
+    survey="J9,T2,T3,A14",
+)
+def q21_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's correlation core: orders supplied by exactly one
+    supplier — NOT EXISTS on a self-referencing condition decorrelated
+    into a per-order distinct count + semi-join."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    sole = per_order.filter(F.col("n_supp") == 1).select("l_orderkey")
+    return (
+        li.join(sole, "l_orderkey", "left_semi")
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.countDistinct("l_orderkey").alias("n_sole_orders"))
+    )
