@@ -196,3 +196,77 @@ def q21_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("suppkey"))
         .agg(F.countDistinct("l_orderkey").alias("n_sole_orders"))
     )
+
+
+@query(
+    "s08_tier_counts",
+    oracle="""
+    SELECT 'customer' AS tier, COUNT(*) AS n FROM customer
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+    UNION ALL SELECT 'documents', COUNT(*) FROM documents
+    UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+    """,
+    survey="S8,A14",
+)
+def s08_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-scan cardinalities per cache tier (S8 iter_records + A14
+    counts, postgres.py:166-171): count-star reads only parquet footers."""
+    rows = None
+    for t in ("customer", "orders", "lineitem", "documents", "embeddings"):
+        one = (
+            load_table(spark, sf_dir, t)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(t).alias("tier"), "n")
+        )
+        rows = one if rows is None else rows.unionAll(one)
+    return rows
+
+
+@query(
+    "f06_display_year",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(regexp_extract(strftime(o_orderdate, '%Y-%m-%d'), '^(-?\\d+)', 1) AS BIGINT) AS display_year
+    FROM orders
+    """,
+    survey="F6,F7",
+)
+def f06_display_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Display-year extraction from ISO strings (F6, mapper_utils.py:
+    130-143) — the sign-preserving regex form that also handles the BCE
+    strings Spark timestamps can't hold."""
+    from ..functions.dates import year_of
+
+    orders = load_table(spark, sf_dir, "orders")
+    iso = F.date_format("o_orderdate", "yyyy-MM-dd")
+    return orders.select("o_orderkey", year_of(iso).alias("display_year"))
+
+
+@query(
+    "f04_timespan_defaults",
+    oracle="""
+    SELECT event_id,
+           COALESCE(CASE WHEN event_id % 2 = 0 THEN NULL
+                         ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END,
+                    '-9999-01-01T00:00:00') AS begin_iso,
+           COALESCE(CASE WHEN event_id % 3 = 0 THEN NULL
+                         ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END,
+                    '9999-12-31T23:59:59') AS end_iso
+    FROM events
+    """,
+    survey="F4",
+)
+def f04_timespan_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timespan sentinel defaults (F4, final/mapper.py:665-676): missing
+    begin/end bounds fill with the +/-9999 sentinels so range queries
+    always have comparable endpoints."""
+    ev = load_table(spark, sf_dir, "events")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+    begin = F.when(F.col("event_id") % 2 == 0, F.lit(None)).otherwise(iso)
+    end = F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(iso)
+    return ev.select(
+        "event_id",
+        F.coalesce(begin, F.lit("-9999-01-01T00:00:00")).alias("begin_iso"),
+        F.coalesce(end, F.lit("9999-12-31T23:59:59")).alias("end_iso"),
+    )
