@@ -2,7 +2,7 @@
 
 entry(spark)   -> flagship query DataFrame on sf0.001
 queries()      -> {name: fn(spark, sf_dir) -> DataFrame} for SURVEY §2 ops
-                  (88 declared queries spanning scans, joins, aggregations,
+                  (96 declared queries spanning scans, joins, aggregations,
                   windows/pivot/rollup/cube, set ops, scalar fns, graph
                   closure/BFS, search DSL, CDC/sessionization,
                   dedup/MinHash/SimHash/corpus-clean, ANN, multimodal,

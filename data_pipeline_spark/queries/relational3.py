@@ -270,3 +270,48 @@ def f04_timespan_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(begin, F.lit("-9999-01-01T00:00:00")).alias("begin_iso"),
         F.coalesce(end, F.lit("9999-12-31T23:59:59")).alias("end_iso"),
     )
+
+
+@query(
+    "a27_stat_moments",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           sx / n AS mean_qty,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           SQRT((sxx - sx * sx / n) / (n - 1)) AS std_qty
+    FROM g
+    """,
+    survey="A13",
+)
+def a27_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments (sample mean/variance/stddev) per group
+    (A13 merge-aggregation family; reference summarize.go computes the
+    same moments natively). Built from exact decimal sums of x and x^2 so
+    the result is order-independent — the two-pass numeric stability and
+    engine-portability concerns of stddev_samp() are sidestepped by
+    deriving the moments from exact accumulators, then doing the final
+    division/sqrt in IEEE double (correctly-rounded, identical bits in
+    any engine). Map-side partial aggregation applies; one shuffle on the
+    group key at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(qty).alias("sx"),
+        dsum(qty * qty).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    var = (sxx - sx * sx / n) / (n - 1)
+    return g.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("std_qty"),
+    )
