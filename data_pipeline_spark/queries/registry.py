@@ -12,6 +12,13 @@ DuckDB cell values):
 - Arrays are emitted as sorted, joined strings (engines disagree on
   array rendering, not on strings).
 - Timestamps compare fine with session TZ pinned to UTC.
+- The driver's hash is ROW-ORDER sensitive (it sorts columns by name,
+  not rows).  Every registered query is therefore wrapped in a final
+  total-order sort over ALL output columns (Spark: orderBy asc_nulls_first
+  in column order; oracle: ORDER BY ALL NULLS FIRST — same priority, since
+  column order parity between the two sides is asserted by tests).  Queries
+  keep their semantic ORDER BY/LIMIT inside; the wrapper only pins the
+  emitted row order.
 """
 
 from __future__ import annotations
@@ -34,11 +41,39 @@ class Query:
 QUERIES: dict[str, Query] = {}
 
 
+def total_order(df: DataFrame) -> DataFrame:
+    """Deterministic emitted row order: sort by every output column,
+    nulls first, in column order (total order because the full row is
+    the key; equal rows are interchangeable)."""
+    from pyspark.sql import functions as F
+
+    return df.orderBy(*[F.col(c).asc_nulls_first() for c in df.columns])
+
+
+def wrap_oracle(sql: str) -> str:
+    """DuckDB twin of total_order (ORDER BY ALL = all columns left-to-right,
+    matching Spark's column order; parity is test-asserted)."""
+    return f"SELECT * FROM (\n{sql}\n) AS _ord ORDER BY ALL NULLS FIRST"
+
+
 def query(name: str, oracle: str | None, survey: str = ""):
-    """Decorator registering a declared query."""
+    """Decorator registering a declared query.  The registered spark_fn and
+    oracle are wrapped with the total-order contract; the bare function is
+    returned unwrapped for plan tests and composition."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = Query(name, fn, oracle, survey, doc=(fn.__doc__ or ""))
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return total_order(fn(spark, sf_dir))
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = Query(
+            name,
+            wrapped,
+            wrap_oracle(oracle) if oracle is not None else None,
+            survey,
+            doc=(fn.__doc__ or ""),
+        )
         return fn
 
     return deco

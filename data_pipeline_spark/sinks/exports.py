@@ -28,25 +28,36 @@ def merge_upsert(existing: DataFrame, updates: DataFrame, key: str) -> DataFrame
     return kept.unionByName(updates)
 
 
-def write_upsert_parquet(
-    spark: SparkSession, updates: DataFrame, path: str, key: str
-) -> None:
-    """Apply merge_upsert against the parquet table at ``path`` and commit
-    via write-new + atomic swap (the no-Delta stand-in for MERGE INTO;
-    swap to ``delta.merge`` on a real deployment for ACID + concurrency)."""
-    if os.path.exists(path):
-        existing = spark.read.parquet(path)
-        merged = merge_upsert(existing, updates, key)
-    else:
-        merged = updates
+def write_parquet_atomic(df: DataFrame, path: str) -> None:
+    """K3-safe full-table commit: write-new + atomic directory swap, NO
+    merge against the existing table.  Use when ``df`` already IS the
+    complete next state (e.g. apply_changes output, where deleted keys are
+    simply absent — running merge_upsert on it would resurrect them from
+    the old table via the left-anti 'kept' branch)."""
     tmp = path + ".__new__"
-    merged.write.mode("overwrite").parquet(tmp)
+    df.write.mode("overwrite").parquet(tmp)
     old = path + ".__old__"
     if os.path.exists(path):
         os.rename(path, old)
     os.rename(tmp, path)
     if os.path.exists(old):
         shutil.rmtree(old)
+
+
+def write_upsert_parquet(
+    spark: SparkSession, updates: DataFrame, path: str, key: str
+) -> None:
+    """Apply merge_upsert against the parquet table at ``path`` and commit
+    via write-new + atomic swap (the no-Delta stand-in for MERGE INTO;
+    swap to ``delta.merge`` on a real deployment for ACID + concurrency).
+    ``updates`` must be a DELTA (rows to add/replace) — for a fully merged
+    table use write_parquet_atomic, or deletes are silently undone."""
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        merged = merge_upsert(existing, updates, key)
+    else:
+        merged = updates
+    write_parquet_atomic(merged, path)
 
 
 def export_jsonl(df: DataFrame, path: str, shards: int = 24, compress: bool = True) -> None:

@@ -82,7 +82,7 @@ def run_harvest(
 
     from pyspark.sql import functions as F
 
-    from ..sinks.exports import write_upsert_parquet
+    from ..sinks.exports import write_parquet_atomic
     from ..streaming.ingest import apply_changes
 
     rows = []
@@ -100,8 +100,11 @@ def run_harvest(
         cache = spark.createDataFrame(
             [], "object_uri string, record_time timestamp, data string"
         )
+    # apply_changes already returned the complete next cache state with
+    # deletes applied; commit it atomically (a key-merge here would pull
+    # deleted rows back in from the old tier).
     new_cache = apply_changes(cache, changes, edges=edges)
-    write_upsert_parquet(spark, new_cache, cache_path, key="object_uri")
+    write_parquet_atomic(new_cache, cache_path)
     return len(rows)
 
 

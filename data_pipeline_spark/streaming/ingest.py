@@ -119,7 +119,7 @@ def stream_changes(
     caller's trigger choice). State stays bounded: dropDuplicates holds
     only keys within the watermark; the heavy merge runs per micro-batch
     as ordinary batch Spark against the parquet tier."""
-    from ..sinks.exports import write_upsert_parquet
+    from ..sinks.exports import write_parquet_atomic
 
     feed = (
         spark.readStream.schema(CHANGES_SCHEMA)
@@ -137,8 +137,10 @@ def stream_changes(
             cache = spark.createDataFrame(
                 [], "object_uri string, record_time timestamp, data string"
             )
+        # new_cache IS the full next state (deletes applied) -> atomic
+        # overwrite, not merge (merge would resurrect deleted keys).
         new_cache = apply_changes(cache, batch, edges=edges)
-        write_upsert_parquet(spark, new_cache, cache_path, key="object_uri")
+        write_parquet_atomic(new_cache, cache_path)
 
     return (
         feed.writeStream.foreachBatch(sink)

@@ -1,8 +1,12 @@
 """Local twin of the driver's DuckDB-oracle comparison.
 
 Stricter than the driver: cells are compared by canonical string repr
-(floats via repr -> bit-exact, Decimals normalized), rows sorted, columns
-sorted by name — any drift the driver could catch, this catches first.
+(floats via repr -> bit-exact, Decimals normalized), columns sorted by
+name, and rows compared IN EMITTED ORDER (the driver's hash is row-order
+sensitive; registry.total_order pins the order on both sides) — any drift
+the driver could catch, this catches first.  Column-order parity between
+the Spark plan and the oracle is also asserted, because the total-order
+wrapper relies on it for identical sort priority.
 """
 
 from __future__ import annotations
@@ -54,15 +58,17 @@ def _canon(v):
     return f"{type(v).__name__}:{v}"
 
 
-def canon_rows(col_names, rows):
-    """Order-insensitive canonical form: sort columns by name, rows by repr."""
+def canon_rows(col_names, rows, sort_rows: bool = False):
+    """Canonical form: columns sorted by name; rows kept in emitted order
+    (driver behavior) unless sort_rows=True (order-insensitive debugging)."""
     order = sorted(range(len(col_names)), key=lambda i: col_names[i])
     out = [tuple(_canon(r[i]) for i in order) for r in rows]
-    out.sort()
+    if sort_rows:
+        out.sort()
     return sorted(c for c in col_names), out
 
 
-def compare(spark_df, con, sql: str):
+def compare(spark_df, con, sql: str, order_sensitive: bool = True):
     """Return (ok, message) comparing a Spark DataFrame and a DuckDB query."""
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -70,13 +76,16 @@ def compare(spark_df, con, sql: str):
     d_cols = [c[0] for c in rel.description]
     d_rows = rel.fetchall()
 
-    sc, sr = canon_rows(s_cols, s_rows)
-    dc, dr = canon_rows(d_cols, d_rows)
+    if order_sensitive and list(s_cols) != list(d_cols):
+        return False, f"column ORDER mismatch (total-order wrapper relies on parity): spark={list(s_cols)} duckdb={list(d_cols)}"
+
+    sc, sr = canon_rows(s_cols, s_rows, sort_rows=not order_sensitive)
+    dc, dr = canon_rows(d_cols, d_rows, sort_rows=not order_sensitive)
     if sc != dc:
         return False, f"column mismatch: spark={sc} duckdb={dc}"
     if len(sr) != len(dr):
         return False, f"rowcount mismatch: spark={len(sr)} duckdb={len(dr)}"
     if sr != dr:
-        diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:5]
-        return False, f"value mismatch, first diffs: {diffs}"
+        diffs = [(i, a, b) for i, (a, b) in enumerate(zip(sr, dr)) if a != b][:5]
+        return False, f"value/order mismatch, first diffs: {diffs}"
     return True, f"ok ({len(sr)} rows)"

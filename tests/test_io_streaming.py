@@ -175,6 +175,64 @@ def test_stream_changes_end_to_end(spark, tmp_path):
     assert got == {"uri:x": 2, "uri:y": 1}
 
 
+def test_stream_changes_delete_not_resurrected(spark, tmp_path):
+    """Regression: a delete flowing through the streaming sink must actually
+    remove the row — the sink commits apply_changes' FULL output atomically
+    instead of key-merging it against the old cache (which kept exactly the
+    deleted keys)."""
+    cache_path = str(tmp_path / "cache")
+    seed = spark.createDataFrame(
+        [("uri:a", "2026-01-15 00:00:00", '{"id":"uri:a","v":1}'),
+         ("uri:b", "2026-01-15 00:00:00", '{"id":"uri:b","v":1}')],
+        "object_uri string, record_time string, data string",
+    ).withColumn("record_time", F.col("record_time").cast("timestamp"))
+    seed.write.parquet(cache_path)
+
+    feed_dir = tmp_path / "dfeed"
+    feed_dir.mkdir()
+    rows = [
+        {"seq": 1, "end_time": "2026-02-01T10:00:00", "change": "delete",
+         "object_uri": "uri:a", "payload": None},
+        {"seq": 2, "end_time": "2026-02-01T11:00:00", "change": "update",
+         "object_uri": "uri:b", "payload": '{"id":"uri:b","v":2}'},
+    ]
+    with open(feed_dir / "page1.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    q = stream_changes(
+        spark, str(feed_dir), cache_path, checkpoint=str(tmp_path / "dckpt")
+    )
+    q.awaitTermination(120)
+    got = {r.object_uri: json.loads(r.data)["v"] for r in spark.read.parquet(cache_path).collect()}
+    assert got == {"uri:b": 2}  # uri:a is gone, not resurrected
+
+
+def test_run_harvest_delete_only(spark, tmp_path):
+    """Regression: run_harvest with fetch_record=None promises 'only deletes
+    take effect' — the delete must survive the cache commit."""
+    from data_pipeline_spark.sources.harvester import run_harvest
+
+    cache_path = str(tmp_path / "hcache")
+    seed = spark.createDataFrame(
+        [("uri:x", "2026-01-01 00:00:00", '{"id":"uri:x"}'),
+         ("uri:y", "2026-01-01 00:00:00", '{"id":"uri:y"}')],
+        "object_uri string, record_time string, data string",
+    ).withColumn("record_time", F.col("record_time").cast("timestamp"))
+    seed.write.parquet(cache_path)
+
+    pages = {
+        "coll": {"last": {"id": "p1"}},
+        "p1": {"orderedItems": [
+            {"type": "Delete", "endTime": "2026-02-01 10:00:00",
+             "object": {"id": "uri:x"}},
+        ]},
+    }
+    n = run_harvest(spark, pages.__getitem__, "coll", cache_path, fetch_record=None)
+    assert n == 1
+    got = {r.object_uri for r in spark.read.parquet(cache_path).collect()}
+    assert got == {"uri:y"}
+
+
 def test_stateful_running_totals(spark, tmp_path):
     """applyInPandasWithState: per-user running totals must accumulate
     across micro-batches (two files, maxFilesPerTrigger=1 -> two batches
