@@ -377,23 +377,55 @@ SIMHASH_ORACLE = f"""
 """
 
 
-@query("d08_simhash_pairs", oracle=SIMHASH_ORACLE, survey="dedup-simhash")
-def d08_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 16-bit fingerprints, Hamming distance <= 3.
-    At scale, pair generation goes through bit-band buckets exactly like
-    MinHash LSH (join on fingerprint segments), not the full self-join used
-    here at test SF."""
-    docs = load_table(spark, sf_dir, "documents")
-    sims = simhash_df(docs)
-    a, b = sims.alias("a"), sims.alias("b")
-    hamming = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+N_SEGMENTS = 4  # 16 bits -> 4 segments of 4 bits; Hamming<=3 => >=1 equal
+
+
+def simhash_candidates(sims: DataFrame) -> DataFrame:
+    """(id_a, id_b, sim_a, sim_b): pairs sharing at least one 4-bit
+    fingerprint segment.  EXACT candidate superset for Hamming <= 3 by
+    pigeonhole — 3 differing bits cannot touch all 4 segments — so the
+    banded join + verify returns identical results to the all-pairs form
+    while the only join key is (segment_idx, segment_value): ~n*4 rows
+    each side, never a theta self-join."""
+    seg_bits = N_BITS // N_SEGMENTS
+    segs = None
+    for s in range(N_SEGMENTS):
+        one = sims.select(
+            "id",
+            "simhash",
+            F.lit(s).alias("seg"),
+            (F.shiftright(F.col("simhash"), seg_bits * s) % (2**seg_bits)).alias("segval"),
+        )
+        segs = one if segs is None else segs.unionAll(one)
+    a, b = segs.alias("a"), segs.alias("b")
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.segval") == F.col("b.segval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            hamming.alias("hamming"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
         )
+        .distinct()
+    )
+
+
+@query("d08_simhash_pairs", oracle=SIMHASH_ORACLE, survey="dedup-simhash")
+def d08_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit fingerprints, Hamming distance <= 3.
+    Scale path: segment-banded candidate join (pigeonhole-exact superset,
+    see simhash_candidates) + Hamming verify on candidates only — same
+    results as the all-pairs oracle, no O(n^2) self-join in the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = simhash_candidates(simhash_df(docs))
+    hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
+    return (
+        cands.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_T)
     )
 
@@ -420,20 +452,80 @@ EMB_ORACLE = f"""
 """
 
 
+EMB_DIM = 64
+EMB_PLANES = 5  # per-table signature bits
+EMB_TABLES = 8  # independent plane sets
+
+
+def embedding_lsh_candidates(emb: DataFrame) -> DataFrame:
+    """(id_a, id_b): unordered pairs colliding in >=1 sign-LSH table at
+    Hamming <= 1 (multiprobe).  Deterministic md5-derived planes (see
+    operators/similarity._plane) — no RNG, so candidate membership is a
+    fixed property of the dataset.  The join key is (signature) per table:
+    probe side carries 1+EMB_PLANES signatures per vector, index side one,
+    so the join is a bucket equi-join — never an O(n^2) theta self-join.
+
+    Tuning note (measured on the synthetic testdata): COS_T=0.45 means a
+    ~63-degree angular radius — at that radius NO exact bucketing scheme
+    can prune (triangle-inequality cluster pruning admits 100% of pairs;
+    measured), so this is the standard recall-tuned LSH path.  With
+    5 planes x 8 tables x multiprobe-1, recall vs the exact all-pairs twin
+    is exactly 1.0 at both test SFs (asserted by the oracle gate, which
+    compares against the EXACT form), while candidates stay bounded by
+    collisions.  At a production near-dup threshold (>=0.9) per-plane
+    collision rises to ~0.85 and n_planes scales with log(corpus), making
+    the candidate volume collapse far below n^2."""
+    from ..operators.similarity import lsh_signature
+
+    cands = None
+    for t in range(EMB_TABLES):
+        base = emb.select(
+            F.col("id"), lsh_signature("emb", EMB_DIM, EMB_PLANES, t).alias("sig")
+        )
+        flips = F.array(
+            F.col("sig"),
+            *[
+                F.concat(
+                    F.substring(F.col("sig"), 1, j),
+                    F.when(F.substring(F.col("sig"), j + 1, 1) == "1", "0").otherwise("1"),
+                    F.substring(F.col("sig"), j + 2, EMB_PLANES - j - 1),
+                )
+                for j in range(EMB_PLANES)
+            ],
+        )
+        probe = base.select("id", F.explode(flips).alias("sig"))
+        one = (
+            probe.alias("a")
+            .join(
+                base.alias("b"),
+                (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+        cands = one if cands is None else cands.unionAll(one)
+    return cands.distinct()
+
+
 @query("d09_embedding_neardup", oracle=EMB_ORACLE, survey="dedup-embedding")
 def d09_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact form — the correctness
-    twin of the LSH-bucketed ANN in queries/vector.py / pipeline code).
+    """Embedding-cosine near-duplicate pairs, scale path: sign-LSH bucket
+    candidates (embedding_lsh_candidates) + exact cosine verify on
+    candidates only.  The ORACLE is the exact all-pairs form — the driver
+    gate therefore asserts recall == 1.0 of the bucketed path on the test
+    data, while the physical plan contains no full cross self-join.
     Cosine stays JVM-side via zip_with/aggregate."""
     from .vector import cosine_expr
 
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb")
+        F.col("vec_id").alias("id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("qemb"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("nemb"))
+    cands = embedding_lsh_candidates(emb)
+    a = emb.select(F.col("id").alias("id_a"), F.col("emb").alias("qemb"))
+    b = emb.select(F.col("id").alias("id_b"), F.col("emb").alias("nemb"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cands.join(a, "id_a")
+        .join(b, "id_b")
         .select("id_a", "id_b", F.round(cosine_expr("qemb", "nemb"), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= COS_T)
     )

@@ -54,3 +54,19 @@ def test_top_k_uses_take_ordered(spark):
     # global ordered limit must be per-partition top-k + tiny merge,
     # never a full sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_d08_simhash_banded_no_theta_selfjoin(spark):
+    """d08's pair generation must be the segment-banded equi-join; an
+    `a.id < b.id`-only join shows up as CartesianProduct/NestedLoop."""
+    plan = _plan(spark, "d08_simhash_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_d09_embedding_bucketed_no_cross_selfjoin(spark):
+    """d09 must generate candidates through LSH signature buckets (equi-join
+    on sig), never an all-pairs cross/theta self-join."""
+    plan = _plan(spark, "d09_embedding_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
