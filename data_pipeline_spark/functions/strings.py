@@ -68,6 +68,55 @@ def split_qua(qua: Column) -> tuple[Column, Column]:
     return uri, rectype
 
 
+# F15: ISO 639-2 (both bibliographic and terminological variants) ->
+# ISO 639-1 two-letter codes (process/base/mapper.py:47-112 in
+# /root/reference — the reference's lang_three_to_two table).
+LANG_THREE_TO_TWO: dict[str, str] = {
+    "por": "pt", "deu": "de", "ger": "de", "eng": "en", "fra": "fr",
+    "fre": "fr", "spa": "es", "zho": "zh", "chi": "zh", "hin": "hi",
+    "afr": "af", "alb": "sq", "sqi": "sq", "ara": "ar", "bul": "bg",
+    "bos": "bs", "cat": "ca", "ben": "bn", "rus": "ru", "nld": "nl",
+    "dut": "nl", "fin": "fi", "ile": "is", "gle": "ga", "ita": "it",
+    "fas": "fa", "per": "fa", "guj": "gu", "kor": "ko", "lat": "la",
+    "lit": "lt", "mac": "mk", "mkd": "mk", "jpn": "ja", "hrv": "hr",
+    "ces": "cs", "cze": "cs", "dan": "da", "ell": "el", "gre": "el",
+    "kat": "ka", "geo": "ka", "heb": "he", "hun": "hu", "nor": "no",
+    "pol": "pl", "ron": "ro", "rum": "ro", "slk": "sk", "slo": "sk",
+    "slv": "sl", "srp": "sr", "swe": "sv", "tur": "tr", "cym": "cy",
+    "wel": "cy", "urd": "ur", "swa": "sw", "ind": "id", "tel": "te",
+    "tam": "ta", "tha": "th", "mar": "mr", "pan": "pa",
+}
+
+
+def normalize_lang(col: Column) -> Column:
+    """F15: language URI/code -> ISO 639-1 two-letter code.
+
+    Takes the trailing 2-or-3-letter segment of a language URI (or a bare
+    code), lowercases it, and maps 3-letter ISO 639-2 codes (both /B and /T
+    variants) through LANG_THREE_TO_TWO; 2-letter codes pass through;
+    unknown 3-letter codes pass through unchanged (the reference's
+    dict.get(code, code)).  Pure map literal — stays in codegen."""
+    tail = F.lower(F.regexp_extract(col, r"([A-Za-z]{2,3})$", 1))
+    kv: list[Column] = []
+    for three, two in LANG_THREE_TO_TWO.items():
+        kv.extend([F.lit(three), F.lit(two)])
+    mapped = F.element_at(F.create_map(*kv), tail)
+    return F.when(F.length(tail) == 2, tail).otherwise(F.coalesce(mapped, tail))
+
+
+def sql_normalize_lang(expr: str) -> str:
+    """DuckDB twin of normalize_lang, generated from the SAME dict so the
+    two sides cannot drift."""
+    whens = " ".join(
+        f"WHEN '{three}' THEN '{two}'" for three, two in LANG_THREE_TO_TWO.items()
+    )
+    tail = f"lower(regexp_extract({expr}, '([A-Za-z]{{2,3}})$', 1))"
+    return (
+        f"CASE WHEN length({tail}) = 2 THEN {tail} "
+        f"ELSE (CASE {tail} {whens} ELSE {tail} END) END"
+    )
+
+
 def strip_html(col: Column) -> Column:
     """F14 (subset): remove tags and unescape the common entities — the
     declarative fast path of the reference's BeautifulSoup strip

@@ -75,7 +75,12 @@ def elect_primary_names(merged: DataFrame) -> DataFrame:
             ).alias("is_primary"),
         )
     )
-    lang = F.regexp_extract(F.col("lang_uri"), r"([a-z]{2})$", 1)
+    # F15: URI tail -> ISO 639-1 (3-letter ISO 639-2 codes, both B and T
+    # variants, map through the reference's lang_three_to_two table —
+    # a bare 2-char regex would turn '/eng' into 'ng')
+    from ..functions.strings import normalize_lang
+
+    lang = normalize_lang(F.col("lang_uri"))
     lang_prio = F.lit(0)
     for code, p in LANG_PRIORITY.items():
         lang_prio = F.when(lang == code, F.lit(p)).otherwise(lang_prio)

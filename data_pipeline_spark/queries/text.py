@@ -383,6 +383,42 @@ def f25_qua_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_qua.select("c_custkey", "qua", u.alias("uri_back"), t.alias("type_back"))
 
 
+_TWO_TO_BIB = {"de": "ger", "en": "eng", "es": "spa", "fr": "fre", "zh": "chi"}
+
+
+def _f15_oracle() -> str:
+    from ..functions.strings import sql_normalize_lang
+
+    bib = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _TWO_TO_BIB.items())
+    uri = f"'http://vocab.example/iso639-2/' || (CASE lang {bib} ELSE lang END)"
+    return f"""
+    SELECT lang, {sql_normalize_lang(uri)} AS lang_norm, COUNT(*) AS n_docs
+    FROM documents GROUP BY lang, lang_norm
+    """
+
+
+@query("f15_lang_normalize", oracle=_f15_oracle(), survey="F15")
+def f15_lang_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 (process/base/mapper.py:47-112): ISO 639-2 -> 639-1 language
+    normalization. Each document's 2-letter lang is rendered as its
+    BIBLIOGRAPHIC 3-letter variant URI (ger/fre/chi — the aliases that
+    differ from the terminological codes), then normalized back through
+    the lang_three_to_two map; both engines generate the map from the same
+    dict, so any drift in the table itself fails the hash."""
+    from ..functions.strings import normalize_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    bib = F.col("lang")
+    for k, v in _TWO_TO_BIB.items():
+        bib = F.when(F.col("lang") == k, F.lit(v)).otherwise(bib)
+    uri = F.concat(F.lit("http://vocab.example/iso639-2/"), bib)
+    return (
+        docs.select("lang", normalize_lang(uri).alias("lang_norm"))
+        .groupBy("lang", "lang_norm")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 @query(
     "f08_clean_names",
     oracle=r"""

@@ -131,6 +131,28 @@ def test_primary_name_election(spark):
     assert got["de"] == "Turner"
 
 
+def test_primary_name_election_iso639_2_uris(spark):
+    """F15: 3-letter language URIs (both bibliographic and terminological
+    variants) must bucket into the SAME 2-letter lane as the 639-1 form —
+    the old 2-char tail regex turned '/eng' into a bogus 'ng' lane."""
+    doc = {
+        "id": "y2", "type": "Person",
+        "identified_by": [
+            {"type": "Name", "content": "English Name", "language": [{"id": "lang/eng"}]},
+            {"type": "Name", "content": "Deutsch", "language": [{"id": "lang/ger"}]},
+            {"type": "Name", "content": "Deutsch Zwei", "language": [{"id": "lang/deu"}]},
+        ],
+    }
+    merged = spark.createDataFrame(
+        [("y2", "Person", json.dumps(doc))], "yuid string, rectype string, data string"
+    )
+    rows = elect_primary_names(merged).collect()
+    got = {r.lang: r.primary_name for r in rows}
+    assert set(got) == {"en", "de"}  # ger and deu collapse into one de lane
+    assert got["en"] == "English Name"
+    assert got["de"] == "Deutsch"  # shorter wins within the merged lane
+
+
 # ------------------------------------------------------------- Q2 parser
 def test_parse_json_matches_string_form():
     s = parse('AND(type=customer, in_nation(name="NATION_7"))')
