@@ -148,13 +148,39 @@ def merge_docs(docs: list[dict]) -> dict:
     return base
 
 
+def _consent(hooks, kind: str, base_doc: dict, cand_doc: dict) -> bool:
+    fn = (hooks or {}).get(kind)
+    return True if fn is None else bool(fn(base_doc, cand_doc))
+
+
+def should_merge(
+    vetoes: dict | None, base_doc: dict, base_src: str, cand_doc: dict, cand_src: str
+) -> bool:
+    """P5 (process/merger.py:926-958 in /root/reference): both sides must
+    consent before a candidate record folds into the base — the BASE
+    source's ``should_merge_into(base, cand)`` AND the CANDIDATE source's
+    ``should_merge_from(base, cand)``.  Unconfigured sources/hooks default
+    to True (mapper.py:276-280's base-class behavior)."""
+    if not vetoes:
+        return True
+    return _consent(vetoes.get(base_src), "should_merge_into", base_doc, cand_doc) and _consent(
+        vetoes.get(cand_src), "should_merge_from", base_doc, cand_doc
+    )
+
+
 def merge_by_yuid(
-    reidentified: DataFrame, merge_order: dict[str, int] | None = None
+    reidentified: DataFrame,
+    merge_order: dict[str, int] | None = None,
+    vetoes: dict[str, dict] | None = None,
 ) -> DataFrame:
     """records(yuid, source, identifier, data) -> merged(yuid, rectype, data).
 
     One shuffle on yuid; each group folds in merge-order inside an
-    Arrow-batched pandas group-map."""
+    Arrow-batched pandas group-map.  ``vetoes`` is the P5 hook surface:
+    {source: {"should_merge_into": fn, "should_merge_from": fn}} — plain
+    picklable callables shipped with the UDF closure (see
+    SourceRegistry.merge_hooks_map); a vetoed record is excluded from the
+    fold, exactly the reference's skip semantics."""
     import pandas as pd
 
     order = merge_order or DEFAULT_MERGE_ORDER
@@ -164,6 +190,13 @@ def merge_by_yuid(
             ["_prio", "source", "identifier"], kind="mergesort"
         )
         docs = [json.loads(d) for d in pdf["data"]]
+        if vetoes:
+            base_doc, base_src = docs[0], pdf["source"].iloc[0]
+            kept = [base_doc]
+            for doc, src in zip(docs[1:], list(pdf["source"])[1:]):
+                if should_merge(vetoes, base_doc, base_src, doc, src):
+                    kept.append(doc)
+            docs = kept
         merged = merge_docs(docs)
         merged["id"] = pdf["yuid"].iloc[0]
         return pd.DataFrame(

@@ -83,6 +83,21 @@ class SourceRegistry:
         """The merge_order dict consumed by pipeline.merge_records."""
         return {n: s.merge_order for n, s in self._sources.items()}
 
+    def merge_hooks_map(self) -> dict[str, dict]:
+        """P5: {source: {should_merge_into/should_merge_from: fn}} for
+        merge_by_yuid(vetoes=...) — sources without hooks are omitted
+        (default-consent, process/base/mapper.py:276-280)."""
+        out: dict[str, dict] = {}
+        for n, s in self._sources.items():
+            hooks = {
+                kind: fn
+                for kind in ("should_merge_into", "should_merge_from")
+                if (fn := s.component(kind)) is not None
+            }
+            if hooks:
+                out[n] = hooks
+        return out
+
     def schedule_order(self, size_estimates: dict[str, int]) -> list[str]:
         """W5 (run-reconcile.py:83-85): smallest-source-first job ordering —
         small sources finish and free capacity while the big ones stream.

@@ -143,6 +143,76 @@ def test_merge_copy_if_absent_and_order(built):
     assert merged["_label"] == "Rembrandt van Rijn"
 
 
+# ------------------------------------------------------------- P5 vetoes
+def _veto_from_ext(base_doc, cand_doc):
+    """extY refuses to donate into Person bases (P5 should_merge_from)."""
+    return base_doc.get("type") != "Person"
+
+
+def test_merge_veto_changes_fold(spark):
+    """P5: a should_merge_from veto on the candidate's source excludes its
+    record from the fold — same input merges differently with hooks on."""
+    from data_pipeline_spark.pipeline.merge_records import merge_by_yuid
+    from data_pipeline_spark.registry import SourceRegistry
+
+    rows = [
+        ("y1", "srcA", "p1", json.dumps({
+            "id": "y1", "type": "Person",
+            "identified_by": [{"type": "Name", "content": "Base Name"}],
+        })),
+        ("y1", "extY", "f1", json.dumps({
+            "id": "y1", "type": "Person",
+            "identified_by": [{"type": "Name", "content": "Donated Name"}],
+            "referred_to_by": [{"type": "LinguisticObject", "content": "ext statement"}],
+        })),
+    ]
+    df = spark.createDataFrame(rows, "yuid string, source string, identifier string, data string")
+    order = {"srcA": 0, "extY": 50}
+
+    plain = json.loads(merge_by_yuid(df, order).collect()[0].data)
+    names = [n["content"] for n in plain["identified_by"]]
+    assert "Donated Name" in names and plain.get("referred_to_by")
+
+    reg = SourceRegistry()
+    reg.register("srcA", merge_order=0)
+    reg.register("extY", merge_order=50, should_merge_from=_veto_from_ext)
+    vetoed = json.loads(
+        merge_by_yuid(df, order, vetoes=reg.merge_hooks_map()).collect()[0].data
+    )
+    names_v = [n["content"] for n in vetoed["identified_by"]]
+    assert "Donated Name" not in names_v  # the veto excluded extY's record
+    assert "referred_to_by" not in vetoed
+    assert "Base Name" in names_v
+
+
+def test_merge_veto_into_direction(spark):
+    """P5: the BASE source's should_merge_into can refuse specific
+    candidates (here: docs without a type) while accepting others."""
+    from data_pipeline_spark.pipeline.merge_records import merge_by_yuid
+
+    rows = [
+        ("y2", "srcA", "a1", json.dumps({
+            "id": "y2", "type": "Group",
+            "identified_by": [{"type": "Name", "content": "Guild"}],
+        })),
+        ("y2", "extX", "x1", json.dumps({
+            "identified_by": [{"type": "Name", "content": "Untyped Junk"}],
+        })),
+        ("y2", "extY", "f2", json.dumps({
+            "id": "y2", "type": "Group",
+            "identified_by": [{"type": "Name", "content": "Sint-Lucasgilde"}],
+        })),
+    ]
+    df = spark.createDataFrame(rows, "yuid string, source string, identifier string, data string")
+    vetoes = {"srcA": {"should_merge_into": lambda base, cand: cand.get("type") is not None}}
+    out = json.loads(
+        merge_by_yuid(df, {"srcA": 0}, vetoes=vetoes).collect()[0].data
+    )
+    names = [n["content"] for n in out["identified_by"]]
+    assert "Untyped Junk" not in names
+    assert "Sint-Lucasgilde" in names
+
+
 def test_self_reference_removed(built):
     """pl1's self part_of is dropped (P8), the real parent kept."""
     ids = built["idmap"]
