@@ -1,0 +1,141 @@
+"""U1 breadth: real per-source mapper shapes (wikidata + artic museum)
+running registry-driven end-to-end — loader config -> envelopes -> the
+shared pipeline envelope parser — with no engine changes."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from data_pipeline_spark.pipeline.envelope import with_doc
+from data_pipeline_spark.registry import SourceRegistry
+
+WD_ENTITIES = [
+    # explicit P31 human -> Person; VIAF + ULAN external ids; US nationality
+    {
+        "id": "Q937",
+        "modified": "2026-02-01T00:00:00Z",
+        "labels": {
+            "en": {"language": "en", "value": "Albert Person"},
+            "de": {"language": "de", "value": "Albert Persoon"},
+        },
+        "claims": {
+            "P31": [{"mainsnak": {"datavalue": {"value": {"id": "Q5"}}}}],
+            "P214": [{"mainsnak": {"datavalue": {"value": "75121530"}}}],
+            "P245": [{"mainsnak": {"datavalue": {"value": "500115588"}}}],
+            "P27": [{"mainsnak": {"datavalue": {"value": {"id": "Q30"}}}}],
+        },
+    },
+    # no useful P31 -> property smell test: place-family props dominate
+    {
+        "id": "Q1709",
+        "labels": {"en": {"language": "en", "value": "Someplace"}},
+        "claims": {
+            "P625": [{"mainsnak": {"datavalue": {"value": "geo"}}}],
+            "P1082": [{"mainsnak": {"datavalue": {"value": "1000"}}}],
+            "P47": [{"mainsnak": {"datavalue": {"value": "x"}}}],
+            "P1566": [{"mainsnak": {"datavalue": {"value": "2950159"}}}],
+        },
+    },
+    # disambiguation page -> aborted (no envelope row)
+    {
+        "id": "Q4167410",
+        "labels": {"en": {"language": "en", "value": "disambig"}},
+        "claims": {"P31": [{"mainsnak": {"datavalue": {"value": {"id": "Q4167410"}}}}]},
+    },
+    # nothing useful -> Type default
+    {"id": "Q999999", "labels": {"en": {"language": "en", "value": "Mystery"}}, "claims": {}},
+]
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_wikidata_mapper_end_to_end(spark, tmp_path):
+    from data_pipeline_spark.sources.wikidata import CONFIG
+
+    dump = tmp_path / "wd.jsonl"
+    _write_jsonl(dump, WD_ENTITIES)
+
+    reg = SourceRegistry()
+    src = reg.register_config({**CONFIG, "dump_path": str(dump)})
+    loaded = src.component("loader")(spark, src.config)
+    envelopes = src.component("mapper")(loaded)
+
+    rows = {r.identifier: r for r in envelopes.collect()}
+    # disambiguation page dropped
+    assert set(rows) == {"Q937", "Q1709", "Q999999"}
+    assert rows["Q937"].rectype == "Person"  # P31 table
+    assert rows["Q1709"].rectype == "Place"  # property smell test
+    assert rows["Q999999"].rectype == "Type"  # default
+    assert rows["Q937"].record_time == "2026-02-01T00:00:00Z"
+
+    doc = json.loads(rows["Q937"].data)
+    eq_ids = {e["id"] for e in doc["equivalent"]}
+    assert "https://viaf.org/viaf/75121530" in eq_ids  # P214 template
+    assert "http://vocab.getty.edu/ulan/500115588" in eq_ids  # P245 template
+    assert all(e["type"] == "Person" for e in doc["equivalent"])
+    # nationality classification from P27 Q30
+    assert {c["id"] for c in doc["classified_as"]} == {
+        "http://vocab.getty.edu/aat/300107956"
+    }
+    # multilingual labels -> Name structs with language refs
+    names = {n["content"]: n for n in doc["identified_by"]}
+    assert set(names) == {"Albert Person", "Albert Persoon"}
+    assert names["Albert Persoon"]["language"][0]["id"].endswith("/de")
+    assert doc["_label"] == "Albert Person"
+    assert doc["id"] == "http://www.wikidata.org/entity/Q937"
+
+    # the envelopes parse through the SHARED pipeline doc schema
+    parsed = with_doc(envelopes)
+    got = parsed.filter(F.col("identifier") == "Q937").select("doc.equivalent").collect()[0]
+    assert len(got.equivalent) == 2
+
+
+ARTIC_ROWS = [
+    {"id": 111, "api_model": "artworks", "title": "A Painting",
+     "alt_titles": ["The Painting"], "description": "Oil on canvas",
+     "timestamp": "2026-03-01T00:00:00"},
+    {"id": 222, "api_model": "agents", "is_artist": True, "title": "Jane Painter",
+     "birth_date": "1850", "death_date": "1920"},
+    {"id": 333, "api_model": "agents", "is_artist": False, "title": "Some Museum"},
+    {"id": 444, "api_model": "exhibitions", "title": "Big Show"},
+]
+
+
+def test_artic_mapper_end_to_end(spark, tmp_path):
+    from data_pipeline_spark.sources.artic import CONFIG
+
+    dump = tmp_path / "artic.jsonl"
+    _write_jsonl(dump, ARTIC_ROWS)
+
+    reg = SourceRegistry()
+    src = reg.register_config({**CONFIG, "dump_path": str(dump)})
+    loaded = src.component("loader")(spark, src.config)
+    envelopes = src.component("mapper")(loaded)
+
+    rows = {r.identifier: r for r in envelopes.collect()}
+    assert rows["111"].rectype == "HumanMadeObject"
+    assert rows["222"].rectype == "Person"
+    assert rows["333"].rectype == "Group"
+    assert rows["444"].rectype == "Activity"
+
+    art = json.loads(rows["111"].data)
+    assert art["id"] == "https://api.artic.edu/api/v1/artworks/111"
+    names = {n["content"]: n["classified_as"][0]["id"] for n in art["identified_by"]}
+    assert names["A Painting"].endswith("primaryName")
+    assert names["The Painting"].endswith("alternateName")
+    assert art["referred_to_by"][0]["content"] == "Oil on canvas"
+
+    jane = json.loads(rows["222"].data)
+    assert jane["id"] == "https://api.artic.edu/api/v1/agents/222"
+    assert jane["born"]["timespan"]["begin_of_the_begin"] == "1850-01-01T00:00:00"
+    assert jane["died"]["timespan"]["end_of_the_end"] == "1920-12-31T23:59:59"
+    assert "born" not in json.loads(rows["333"].data)
+
+    # merge_order flows from config through the registry map
+    assert reg.merge_order_map()["artic"] == 15
