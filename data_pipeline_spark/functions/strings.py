@@ -68,6 +68,32 @@ def split_qua(qua: Column) -> tuple[Column, Column]:
     return uri, rectype
 
 
+def wikimedia_filename(col: Column) -> Column:
+    """F11 (sources/lux/final/mapper.py:105-122 in /root/reference): the
+    canonical filename key of a wikimedia Special:FilePath access point —
+    the J11 license-lookup join key.  Steps: take the segment after the
+    last '/', strip a trailing ``?width=n`` (raw or %3F-encoded,
+    case-insensitive), spaces->underscores (%20 and literal), trim, and
+    percent-encode IF not already encoded (the reference's conditional
+    quote(); JVM-side url_encode, which differs from Python quote() only
+    on '~'/'*' — no wikimedia filename in the corpus uses either)."""
+    fn = F.regexp_extract(col, r"([^/]*)$", 1)
+    fn = F.regexp_replace(fn, r"\?.*$", "")
+    fn = F.regexp_replace(fn, r"(?i)%3fwidth=.*$", "")
+    fn = F.trim(F.regexp_replace(fn, r"%20|\s", "_"))
+    return F.when(fn.contains("%"), fn).otherwise(F.url_encode(fn))
+
+
+def normalize_wikimedia_url(col: Column) -> Column:
+    """F11 full access-point normalization: non-wikimedia URLs pass
+    through; Special:FilePath URLs get https, a lowercased path (the
+    endpoint is case-insensitive) and the canonical filename."""
+    is_wm = F.lower(col).contains("commons.wikimedia.org/wiki/special:filepath")
+    https = F.regexp_replace(col, r"^http://", "https://")
+    path = F.lower(F.regexp_extract(https, r"^(.*)/[^/]*$", 1))
+    return F.when(is_wm, F.concat(path, F.lit("/"), wikimedia_filename(https))).otherwise(col)
+
+
 # F15: ISO 639-2 (both bibliographic and terminological variants) ->
 # ISO 639-1 two-letter codes (process/base/mapper.py:47-112 in
 # /root/reference — the reference's lang_three_to_two table).

@@ -49,6 +49,66 @@ def enrich_lookup(
     )
 
 
+def enrich_wikimedia_licenses(access_points: DataFrame, licenses: DataFrame) -> DataFrame:
+    """Concrete J11 (sources/lux/final/mapper.py:63-159 in /root/reference):
+    validate + license-enrich image access points.
+
+    ``access_points(record_uri, ap_id)`` -> (record_uri, ap, license_uri):
+
+    - wikimedia Special:FilePath URLs are normalized (F11) and joined to
+      ``licenses(filename, license_uri)`` by canonical filename —
+      broadcast (curated, bounded); a wikimedia image with NO license row
+      is dropped (the reference's `if do: ... else: continue`);
+    - yale.edu access points pass through license-less;
+    - anything else is dropped ("Trash them as we can't validate
+      licenses");
+    - cropped-variant preference: when a record has a cropped wikimedia
+      image, its uncropped base variant (strip 'cropped', '%28%29',
+      '%5B%5D', '_.' -> '.') is removed (mapper.py:144-153)."""
+    from ..functions.strings import normalize_wikimedia_url, wikimedia_filename
+
+    ap = F.col("ap_id")
+    is_wm = F.lower(ap).contains("commons.wikimedia.org/wiki/special:filepath")
+    is_yale = F.lower(ap).contains("yale.edu")
+    norm = (
+        access_points.select(
+            "record_uri",
+            F.when(is_wm, normalize_wikimedia_url(ap)).otherwise(ap).alias("ap"),
+            is_wm.alias("is_wm"),
+        )
+        .filter(is_wm | is_yale)
+        .dropDuplicates(["record_uri", "ap"])
+    )
+    wm = (
+        norm.filter(F.col("is_wm"))
+        .withColumn("filename", wikimedia_filename(F.col("ap")))
+        .join(F.broadcast(licenses), "filename")
+        .select("record_uri", "ap", "license_uri")
+    )
+    other = norm.filter(~F.col("is_wm")).select(
+        "record_uri", "ap", F.lit(None).cast("string").alias("license_uri")
+    )
+    kept = wm.unionByName(other)
+
+    base_of_cropped = (
+        wm.filter(F.col("ap").contains("cropped"))
+        .select(
+            "record_uri",
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.regexp_replace(F.col("ap"), "cropped", ""), "%28%29", ""),
+                    "%5B%5D",
+                    "",
+                ),
+                r"_\.",
+                ".",
+            ).alias("ap"),
+        )
+        .distinct()
+    )
+    return kept.join(base_of_cropped, ["record_uri", "ap"], "left_anti")
+
+
 def elect_primary_names(merged: DataFrame) -> DataFrame:
     """A8: (yuid, lang, primary_name) — one winner per (entity, language).
 

@@ -383,6 +383,56 @@ def f25_qua_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_qua.select("c_custkey", "qua", u.alias("uri_back"), t.alias("type_back"))
 
 
+@query(
+    "f11_wikimedia_munge",
+    oracle="""
+    SELECT c_custkey,
+           CASE
+             WHEN c_custkey % 3 = 0 THEN
+               'https://commons.wikimedia.org/wiki/special:filepath/Portrait_'
+               || c_custkey || '.jpg'
+             WHEN c_custkey % 3 = 1 THEN
+               'https://commons.wikimedia.org/wiki/special:filepath/Img_'
+               || c_custkey || '.png'
+             ELSE 'https://example.org/iiif/' || c_custkey
+           END AS norm_ap
+    FROM customer
+    """,
+    survey="F11",
+)
+def f11_wikimedia_munge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 (final/mapper.py:105-122): wikimedia Special:FilePath access
+    points normalized — https, lowercased path, ?width strip, %20->_ —
+    over synthesized dirty variants (http + %20 + ?width; uppercase path;
+    a non-wikimedia passthrough).  The oracle states the expected OUTPUT
+    literally, so this is a golden test of the munge rules, not a
+    reimplementation on the DuckDB side."""
+    from ..functions.strings import normalize_wikimedia_url
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dirty = (
+        F.when(
+            k % 3 == 0,
+            F.concat(
+                F.lit("http://commons.wikimedia.org/wiki/Special:FilePath/Portrait%20"),
+                k.cast("string"),
+                F.lit(".jpg?width=300"),
+            ),
+        )
+        .when(
+            k % 3 == 1,
+            F.concat(
+                F.lit("https://COMMONS.wikimedia.org/WIKI/Special:FilePath/Img_"),
+                k.cast("string"),
+                F.lit(".png"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://example.org/iiif/"), k.cast("string")))
+    )
+    return c.select("c_custkey", normalize_wikimedia_url(dirty).alias("norm_ap"))
+
+
 _TWO_TO_BIB = {"de": "ger", "en": "eng", "es": "spa", "fr": "fre", "zh": "chi"}
 
 

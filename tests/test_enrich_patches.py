@@ -153,6 +153,64 @@ def test_primary_name_election_iso639_2_uris(spark):
     assert got["de"] == "Deutsch"  # shorter wins within the merged lane
 
 
+# ------------------------------------------------------- F11/J11 wikimedia
+def test_wikimedia_license_enrichment(spark):
+    """Concrete J11: normalize -> license join -> validation drops ->
+    cropped-variant preference, in one DataFrame op."""
+    from data_pipeline_spark.pipeline.enrich import enrich_wikimedia_licenses
+
+    aps = spark.createDataFrame(
+        [
+            # dirty wikimedia: http + uppercase path + %20 + ?width -> licensed
+            ("r1", "http://Commons.wikimedia.org/wiki/Special:FilePath/My%20Image.jpg?width=250"),
+            # wikimedia without a license row -> dropped
+            ("r1", "https://commons.wikimedia.org/wiki/Special:FilePath/Unlicensed.png"),
+            # yale passthrough, no license
+            ("r1", "https://media.yale.edu/iiif/obj1/full.jpg"),
+            # unvalidatable external -> dropped
+            ("r1", "https://elsewhere.example/img.png"),
+            # cropped + its base: base must be removed (the base form is
+            # the cropped name with 'cropped' stripped and '_.' collapsed)
+            ("r2", "https://commons.wikimedia.org/wiki/Special:FilePath/Scene_cropped.jpg"),
+            ("r2", "https://commons.wikimedia.org/wiki/Special:FilePath/Scene.jpg"),
+        ],
+        "record_uri string, ap_id string",
+    )
+    licenses = spark.createDataFrame(
+        [
+            ("My_Image.jpg", "https://creativecommons.org/publicdomain/zero/1.0/"),
+            ("Scene_cropped.jpg", "https://creativecommons.org/licenses/by/4.0/"),
+            ("Scene.jpg", "https://creativecommons.org/licenses/by/4.0/"),
+        ],
+        "filename string, license_uri string",
+    )
+    got = {(r.record_uri, r.ap): r.license_uri
+           for r in enrich_wikimedia_licenses(aps, licenses).collect()}
+    assert got == {
+        ("r1", "https://commons.wikimedia.org/wiki/special:filepath/My_Image.jpg"):
+            "https://creativecommons.org/publicdomain/zero/1.0/",
+        ("r1", "https://media.yale.edu/iiif/obj1/full.jpg"): None,
+        ("r2", "https://commons.wikimedia.org/wiki/special:filepath/Scene_cropped.jpg"):
+            "https://creativecommons.org/licenses/by/4.0/",
+    }
+
+
+def test_wikimedia_filename_quote_branch(spark):
+    """F11's conditional percent-encode: unencoded special chars get
+    quoted; already-encoded names pass through."""
+    from data_pipeline_spark.functions.strings import wikimedia_filename
+
+    df = spark.createDataFrame(
+        [("https://commons.wikimedia.org/wiki/Special:FilePath/Café (1900).jpg",),
+         ("https://commons.wikimedia.org/wiki/Special:FilePath/Caf%C3%A9_%281900%29.jpg",)],
+        "ap string",
+    )
+    got = [r.fn for r in df.select(wikimedia_filename(F.col("ap")).alias("fn")).collect()]
+    assert got[1] == "Caf%C3%A9_%281900%29.jpg"  # pre-encoded: untouched
+    assert "%C3%A9" in got[0] and "%28" in got[0]  # quoted on the way in
+    assert "_" in got[0]  # space became underscore first
+
+
 # ------------------------------------------------------------- Q2 parser
 def test_parse_json_matches_string_form():
     s = parse('AND(type=customer, in_nation(name="NATION_7"))')
