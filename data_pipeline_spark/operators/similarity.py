@@ -86,15 +86,18 @@ def ivf_centroids(corpus: DataFrame, k: int = 16, iters: int = 2) -> DataFrame:
     steps as DataFrame joins (assign = broadcast-argmin, update = groupBy
     mean). Returns (cluster_id, cemb). Deterministic end to end, so the
     index is reproducible across builds."""
-    seeds = (
+    # cluster ids are used as deterministic tiebreaks downstream, so the
+    # numbering must be reproducible: order by the seed's own neighbor_id
+    # (a window over lit(1) after coalesce(1) has no guaranteed order)
+    cents = (
         corpus.orderBy("neighbor_id")
         .limit(k)
-        .select(F.col("nemb").alias("cemb"))
-        .withColumn("cluster_id", F.monotonically_increasing_id())
-    )
-    # monotonically_increasing_id on a 1-partition limit is 0..k-1 ordered
-    cents = seeds.coalesce(1).withColumn(
-        "cluster_id", F.row_number().over(W.orderBy(F.lit(1))) - 1
+        .select(
+            "neighbor_id",
+            F.col("nemb").alias("cemb"),
+        )
+        .withColumn("cluster_id", F.row_number().over(W.orderBy("neighbor_id")) - 1)
+        .select("cluster_id", "cemb")
     )
     for _ in range(iters):
         assigned = _assign(corpus, cents)

@@ -179,7 +179,12 @@ def to_ntriples(edges: DataFrame, base: str = "https://lux.example/ns/") -> Data
     is_uri = F.col("object").rlike("^https?://")
     is_num = F.col("object").rlike(r"^-?\d+(\.\d+)?$")
     is_dt = F.col("object").rlike(r"^-?\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}")
-    escaped = F.regexp_replace(F.col("object"), '"', '\\\\"')
+    # N-Triples literal escaping, in grammar order: backslash FIRST (or
+    # the quote escape would double-escape), then quote, then control
+    # characters — a newline/tab in statement text must not break the line
+    escaped = F.col("object")
+    for raw, esc in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")):
+        escaped = F.replace(escaped, F.lit(raw), F.lit(esc))
     obj = (
         F.when(is_uri, F.format_string("<%s>", F.col("object")))
         .when(

@@ -200,6 +200,13 @@ def build_changes() -> list[dict]:
         {"seq": 5, "end_time": "2026-02-01T11:00:00", "change": "create",
          "object_uri": uri("srcA", "p9"),
          "payload": _rec("srcA", "p9", "Person", names=["New Person"])["data"]},
+        # create that LINKS INTO a previously-untouched component (p4's):
+        # the blast radius must pull p4's whole component into the rebuild
+        # slice or the splice diverges from the full rebuild
+        {"seq": 6, "end_time": "2026-02-01T12:00:00", "change": "create",
+         "object_uri": uri("srcA", "p10"),
+         "payload": _rec("srcA", "p10", "Person", names=["Linker Person"],
+                         equivalents=[uri("srcA", "p4")])["data"]},
     ]
 
 

@@ -67,13 +67,92 @@ def apply_changes_to_records(records: DataFrame, changes: DataFrame) -> DataFram
     return survivors.unionByName(upserts.select(*survivors.columns)).drop("_uri")
 
 
-def affected_uris(changes: DataFrame, idmap_prev: DataFrame) -> DataFrame:
-    """(uri): the blast radius — changed URIs plus every member of any
-    component (shared yuid) that contains one."""
-    changed = changes.select(F.col("object_uri").alias("qua_uri")).distinct()
-    hit_yuids = idmap_prev.join(changed, "qua_uri").select("yuid").distinct()
+def affected_uris(
+    changes: DataFrame,
+    idmap_prev: DataFrame,
+    indexes: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """(uri): the blast radius — every URI whose component the rebuild may
+    touch.
+
+    Seeds are the changed URIs PLUS the links a changed payload can
+    CREATE: its asserted ``equivalent[]`` targets, those targets resolved
+    through the uri index (J2 would join them to local records), and its
+    names' name-index candidates (J1).  Without these, an update that
+    newly links into a previously-untouched component would rebuild
+    without that component's other members — the spliced output then
+    loses their data or keeps a stale duplicate row, breaking the
+    documented incremental == full-rebuild contract.  Every seed resolves
+    through idmap_prev (the previous build's COMPUTED idmap, so
+    pre-existing record-record links are already component-closed) and
+    pulls in all members of hit components.  Over-inclusion is safe — it
+    only widens the rebuild slice."""
+    from ..functions.strings import clean_name, normalize_url
+    from .envelope import DOC_SCHEMA
+    from .reconcile import local_uri_expr
+
+    changed = changes.select(F.col("object_uri").alias("uri")).distinct()
+    payloads = changes.filter(F.col("payload").isNotNull()).select(
+        F.from_json("payload", DOC_SCHEMA).alias("doc")
+    )
+    asserted = (
+        payloads.select(
+            F.explode(F.coalesce(F.col("doc.equivalent"), F.array())).alias("e")
+        )
+        .select(F.col("e.id").alias("uri"))
+        .filter(F.col("uri").isNotNull())
+        .distinct()
+    )
+    seeds = changed.union(asserted)
+
+    if indexes:
+        uri_index = indexes.get("uri_index")
+        if uri_index is not None:
+            idx = uri_index.select(
+                normalize_url(F.col("ext_uri")).alias("ext_norm"),
+                local_uri_expr(F.col("source"), F.col("target_identifier")).alias("local_uri"),
+            )
+            resolved = (
+                asserted.select(normalize_url(F.col("uri")).alias("ext_norm"))
+                .join(F.broadcast(idx), "ext_norm")
+                .select(F.col("local_uri").alias("uri"))
+            )
+            seeds = seeds.union(resolved)
+        name_index = indexes.get("name_index")
+        if name_index is not None:
+            payload_names = (
+                payloads.select(
+                    F.col("doc.type").alias("p_rectype"),
+                    F.explode(
+                        F.concat(
+                            F.coalesce(
+                                F.expr("transform(doc.identified_by, n -> n.content)"),
+                                F.array(),
+                            ),
+                            F.array(F.col("doc._label")),
+                        )
+                    ).alias("raw"),
+                )
+                .filter(F.col("raw").isNotNull())
+                .select("p_rectype", clean_name(F.col("raw")).alias("p_name"))
+                .distinct()
+            )
+            hits = (
+                payload_names.join(
+                    F.broadcast(name_index),
+                    (F.col("p_name") == name_index.name_clean)
+                    & (F.col("p_rectype") == name_index.rectype),
+                )
+                .select(
+                    local_uri_expr(F.col("source"), F.col("target_identifier")).alias("uri")
+                )
+            )
+            seeds = seeds.union(hits)
+
+    qua = seeds.select(F.col("uri").alias("qua_uri")).distinct()
+    hit_yuids = idmap_prev.join(qua, "qua_uri").select("yuid").distinct()
     members = idmap_prev.join(hit_yuids, "yuid").select(F.col("qua_uri").alias("uri"))
-    return members.union(changed.select(F.col("qua_uri").alias("uri"))).distinct()
+    return members.union(seeds).distinct()
 
 
 def incremental_build(
@@ -99,7 +178,7 @@ def incremental_build(
             F.col("end_time") > F.lit(last_harvest).cast("timestamp")
         )
     new_records = apply_changes_to_records(records, changes)
-    blast = affected_uris(changes, idmap_prev)
+    blast = affected_uris(changes, idmap_prev, indexes)
 
     slice_records = (
         with_doc(new_records)
@@ -109,10 +188,12 @@ def incremental_build(
     )
     rebuilt = run_build(spark, slice_records, indexes, idmap_prev, merge_order)
 
+    # every prev yuid in the blast must leave `untouched` — when two prev
+    # components unite under one adopted yuid, the LOSING yuid's old row
+    # is not in rebuilt["merged"] and only the blast knows about it
     affected_yuids = (
         idmap_prev.join(
-            changes.select(F.col("object_uri").alias("qua_uri")).distinct(),
-            "qua_uri",
+            blast.select(F.col("uri").alias("qua_uri")).distinct(), "qua_uri"
         ).select("yuid").distinct()
     )
     untouched = prev_merged.join(affected_yuids, "yuid", "left_anti").join(

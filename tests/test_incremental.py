@@ -40,12 +40,15 @@ def test_apply_changes_to_records(spark, setup):
 
 
 def test_affected_uris_is_component_closed(spark, setup):
-    t, _ = setup
-    blast = {r.uri for r in affected_uris(t["changes"], t["idmap_prev"]).collect()}
+    t, idx = setup
+    blast = {r.uri for r in affected_uris(t["changes"], t["idmap_prev"], idx).collect()}
     # p1's whole previous component (p1 + e1) is in the radius
     assert uri("srcA", "p1") in blast and uri("extX", "e1") in blast
     # p9 (brand new) is included even though no previous yuid exists
     assert uri("srcA", "p9") in blast
+    # p10's payload asserts an equivalent into p4's untouched component:
+    # p4 must be pulled in (seed expansion through asserted equivalents)
+    assert uri("srcA", "p10") in blast and uri("srcA", "p4") in blast
     # untouched component is NOT
     assert uri("srcA", "pl1") not in blast
 

@@ -97,6 +97,28 @@ def test_exports(spark, tmp_path):
     assert '<urn:yuid:yuid-1> <https://lux.example/ns/rdf:type> "Person" .' in lines
 
 
+def test_ntriples_literal_escaping(spark):
+    """N-Triples grammar: backslash escaped before quotes (no
+    double-escape corruption), control characters never break the line."""
+    from data_pipeline_spark.pipeline.edges import to_ntriples
+
+    edges = spark.createDataFrame(
+        [("yuid-1", "note", 'back\\slash and "quote"'),
+         ("yuid-1", "note2", "line one\nline two\ttabbed")],
+        ["subject", "predicate", "object"],
+    )
+    lines = [r.nt for r in to_ntriples(edges).collect()]
+    assert (
+        '<urn:yuid:yuid-1> <https://lux.example/ns/note> "back\\\\slash and \\"quote\\"" .'
+        in lines
+    )
+    assert (
+        '<urn:yuid:yuid-1> <https://lux.example/ns/note2> "line one\\nline two\\ttabbed" .'
+        in lines
+    )
+    assert all("\n" not in ln for ln in lines)
+
+
 # ---------------------------------------------------------------- R1-R8
 @pytest.fixture()
 def cache(spark):
