@@ -19,6 +19,10 @@ from data_pipeline_spark.session import get_spark  # noqa: E402
 
 # Headline set: one per operator family (scan/filter/join/agg/window/setop/
 # text/dedup/vector/cdc/dsl) — the queries a user would actually run hot.
+# SCALE-PATH ONLY: d06 (exact n-gram Jaccard) is deliberately NOT here —
+# it is the quadratic correctness twin of d07 and stays an oracle-gated
+# query at test SF; the headline measures what a 100TB run would execute
+# (banded/bucketed dedup d07/d08/d12, composition d13).
 HEADLINE = [
     "q01_pricing_summary",
     "q02_shipping_priority",
@@ -37,8 +41,10 @@ HEADLINE = [
     "a16_top5_words",
     "d01_dedup_exact",
     "d05_lang_id",
-    "d06_ngram_jaccard_pairs",
     "d07_minhash_lsh_pairs",
+    "d08_simhash_pairs",
+    "d12_dedup_groups",
+    "d13_corpus_clean",
     "v01_knn_bruteforce",
     "r01_watermark_window_counts",
     "dsl_q01_customers_in_germany",

@@ -25,12 +25,14 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every node of the undirected graph with the minimum node id
     reachable from it. Returns DataFrame(node, component).
 
     ``edges`` may be directed and contain duplicates/self-loops; it is
-    symmetrized and deduplicated here.
+    symmetrized and deduplicated here.  ``stats`` (if given) receives
+    {"rounds": n} so tests can pin the O(log n) convergence claim.
     """
     fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     sym = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
@@ -43,7 +45,9 @@ def connected_components(
         .localCheckpoint()
     )
 
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # neighbor labels: for every edge (src->dst), dst can adopt src's label
         prop = (
             sym.join(labels, sym.src == labels.node)
@@ -83,4 +87,6 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels

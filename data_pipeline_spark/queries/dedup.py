@@ -381,12 +381,12 @@ N_SEGMENTS = 4  # 16 bits -> 4 segments of 4 bits; Hamming<=3 => >=1 equal
 
 
 def simhash_candidates(sims: DataFrame) -> DataFrame:
-    """(id_a, id_b, sim_a, sim_b): pairs sharing at least one 4-bit
-    fingerprint segment.  EXACT candidate superset for Hamming <= 3 by
-    pigeonhole — 3 differing bits cannot touch all 4 segments — so the
-    banded join + verify returns identical results to the all-pairs form
-    while the only join key is (segment_idx, segment_value): ~n*4 rows
-    each side, never a theta self-join."""
+    """(id_a, id_b, hamming): verified near-dup pairs via segment banding.
+    EXACT for Hamming <= 3 by pigeonhole — 3 differing bits cannot touch
+    all 4 segments, so every qualifying pair shares >=1 (segment_idx,
+    segment_value) bucket — identical results to the all-pairs form while
+    the only join key is the bucket: ~n*4 rows each side, never a theta
+    self-join."""
     seg_bits = N_BITS // N_SEGMENTS
     segs = None
     for s in range(N_SEGMENTS):
@@ -398,6 +398,11 @@ def simhash_candidates(sims: DataFrame) -> DataFrame:
         )
         segs = one if segs is None else segs.unionAll(one)
     a, b = segs.alias("a"), segs.alias("b")
+    # Hamming verify INSIDE the candidate select, BEFORE dedupe: the
+    # bucket join emits ~16x more candidate rows than survivors (4-bit
+    # segments are coarse), and bit_count+filter in codegen is far cheaper
+    # than pushing the full candidate volume through a distinct.
+    hamming = F.bit_count(F.expr("a.simhash ^ b.simhash"))
     return (
         a.join(
             b,
@@ -408,9 +413,9 @@ def simhash_candidates(sims: DataFrame) -> DataFrame:
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+            hamming.alias("hamming"),
         )
+        .filter(F.col("hamming") <= HAMMING_T)
         .distinct()
     )
 
@@ -420,14 +425,16 @@ def d08_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 16-bit fingerprints, Hamming distance <= 3.
     Scale path: segment-banded candidate join (pigeonhole-exact superset,
     see simhash_candidates) + Hamming verify on candidates only — same
-    results as the all-pairs oracle, no O(n^2) self-join in the plan."""
+    results as the all-pairs oracle, no O(n^2) self-join in the plan.
+
+    The fingerprint tier is materialized once (localCheckpoint): the
+    banded union references sims 4x per side and Catalyst does not CSE
+    across union branches — without this, the word-explode aggregation
+    runs 8x (measured). At 100TB the fingerprint tier is a persisted
+    table, which is exactly this shape."""
     docs = load_table(spark, sf_dir, "documents")
-    cands = simhash_candidates(simhash_df(docs))
-    hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
-    return (
-        cands.select("id_a", "id_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= HAMMING_T)
-    )
+    sims = simhash_df(docs).localCheckpoint()
+    return simhash_candidates(sims)
 
 
 # ---------------------------------------------------------------------------

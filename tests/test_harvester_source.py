@@ -5,6 +5,36 @@ from __future__ import annotations
 
 import json
 
+
+def _fake_fetch_factory():
+    def fetch(uri: str):
+        if uri.endswith("missing"):
+            return None
+        if uri.endswith("boom"):
+            raise RuntimeError("connection reset")
+        return json.dumps({"id": uri, "fetched": True})
+
+    return fetch
+
+
+def test_fetch_records_distributed(spark):
+    """S1: distributed fetch — payloads land keyed by uri, failures and
+    exceptions become ok=false rows instead of failing the scan."""
+    from data_pipeline_spark.sources.fetcher import fetch_records
+
+    uris = spark.createDataFrame(
+        [("https://x.test/a",), ("https://x.test/missing",), ("https://x.test/boom",)],
+        ["uri"],
+    )
+    out = {r.uri: (r.ok, r.payload) for r in
+           fetch_records(uris, _fake_fetch_factory, parallelism=2).collect()}
+    assert out["https://x.test/a"][0] is True
+    assert json.loads(out["https://x.test/a"][1])["fetched"] is True
+    assert out["https://x.test/missing"] == (False, None)
+    assert out["https://x.test/boom"] == (False, None)
+
+import json
+
 from data_pipeline_spark.registry import SourceRegistry
 from data_pipeline_spark.sources.harvester import crawl_activity_stream, crawl_oai_pmh
 

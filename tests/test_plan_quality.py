@@ -70,3 +70,39 @@ def test_d09_embedding_bucketed_no_cross_selfjoin(spark):
     plan = _plan(spark, "d09_embedding_neardup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_d07_minhash_band_join_only(spark):
+    """d07's only joins are (band, band_hash) candidate generation and the
+    candidate-bounded verification — never a shingle-index theta self-join."""
+    plan = _plan(spark, "d07_minhash_lsh_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsl_planner_is_memoized_and_cached(spark):
+    """The DSL model must be built once per (session, sf_dir) and backed by
+    InMemoryRelation leaves — without the cache, Catalyst analysis time
+    grows exponentially with traversal depth (measured round 1)."""
+    from data_pipeline_spark.plans.model import build_planner
+
+    p1 = build_planner(spark, SF)
+    p2 = build_planner(spark, SF)
+    assert p1 is p2  # memoized per session+sf
+    assert p1.entities.is_cached and p1.edges.is_cached
+
+
+def test_closure_path_halving_round_count(spark):
+    """Path halving: a 120-node chain must converge in O(log n) rounds
+    (~8), not O(n) — the property that keeps closure affordable on deep
+    equivalence chains at scale."""
+    from data_pipeline_spark.pipeline.closure import connected_components
+
+    chain = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(119)], ["src", "dst"]
+    )
+    stats: dict = {}
+    labels = connected_components(chain, stats=stats)
+    comps = {r.component for r in labels.collect()}
+    assert comps == {"n000"}  # one component, min label
+    assert stats["rounds"] <= 10, f"chain took {stats['rounds']} rounds"
