@@ -88,6 +88,56 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.withColumn("width", F.lit(width)).withColumn("height", F.lit(height))
 
 
+FRAME_SCHEMA = (
+    "media_id string, frame_ms int, frame_idx int, n_bytes int, frame_sha string"
+)
+
+
+def fake_frame_decode(content: bytes, frame_idx: int, frame_bytes: int = 64) -> bytes:
+    """Deterministic frame stand-in: frame k is the k-th fixed-size byte
+    slice of the payload (a real implementation seeks/decodes with ffmpeg;
+    the slice keeps the plumbing testable and engine-checkable)."""
+    start = frame_idx * frame_bytes
+    return (content or b"")[start : start + frame_bytes]
+
+
+def extract_frames(
+    media: DataFrame,
+    every_ms: int,
+    frame_bytes: int = 64,
+    decoder: Callable[[bytes, int, int], bytes] = fake_frame_decode,
+) -> DataFrame:
+    """Video rows -> one row per sampled frame: the EXTRACTION half of
+    frame sampling (sample_frames is the schedule-only half).
+
+    This exercises the 1->N fan-out batch shape inside ``mapInPandas``
+    (one input row yields ceil(duration/every_ms) output rows in the same
+    Arrow batch) that single-row feature extraction never touches — the
+    shape a real video pipeline needs.  Frames are hashed so results are
+    engine-checkable; payload columns would be added the same way."""
+    import hashlib
+
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in
+                                    ("media_id", "frame_ms", "frame_idx", "n_bytes", "frame_sha")}
+            for mid, content, dur in zip(pdf["media_id"], pdf["content"], pdf["duration_ms"]):
+                dur = int(dur) if dur is not None and not pd.isna(dur) else 0
+                n_frames = 0 if dur <= 0 else (dur - 1) // every_ms + 1
+                for k in range(n_frames):
+                    frame = decoder(content, k, frame_bytes)
+                    out["media_id"].append(mid)
+                    out["frame_ms"].append(k * every_ms)
+                    out["frame_idx"].append(k)
+                    out["n_bytes"].append(len(frame))
+                    out["frame_sha"].append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_ms: int) -> DataFrame:
     """Frame-sampling plan for video rows: emits one row per planned frame
     timestamp (the scheduling half of frame extraction — decode is stubbed).

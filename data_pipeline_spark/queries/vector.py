@@ -125,6 +125,41 @@ def m01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select("media_id", "kind", "mime", "n_bytes", "sha256")
 
 
+@query(
+    "m02_frame_sample",
+    oracle="""
+    SELECT 'doc' || doc_id AS media_id,
+           CAST(f * 500 AS INT) AS frame_ms,
+           CAST(f AS INT) AS frame_idx,
+           CAST(length(substring(text, CAST(f * 64 + 1 AS BIGINT), 64)) AS INT) AS n_bytes,
+           sha256(substring(text, CAST(f * 64 + 1 AS BIGINT), 64)) AS frame_sha
+    FROM documents, unnest(range(0, (n_chars - 1) // 500 + 1)) AS t(f)
+    WHERE n_chars > 0
+    """,
+    survey="multimodal-frames",
+)
+def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the driver gate: documents' bytes
+    stand in for video payloads (duration_ms := byte count, 1 byte/ms),
+    sampled every 500 ms with 64-byte 'frames' — the 1->N mapInPandas
+    fan-out with a deterministic fake decoder (operators/multimodal.
+    extract_frames). The oracle recomputes the identical slicing/sha in
+    SQL; text is ASCII in the testdata so char slices == byte slices."""
+    from ..operators.multimodal import extract_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.octet_length(F.col("text")).cast("int").alias("duration_ms"),
+    )
+    return extract_frames(media, every_ms=500, frame_bytes=64)
+
+
 @query("v03_ann_lsh", oracle=None, survey="similarity-ann-lsh")
 def v03_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH ANN top-5 (rows-only check: approximate results have no
