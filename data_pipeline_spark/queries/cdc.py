@@ -117,3 +117,50 @@ def r01_watermark_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "j13_asof_last_click",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts AS click_ts,
+               COUNT(*) AS n_clicks,
+               CAST(MAX(value) AS DOUBLE) AS click_value
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ),
+    purchases AS (
+        SELECT event_id, user_id, ts,
+               CAST(value AS DOUBLE) AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+           c.click_ts AS asof_click_ts, c.n_clicks, c.click_value
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+    survey="asof-join,P4",
+)
+def j13_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase event annotated with the user's
+    most recent click at or before it (operators/asof.asof_join — the
+    union+window formulation, one shuffle, no range-join blowup).  The
+    oracle is DuckDB's native ASOF LEFT JOIN, so the custom operator is
+    hash-checked against a reference implementation of the semantics.
+    The right side is pre-aggregated to one row per (user, ts) —
+    required for a deterministic match on both engines."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.max("value").cast("double").alias("click_value"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").cast("double").alias("purchase_value")
+    )
+    return asof_join(purchases, clicks, on="user_id", left_time="ts", right_time="click_ts")

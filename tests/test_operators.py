@@ -166,3 +166,28 @@ def test_ivf_ann_recall_vs_bruteforce(spark, emb):
     recall = len(truth & got) / len(truth)
     # deterministic k-means (no RNG): measures 0.89 on random embeddings
     assert recall >= 0.75, f"recall@5 = {recall}"
+
+
+def test_asof_join_semantics(spark):
+    """Point-in-time correctness: greatest right_time <= left_time per
+    key, inclusive boundary, null payload when nothing precedes, keys
+    never cross."""
+    from data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("e1", "u1", 50), ("e2", "u1", 10), ("e3", "u1", 20), ("e4", "u2", 99)],
+        "event_id string, k string, t int",
+    )
+    right = spark.createDataFrame(
+        [("u1", 5, "a"), ("u1", 20, "b"), ("u1", 30, "c"), ("u3", 1, "z")],
+        "k string, rt int, state string",
+    )
+    got = {r.event_id: (r.asof_rt, r.state)
+           for r in asof_join(left, right, on="k", left_time="t", right_time="rt").collect()}
+    assert got == {
+        "e1": (30, "c"),   # latest of several
+        "e2": (5, "a"),    # only the earliest precedes
+        "e3": (20, "b"),   # inclusive: rt == t matches
+        "e4": (None, None),  # u2 has no right rows; u3's never leak
+    }
+    assert len(got) == 4  # exactly the left rows survive
