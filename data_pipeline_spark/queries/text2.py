@@ -335,3 +335,52 @@ def a18_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
         )
     )
+
+
+@query(
+    "h01_time_hierarchy_rollup",
+    oracle=f"""
+    SELECT CASE WHEN h IS NOT NULL THEN 'hour'
+                WHEN d IS NOT NULL THEN 'day'
+                ELSE 'month' END AS granularity,
+           COALESCE(h, d, m) AS bucket_start,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS total_value
+    FROM (
+        SELECT date_trunc('month', ts) AS m,
+               date_trunc('day', ts) AS d,
+               date_trunc('hour', ts) AS h,
+               value
+        FROM events
+    )
+    GROUP BY GROUPING SETS ((m), (m, d), (m, d, h))
+    """,
+    survey="hypertable-rollup,A14",
+)
+def h01_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: month/day/hour buckets in ONE
+    grouping-sets pass (a TimescaleDB rollup would run three rollup jobs;
+    Spark expands the sets map-side, so the scan is read once and the
+    shuffle carries partial aggregates only)."""
+    from .registry import dsum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("month", "ts").alias("m"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("hour", "ts").alias("h"),
+        "value",
+    )
+    grouped = ev.groupingSets([["m"], ["m", "d"], ["m", "d", "h"]], "m", "d", "h").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total_value")
+    )
+    granularity = (
+        F.when(F.col("h").isNotNull(), "hour")
+        .when(F.col("d").isNotNull(), "day")
+        .otherwise("month")
+    )
+    return grouped.select(
+        granularity.alias("granularity"),
+        F.coalesce(F.col("h"), F.col("d"), F.col("m")).alias("bucket_start"),
+        "n",
+        "total_value",
+    )
