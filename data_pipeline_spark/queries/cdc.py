@@ -164,3 +164,42 @@ def j13_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", F.col("value").cast("double").alias("purchase_value")
     )
     return asof_join(purchases, clicks, on="user_id", left_time="ts", right_time="click_ts")
+
+
+@query(
+    "rj01_inflight_lineitems",
+    oracle="""
+    WITH days AS (SELECT DISTINCT o_orderdate AS d FROM orders),
+    iv AS (
+        SELECT l_shipdate,
+               l_shipdate + INTERVAL ((l_linenumber % 20) + 1) DAY AS l_receiptdate
+        FROM lineitem
+    )
+    SELECT d, COUNT(*) AS n_in_flight
+    FROM days JOIN iv
+      ON d >= l_shipdate AND d <= l_receiptdate
+    GROUP BY d
+    """,
+    survey="range-join,P4",
+)
+def rj01_inflight_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join at scale: for every order date, how many lineitems were
+    in flight (shipped, not yet received) that day — a point-in-interval
+    join restated as a month-bin equi-join + containment filter
+    (operators/range_join.range_join; a theta BETWEEN join would be a
+    BroadcastNestedLoopJoin, quadratic at 100TB). The receipt date is
+    synthesized deterministically from the line number (this testdata
+    carries no receiptdate column); the oracle runs the same semantics
+    as a plain BETWEEN join (DuckDB's IEJoin)."""
+    from ..operators.range_join import range_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate",
+        F.expr(
+            "l_shipdate + make_dt_interval((l_linenumber % 20) + 1, 0, 0, 0)"
+        ).alias("l_receiptdate"),
+    )
+    days = orders.select(F.col("o_orderdate").alias("d")).distinct()
+    joined = range_join(days, li, "d", "l_shipdate", "l_receiptdate")
+    return joined.groupBy("d").agg(F.count(F.lit(1)).alias("n_in_flight"))

@@ -191,3 +191,23 @@ def test_asof_join_semantics(spark):
         "e4": (None, None),  # u2 has no right rows; u3's never leak
     }
     assert len(got) == 4  # exactly the left rows survive
+
+
+def test_range_join_semantics(spark):
+    """Containment is inclusive on both bounds, bin boundaries don't drop
+    matches (interval spanning months), invalid intervals yield nothing."""
+    from data_pipeline_spark.operators.range_join import range_join
+
+    points = spark.createDataFrame(
+        [("p1", "2024-01-31 12:00:00"), ("p2", "2024-02-01 00:00:00"),
+         ("p3", "2024-03-15 00:00:00")],
+        "pid string, t string",
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    intervals = spark.createDataFrame(
+        [("iv_span", "2024-01-20 00:00:00", "2024-02-10 00:00:00"),   # spans months
+         ("iv_point", "2024-02-01 00:00:00", "2024-02-01 00:00:00"),  # degenerate, inclusive
+         ("iv_bad", "2024-03-20 00:00:00", "2024-03-01 00:00:00")],   # end < start
+        "iid string, s string, e string",
+    ).withColumn("s", F.col("s").cast("timestamp")).withColumn("e", F.col("e").cast("timestamp"))
+    got = {(r.pid, r.iid) for r in range_join(points, intervals, "t", "s", "e").collect()}
+    assert got == {("p1", "iv_span"), ("p2", "iv_span"), ("p2", "iv_point")}

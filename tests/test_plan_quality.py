@@ -106,3 +106,11 @@ def test_closure_path_halving_round_count(spark):
     comps = {r.component for r in labels.collect()}
     assert comps == {"n000"}  # one component, min label
     assert stats["rounds"] <= 10, f"chain took {stats['rounds']} rounds"
+
+
+def test_rj01_range_join_is_bin_equijoin(spark):
+    """The range join must compile to an equi-join on the bin column —
+    a raw BETWEEN theta join shows up as BroadcastNestedLoopJoin."""
+    plan = _plan(spark, "rj01_inflight_lineitems")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
