@@ -9,7 +9,7 @@ these are single-scan whole-stage-codegen pipelines; only MinHash signatures
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -492,4 +492,64 @@ def f08_clean_names(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("name_clean"),
+    )
+
+
+@query(
+    "d14_winnowing_fingerprints",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id,
+               gen.i AS pos,
+               md5(toks[gen.i] || ' ' || toks[gen.i + 1] || ' ' || toks[gen.i + 2]) AS h,
+               len(toks) - 2 AS n_grams
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+             LATERAL unnest(range(1, len(toks) - 1)) AS gen(i)
+        WHERE len(toks) >= 3
+    ),
+    windowed AS (
+        SELECT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               pos, n_grams
+        FROM grams
+    )
+    SELECT DISTINCT doc_id, fp
+    FROM windowed WHERE pos <= n_grams - 3
+    """,
+    survey="fingerprint-winnowing",
+)
+def d14_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting by WINNOWING (the MOSS
+    selection rule): hash every 3-word gram, slide a window of 4
+    consecutive gram hashes, keep each window's minimum — documents
+    sharing any selected fingerprint are copy-candidates, and the
+    selected set is ~1/window_size of all grams, so the fingerprint
+    index is a bounded fraction of the corpus. One scan, one window,
+    one distinct; all md5/substr inside codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = (
+        docs.select(F.col("doc_id"), toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            (F.size("toks") - 2).alias("n_grams"),
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> md5(concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"
+                )
+            ).alias("pos0", "h"),
+        )
+        .select("doc_id", "n_grams", (F.col("pos0") + 1).alias("pos"), "h")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    return (
+        grams.select("doc_id", "pos", "n_grams", F.min("h").over(w).alias("fp"))
+        .filter(F.col("pos") <= F.col("n_grams") - 3)
+        .select("doc_id", "fp")
+        .distinct()
     )
