@@ -211,3 +211,58 @@ def test_range_join_semantics(spark):
     ).withColumn("s", F.col("s").cast("timestamp")).withColumn("e", F.col("e").cast("timestamp"))
     got = {(r.pid, r.iid) for r in range_join(points, intervals, "t", "s", "e").collect()}
     assert got == {("p1", "iv_span"), ("p2", "iv_span"), ("p2", "iv_point")}
+
+
+def test_asof_join_equals_theta_join_form(spark):
+    """Property check on pseudo-random interleaved data: the union+window
+    as-of join must equal the naive greatest-right_time<=left_time theta
+    formulation (which is what it replaces at scale)."""
+    from data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.range(200).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 13).alias("k"),
+        ((F.col("id") * 7919) % 1000).alias("t"),
+    )
+    right = spark.range(80).select(
+        (F.col("id") % 13).alias("k"),
+        ((F.col("id") * 6271) % 1000).alias("rt"),
+        (F.col("id") * 3).alias("payload"),
+    ).groupBy("k", "rt").agg(F.max("payload").alias("payload"))  # unique (k, rt)
+
+    got = {(r.event_id): (r.asof_rt, r.payload)
+           for r in asof_join(left, right, on="k", left_time="t", right_time="rt").collect()}
+
+    l, r_ = left.alias("l"), right.alias("r")
+    theta = (
+        l.join(r_, (F.col("l.k") == F.col("r.k")) & (F.col("l.t") >= F.col("r.rt")), "left")
+        .groupBy("event_id", "t")
+        .agg(F.max(F.struct("rt", "payload")).alias("best"))
+        .select("event_id", F.col("best.rt").alias("rt"), F.col("best.payload").alias("payload"))
+    )
+    want = {r.event_id: (r.rt, r.payload) for r in theta.collect()}
+    assert got == want and len(got) == 200
+
+
+def test_range_join_equals_theta_join_form(spark):
+    """Property check: bin-bucketed range join == naive BETWEEN theta join
+    on pseudo-random timestamps/intervals crossing bin boundaries."""
+    from data_pipeline_spark.operators.range_join import range_join
+
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    points = spark.range(150).select(
+        F.col("id").alias("pid"),
+        (base + F.make_dt_interval(F.lit(0), (F.col("id") * 37) % 2000)).alias("t"),
+    )
+    intervals = spark.range(60).select(
+        F.col("id").alias("iid"),
+        (base + F.make_dt_interval(F.lit(0), (F.col("id") * 53) % 1900)).alias("s"),
+    ).withColumn("e", F.col("s") + F.make_dt_interval(F.lit(0), (F.col("iid") * 11) % 400))
+
+    got = {(r.pid, r.iid)
+           for r in range_join(points, intervals, "t", "s", "e", bin_width="1 day").collect()}
+    want = {(r.pid, r.iid)
+            for r in points.join(
+                intervals, (F.col("t") >= F.col("s")) & (F.col("t") <= F.col("e"))
+            ).collect()}
+    assert got == want and len(want) > 0
