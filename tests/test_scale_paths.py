@@ -58,3 +58,24 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     assert "Exchange hashpartitioning" in plain_plan  # the shuffle it saves
     # same results either way
     assert n_bucketed == n_plain
+
+
+def test_hll_sketches_merge_across_partitions(spark):
+    """The 100TB re-aggregation property: per-day HLL sketches UNION into
+    a global distinct estimate without rescanning the raw data — the
+    pattern that lets daily ingest jobs pre-aggregate and monthly rollups
+    merge sketches instead of recomputing distinct over the corpus.
+    Plain countDistinct has no such merge."""
+    ev = load_table(spark, SF, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("day_exact"),
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    ).first()
+    exact = ev.agg(F.countDistinct("user_id")).first()[0]
+    assert abs(merged.est - exact) / exact < 0.05
+    # sanity: the daily tier really is pre-aggregated (many days, each
+    # with its own sketch)
+    assert daily.count() > 5
