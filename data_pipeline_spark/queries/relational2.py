@@ -393,3 +393,43 @@ def w09_revenue_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(wr).alias("rk"),
         F.sum(F.col("s_acctbal").cast("decimal(30,6)")).over(wt).cast("double").alias("nation_total"),
     )
+
+
+@query(
+    "q11_important_parts",
+    oracle=f"""
+    WITH v AS (
+        SELECT l_partkey, {sql_dsum('l_extendedprice * l_quantity')} AS part_value
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value FROM v
+    WHERE part_value > (SELECT {sql_dsum('part_value')} * 0.001 FROM v)
+    """,
+    survey="J1,A2,T3",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (scalar-subquery threshold): per-part value from one
+    nation's suppliers, kept only above a fraction of the national total.
+    The scalar total is a single-row aggregate cross-joined broadcast —
+    the per-part tier is computed ONCE and reused for both sides via
+    localCheckpoint (Catalyst has no common-subtree elimination across
+    the self-reference; a persisted tier in production)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    v = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value"))
+        .localCheckpoint()
+    )
+    total = v.agg(dsum(F.col("part_value")).alias("_total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("_total") * 0.001)
+        .select("l_partkey", "part_value")
+    )
