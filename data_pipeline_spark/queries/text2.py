@@ -384,3 +384,41 @@ def h01_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+@query(
+    "f16_wkt_emit_clamped",
+    oracle="""
+    SELECT c_custkey,
+           'POINT ( ' ||
+           (CASE WHEN lon = 180 THEN '179.75'
+                 WHEN lon = -180 THEN '-179.75'
+                 WHEN lon = 90 THEN '89.75'
+                 WHEN lon = -90 THEN '-89.75'
+                 ELSE CAST(lon AS VARCHAR) END) || ' ' ||
+           (CASE WHEN lat = 90 THEN '89.75'
+                 WHEN lat = -90 THEN '-89.75'
+                 ELSE CAST(lat AS VARCHAR) END) || ' )' AS wkt
+    FROM (SELECT c_custkey,
+                 (c_custkey * 7) % 361 - 180 AS lon,
+                 (c_custkey * 3) % 181 - 90 AS lat
+          FROM customer)
+    """,
+    survey="F16,F18",
+)
+def f16_wkt_emit_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16+F18 through the driver gate: WKT point emission with
+    projection-safe coordinate clamping (180 -> 179.75 etc.), over
+    synthesized lon/lat that deliberately hit every boundary value. The
+    clamp is string-wide like the reference's (a +-90 longitude clamps
+    too — the WKT text doesn't know axes). The oracle states the expected
+    output literally (golden form — DuckDB's RE2 has no lookbehind, so it
+    can't replicate the clamp regex)."""
+    from ..functions.geometry import clamp_coords, wkt_point
+
+    c = load_table(spark, sf_dir, "customer")
+    lon = (F.col("c_custkey") * 7) % 361 - 180
+    lat = (F.col("c_custkey") * 3) % 181 - 90
+    return c.select(
+        "c_custkey", clamp_coords(wkt_point(lon, lat)).alias("wkt")
+    )
