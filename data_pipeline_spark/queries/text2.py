@@ -422,3 +422,30 @@ def f16_wkt_emit_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey", clamp_coords(wkt_point(lon, lat)).alias("wkt")
     )
+
+
+@query(
+    "f17_rdp_simplify",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 2 = 0
+                THEN 'LINESTRING ( 0.0 0.0, 2.0 0.0, 3.0 5.0 )'
+                ELSE 'LINESTRING ( 0.0 0.0, 1.0 1.0, 2.0 0.0, 3.0 5.0 )'
+           END AS simplified
+    FROM customer
+    """,
+    survey="F17,F19",
+)
+def f17_rdp_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 through the driver gate: Ramer-Douglas-Peucker polyline
+    simplification (vectorized Arrow UDF over WKT text). Even keys carry
+    a collinear middle point (dropped at epsilon 0.01); odd keys a real
+    vertex (kept). Golden oracle — RDP is not SQL-expressible."""
+    from ..functions.geometry import simplify_wkt_udf
+
+    c = load_table(spark, sf_dir, "customer")
+    dev = F.when(F.col("c_custkey") % 2 == 0, "0.0").otherwise("1.0")
+    wkt = F.concat(
+        F.lit("LINESTRING ( 0.0 0.0, 1.0 "), dev, F.lit(", 2.0 0.0, 3.0 5.0 )")
+    )
+    return c.select("c_custkey", simplify_wkt_udf()(wkt).alias("simplified"))
