@@ -449,3 +449,54 @@ def f17_rdp_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("LINESTRING ( 0.0 0.0, 1.0 "), dev, F.lit(", 2.0 0.0, 3.0 5.0 )")
     )
     return c.select("c_custkey", simplify_wkt_udf()(wkt).alias("simplified"))
+
+
+@query(
+    "f19_geometry_pick_best",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 3 = 0
+                THEN 'POLYGON (( 0 0, 2 0, 2 2, 0 2, 0 0 ))'
+                WHEN c_custkey % 3 = 1
+                THEN 'POINT ( 1.5 2.5 )'
+                ELSE 'POINT ( 1.50 2.5 )'
+           END AS best_wkt
+    FROM customer
+    """,
+    survey="F19,A7",
+)
+def f19_geometry_pick_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19/A7 geometry pick-best through the driver gate: each row carries
+    two candidate WKTs and the merge fold's scoring (parseable > polygon >
+    point > junk, then vertices/precision) elects the winner inside a
+    vectorized Arrow UDF. Candidates rotate by key: polygon-vs-point
+    (polygon wins), point-vs-junk (point wins), point-vs-point
+    (higher written precision wins — trailing zeros count, as in the
+    reference's text-based scoring). Golden oracle — the score is a
+    Python tuple order, not SQL."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.geometry import geometry_score
+
+    def _pick(a, b):
+        return pd.Series(
+            [x if geometry_score(x) >= geometry_score(y) else y for x, y in zip(a, b)]
+        )
+
+    _pick.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    pick = pandas_udf(_pick, "string")
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cand_a = (
+        F.when(k % 3 == 0, "POINT ( 1 1 )")
+        .when(k % 3 == 1, "not a geometry")
+        .otherwise("POINT ( 1.5 2.5 )")
+    )
+    cand_b = (
+        F.when(k % 3 == 0, "POLYGON (( 0 0, 2 0, 2 2, 0 2, 0 0 ))")
+        .when(k % 3 == 1, "POINT ( 1.5 2.5 )")
+        .otherwise("POINT ( 1.50 2.5 )")
+    )
+    return c.select("c_custkey", pick(cand_a, cand_b).alias("best_wkt"))
