@@ -500,3 +500,52 @@ def f19_geometry_pick_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("POINT ( 1.50 2.5 )")
     )
     return c.select("c_custkey", pick(cand_a, cand_b).alias("best_wkt"))
+
+
+@query(
+    "f20_xpath_patches",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 3 = 0
+                THEN '{"id": "c' || c_custkey || '", "nums": [1, 2, 3]}'
+                WHEN c_custkey % 3 = 1
+                THEN '{"id": "c' || c_custkey || '", "note": "hello", "nums": [1, 9, 3]}'
+                ELSE '{"id": "c' || c_custkey || '", "note": "hello", "nums": [1, 2, 3]}'
+           END AS patched
+    FROM customer
+    """,
+    survey="F20,U3",
+)
+def f20_xpath_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20/U3 through the driver gate: data-driven DELETE/UPDATE record
+    patches (pipeline/patches.apply_patches — broadcast-joined config,
+    Arrow batch pass). Rotation: DELETE a field, UPDATE a list element by
+    index, and a missing-path no-op (which still canonicalizes the JSON).
+    Golden oracle states the patched documents literally."""
+    from ..pipeline.patches import apply_patches
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    records = c.select(
+        F.lit("srcA").alias("source"),
+        k.cast("string").alias("identifier"),
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("c"), k.cast("string")).alias("id"),
+                F.lit("hello").alias("note"),
+                F.array(F.lit(1), F.lit(2), F.lit(3)).alias("nums"),
+            )
+        ).alias("data"),
+    )
+    patches = c.select(
+        F.lit("srcA").alias("source"),
+        k.cast("string").alias("identifier"),
+        F.when(k % 3 == 0, "note").when(k % 3 == 1, "nums[1]").otherwise("missing").alias("path"),
+        F.when(k % 3 == 1, "UPDATE").otherwise("DELETE").alias("operation"),
+        F.when(k % 3 == 1, "9").otherwise(F.lit(None).cast("string")).alias("argument"),
+    )
+    out = apply_patches(records, patches)
+    return out.select(
+        F.col("identifier").cast("bigint").alias("c_custkey"),
+        F.col("data").alias("patched"),
+    )
