@@ -549,3 +549,75 @@ def f20_xpath_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("identifier").cast("bigint").alias("c_custkey"),
         F.col("data").alias("patched"),
     )
+
+
+_F01_CASES = [
+    # (input text, begin_iso, end_iso, begin_sec, end_sec) — golden outputs
+    # verified against the parser's property tests; BCE seconds are
+    # proleptic-Gregorian int64 (F7)
+    ("1984-07-13", "1984-07-13T00:00:00", "1984-07-13T23:59:59", 458524800, 458611199),
+    ("1606", "1606-01-01T00:00:00", "1606-12-31T23:59:59", -11486707200, -11455171201),
+    ("17th century", "1601-01-01T00:00:00", "1700-12-31T23:59:59", -11644473600, -8488800001),
+    ("early 18th century", "1701-01-01T00:00:00", "1733-12-31T23:59:59", -8488800000, -7447420801),
+    ("1499-03", "1499-03-01T00:00:00", "1499-03-31T23:59:59", -14858208000, -14855529601),
+    ("13.07.1984", "1984-07-13T00:00:00", "1984-07-13T23:59:59", 458524800, 458611199),
+    ("1888-1912", "1888-01-01T00:00:00", "1912-12-31T23:59:59", -2587680000, -1798761601),
+    ("19??", "1900-01-01T00:00:00", "1999-12-31T23:59:59", -2208988800, 946684799),
+    ("-0450", "-0450-01-01T00:00:00", "-0450-12-31T23:59:59", -76367836800, -76336300801),
+    ("junk date", None, None, None, None),
+]
+
+
+def _f01_oracle() -> str:
+    n = len(_F01_CASES)
+    text_case = " ".join(
+        f"WHEN {i} THEN '{t}'" for i, (t, *_f) in enumerate(_F01_CASES)
+    )
+    def col_case(j, quote):
+        whens = []
+        for i, row in enumerate(_F01_CASES):
+            v = row[j]
+            if v is None:
+                whens.append(f"WHEN {i} THEN NULL")
+            elif quote:
+                whens.append(f"WHEN {i} THEN '{v}'")
+            else:
+                whens.append(f"WHEN {i} THEN {v}")
+        return " ".join(whens)
+    return f"""
+    SELECT c_custkey,
+           CASE c_custkey % {n} {text_case} END AS raw_text,
+           CASE c_custkey % {n} {col_case(1, True)} END AS begin_iso,
+           CASE c_custkey % {n} {col_case(2, True)} END AS end_iso,
+           CAST(CASE c_custkey % {n} {col_case(3, False)} END AS BIGINT) AS begin_sec,
+           CAST(CASE c_custkey % {n} {col_case(4, False)} END AS BIGINT) AS end_sec
+    FROM customer
+    """
+
+
+@query("f01_make_datetime", oracle=_f01_oracle(), survey="F1,F2,F5,F7")
+def f01_make_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (the reference's flagship free-text date parser,
+    process/utils/mapper_utils.py:241-494) through the driver gate:
+    ISO dates, bare years, (early) century phrases, year-month, German
+    dd.mm.yyyy, year ranges, digit masks, BCE years and junk — rotated
+    over customer keys, parsed by the make_datetime column (ISO fast path
+    JVM-side, Arrow UDF tail), pinned against golden intervals incl. the
+    BCE-safe proleptic-Gregorian epoch seconds (F7)."""
+    from ..functions.dates import make_datetime
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    n = len(_F01_CASES)
+    raw = F.lit(None).cast("string")
+    for i, (t, *_rest) in enumerate(_F01_CASES):
+        raw = F.when(k % n == i, F.lit(t)).otherwise(raw)
+    parsed = make_datetime(raw)
+    return c.select(
+        "c_custkey",
+        raw.alias("raw_text"),
+        parsed.getField("begin_iso").alias("begin_iso"),
+        parsed.getField("end_iso").alias("end_iso"),
+        parsed.getField("begin_sec").alias("begin_sec"),
+        parsed.getField("end_sec").alias("end_sec"),
+    )
