@@ -621,3 +621,84 @@ def f01_make_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("begin_sec").alias("begin_sec"),
         parsed.getField("end_sec").alias("end_sec"),
     )
+
+
+@query(
+    "f09_name_variants",
+    oracle="""
+    WITH b AS (SELECT s_suppkey AS k FROM supplier)
+    SELECT uri, name_clean, priority FROM (
+        SELECT 's' || k AS uri,
+               CASE k % 3 WHEN 0 THEN 'alpha beta' || k
+                          WHEN 1 THEN 'gamma, delta' || k
+                          ELSE 'north--south' || k END AS name_clean,
+               1 AS priority
+        FROM b
+        UNION ALL
+        SELECT 's' || k,
+               CASE k % 3 WHEN 0 THEN 'beta' || k || ', alpha'
+                          WHEN 1 THEN 'delta' || k || ' gamma'
+                          ELSE 'north (south' || k || ')' END,
+               11
+        FROM b
+        UNION ALL
+        SELECT 's' || k, 'south' || k || ' (north)', 11
+        FROM b WHERE k % 3 = 2
+    )
+    """,
+    survey="F9,J1",
+)
+def f09_name_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 (process/base/reconciler.py:61-166) through the driver gate:
+    person last-first inversion, comma un-inversion, and place A--B
+    parenthesized forms, each at priority+10 so direct names outrank
+    variants in election. Golden oracle enumerates the exact widened
+    relation."""
+    from ..pipeline.envelope import name_variants
+
+    s = load_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    name = (
+        F.when(k % 3 == 0, F.concat(F.lit("alpha beta"), k.cast("string")))
+        .when(k % 3 == 1, F.concat(F.lit("gamma, delta"), k.cast("string")))
+        .otherwise(F.concat(F.lit("north--south"), k.cast("string")))
+    )
+    names = s.select(
+        F.concat(F.lit("s"), k.cast("string")).alias("uri"),
+        F.lit("srcA").alias("source"),
+        k.cast("string").alias("identifier"),
+        F.when(k % 3 == 2, "Place").otherwise("Person").alias("rectype"),
+        name.alias("name_clean"),
+        F.lit(1).alias("priority"),
+    )
+    return name_variants(names).select("uri", "name_clean", "priority")
+
+
+@query(
+    "f14_strip_html",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(
+               regexp_replace('<p>Doc ' || doc_id || ' &amp; <b>more</b>&nbsp;text</p>',
+                              '<[^>]*>', ' ', 'g'),
+               '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '),
+             '\\s+', ' ', 'g')) AS clean
+    FROM documents
+    """,
+    survey="F14",
+)
+def f14_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 through the driver gate: tag removal + common-entity unescape +
+    whitespace collapse (the declarative subset of the reference's
+    BeautifulSoup strip, marklogic/mapper.py:138-148) over synthesized
+    HTML fragments. Both engines run the same regex pipeline (RE2-safe
+    constructs only)."""
+    from ..functions.strings import strip_html
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<p>Doc "), F.col("doc_id").cast("string"),
+        F.lit(" &amp; <b>more</b>&nbsp;text</p>"),
+    )
+    return docs.select("doc_id", strip_html(html).alias("clean"))
