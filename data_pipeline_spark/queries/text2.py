@@ -702,3 +702,81 @@ def f14_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" &amp; <b>more</b>&nbsp;text</p>"),
     )
     return docs.select("doc_id", strip_html(html).alias("clean"))
+
+
+@query(
+    "a01_merge_fold",
+    oracle="""
+    SELECT 'y' || c_custkey AS yuid,
+           'Person' AS rectype,
+           2 AS n_names,
+           'Name ' || c_custkey AS first_name,
+           'stmt ' || c_custkey AS statement,
+           2 AS n_equivalents
+    FROM customer
+    """,
+    survey="A1,A2,A3,A4,W2",
+)
+def a01_merge_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The record-merge fold (A1 family, process/merger.py:670-1022)
+    through the driver gate: two co-referent records per entity fold via
+    merge_by_yuid (groupBy + applyInPandas) — name dedupe by normalized
+    content (A3: the case/whitespace duplicate collapses), copy-if-absent
+    statements (A4), equivalent set-union by id (A2), merge order fixing
+    the base (W2). The golden oracle pins the observable fold outcome
+    per entity."""
+    import json as _json
+
+    from ..pipeline.merge_records import merge_by_yuid
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("string")
+    yuid = F.concat(F.lit("y"), k)
+    rec1 = F.to_json(
+        F.struct(
+            yuid.alias("id"),
+            F.lit("Person").alias("type"),
+            F.concat(F.lit("Name "), k).alias("_label"),
+            F.array(
+                F.struct(F.lit("Name").alias("type"), F.concat(F.lit("Name "), k).alias("content")),
+                F.struct(F.lit("Name").alias("type"), F.concat(F.lit("NAME  "), k).alias("content")),
+            ).alias("identified_by"),
+            F.array(
+                F.struct(F.concat(F.lit("e1-"), k).alias("id"))
+            ).alias("equivalent"),
+        )
+    )
+    rec2 = F.to_json(
+        F.struct(
+            yuid.alias("id"),
+            F.lit("Person").alias("type"),
+            F.array(
+                F.struct(F.lit("Name").alias("type"), F.concat(F.lit("Alt "), k).alias("content")),
+            ).alias("identified_by"),
+            F.array(
+                F.struct(F.lit("LinguisticObject").alias("type"), F.concat(F.lit("stmt "), k).alias("content")),
+            ).alias("referred_to_by"),
+            F.array(
+                F.struct(F.concat(F.lit("e1-"), k).alias("id")),
+                F.struct(F.concat(F.lit("e2-"), k).alias("id")),
+            ).alias("equivalent"),
+        )
+    )
+    recs = c.select(yuid.alias("yuid"), F.lit("srcA").alias("source"), k.alias("identifier"), rec1.alias("data")).unionByName(
+        c.select(yuid.alias("yuid"), F.lit("extY").alias("source"), k.alias("identifier"), rec2.alias("data"))
+    )
+    merged = merge_by_yuid(recs, {"srcA": 0, "extY": 50})
+    doc = F.from_json(
+        "data",
+        "identified_by array<struct<type:string,content:string>>, "
+        "referred_to_by array<struct<type:string,content:string>>, "
+        "equivalent array<struct<id:string>>",
+    )
+    return merged.select(
+        "yuid",
+        "rectype",
+        F.size(doc.getField("identified_by")).alias("n_names"),
+        F.element_at(doc.getField("identified_by"), 1).getField("content").alias("first_name"),
+        F.element_at(doc.getField("referred_to_by"), 1).getField("content").alias("statement"),
+        F.size(doc.getField("equivalent")).alias("n_equivalents"),
+    )
