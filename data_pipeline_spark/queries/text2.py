@@ -780,3 +780,48 @@ def a01_merge_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(doc.getField("referred_to_by"), 1).getField("content").alias("statement"),
         F.size(doc.getField("equivalent")).alias("n_equivalents"),
     )
+
+
+@query(
+    "j08_reidentify",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS identifier,
+           'yuid-' || c_custkey AS yuid,
+           '{"id": "yuid-' || c_custkey
+           || '", "knows": "yuid-' || (c_custkey % 100)
+           || '", "outside": "https://elsewhere.example/x' || c_custkey || '"}'
+             AS data
+    FROM customer
+    """,
+    survey="J8,F22",
+)
+def j08_reidentify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 reidentification through the driver gate: every known URI in a
+    document rewrites to its yuid via extract-join-reassemble (the idmap
+    is JOINED, never broadcast — pipeline/reidentify.py); URIs absent
+    from the idmap pass through untouched (F22 link fixing leaves
+    unknowns for the retry tier). Golden oracle states the rewritten
+    documents."""
+    from ..pipeline.reidentify import reidentify
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("string")
+    self_uri = F.concat(F.lit("https://fixture.test/c/"), k)
+    known_ref = F.concat(F.lit("https://fixture.test/c/"), (F.col("c_custkey") % 100).cast("string"))
+    unknown_ref = F.concat(F.lit("https://elsewhere.example/x"), k)
+    data = F.concat(
+        F.lit('{"id": "'), self_uri,
+        F.lit('", "knows": "'), known_ref,
+        F.lit('", "outside": "'), unknown_ref, F.lit('"}'),
+    )
+    records = c.select(
+        F.lit("srcA").alias("source"),
+        k.alias("identifier"),
+        F.lit("Person").alias("rectype"),
+        data.alias("data"),
+    )
+    idmap = c.select(
+        F.concat(F.lit("https://fixture.test/c/"), k).alias("qua_uri"),
+        F.concat(F.lit("yuid-"), k).alias("yuid"),
+    )
+    return reidentify(records, idmap).select("identifier", "yuid", "data")
