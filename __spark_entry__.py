@@ -2,11 +2,14 @@
 
 entry(spark)   -> flagship query DataFrame on sf0.001
 queries()      -> {name: fn(spark, sf_dir) -> DataFrame} for SURVEY §2 ops
-                  (96 declared queries spanning scans, joins, aggregations,
-                  windows/pivot/rollup/cube, set ops, scalar fns, graph
-                  closure/BFS, search DSL, CDC/sessionization,
-                  dedup/MinHash/SimHash/corpus-clean, ANN, multimodal,
-                  text analysis — see README.md's coverage matrix)
+                  (113 declared queries spanning scans, joins, aggregations,
+                  windows/pivot/rollup/cube/grouping-sets, set ops, scalar
+                  fns incl. the F1 date parser and geometry family, graph
+                  closure/BFS, search DSL, CDC/sessionization, as-of and
+                  range joins, dedup/MinHash/SimHash/winnowing/corpus-clean,
+                  ANN, multimodal features + frame sampling, text analysis,
+                  the record-merge fold and reidentification — see
+                  README.md's coverage matrix)
 oracle_sql()   -> {name: DuckDB SQL} correctness oracles (same column names)
 """
 
