@@ -825,3 +825,61 @@ def j08_reidentify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("yuid-"), k).alias("yuid"),
     )
     return reidentify(records, idmap).select("identifier", "yuid", "data")
+
+
+@query(
+    "x02_facet_extraction",
+    oracle="""
+    SELECT 'y' || c_custkey AS yuid,
+           'Person' AS dataType,
+           TRUE AS hasName,
+           c_custkey % 2 = 0 AS hasGeometry,
+           c_custkey % 3 = 0 AS hasEquivalents,
+           CAST(c_custkey % 4 AS INT) AS nStatements
+    FROM customer
+    """,
+    survey="X2",
+)
+def x02_facet_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 facet columns through the driver gate (pipeline/edges.
+    extract_facets): per-entity booleans/counts derived in one typed-doc
+    pass over synthesized documents rotating geometry presence,
+    equivalents, and statement counts. Golden oracle."""
+    from ..pipeline.edges import extract_facets
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    n_stmt = (k % 4).cast("int")
+    # sequence(1, 0) DESCENDS in Spark (implicit -1 step) — guard empties
+    stmts = F.when(
+        n_stmt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_stmt),
+            lambda i: F.struct(
+                F.lit("LinguisticObject").alias("type"),
+                F.concat(F.lit("s"), i.cast("string")).alias("content"),
+            ),
+        ),
+    ).otherwise(F.expr("array() :: array<struct<type:string,content:string>>"))
+    doc = F.to_json(
+        F.struct(
+            F.concat(F.lit("y"), ks).alias("id"),
+            F.lit("Person").alias("type"),
+            F.array(
+                F.struct(F.lit("Name").alias("type"), F.concat(F.lit("N"), ks).alias("content"))
+            ).alias("identified_by"),
+            F.when(k % 2 == 0, F.lit("POINT ( 1 2 )")).alias("defined_by"),
+            F.when(
+                k % 3 == 0,
+                F.array(F.struct(F.concat(F.lit("e"), ks).alias("id"))),
+            ).otherwise(F.array().cast("array<struct<id:string>>")).alias("equivalent"),
+            stmts.alias("referred_to_by"),
+        )
+    )
+    merged = c.select(
+        F.concat(F.lit("y"), ks).alias("yuid"),
+        F.lit("Person").alias("rectype"),
+        doc.alias("data"),
+    )
+    return extract_facets(merged)
