@@ -203,3 +203,98 @@ def rj01_inflight_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = orders.select(F.col("o_orderdate").alias("d")).distinct()
     joined = range_join(days, li, "d", "l_shipdate", "l_receiptdate")
     return joined.groupBy("d").agg(F.count(F.lit(1)).alias("n_in_flight"))
+
+
+@query(
+    "r04_apply_changes",
+    oracle="""
+    SELECT 'u' || c_custkey AS object_uri,
+           CASE
+             -- k%4=0: update with fresher payload -> replaced
+             WHEN c_custkey % 4 = 0 THEN 'v2'
+             -- k%4=1: delete WITH inbound reference -> vetoed, row survives
+             WHEN c_custkey % 4 = 1 THEN 'v1'
+             -- k%4=3: stale update (older than cache) -> kept cache row
+             ELSE 'v1'
+           END AS v
+    FROM customer
+    WHERE c_custkey % 4 <> 2  -- k%4=2: unreferenced delete -> row gone
+    """,
+    survey="R4,R6,R8,K3",
+)
+def r04_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change-application semantics (streaming/ingest.apply_changes)
+    through the driver gate: fresher updates replace (R6), stale updates
+    are skipped (R6), deletes cascade ONLY when nothing references the
+    target (R4/R8 inbound-reference veto via edges anti-join). One
+    synthesized cache/feed/edges triple per customer key, golden
+    survivors."""
+    from ..streaming.ingest import apply_changes
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    uri = F.concat(F.lit("u"), k.cast("string"))
+    cache = c.select(
+        uri.alias("object_uri"),
+        F.lit("2026-01-15 00:00:00").cast("timestamp").alias("record_time"),
+        F.lit("v1").alias("data"),
+    )
+    changes = c.select(
+        k.alias("seq"),
+        F.when(k % 4 == 3, "2026-01-01 00:00:00")
+        .otherwise("2026-02-01 00:00:00")
+        .cast("timestamp")
+        .alias("end_time"),
+        F.when(k % 4 == 0, "update")
+        .when(k % 4 == 3, "update")
+        .otherwise("delete")
+        .alias("change"),
+        uri.alias("object_uri"),
+        F.when(k % 4 == 0, "v2").when(k % 4 == 3, "v0").alias("payload"),
+    )
+    # inbound reference protects k%4==1 targets only
+    edges = (
+        c.filter(k % 4 == 1)
+        .select(
+            F.lit("subj").alias("subject"),
+            F.lit("refers").alias("predicate"),
+            uri.alias("object"),
+        )
+    )
+    out = apply_changes(cache, changes, edges=edges)
+    return out.select("object_uri", F.col("data").alias("v"))
+
+
+@query(
+    "k01_upsert_merge",
+    oracle="""
+    SELECT 'k' || c_custkey AS key,
+           CASE WHEN c_custkey % 3 = 0 THEN 'new' ELSE 'old' END AS v
+    FROM customer
+    UNION ALL
+    SELECT 'extra' || c_custkey, 'new' FROM customer WHERE c_custkey % 5 = 0
+    """,
+    survey="K1,K2",
+)
+def k01_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 upsert semantics (sinks/exports.merge_upsert — the engine's
+    INSERT..ON CONFLICT DO UPDATE) through the driver gate: same-key rows
+    are replaced by updates, unmatched keys survive, brand-new keys
+    insert. Golden union oracle."""
+    from ..sinks.exports import merge_upsert
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    key = F.concat(F.lit("k"), k.cast("string"))
+    existing = c.select(key.alias("key"), F.lit("old").alias("v"))
+    updates = (
+        c.filter(k % 3 == 0)
+        .select(key.alias("key"), F.lit("new").alias("v"))
+        .unionByName(
+            c.filter(k % 5 == 0).select(
+                F.concat(F.lit("extra"), k.cast("string")).alias("key"),
+                F.lit("new").alias("v"),
+            )
+        )
+    )
+    return merge_upsert(existing, updates, "key")
