@@ -883,3 +883,39 @@ def x02_facet_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc.alias("data"),
     )
     return extract_facets(merged)
+
+
+@query(
+    "f13_canonicalize_uri",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 3 = 0
+                THEN 'https://new.example/entity/r' || c_custkey
+                WHEN c_custkey % 3 = 1
+                THEN 'https://new.example/agents/r' || c_custkey
+                ELSE 'https://other.example/r' || c_custkey
+           END AS canonical
+    FROM customer
+    """,
+    survey="F13,F12",
+)
+def f13_canonicalize_uri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 through the driver gate: prefix-rewrite canonicalization with
+    longest-match-first precedence (the more specific /old/agents prefix
+    must win over /old even though both match) plus the F12 identifier
+    cleanup (trailing .html strip). Golden oracle."""
+    from ..functions.strings import canonicalize_uri
+
+    rewrites = {
+        "https://old.example/": "https://new.example/entity/",
+        "https://old.example/agents/": "https://new.example/agents/",
+    }
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    dirty = (
+        F.when(k % 3 == 0, F.concat(F.lit("https://old.example/r"), ks, F.lit(".html")))
+        .when(k % 3 == 1, F.concat(F.lit("https://old.example/agents/r"), ks))
+        .otherwise(F.concat(F.lit("https://other.example/r"), ks))
+    )
+    return c.select("c_custkey", canonicalize_uri(dirty, rewrites).alias("canonical"))
