@@ -36,9 +36,17 @@ def validate_records(records: DataFrame) -> DataFrame:
     parseable document, id present, known class, type agrees with the
     envelope's rectype, names have content, equivalents carry ids."""
     docs = records if "doc" in records.columns else with_doc(records)
+    # from_json is PERMISSIVE: malformed input yields an all-null struct,
+    # NOT a null doc — so "unparseable" must probe the raw string with
+    # try_parse_json (null doc still counts: null/absent data).
+    unparseable = F.col("doc").isNull()
+    if "data" in docs.columns:
+        unparseable = unparseable | (
+            F.col("data").isNotNull() & F.try_parse_json(F.col("data")).isNull()
+        )
     checks = [
-        _rule(F.col("doc").isNull(), "unparseable document"),
-        _rule(F.col("doc").isNotNull() & F.col("doc.id").isNull(), "missing id"),
+        _rule(unparseable, "unparseable document"),
+        _rule(~unparseable & F.col("doc").isNotNull() & F.col("doc.id").isNull(), "missing id"),
         _rule(
             F.col("doc.type").isNotNull() & ~F.col("doc.type").isin(*OK_RECORD_TYPES),
             "unknown record type",

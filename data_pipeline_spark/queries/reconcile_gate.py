@@ -1,0 +1,244 @@
+"""Driver-gated golden-oracle queries for the reconcile/identity family
+(SURVEY §2.4 J1/J3/J4/J7 + §1.4 P2).
+
+These pipeline operators are pure DataFrame transforms with no direct SQL
+twin over the test tables, so each query synthesizes deterministic inputs
+from customer keys (the established golden-oracle pattern: inputs are
+k-rotations, the oracle states the expected outputs literally) and runs the
+REAL pipeline function — the gate fails if the operator's semantics drift.
+
+Reference parity targets (in /root/reference):
+- J1/W4 candidate vote election: process/base/reconciler.py:197-274
+- J3/J4 curated constraints: sources/lux/final/reconciler.py:21-55
+- J7 deterministic minting: storage/idmap/redis.py:212-311 (restated
+  uuid5-of-min-member, pipeline/idmap.py)
+- P2 validation: process/validator.py:10-80
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+# J7 golden yuids: uuid5(NAMESPACE_URL, "h{g}") for every possible hub —
+# computed with the stdlib so the oracle literally states the RFC-4122
+# bytes the JVM-side sha1 construction must reproduce.
+_HUB_VALUES = ",".join(
+    f"({g}, '{uuid.uuid5(uuid.NAMESPACE_URL, f'h{g}')}')" for g in range(200)
+)
+
+
+@query(
+    "j01_name_vote_election",
+    oracle="""
+    SELECT 'u' || c_custkey AS src_uri,
+           'https://fixture.test/idx/t'
+             || (CASE WHEN c_custkey % 3 = 0 THEN (c_custkey + 1) % 50
+                      ELSE c_custkey % 50 END) AS dst_uri,
+           'Person' AS rectype,
+           'name' AS provenance
+    FROM customer
+    """,
+    survey="J1,W4,P3",
+)
+def j01_name_vote_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 name-equality join + W4 candidate vote election through the
+    driver gate.  Every record carries a priority-1 name n{k%50}; records
+    with k%3==0 carry TWO lower-priority names for n{(k+1)%50}, so the
+    vote count (2 votes) must beat the better priority (W4: most votes,
+    then best priority, then identifier).  The index contains same-source
+    poison rows (P3 not-self-source gate) and wrong-rectype poison rows
+    (type must match) that must produce no edges."""
+    from ..pipeline.reconcile import name_join
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    uri = F.concat(F.lit("u"), ks)
+
+    def name_row(df, name_col, prio):
+        return df.select(
+            uri.alias("uri"),
+            F.lit("srcA").alias("source"),
+            F.lit("Person").alias("rectype"),
+            name_col.alias("name_clean"),
+            F.lit(prio).alias("priority"),
+        )
+
+    n_self = F.concat(F.lit("n"), (k % 50).cast("string"))
+    n_next = F.concat(F.lit("n"), ((k + 1) % 50).cast("string"))
+    names = (
+        name_row(c, n_self, 1)
+        .unionByName(name_row(c, n_next, 2))
+        .unionByName(name_row(c.filter(k % 3 == 0), n_next, 3))
+    )
+
+    i = F.col("id").cast("string")
+    r = spark.range(50)
+
+    def idx_rows(source, target_prefix, rectype):
+        return r.select(
+            F.lit(source).alias("source"),
+            F.concat(F.lit("n"), i).alias("name_clean"),
+            F.concat(F.lit(target_prefix), i).alias("target_identifier"),
+            F.lit(rectype).alias("rectype"),
+        )
+
+    name_index = (
+        idx_rows("idx", "t", "Person")
+        .unionByName(idx_rows("srcA", "x", "Person"))  # self-source poison
+        .unionByName(idx_rows("idx2", "g", "Group"))  # wrong-type poison
+    )
+    return name_join(names, name_index)
+
+
+@query(
+    "j03_constraint_veto",
+    oracle="""
+    SELECT 'u' || c_custkey AS src_uri,
+           'v' || (c_custkey % 100) AS dst_uri,
+           'Person' AS rectype,
+           'name' AS provenance
+    FROM customer
+    WHERE c_custkey % 7 <> 0 AND c_custkey % 11 <> 0
+    UNION ALL
+    SELECT 's' || c_custkey, 't' || c_custkey, CAST(NULL AS VARCHAR), 'sameAs'
+    FROM customer WHERE c_custkey < 10
+    """,
+    survey="J3,J4",
+)
+def j03_constraint_veto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 differentFrom veto + J4 curated sameAs union through the driver
+    gate.  Edges u{k}->v{k%100}; curated differentFrom pairs are stated
+    FORWARD for k%7==0 and REVERSED for k%11==0 — both directions must
+    veto (the anti-join symmetrizes the veto set).  Curated sameAs pairs
+    (k<10) must appear as edges with null rectype."""
+    from ..pipeline.reconcile import apply_constraints
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    u = F.concat(F.lit("u"), ks)
+    v = F.concat(F.lit("v"), (k % 100).cast("string"))
+
+    edges = c.select(
+        u.alias("src_uri"),
+        v.alias("dst_uri"),
+        F.lit("Person").alias("rectype"),
+        F.lit("name").alias("provenance"),
+    )
+    same_as = c.filter(k < 10).select(
+        F.concat(F.lit("s"), ks).alias("uri_a"),
+        F.concat(F.lit("t"), ks).alias("uri_b"),
+    )
+    different_from = (
+        c.filter(k % 7 == 0)
+        .select(u.alias("uri_a"), v.alias("uri_b"))
+        .unionByName(c.filter(k % 11 == 0).select(v.alias("uri_a"), u.alias("uri_b")))
+    )
+    return apply_constraints(edges, same_as, different_from)
+
+
+@query(
+    "j07_idmap_minting",
+    oracle=f"""
+    WITH expected(g, yuid) AS (VALUES {_HUB_VALUES}),
+    nodes AS (
+      SELECT 'u' || c_custkey AS qua_uri, c_custkey % 200 AS g FROM customer
+      UNION ALL
+      SELECT DISTINCT 'h' || (c_custkey % 200), c_custkey % 200 FROM customer
+    )
+    SELECT nodes.qua_uri, expected.yuid
+    FROM nodes JOIN expected ON nodes.g = expected.g
+    """,
+    survey="J7,J5",
+)
+def j07_idmap_minting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 deterministic YUID minting through the driver gate: star
+    components u{k} -> hub h{k%200}; closure labels each component with
+    its lexical-min member (the hub: 'h' < 'u'), and the idmap mints
+    uuid5(NAMESPACE_URL, label) JVM-side (sha1 + hex surgery,
+    pipeline/idmap.py).  The oracle states the stdlib uuid.uuid5 values
+    literally — byte parity or red."""
+    from ..pipeline.idmap import build_idmap
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    src = F.concat(F.lit("u"), k.cast("string"))
+    hub = F.concat(F.lit("h"), (k % 200).cast("string"))
+    edges = c.select(src.alias("src_uri"), hub.alias("dst_uri"))
+    all_uris = c.select(src.alias("uri"))
+    return build_idmap(edges, all_uris)
+
+
+@query(
+    "p02_validation_rules",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS identifier,
+           CAST(CASE c_custkey % 6 WHEN 0 THEN 0 WHEN 5 THEN 2 ELSE 1 END AS INT)
+             AS n_errors,
+           CASE c_custkey % 6
+             WHEN 0 THEN ''
+             WHEN 1 THEN 'unparseable document'
+             WHEN 2 THEN 'missing id'
+             WHEN 3 THEN 'unknown record type'
+             WHEN 4 THEN 'type/rectype mismatch'
+             ELSE 'equivalent without id|name without content'
+           END AS errs
+    FROM customer
+    """,
+    survey="P2",
+)
+def p02_validation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 semantic validation through the driver gate: records rotate
+    through the rule families by k%6 — valid, unparseable JSON, missing
+    id, unknown class, type/rectype mismatch, and a double fault (name
+    without content + equivalent without id).  Errors ride alongside the
+    record (warn-and-continue, process/validator.py:10-80); emitted
+    sorted-joined for engine-portable rendering."""
+    from ..pipeline.validate import validate_records
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    m = k % 6
+    data = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit('{"id":"u'), ks,
+                F.lit('","type":"Person","identified_by":[{"type":"Name","content":"A"}],"equivalent":[{"id":"e"}]}'),
+            ),
+        )
+        .when(m == 1, F.lit("{oops"))
+        .when(m == 2, F.lit('{"type":"Person"}'))
+        .when(m == 3, F.concat(F.lit('{"id":"u'), ks, F.lit('","type":"Banana"}')))
+        .when(m == 4, F.concat(F.lit('{"id":"u'), ks, F.lit('","type":"Person"}')))
+        .otherwise(
+            F.concat(
+                F.lit('{"id":"u'), ks,
+                F.lit('","type":"Person","identified_by":[{"type":"Name"}],"equivalent":[{}]}'),
+            )
+        )
+    )
+    rectype = (
+        F.when(m == 3, F.lit(None).cast("string"))
+        .when(m == 4, F.lit("Group"))
+        .otherwise(F.lit("Person"))
+    )
+    records = c.select(
+        F.lit("srcA").alias("source"),
+        ks.alias("identifier"),
+        rectype.alias("rectype"),
+        data.alias("data"),
+    )
+    return validate_records(records).select(
+        "identifier",
+        F.size("errors").cast("int").alias("n_errors"),
+        F.array_join(F.array_sort("errors"), "|").alias("errs"),
+    )

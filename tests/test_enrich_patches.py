@@ -260,6 +260,9 @@ def test_validate_records(spark):
         ("srcA", "noname", "Person",
          json.dumps({"id": "uri:nn", "type": "Person",
                      "identified_by": [{"type": "Name"}]})),
+        # from_json is PERMISSIVE (all-null struct, not null doc) — the
+        # unparseable rule must probe the raw string, not just doc
+        ("srcA", "garbled", "Person", "{oops"),
     ]
     records = spark.createDataFrame(
         rows, "source string, identifier string, rectype string, data string"
@@ -270,8 +273,9 @@ def test_validate_records(spark):
     assert errs["mismatch"] == ["type/rectype mismatch"]
     assert errs["noid"] == ["missing id"]
     assert errs["noname"] == ["name without content"]
+    assert errs["garbled"] == ["unparseable document"]
     valid, quarantine = split_valid(records)
-    assert valid.count() == 1 and quarantine.count() == 4
+    assert valid.count() == 1 and quarantine.count() == 5
 
 
 def test_repair_timespans(spark):
