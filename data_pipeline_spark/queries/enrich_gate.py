@@ -1,0 +1,172 @@
+"""Driver-gated golden-oracle queries for the enrichment/patch family
+(SURVEY §2.4 J12, §2.5 A8, §2.8 F3).
+
+Same golden-oracle pattern as reconcile_gate.py: deterministic synthetic
+inputs rotated over customer keys, the REAL pipeline function in the
+middle, expected outputs stated literally in the oracle SQL.
+
+Reference parity targets (in /root/reference):
+- J12 metatype enrichment: sources/lux/final/mapper.py:678-711
+- A8 primary-name election: sources/lux/final/mapper.py:366-646
+- F3 timespan repair: process/utils/mapper_utils.py:83-127
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+from .text2 import _F01_CASES
+
+
+@query(
+    "j12_metatype_join",
+    oracle="""
+    SELECT 'y' || c_custkey AS yuid, 'm' || (c_custkey % 20) AS metatype_uri
+    FROM customer WHERE c_custkey % 20 < 10
+    UNION ALL
+    SELECT 'y' || c_custkey, 'm' || ((c_custkey + 7) % 20)
+    FROM customer WHERE (c_custkey + 7) % 20 < 10
+    """,
+    survey="J12",
+)
+def j12_metatype_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 metatype enrichment through the driver gate: each record
+    classifies as c{k%20} and c{(k+7)%20}; the curated concept->metatype
+    map covers only c{0..9}, so exactly the classifications landing in
+    that range produce (yuid, metatype) rows via the broadcast join."""
+    from ..pipeline.enrich import metatype_edges
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    data = F.concat(
+        F.lit('{"id":"y'), ks,
+        F.lit('","classified_as":[{"id":"c'), (k % 20).cast("string"),
+        F.lit('"},{"id":"c'), ((k + 7) % 20).cast("string"),
+        F.lit('"}]}'),
+    )
+    merged = c.select(F.concat(F.lit("y"), ks).alias("yuid"), data.alias("data"))
+    i = F.col("id").cast("string")
+    metatypes = spark.range(10).select(
+        F.concat(F.lit("c"), i).alias("concept_uri"),
+        F.concat(F.lit("m"), i).alias("metatype_uri"),
+    )
+    return metatype_edges(merged, metatypes)
+
+
+@query(
+    "a08_primary_name_election",
+    oracle="""
+    SELECT 'y' || c_custkey AS yuid, 'en' AS lang,
+           CASE c_custkey % 4
+             WHEN 0 THEN 'Bbb' || c_custkey
+             WHEN 1 THEN 'Cc' || c_custkey
+             WHEN 2 THEN 'X' || c_custkey || 'a'
+             ELSE 'Abcdef' || c_custkey
+           END AS primary_name
+    FROM customer
+    """,
+    survey="A8,F15",
+)
+def a08_primary_name_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 primary-name election through the driver gate, one scoring rule
+    per rotation: primaryName classification beats a shorter rival (k%4==0),
+    shorter wins among equals (k%4==1), lexical tiebreak at equal length
+    (k%4==2), and all-caps acronyms are demoted below longer names
+    (k%4==3). Languages arrive as ISO 639-2 URI tails ('/eng') so the
+    F15 map must normalize them to 'en' for the window key."""
+    from ..pipeline.enrich import elect_primary_names
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    m = k % 4
+
+    def nm(content_col, primary=False):
+        cls = (
+            '"classified_as":[{"id":"http://vocab.example/primaryName"}],'
+            if primary
+            else ""
+        )
+        return F.concat(
+            F.lit('{"type":"Name",' + cls + '"language":[{"id":"http://vocab.example/lang/eng"}],"content":"'),
+            content_col,
+            F.lit('"}'),
+        )
+
+    pair = (
+        F.when(m == 0, F.concat_ws(",", nm(F.concat(F.lit("Bbb"), ks), primary=True), nm(F.concat(F.lit("Aa"), ks))))
+        .when(m == 1, F.concat_ws(",", nm(F.concat(F.lit("Dddd"), ks)), nm(F.concat(F.lit("Cc"), ks))))
+        .when(m == 2, F.concat_ws(",", nm(F.concat(F.lit("X"), ks, F.lit("b"))), nm(F.concat(F.lit("X"), ks, F.lit("a")))))
+        .otherwise(F.concat_ws(",", nm(F.lit("AB")), nm(F.concat(F.lit("Abcdef"), ks))))
+    )
+    data = F.concat(F.lit('{"id":"y'), ks, F.lit('","identified_by":['), pair, F.lit("]}"))
+    merged = c.select(F.concat(F.lit("y"), ks).alias("yuid"), data.alias("data"))
+    return elect_primary_names(merged)
+
+
+def _f03_oracle() -> str:
+    n = len(_F01_CASES)
+
+    def col_case(j, quote):
+        whens = []
+        for i, row in enumerate(_F01_CASES):
+            v = row[j]
+            if v is None:
+                whens.append(f"WHEN {i} THEN NULL")
+            elif quote:
+                whens.append(f"WHEN {i} THEN '{v}'")
+            else:
+                whens.append(f"WHEN {i} THEN {v}")
+        return " ".join(whens)
+
+    has_ts = " ".join(
+        f"WHEN {i} THEN {'FALSE' if row[1] is None else 'TRUE'}"
+        for i, row in enumerate(_F01_CASES)
+    )
+    return f"""
+    SELECT c_custkey,
+           CASE c_custkey % {n} {has_ts} END AS has_timespan,
+           CASE c_custkey % {n} {col_case(1, True)} END AS begin_iso,
+           CASE c_custkey % {n} {col_case(2, True)} END AS end_iso,
+           CAST(CASE c_custkey % {n} {col_case(3, False)} END AS BIGINT) AS begin_sec,
+           CAST(CASE c_custkey % {n} {col_case(4, False)} END AS BIGINT) AS end_sec
+    FROM customer
+    """
+
+
+@query("f03_timespan_repair", oracle=_f03_oracle(), survey="F3,F1")
+def f03_timespan_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 timespan repair through the driver gate: every document carries a
+    produced_by.timespan whose begin_of_the_begin rotates through the F1
+    golden cases; repair_timespans must rewrite each to ISO bounds +
+    BCE-safe epoch seconds and STRIP the unparseable one entirely
+    (mapper_utils.py:83-127 semantics, one Arrow pass)."""
+    from ..pipeline.patches import repair_timespans
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    n = len(_F01_CASES)
+    raw = F.lit(None).cast("string")
+    for i, (t, *_rest) in enumerate(_F01_CASES):
+        raw = F.when(k % n == i, F.lit(t)).otherwise(raw)
+    data = F.concat(
+        F.lit('{"id":"u'), ks,
+        F.lit('","produced_by":{"timespan":{"begin_of_the_begin":"'), raw,
+        F.lit('"}}}'),
+    )
+    records = c.select(ks.alias("identifier"), data.alias("data"))
+    repaired = repair_timespans(records)
+    ts = F.get_json_object("data", "$.produced_by.timespan")
+    return repaired.select(
+        F.col("identifier").cast("int").alias("c_custkey"),
+        ts.isNotNull().alias("has_timespan"),
+        F.get_json_object("data", "$.produced_by.timespan.begin_of_the_begin").alias("begin_iso"),
+        F.get_json_object("data", "$.produced_by.timespan.end_of_the_end").alias("end_iso"),
+        F.get_json_object("data", "$.produced_by.timespan._seconds_since_epoch_begin").cast("bigint").alias("begin_sec"),
+        F.get_json_object("data", "$.produced_by.timespan._seconds_since_epoch_end").cast("bigint").alias("end_sec"),
+    )
