@@ -324,15 +324,19 @@ def d13_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash (16-bit, word-level)
+# SimHash (32-bit, word-level)
 # ---------------------------------------------------------------------------
-N_BITS = 16
+N_BITS = 32
 HAMMING_T = 3
 
 
 def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash): 16-bit word-level SimHash. Bit j of a word's md5-hex
-    prefix votes +1/-1; the sign of each bit-sum forms the fingerprint."""
+    """(id, simhash): 32-bit word-level SimHash. Bit j of a word's md5-hex
+    prefix votes +1/-1; the sign of each bit-sum forms the fingerprint.
+    32 bits (not 16): at 100TB the fingerprint must discriminate — a
+    16-bit hash leaves only 16 values per 4-bit band, so candidate
+    buckets grow quadratically dense; 8-bit bands give 256 values and
+    ~16x sparser buckets for the same pigeonhole-exact guarantee."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     words = (
         docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("w"))
@@ -379,7 +383,7 @@ SIMHASH_ORACLE = f"""
 """
 
 
-N_SEGMENTS = 4  # 16 bits -> 4 segments of 4 bits; Hamming<=3 => >=1 equal
+N_SEGMENTS = 4  # 32 bits -> 4 segments of 8 bits; Hamming<=3 => >=1 equal
 
 
 def simhash_candidates(sims: DataFrame) -> DataFrame:
@@ -388,7 +392,7 @@ def simhash_candidates(sims: DataFrame) -> DataFrame:
     all 4 segments, so every qualifying pair shares >=1 (segment_idx,
     segment_value) bucket — identical results to the all-pairs form while
     the only join key is the bucket: ~n*4 rows each side, never a theta
-    self-join."""
+    self-join. 8-bit segments keep buckets sparse (256 values each)."""
     seg_bits = N_BITS // N_SEGMENTS
     segs = None
     for s in range(N_SEGMENTS):
@@ -401,9 +405,9 @@ def simhash_candidates(sims: DataFrame) -> DataFrame:
         segs = one if segs is None else segs.unionAll(one)
     a, b = segs.alias("a"), segs.alias("b")
     # Hamming verify INSIDE the candidate select, BEFORE dedupe: the
-    # bucket join emits ~16x more candidate rows than survivors (4-bit
-    # segments are coarse), and bit_count+filter in codegen is far cheaper
-    # than pushing the full candidate volume through a distinct.
+    # bucket join emits more candidate rows than survivors, and
+    # bit_count+filter in codegen is far cheaper than pushing the full
+    # candidate volume through a distinct.
     hamming = F.bit_count(F.expr("a.simhash ^ b.simhash"))
     return (
         a.join(
@@ -424,7 +428,7 @@ def simhash_candidates(sims: DataFrame) -> DataFrame:
 
 @query("d08_simhash_pairs", oracle=SIMHASH_ORACLE, survey="dedup-simhash")
 def d08_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 16-bit fingerprints, Hamming distance <= 3.
+    """SimHash near-dup pairs: 32-bit fingerprints, Hamming distance <= 3.
     Scale path: segment-banded candidate join (pigeonhole-exact superset,
     see simhash_candidates) + Hamming verify on candidates only — same
     results as the all-pairs oracle, no O(n^2) self-join in the plan.
