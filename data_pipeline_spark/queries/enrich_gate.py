@@ -108,6 +108,65 @@ def a08_primary_name_election(spark: SparkSession, sf_dir: str) -> DataFrame:
     return elect_primary_names(merged)
 
 
+def _wd_str_claims(pids) -> str:
+    return ",".join(
+        f'"{p}":[{{"mainsnak":{{"datavalue":{{"value":"x"}}}}}}]' for p in pids
+    )
+
+
+def _wd_p31(qid: str) -> str:
+    return f'"P31":[{{"mainsnak":{{"datavalue":{{"value":{{"id":"{qid}"}}}}}}}}]'
+
+
+@query(
+    "f23_guess_type",
+    oracle="""
+    SELECT c_custkey,
+           CASE c_custkey % 6
+             WHEN 0 THEN 'Person'
+             WHEN 1 THEN '__abort__'
+             WHEN 2 THEN 'Person'
+             WHEN 3 THEN 'Activity'
+             WHEN 4 THEN 'Type'
+             ELSE 'Language'
+           END AS rectype
+    FROM customer
+    """,
+    survey="F23,U1",
+)
+def f23_guess_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F23 record-type guessing (wikidata mapper, reference
+    sources/general/wikidata/mapper.py:121-296) through the driver gate,
+    one decision path per rotation: P31 instance-of lookup (Q5->Person),
+    the disambiguation-page abort sentinel (Q4167410), the property
+    smell test (3 person props beat everything), the family-ORDER
+    tie-break (P580+P582 score 2 for both activity and period; activity
+    is declared first and must win), the Type default (no matching
+    props), and unknown-P31 falling through to the smell test."""
+    from ..sources.wikidata import _SCHEMA_ENT, _SCHEMA_STR, guess_type
+
+    cases = [
+        '{"id":"Q1","claims":{' + _wd_p31("Q5") + "}}",
+        '{"id":"Q1","claims":{' + _wd_p31("Q4167410") + "}}",
+        '{"id":"Q1","claims":{' + _wd_str_claims(["P569", "P570", "P102"]) + "}}",
+        '{"id":"Q1","claims":{' + _wd_str_claims(["P580", "P582"]) + "}}",
+        '{"id":"Q1","claims":{' + _wd_str_claims(["P999"]) + "}}",
+        '{"id":"Q1","claims":{' + _wd_p31("Q999999") + "," + _wd_str_claims(["P218"]) + "}}",
+    ]
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    value = F.lit(None).cast("string")
+    for i, line in enumerate(cases):
+        value = F.when(k % 6 == i, F.lit(line)).otherwise(value)
+    df = c.select("c_custkey", value.alias("value"))
+    doc = F.from_json("value", _SCHEMA_STR)
+    ent = F.from_json("value", _SCHEMA_ENT)
+    return df.select(
+        "c_custkey",
+        guess_type(doc.getField("claims"), ent.getField("claims")).alias("rectype"),
+    )
+
+
 def _f03_oracle() -> str:
     n = len(_F01_CASES)
 
