@@ -177,6 +177,59 @@ def j07_idmap_minting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "p05_merge_veto",
+    oracle="""
+    SELECT 'y' || c_custkey AS yuid,
+           'B' || c_custkey AS base_name,
+           CASE WHEN c_custkey % 2 = 0 THEN 'S0' END AS stmt
+    FROM customer
+    """,
+    survey="P5,A1",
+)
+def p05_merge_veto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 should_merge veto hooks through the driver gate
+    (process/merger.py:926-958): every yuid folds a srcA base (name only)
+    with a srcB candidate carrying a statement S{k%2}; srcB's
+    should_merge_from hook vetoes candidates whose statement is S1, so
+    odd keys must fold WITHOUT the candidate's contribution while even
+    keys keep it — the veto observably changes the merge outcome."""
+    from ..pipeline.merge_records import merge_by_yuid
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    yuid = F.concat(F.lit("y"), ks)
+    base = F.concat(
+        F.lit('{"id":"y'), ks,
+        F.lit('","type":"Person","identified_by":[{"type":"Name","content":"B'), ks,
+        F.lit('"}]}'),
+    )
+    cand = F.concat(
+        F.lit('{"id":"y'), ks,
+        F.lit('","type":"Person","referred_to_by":[{"type":"LinguisticObject","content":"S'),
+        (k % 2).cast("string"), F.lit('"}]}'),
+    )
+    recs = c.select(
+        yuid.alias("yuid"), F.lit("srcA").alias("source"), ks.alias("identifier"), base.alias("data")
+    ).unionByName(
+        c.select(yuid.alias("yuid"), F.lit("srcB").alias("source"), ks.alias("identifier"), cand.alias("data"))
+    )
+    vetoes = {
+        "srcB": {
+            "should_merge_from": lambda base_doc, cand_doc: (
+                (cand_doc.get("referred_to_by") or [{}])[0].get("content") != "S1"
+            )
+        }
+    }
+    merged = merge_by_yuid(recs, {"srcA": 0, "srcB": 50}, vetoes=vetoes)
+    return merged.select(
+        "yuid",
+        F.get_json_object("data", "$.identified_by[0].content").alias("base_name"),
+        F.get_json_object("data", "$.referred_to_by[0].content").alias("stmt"),
+    )
+
+
+@query(
     "p02_validation_rules",
     oracle="""
     SELECT CAST(c_custkey AS VARCHAR) AS identifier,
