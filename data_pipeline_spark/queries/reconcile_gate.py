@@ -98,6 +98,49 @@ def j01_name_vote_election(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j02_uri_equivalence",
+    oracle="""
+    SELECT 'u' || c_custkey AS src_uri,
+           'https://fixture.test/srcX/t' || (c_custkey % 100) AS dst_uri,
+           'Person' AS rectype,
+           'uri' AS provenance
+    FROM customer WHERE c_custkey % 100 < 50
+    """,
+    survey="J2,F10",
+)
+def j02_uri_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 uri-equivalence join through the driver gate: records assert
+    external URIs with protocol/www/trailing-slash drift (http vs
+    https://www vs trailing /) that must still hit the index via F10
+    normalization on BOTH sides; index rows for e{50..99} carry the
+    wrong rectype and must not match."""
+    from ..pipeline.reconcile import uri_join
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    e = (k % 100).cast("string")
+    ext = (
+        F.when(k % 3 == 0, F.concat(F.lit("http://ext.example/e"), e))
+        .when(k % 3 == 1, F.concat(F.lit("https://www.ext.example/e"), e))
+        .otherwise(F.concat(F.lit("https://ext.example/e"), e, F.lit("/")))
+    )
+    equivs = c.select(
+        F.concat(F.lit("u"), ks).alias("src_uri"),
+        ext.alias("dst_uri"),
+        F.lit("Person").alias("rectype"),
+    )
+    i = F.col("id").cast("string")
+    uri_index = spark.range(100).select(
+        F.concat(F.lit("https://ext.example/e"), i).alias("ext_uri"),
+        F.lit("srcX").alias("source"),
+        F.concat(F.lit("t"), i).alias("target_identifier"),
+        F.when(F.col("id") < 50, F.lit("Person")).otherwise(F.lit("Group")).alias("rectype"),
+    )
+    return uri_join(equivs, uri_index)
+
+
+@query(
     "j03_constraint_veto",
     oracle="""
     SELECT 'u' || c_custkey AS src_uri,
