@@ -565,15 +565,22 @@ def t01_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t02_customers_without_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '2000-01-01')
     """,
     survey="T2",
 )
 def t02_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-difference for deletes (T2, update_manager.py:147-181): left
-    anti join — the scalable NOT IN."""
+    anti join — the scalable NOT IN. Scoped to orders since a cutoff so
+    the result is non-empty on the synthetic data (every customer has
+    SOME order; a 0-row gate would be vacuously green)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

@@ -80,7 +80,7 @@ def q08_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                   JOIN supplier ON l_suppkey = s_suppkey
                   JOIN orders ON o_orderkey = l_orderkey
                   JOIN nation ON s_nationkey = n_nationkey
-    WHERE p_name LIKE '%aa%'
+    WHERE p_name LIKE '%red%'
     GROUP BY n_name, o_year
     """,
     survey="J9,A2,P1,F6",
@@ -89,7 +89,7 @@ def q09_product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit per (nation, year) for a part-name pattern.
     The LIKE filter prunes the part dim BEFORE it broadcasts."""
     li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%aa%"))
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     supp = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders")
     nation = _t(spark, sf_dir, "nation")
@@ -345,17 +345,24 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment, COUNT(*) AS numcust, {sql_dsum('c_acctbal')} AS totacctbal
     FROM customer, avg_bal
     WHERE c_acctbal > ab
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '2000-01-01')
     GROUP BY c_mktsegment
     """,
     survey="T2,A2,A14",
 )
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: above-average-balance customers with no orders —
+    """TPC-H Q22 shape: above-average-balance customers with no RECENT
+    orders (cutoff keeps the result non-empty on the synthetic data) —
     scalar-average broadcast + anti-join. The average appears only in the
     predicate, so cross-engine float noise cannot surface."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
     return (
         cust.crossJoin(F.broadcast(avg_bal))

@@ -34,8 +34,13 @@ def _norm_text() -> F.Column:
 @query(
     "d01_dedup_exact",
     oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+    )
     SELECT fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
-    FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents)
+    FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM corpus)
     GROUP BY fp HAVING COUNT(*) > 1
     """,
     survey="dedup-exact",
@@ -43,8 +48,15 @@ def _norm_text() -> F.Column:
 def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on a normalized-content fingerprint, keep
     min doc_id. One shuffle on the 32-char digest; at 100TB, map-side
-    partial agg shrinks it to ~distinct-count rows."""
-    docs = load_table(spark, sf_dir, "documents")
+    partial agg shrinks it to ~distinct-count rows. The synthetic corpus
+    has no exact duplicates, so every 20th document is re-keyed and
+    unioned back in — a 0-row gate would be vacuously green; this one
+    must find exactly the injected copies."""
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = base.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(copies)
     return (
         docs.select("doc_id", F.md5(_norm_text()).alias("fp"))
         .groupBy("fp")
