@@ -228,7 +228,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
     FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE p_brand <> 'BRAND_1' AND p_size IN (1, 5, 9, 13)
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13)
     GROUP BY p_brand, p_size
     """,
     survey="A13,A14,P1",
@@ -238,7 +238,7 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushdown (adapted to the lineitem bridge — no partsupp table here)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "BRAND_1") & F.col("p_size").isin(1, 5, 9, 13)
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13)
     )
     return (
         li.join(part, li.l_partkey == part.p_partkey)
@@ -315,9 +315,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue, COUNT(*) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE (p_brand = 'BRAND_1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
-       OR (p_brand = 'BRAND_2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
-       OR (p_brand = 'BRAND_3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
     """,
     survey="P1,J1,A2",
 )
@@ -327,9 +327,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     j = li.join(part, li.l_partkey == part.p_partkey)
-    c1 = (F.col("p_brand") == "BRAND_1") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11)
-    c2 = (F.col("p_brand") == "BRAND_2") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20)
-    c3 = (F.col("p_brand") == "BRAND_3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30)
+    c1 = (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11)
+    c2 = (F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20)
+    c3 = (F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30)
     return j.filter(c1 | c2 | c3).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
