@@ -565,3 +565,55 @@ def d14_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+@query(
+    "d15_repetition_ratio",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               list_transform(range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS INT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+           CAST(1 AS DOUBLE)
+             - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS rep_ratio
+    FROM g
+    """,
+    survey="quality-repetition",
+)
+def d15_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-3-gram fraction per document — the standard repetition
+    quality signal for LLM training-data curation (templated/boilerplate
+    text scores high and gets filtered). Single scan, all JVM-side
+    higher-order functions, one row per doc — map-only at 100TB. The
+    final double division is a single correctly-rounded op, identical
+    bits in Spark and DuckDB (the repo's float determinism contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    g = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+    # sequence(0, size-3) never descends here: the filter guarantees
+    # size-3 >= 0 (the sequence-descends gotcha needs no guard)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.get(F.col("toks"), i),
+            F.get(F.col("toks"), i + 1),
+            F.get(F.col("toks"), i + 2),
+        ),
+    )
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return g.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        (F.lit(1).cast("double") - n_distinct.cast("double") / n_grams).alias("rep_ratio"),
+    )
