@@ -188,6 +188,78 @@ def j03_constraint_veto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j06_reconcile_min_equivs",
+    oracle="""
+    SELECT 'R' || c_custkey AS src_uri,
+           'https://eq.example/' || c_custkey || '_' || j AS dst_uri,
+           'Person' AS rectype,
+           'record' AS provenance
+    FROM customer, range(1, 5) t(j)
+    WHERE j <= c_custkey % 5
+    UNION ALL
+    SELECT 'R' || c_custkey,
+           'https://fixture.test/idx/t' || (c_custkey % 50),
+           'Person', 'name'
+    FROM customer WHERE c_custkey % 5 < 3
+    """,
+    survey="J6,J1,J2,P3,P4",
+)
+def j06_reconcile_min_equivs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL reconcile() pass through the driver gate, centered on the
+    J6 min_equivs gate (process/reconciler.py:23-25,76-86): each record
+    asserts k%5 equivalents and one indexed name; records already holding
+    >= 3 asserted equivalents must SKIP name matching (the fuzzy join
+    runs only for poorly-connected records), so the expected edge set is
+    exactly the asserted record edges plus name edges for k%5 < 3 —
+    envelope extraction, J1 election, J2 (empty index), J3/J4 (empty
+    constraints) and P4 (no timespans) all compose in one Catalyst plan."""
+    from ..pipeline.reconcile import reconcile
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    n = k % 5
+    eqs = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda j: F.concat(
+                F.lit('{"id":"https://eq.example/'), ks, F.lit("_"),
+                j.cast("string"), F.lit('"}'),
+            ),
+        ),
+    ).otherwise(F.expr("array() :: array<string>"))
+    data = F.concat(
+        F.lit('{"id":"R'), ks,
+        F.lit('","type":"Person","identified_by":[{"type":"Name","content":"N'),
+        (k % 50).cast("string"),
+        F.lit('"}],"equivalent":['), F.concat_ws(",", eqs), F.lit("]}"),
+    )
+    records = c.select(
+        F.lit("srcA").alias("source"),
+        ks.alias("identifier"),
+        F.lit("Person").alias("rectype"),
+        data.alias("data"),
+    )
+    i = F.col("id").cast("string")
+    name_index = spark.range(50).select(
+        F.lit("idx").alias("source"),
+        F.concat(F.lit("n"), i).alias("name_clean"),
+        F.concat(F.lit("t"), i).alias("target_identifier"),
+        F.lit("Person").alias("rectype"),
+    )
+    indexes = {
+        "name_index": name_index,
+        "uri_index": spark.createDataFrame(
+            [], "ext_uri string, source string, target_identifier string, rectype string"
+        ),
+        "same_as": spark.createDataFrame([], "uri_a string, uri_b string"),
+        "different_from": spark.createDataFrame([], "uri_a string, uri_b string"),
+    }
+    return reconcile(records, indexes, min_equivs=3)
+
+
+@query(
     "j07_idmap_minting",
     oracle=f"""
     WITH expected(g, yuid) AS (VALUES {_HUB_VALUES}),
