@@ -41,6 +41,7 @@ HEADLINE = [
     "a16_top5_words",
     "d01_dedup_exact",
     "d05_lang_id",
+    "d15_repetition_ratio",
     "d07_minhash_lsh_pairs",
     "d08_simhash_pairs",
     "d12_dedup_groups",
