@@ -114,3 +114,16 @@ def test_rj01_range_join_is_bin_equijoin(spark):
     plan = _plan(spark, "rj01_inflight_lineitems")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_reconcile_gate_queries_no_cartesian(spark):
+    """The reconcile-family golden gates must stay equi-joins end to end:
+    name/uri probes against broadcast indexes, never a theta/cross join."""
+    for name in (
+        "j01_name_vote_election",
+        "j02_uri_equivalence",
+        "j06_reconcile_min_equivs",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
