@@ -167,6 +167,48 @@ def f23_guess_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x03_external_queue",
+    oracle="""
+    SELECT 't' || c_custkey AS uri, 1 AS distance
+    FROM customer WHERE c_custkey % 100 < 50 AND c_custkey % 3 <> 0
+    """,
+    survey="X3,A12",
+)
+def x03_external_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 the acquire queue through the driver gate: BFS distances from
+    seed hubs s{0..49} over refers-edges, then the external queue = URIs
+    within the bound that we hold no record for.  Edges from non-seed
+    hubs (s{50..99}) are unreachable; equivalence edges are identity,
+    not reachability, and must be ignored (the skip list); known records
+    (k%3==0) leave the queue."""
+    from ..pipeline.references import external_reference_queue, reference_distances
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    hub = F.concat(F.lit("s"), (k % 100).cast("string"))
+    refers = c.select(
+        hub.alias("subject"), F.lit("refers").alias("predicate"),
+        F.concat(F.lit("t"), ks).alias("object"),
+    )
+    ignored = c.filter(k % 5 == 0).select(
+        hub.alias("subject"), F.lit("equivalent").alias("predicate"),
+        F.concat(F.lit("e"), ks).alias("object"),
+    )
+    edges = refers.unionByName(ignored)
+    seeds = spark.range(50).select(
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("uri")
+    )
+    known = seeds.unionByName(
+        c.filter(k % 3 == 0).select(F.concat(F.lit("t"), ks).alias("uri"))
+    )
+    dist = reference_distances(edges, seeds)
+    return external_reference_queue(dist, known).select(
+        "uri", F.col("distance").cast("int").alias("distance")
+    )
+
+
 def _f03_oracle() -> str:
     n = len(_F01_CASES)
 
