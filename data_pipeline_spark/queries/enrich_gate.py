@@ -168,6 +168,60 @@ def f23_guess_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f05_lifespan_sanity",
+    oracle="""
+    SELECT 'u' || c_custkey AS uri,
+           CASE WHEN c_custkey % 5 IN (0, 1) THEN '1900-01-01T00:00:00'
+                WHEN c_custkey % 5 = 2 THEN '1985-01-01T00:00:00'
+                WHEN c_custkey % 5 = 3 THEN '1900-01-01T00:00:00'
+           END AS born_begin_iso,
+           CASE WHEN c_custkey % 5 = 0 THEN '1985-12-31T23:59:59'
+                WHEN c_custkey % 5 = 1 THEN '2100-12-31T23:59:59'
+                WHEN c_custkey % 5 = 2 THEN '1900-12-31T23:59:59'
+           END AS died_end_iso,
+           c_custkey % 5 NOT IN (1, 2) AS lifespan_ok
+    FROM customer
+    """,
+    survey="F5,F1",
+)
+def f05_lifespan_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 lifespan sanity through the driver gate
+    (mapper_utils.py:146-197): born/died year pairs rotate through a
+    plausible 86-year life (ok), a 200-year span (vetoed), death before
+    birth (vetoed), birth only and no dates (both ok — the veto needs
+    BOTH endpoints), parsed through the F1 tier inside
+    extract_timespans."""
+    from ..pipeline.envelope import extract_timespans
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    m = k % 5
+    born = F.when(m.isin(0, 1, 3), F.lit("1900")).when(m == 2, F.lit("1985"))
+    died = F.when(m == 0, F.lit("1985")).when(m == 1, F.lit("2100")).when(m == 2, F.lit("1900"))
+    born_part = F.when(
+        born.isNotNull(),
+        F.concat(F.lit(',"born":{"timespan":{"begin_of_the_begin":"'), born, F.lit('"}}')),
+    ).otherwise(F.lit(""))
+    died_part = F.when(
+        died.isNotNull(),
+        F.concat(F.lit(',"died":{"timespan":{"end_of_the_end":"'), died, F.lit('"}}')),
+    ).otherwise(F.lit(""))
+    data = F.concat(
+        F.lit('{"id":"u'), ks, F.lit('","type":"Person"'), born_part, died_part, F.lit("}")
+    )
+    records = c.select(
+        F.lit("srcA").alias("source"),
+        ks.alias("identifier"),
+        F.lit("Person").alias("rectype"),
+        data.alias("data"),
+    )
+    return extract_timespans(records).select(
+        "uri", "born_begin_iso", "died_end_iso", "lifespan_ok"
+    )
+
+
+@query(
     "x03_external_queue",
     oracle="""
     SELECT 't' || c_custkey AS uri, 1 AS distance
