@@ -86,7 +86,7 @@ def r06_skip_if_fresher(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ev.alias("e")
     return (
         e.join(latest.alias("l"), "user_id")
-        .filter(F.unix_micros(F.col("max_ts")) - F.unix_micros(F.col("e.ts")) <= 86_400_000_000)
+        .filter(F.col("e.ts") >= F.col("max_ts") - F.expr("INTERVAL 24 HOURS"))
         .select("event_id", "user_id", F.col("e.ts").alias("ts"))
     )
 

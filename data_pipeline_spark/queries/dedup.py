@@ -377,7 +377,7 @@ def _simhash_sql() -> str:
 SIMHASH_ORACLE = f"""
     WITH {_simhash_sql()}
     SELECT a.id AS id_a, b.id AS id_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
     FROM sims a JOIN sims b ON a.id < b.id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_T}
 """

@@ -629,7 +629,10 @@ def p04_date_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.user_id") == F.col("b.user_id"))
             & (F.col("a.event_id") < F.col("b.event_id")),
         )
-        .filter(F.abs(F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))) <= 3_600_000_000)
+        .filter(
+            (F.col("b.ts") >= F.col("a.ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR"))
+        )
         .groupBy(F.col("a.user_id").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_close_pairs"))
     )

@@ -17,7 +17,7 @@ SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
     "a23_pivot_segments",
     oracle=f"""
     SELECT n_name,
-           {", ".join(f"SUM(CASE WHEN c_mktsegment = '{s}' THEN 1 ELSE 0 END) AS {s.lower()}" for s in SEGMENTS)}
+           {", ".join(f"CAST(SUM(CASE WHEN c_mktsegment = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS {s.lower()}" for s in SEGMENTS)}
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,

@@ -63,9 +63,9 @@ def d10_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
         SELECT user_id, event_id, ts,
-               SUM(new_session) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_no
+               CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
         FROM marked
     )
     SELECT user_id, session_no, COUNT(*) AS n_events,
@@ -80,10 +80,13 @@ def r07_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates. Two window passes over one shuffle on user_id."""
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # Interval arithmetic works identically on TIMESTAMP and TIMESTAMP_NTZ
+    # inputs (the driver-generated parquet switched annotation in round 3).
+    prev_ts = F.lag("ts").over(w)
+    gap_over = F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")
     marked = ev.select(
         "user_id", "event_id", "ts",
-        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0).alias("new_session"),
+        F.when(prev_ts.isNull() | gap_over, 1).otherwise(0).alias("new_session"),
     )
     sessions = marked.withColumn(
         "session_no",
