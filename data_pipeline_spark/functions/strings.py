@@ -73,15 +73,19 @@ def wikimedia_filename(col: Column) -> Column:
     canonical filename key of a wikimedia Special:FilePath access point —
     the J11 license-lookup join key.  Steps: take the segment after the
     last '/', strip a trailing ``?width=n`` (raw or %3F-encoded,
-    case-insensitive), spaces->underscores (%20 and literal), trim, and
-    percent-encode IF not already encoded (the reference's conditional
+    case-insensitive), '%20'->underscore (ONLY the encoded form — the
+    reference leaves literal spaces for quote() to percent-encode), trim,
+    and percent-encode IF not already encoded (the reference's conditional
     quote(); JVM-side url_encode, which differs from Python quote() only
-    on '~'/'*' — no wikimedia filename in the corpus uses either)."""
+    on '~'/'*' — no wikimedia filename in the corpus uses either — and on
+    space, which url_encode emits as '+' so it is rewritten to '%20';
+    safe because a literal '+' encodes to '%2B' first)."""
     fn = F.regexp_extract(col, r"([^/]*)$", 1)
     fn = F.regexp_replace(fn, r"\?.*$", "")
     fn = F.regexp_replace(fn, r"(?i)%3fwidth=.*$", "")
-    fn = F.trim(F.regexp_replace(fn, r"%20|\s", "_"))
-    return F.when(fn.contains("%"), fn).otherwise(F.url_encode(fn))
+    fn = F.trim(F.regexp_replace(fn, r"%20", "_"))
+    encoded = F.regexp_replace(F.url_encode(fn), r"\+", "%20")
+    return F.when(fn.contains("%"), fn).otherwise(encoded)
 
 
 def normalize_wikimedia_url(col: Column) -> Column:

@@ -21,8 +21,9 @@ sort before left rows at equal time, so the match is inclusive
 (``<=``), matching DuckDB's ASOF JOIN semantics (the test oracle).
 
 The right side should be unique per (key, right_time) — pre-aggregate
-if needed; residual ties resolve deterministically by greatest payload
-struct (final sort key).
+if needed; residual ties resolve deterministically by a hash of the
+serialized payload (a scalar sort key, so payloads may contain
+non-orderable types like maps).
 """
 
 from __future__ import annotations
@@ -45,6 +46,13 @@ def asof_join(
     column except the keys and ``right_time`` becomes a payload column
     (``right_time`` itself is re-emitted as ``asof_{right_time}``)."""
     keys = [on] if isinstance(on, str) else list(on)
+    internal = {"_t", "_tag", "_payload", "_tie", "_asof", f"asof_{right_time}"}
+    clash = internal & set(left.columns) | internal & set(right.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(clash)}; rename them "
+            "on the inputs first"
+        )
     payload_cols = [c for c in right.columns if c not in (*keys, right_time)]
 
     payload = F.struct(
@@ -56,6 +64,10 @@ def asof_join(
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_tag"),
         payload.alias("_payload"),
+        # Scalar tie-break: orders duplicate (key, right_time) right rows
+        # deterministically without requiring the payload struct itself to
+        # be orderable (maps etc. fail window-sort analysis).
+        F.xxhash64(F.to_json(payload)).alias("_tie"),
     )
     l = left.select(
         *left.columns,
@@ -66,7 +78,7 @@ def asof_join(
 
     w = (
         W.partitionBy(*keys)
-        .orderBy("_t", "_tag", "_payload")
+        .orderBy("_t", "_tag", F.col("_tie").asc_nulls_first())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = unioned.withColumn("_asof", F.last("_payload", ignorenulls=True).over(w))

@@ -34,7 +34,20 @@ def range_join(
     """Inner-join ``points`` to every interval containing them
     (``start <= p <= end``, inclusive).  Timestamp columns; returns all
     columns of both inputs.  Degenerate/invalid intervals (end < start)
-    produce no rows, matching the SQL BETWEEN predicate."""
+    produce no rows, matching the SQL BETWEEN predicate.
+
+    ``bin_width`` must be a single calendar unit ("1 month", "1 day", ...):
+    points are truncated onto the unit grid while interval bins step from
+    each interval's own truncated start, so a multi-unit width ("2 weeks")
+    would put the two sides on misaligned grids and silently drop matches.
+    """
+    parts = bin_width.split()
+    if len(parts) != 2 or parts[0] != "1":
+        raise ValueError(
+            f"bin_width must be '1 <unit>' (got {bin_width!r}): points and "
+            "intervals share a grid only when the bin stride equals the "
+            "truncation unit"
+        )
 
     def trunc(c: Column) -> Column:
         unit = bin_width.split()[-1].rstrip("s")

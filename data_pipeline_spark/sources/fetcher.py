@@ -74,7 +74,10 @@ def fetch_records(
                 results = list(pool.map(one, pdf[uri_col]))
                 yield pd.DataFrame(
                     {
-                        "uri": pdf[uri_col],
+                        # to_numpy(): drop the source index so the uri column
+                        # aligns with the RangeIndex of the list columns even
+                        # when a batch arrives with a non-default index.
+                        "uri": pdf[uri_col].to_numpy(),
                         "payload": results,
                         "ok": [r is not None for r in results],
                     }

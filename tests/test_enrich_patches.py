@@ -202,13 +202,20 @@ def test_wikimedia_filename_quote_branch(spark):
 
     df = spark.createDataFrame(
         [("https://commons.wikimedia.org/wiki/Special:FilePath/Café (1900).jpg",),
-         ("https://commons.wikimedia.org/wiki/Special:FilePath/Caf%C3%A9_%281900%29.jpg",)],
+         ("https://commons.wikimedia.org/wiki/Special:FilePath/Caf%C3%A9_%281900%29.jpg",),
+         ("https://commons.wikimedia.org/wiki/Special:FilePath/A%20b (1).jpg",)],
         "ap string",
     )
     got = [r.fn for r in df.select(wikimedia_filename(F.col("ap")).alias("fn")).collect()]
     assert got[1] == "Caf%C3%A9_%281900%29.jpg"  # pre-encoded: untouched
     assert "%C3%A9" in got[0] and "%28" in got[0]  # quoted on the way in
-    assert "_" in got[0]  # space became underscore first
+    # Reference parity (final/mapper.py:119-121): only the '%20' form maps
+    # to '_'; a literal space is percent-encoded by the conditional quote,
+    # so it must come out as '%20', never '+' (JVM url_encode default).
+    assert got[0] == "Caf%C3%A9%20%281900%29.jpg"
+    # A '%20' maps to '_' BEFORE the encoded-branch check, so this name no
+    # longer contains '%' and the remaining literal space gets quoted.
+    assert got[2] == "A_b%20%281%29.jpg"
 
 
 # ------------------------------------------------------------- Q2 parser
