@@ -454,7 +454,9 @@ _COS = """
        * sqrt(list_sum(list_transform(b.emb, x -> x * x))))
 """
 
-EMB_ORACLE = f"""
+# Exact all-pairs twin: NOT the driver oracle (see _emb_lsh_oracle) — used
+# by the local recall test, which pins the LSH path's recall against it.
+EMB_EXACT_SQL = f"""
     WITH vecs AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         FROM embeddings
@@ -468,6 +470,73 @@ EMB_ORACLE = f"""
 EMB_DIM = 64
 EMB_PLANES = 5  # per-table signature bits
 EMB_TABLES = 8  # independent plane sets
+
+
+def _emb_lsh_oracle() -> str:
+    """DuckDB twin of the d09 scale path, generated from the SAME
+    deterministic md5-derived hyperplanes (operators/similarity._plane)
+    baked in as SQL literals — the two sides cannot drift, and the gate
+    pins the operator's SEMANTICS (sign-LSH candidates + exact-cosine
+    verify) rather than a dataset-dependent recall property of the test
+    corpus (an exact-all-pairs oracle asserts recall == 1.0, which a
+    testdata regeneration could break without any code bug)."""
+    from ..operators.similarity import _plane
+
+    sig_selects = []
+    for t in range(EMB_TABLES):
+        bits = []
+        for j in range(EMB_PLANES):
+            plane = "[" + ",".join(
+                "1" if c > 0 else "-1" for c in _plane(j, EMB_DIM, t)
+            ) + "]::DOUBLE[]"
+            bits.append(
+                f"CASE WHEN list_dot_product(emb, {plane}) >= 0 "
+                "THEN '1' ELSE '0' END"
+            )
+        sig_selects.append(
+            f"SELECT vec_id, {t} AS t, concat({', '.join(bits)}) AS sig FROM vecs"
+        )
+    sigs_sql = "\nUNION ALL\n".join(sig_selects)
+
+    flips = ["sig"]
+    for j in range(1, EMB_PLANES + 1):
+        flips.append(
+            f"concat(substr(sig, 1, {j - 1}), "
+            f"CASE substr(sig, {j}, 1) WHEN '1' THEN '0' ELSE '1' END, "
+            f"substr(sig, {j + 1}, {EMB_PLANES - j}))"
+        )
+
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    sigs AS (
+        {sigs_sql}
+    ),
+    probes AS (
+        SELECT vec_id, t, unnest([{", ".join(flips)}]) AS sig FROM sigs
+    ),
+    cands AS (
+        SELECT DISTINCT p.vec_id AS id_a, s.vec_id AS id_b
+        FROM probes p JOIN sigs s
+          ON p.t = s.t AND p.sig = s.sig AND p.vec_id < s.vec_id
+    ),
+    pairs AS (
+        SELECT c.id_a, c.id_b, a.emb AS aemb, b.emb AS bemb
+        FROM cands c
+        JOIN vecs a ON a.vec_id = c.id_a
+        JOIN vecs b ON b.vec_id = c.id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(list_dot_product(aemb, bemb)
+                 / (sqrt(list_dot_product(aemb, aemb))
+                    * sqrt(list_dot_product(bemb, bemb))), 6) AS cos_sim
+    FROM pairs
+    WHERE ROUND(list_dot_product(aemb, bemb)
+                / (sqrt(list_dot_product(aemb, aemb))
+                   * sqrt(list_dot_product(bemb, bemb))), 6) >= {COS_T}
+"""
 
 
 def embedding_lsh_candidates(emb: DataFrame) -> DataFrame:
@@ -519,13 +588,14 @@ def embedding_lsh_candidates(emb: DataFrame) -> DataFrame:
     return cands.distinct()
 
 
-@query("d09_embedding_neardup", oracle=EMB_ORACLE, survey="dedup-embedding")
+@query("d09_embedding_neardup", oracle=_emb_lsh_oracle(), survey="dedup-embedding")
 def d09_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, scale path: sign-LSH bucket
     candidates (embedding_lsh_candidates) + exact cosine verify on
-    candidates only.  The ORACLE is the exact all-pairs form — the driver
-    gate therefore asserts recall == 1.0 of the bucketed path on the test
-    data, while the physical plan contains no full cross self-join.
+    candidates only.  The ORACLE replicates the same deterministic LSH
+    scheme in DuckDB from shared plane literals (_emb_lsh_oracle), so the
+    gate is dataset-independent; recall against the exact all-pairs twin
+    (EMB_EXACT_SQL) is pinned separately by tests/test_operators.py.
     Cosine stays JVM-side via zip_with/aggregate."""
     from .vector import cosine_expr
 

@@ -266,3 +266,29 @@ def test_range_join_equals_theta_join_form(spark):
                 intervals, (F.col("t") >= F.col("s")) & (F.col("t") <= F.col("e"))
             ).collect()}
     assert got == want and len(want) > 0
+
+
+def test_d09_recall_vs_exact_allpairs(spark):
+    """The d09 driver oracle pins the LSH scheme itself (dataset-independent);
+    this test pins what the scheme is FOR: recall against the exact
+    all-pairs near-dup set at the test SF.  Slack on the precision side
+    allows fp-rounding at the cosine threshold boundary; recall is a
+    measured property so it gets a floor, not an equality."""
+    from data_pipeline_spark.queries.dedup import COS_T, EMB_EXACT_SQL, d09_embedding_neardup
+
+    from .conftest import SF_ORACLE
+    from .oracle_harness import duckdb_con
+
+    con = duckdb_con(SF_ORACLE)
+    exact = {(r[0], r[1]) for r in con.execute(EMB_EXACT_SQL).fetchall()}
+    slack = {
+        (r[0], r[1])
+        for r in con.execute(
+            EMB_EXACT_SQL.replace(f">= {COS_T}", f">= {COS_T - 1e-5}")
+        ).fetchall()
+    }
+    got = {(r.id_a, r.id_b) for r in d09_embedding_neardup(spark, SF_ORACLE).collect()}
+    assert got <= slack, f"false positives: {sorted(got - slack)[:5]}"
+    assert exact, "exact twin found no near-dup pairs — test is vacuous"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.95, f"LSH recall {recall:.3f} < 0.95 ({len(exact)} exact pairs)"
