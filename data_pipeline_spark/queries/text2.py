@@ -922,3 +922,109 @@ def f13_canonicalize_uri(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("https://other.example/r"), ks))
     )
     return c.select("c_custkey", canonicalize_uri(dirty, rewrites).alias("canonical"))
+
+
+# --------------------------------------------------------------------------
+# Training-data preparation extensions: sequence packing + stratified
+# sampling.  Neither exists in the reference (its pipeline stops at record
+# merge); both are standard stages of a 100TB LLM data pipeline and both
+# are expressed so every primitive (md5 hex, window cumsum) evaluates
+# identically in Spark and DuckDB.
+# --------------------------------------------------------------------------
+PACK_BUDGET = 2048  # tokens per training sequence
+
+
+@query(
+    "d16_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+        FROM documents
+    ),
+    packed AS (
+        SELECT shard,
+               CAST(FLOOR(CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tok AS DOUBLE)
+                          / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+               n_tok
+        FROM toks
+    )
+    SELECT shard, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY shard, pack_id
+    """,
+    survey="seq-packing,token-count",
+)
+def d16_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: shard the corpus by a deterministic hash
+    (16 md5 shards — at 100TB this is the partition key, so packing is
+    embarrassingly parallel), then within a shard assign each doc to pack
+    floor(preceding_token_sum / budget).  The streaming-fill
+    approximation every large-scale packer uses: one window over one
+    shuffle, no bin-packing state; a pack can overrun the budget by at
+    most one document, never underfill by more than the last doc.  Output
+    is per-pack (n_docs, n_tokens) — the pack manifest a trainer reads."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    toks = docs.select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
+        n_tok.alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum_before = F.sum("n_tok").over(w) - F.col("n_tok")
+    packed = toks.withColumn(
+        "pack_id", F.floor(cum_before.cast("double") / PACK_BUDGET)
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+
+
+# Per-stratum keep thresholds on the first 8 hex chars of md5(doc_id):
+# fixed-length lowercase hex compares lexicographically exactly like the
+# 32-bit number it encodes, so "keep iff hex < threshold" needs no
+# integer conversion in either engine.  en is downsampled hard (0.1) the
+# way an English-heavy web corpus is rebalanced; the rest keep 0.5.
+SAMPLE_THRESHOLDS = {"en": "19999999", "de": "80000000", "fr": "80000000",
+                     "es": "80000000", "zh": "80000000"}
+
+
+@query(
+    "d17_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE lang
+            {' '.join(f"WHEN '{k}' THEN '{v}'" for k, v in sorted(SAMPLE_THRESHOLDS.items()))}
+            ELSE '80000000'
+          END
+    """,
+    survey="sample-stratified",
+)
+def d17_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by language: keep a doc iff the
+    md5 of its id falls below the stratum's threshold.  Hash-gated
+    sampling is reproducible across runs, engines and partitionings (no
+    RNG state), composes with incremental builds (a doc's fate never
+    changes), and needs no shuffle at all — it is a pure filter pushed to
+    the scan, which is what makes it viable as the FIRST stage of a
+    100TB pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    thr = F.lit("80000000")
+    expr = None
+    for lang, t in sorted(SAMPLE_THRESHOLDS.items()):
+        cond = F.when(F.col("lang") == lang, F.lit(t))
+        expr = cond if expr is None else expr.when(F.col("lang") == lang, F.lit(t))
+    thr = expr.otherwise(thr)
+    return docs.filter(h < thr).select("doc_id", "lang")
