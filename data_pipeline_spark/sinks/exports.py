@@ -87,3 +87,26 @@ def export_by_source(df: DataFrame, path: str, source_col: str = "source") -> No
     """K9: per-source partitioned export (zip-per-source analog:
     partitionBy gives one directory per source)."""
     df.write.mode("overwrite").partitionBy(source_col).json(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """K2 at scale: persist a tier bucketed AND sorted by its join/merge
+    key.  Two bucketed tables with the same bucket count join with NO
+    exchange and NO sort — the join that dominates a 100TB build (orders
+    x lineitem, record x idmap, shingle x candidate) becomes a zipper
+    over co-located files.  This is the concrete form of every "bucketed
+    by the key at scale" note in SCALE.md; the shuffle-free plan is
+    pinned by tests/test_plan_quality.py."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)  # managed table under spark.sql.warehouse.dir
+    )

@@ -127,3 +127,34 @@ def test_reconcile_gate_queries_no_cartesian(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """write_bucketed's contract: two tiers bucketed+sorted on the join key
+    with equal bucket counts must sort-merge join with NO Exchange and NO
+    Sort on either side — the co-located join every SCALE.md "bucketed by
+    the key at scale" note relies on."""
+    from data_pipeline_spark.catalog import load_table
+    from data_pipeline_spark.sinks.exports import write_bucketed
+
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    items = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "bt_orders", "o_orderkey", n_buckets=4)
+    write_bucketed(
+        items.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "bt_lineitem", "o_orderkey", n_buckets=4,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # tiny test tables would auto-broadcast; the claim under test is the
+        # co-located SMJ path a 100TB fact-fact join takes, so disable it
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bt_orders").join(spark.table("bt_lineitem"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == items.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem")
