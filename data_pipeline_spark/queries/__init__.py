@@ -26,8 +26,10 @@ from . import enrich_gate  # noqa: F401, E402
 # exactly the first 50 declared names).  Module import order front-loads
 # the relational family, leaving dedup/ANN/multimodal/DSL/CDC/reconcile
 # with no hard-gate row.  Reorder so the gate window spans every operator
-# family: the list below was chosen by forced family representatives plus
-# greedy max-coverage over the queries' SURVEY §2 op tags (92/118 ops).
+# family: the list below was chosen by forced family representatives
+# (incl. the g01/g02 composites, each one driver row for a whole scalar/
+# geometry function family) plus greedy max-coverage over the queries'
+# SURVEY §2 op tags (96/120 ops).
 # Queries beyond the window keep their import order and stay covered by
 # the local oracle suite (tests/test_oracle.py, same comparison, stricter).
 GATE_FIRST = [
@@ -47,11 +49,11 @@ GATE_FIRST = [
     "j08_reidentify", "p05_merge_veto", "p02_validation_rules",
     "j12_metatype_join", "f23_guess_type",
     "x01_edges_extraction", "x04_reference_distances",
+    "g01_scalar_functions_gate", "g02_geometry_gate",
+    "d16_sequence_packing", "d17_stratified_sample", "k01_upsert_merge",
     "q05_revenue_forecast", "w03_first_lineitem_per_order",
-    "w04_top_customer_per_nation", "a13_event_types_per_user",
-    "q15_top_supplier", "f10_webpage_dedupe", "f12_identifier_fix",
-    "f08_clean_names", "a20_salted_user_totals", "a19_json_props_stats",
-    "f16_wkt_emit_clamped",
+    "a13_event_types_per_user", "q15_top_supplier",
+    "f10_webpage_dedupe", "f12_identifier_fix",
 ]
 
 _missing = [n for n in GATE_FIRST if n not in QUERIES]
