@@ -139,3 +139,113 @@ def test_artic_mapper_end_to_end(spark, tmp_path):
 
     # merge_order flows from config through the registry map
     assert reg.merge_order_map()["artic"] == 15
+
+
+LC_RECORDS = [
+    # PersonalName authority with a German variant, a note, a bnf + viaf
+    # equivalent (bnf stripped), lcnaf routing
+    {
+        "identifier": "n79021164",
+        "record_time": "2026-03-01T00:00:00",
+        "graph": [
+            {
+                "id": "http://id.loc.gov/authorities/names/n79021164",
+                "types": ["madsrdf:PersonalName", "madsrdf:Authority"],
+                "auth_labels": [{"value": "Twain, Mark, 1835-1910", "lang": "eng"}],
+                "variants": [{"value": "Clemens, Samuel", "lang": "ger"}],
+                "notes": ["American humorist"],
+                "exact_external": [
+                    "http://viaf.org/viaf/50566653",
+                    "http://data.bnf.fr/ark:/12148/cb118898896",
+                ],
+            }
+        ],
+    },
+    # Geographic class reachable only through the identifiesRWO hop, and a
+    # -781 subdivision suffix on the identifier (stripped before lookup
+    # would fail -> graph keys use the STRIPPED id)
+    {
+        "identifier": "n79006971-781",
+        "graph": [
+            {
+                "id": "http://id.loc.gov/authorities/names/n79006971",
+                "types": ["madsrdf:Authority"],
+                "auth_labels": [{"value": "Boston (Mass.)"}],
+                "rwo_ref": "_:rwo1",
+            },
+            {"id": "_:rwo1", "types": ["madsrdf:Geographic"]},
+        ],
+    },
+    # LCSH topical concept -> Type default, lcsh routing
+    {
+        "identifier": "sh85005249",
+        "graph": [
+            {
+                "id": "http://id.loc.gov/authorities/subjects/sh85005249",
+                "types": ["madsrdf:Topic", "madsrdf:Authority"],
+                "auth_labels": [{"value": "Amphibians"}],
+            }
+        ],
+    },
+    # deprecated authority -> trashed
+    {
+        "identifier": "n00000000",
+        "graph": [
+            {
+                "id": "http://id.loc.gov/authorities/names/n00000000",
+                "types": ["madsrdf:DeprecatedAuthority"],
+                "auth_labels": [{"value": "gone"}],
+            }
+        ],
+    },
+    # special-term sentinel -> dropped before any lookup
+    {"identifier": "@@LMI-SPECIAL-TERM@@", "graph": []},
+    # madsrdf:Title -> trashed (never requested as LinguisticObject here)
+    {
+        "identifier": "no2026000001",
+        "graph": [
+            {
+                "id": "http://id.loc.gov/authorities/names/no2026000001",
+                "types": ["madsrdf:Title"],
+                "auth_labels": [{"value": "Some Title"}],
+            }
+        ],
+    },
+]
+
+
+def test_lc_mapper_end_to_end(spark, tmp_path):
+    from data_pipeline_spark.sources.lc import CONFIG
+
+    dump = tmp_path / "lc.jsonl"
+    _write_jsonl(dump, LC_RECORDS)
+
+    reg = SourceRegistry()
+    src = reg.register_config({**CONFIG, "dump_path": str(dump)})
+    loaded = src.component("loader")(spark, src.config)
+    envelopes = src.component("mapper")(loaded)
+
+    rows = {r.identifier: r for r in envelopes.collect()}
+    # deprecated, sentinel and Title records trashed
+    assert set(rows) == {"n79021164", "n79006971", "sh85005249"}
+
+    twain = rows["n79021164"]
+    assert twain.rectype == "Person" and twain.source == "lcnaf"
+    body = json.loads(twain.data)
+    assert body["_label"] == "Twain, Mark, 1835-1910"
+    langs = {n["content"]: n.get("language") for n in body["identified_by"]}
+    # F15 through the mapper: eng -> en, ger -> de
+    assert langs == {"Twain, Mark, 1835-1910": "en", "Clemens, Samuel": "de"}
+    assert [s["content"] for s in body["referred_to_by"]] == ["American humorist"]
+    # fix_links: bnf equivalent stripped, viaf kept
+    assert [e["id"] for e in body["equivalent"]] == ["http://viaf.org/viaf/50566653"]
+
+    boston = rows["n79006971"]  # -781 suffix stripped (F12)
+    assert boston.rectype == "Place" and boston.source == "lcnaf"  # via RWO hop
+
+    frog = rows["sh85005249"]
+    assert frog.rectype == "Type" and frog.source == "lcsh"  # F23 default + routing
+
+    # envelopes parse through the shared pipeline surface
+    parsed = with_doc(envelopes)
+    assert parsed.filter(F.col("doc").isNotNull()).count() == 3
