@@ -292,3 +292,40 @@ def test_d09_recall_vs_exact_allpairs(spark):
     assert exact, "exact twin found no near-dup pairs — test is vacuous"
     recall = len(got & exact) / len(exact)
     assert recall >= 0.95, f"LSH recall {recall:.3f} < 0.95 ({len(exact)} exact pairs)"
+
+
+def test_d16_packing_invariants(spark):
+    """Structural invariants of the streaming-fill packer: every doc lands
+    in exactly one pack, per-shard token totals are preserved, and no pack
+    overruns the budget by more than its shard's largest document (the
+    documented bound of the floor(preceding_sum/budget) assignment)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.catalog import load_table
+    from data_pipeline_spark.queries.text2 import PACK_BUDGET, d16_sequence_packing
+
+    from .conftest import SF_ORACLE
+
+    packs = d16_sequence_packing(spark, SF_ORACLE).collect()
+    docs = load_table(spark, SF_ORACLE, "documents").select(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    by_shard = {
+        r.shard: (r.n_docs, r.total, r.biggest)
+        for r in docs.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total"),
+             F.max("n_tok").alias("biggest"))
+        .collect()
+    }
+    assert sum(p.n_docs for p in packs) == sum(v[0] for v in by_shard.values())
+    for shard, (n_docs, total, biggest) in by_shard.items():
+        mine = [p for p in packs if p.shard == shard]
+        assert sum(p.n_tokens for p in mine) == total
+        assert sum(p.n_docs for p in mine) == n_docs
+        for p in mine:
+            assert p.n_tokens < PACK_BUDGET + biggest, (shard, p.pack_id, p.n_tokens)
+        # pack ids ascend from 0 (a doc longer than 2x budget may skip an
+        # id on the floor grid — allowed; density is a dataset property)
+        ids = sorted(p.pack_id for p in mine)
+        assert ids[0] == 0 and len(set(ids)) == len(ids)
