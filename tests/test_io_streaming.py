@@ -338,3 +338,59 @@ def test_stream_dedup_against_indexed_corpus(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = {(r.new_id, r.corpus_id) for r in spark.read.parquet(matches_dir).collect()}
     assert (20, 10) in got2
+
+
+def test_streaming_sessions_close_on_watermark(spark, tmp_path):
+    """EventTimeTimeout sessionization: a session emits exactly once, only
+    after the watermark passes its last event + gap. Two files -> two
+    micro-batches: user 1's early session must close once batch 2's later
+    events advance the watermark; the sessions still inside the gap stay
+    open (no output row)."""
+    from data_pipeline_spark.streaming.stateful import streaming_sessions
+
+    import os
+
+    feed = tmp_path / "sessfeed"
+    feed.mkdir()
+    # batch 1: user 1 has two events a minute apart at 10:00
+    with open(feed / "a.jsonl", "w") as f:
+        for r in [
+            {"user_id": 1, "ts": "2024-01-01T10:00:00"},
+            {"user_id": 1, "ts": "2024-01-01T10:01:00"},
+        ]:
+            f.write(json.dumps(r) + "\n")
+    # batch 2: user 2 at 12:00 advances the watermark to 11:50 (past user
+    # 1's 10:01 + 30min timeout). batch 3: user 3 at 14:00 triggers the
+    # batch in which user 1's timed-out state actually fires.
+    with open(feed / "b.jsonl", "w") as f:
+        f.write(json.dumps({"user_id": 2, "ts": "2024-01-01T12:00:00"}) + "\n")
+    with open(feed / "c.jsonl", "w") as f:
+        f.write(json.dumps({"user_id": 3, "ts": "2024-01-01T14:00:00"}) + "\n")
+    # the file source orders batches by modification time — pin it
+    for i, name in enumerate(["a.jsonl", "b.jsonl", "c.jsonl"]):
+        os.utime(feed / name, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+    )
+    q = (
+        streaming_sessions(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.user_id: r for r in spark.sql("SELECT * FROM sessions").collect()}
+    # user 1's session closed exactly once with the right bounds
+    r1 = rows[1]
+    assert (str(r1.session_start), str(r1.session_end), r1.n_events) == (
+        "2024-01-01 10:00:00", "2024-01-01 10:01:00", 2
+    )
+    # user 3's session cannot have closed: the watermark never passed
+    # 14:00 + 30min (no later events arrived)
+    assert 3 not in rows
