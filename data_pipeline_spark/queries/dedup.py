@@ -48,7 +48,12 @@ def _tier(spark: SparkSession, sf_dir: str, key: str, builder) -> DataFrame:
     so a new SparkContext never sees another context's checkpoint blocks.
     Every tier is a pure deterministic function of the input parquet
     (md5-based hashing, no RNG), so memoization cannot change results."""
-    ck = (spark.sparkContext.applicationId, sf_dir, key)
+    app = spark.sparkContext.applicationId
+    # evict tiers of stopped contexts: their checkpoint blocks are gone
+    # and keeping the DataFrames pins dead-session plan graphs
+    for stale in [k for k in _TIER_CACHE if k[0] != app]:
+        del _TIER_CACHE[stale]
+    ck = (app, sf_dir, key)
     df = _TIER_CACHE.get(ck)
     if df is None:
         df = builder().localCheckpoint()
@@ -72,6 +77,8 @@ def _verified_pairs_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         return verified_pairs(sh, lsh_candidates(minhash_signatures(sh)), JACCARD_T)
 
     return _tier(spark, sf_dir, "pairs", build)
+
+
 def shingles_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, shingle): distinct 3-word shingles per document."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
@@ -584,10 +591,12 @@ def embedding_lsh_candidates(emb: DataFrame) -> DataFrame:
     ~63-degree angular radius — at that radius NO exact bucketing scheme
     can prune (triangle-inequality cluster pruning admits 100% of pairs;
     measured), so this is the standard recall-tuned LSH path.  With
-    5 planes x 8 tables x multiprobe-1, recall vs the exact all-pairs twin
-    is exactly 1.0 at both test SFs (asserted by the oracle gate, which
-    compares against the EXACT form), while candidates stay bounded by
-    collisions.  At a production near-dup threshold (>=0.9) per-plane
+    5 planes x 8 tables x multiprobe-1, measured recall vs the exact
+    all-pairs twin is 1.0 at both test SFs; the driver oracle pins the
+    SCHEME (same plane literals in DuckDB, _emb_lsh_oracle) and
+    tests/test_operators.py pins recall >= 0.95 against EMB_EXACT_SQL —
+    candidates stay bounded by collisions either way.  At a production
+    near-dup threshold (>=0.9) per-plane
     collision rises to ~0.85 and n_planes scales with log(corpus), making
     the candidate volume collapse far below n^2."""
     from ..operators.similarity import lsh_signature

@@ -1021,12 +1021,10 @@ def d17_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     100TB pipeline."""
     docs = load_table(spark, sf_dir, "documents")
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
-    thr = F.lit("80000000")
     expr = None
     for lang, t in sorted(SAMPLE_THRESHOLDS.items()):
-        cond = F.when(F.col("lang") == lang, F.lit(t))
-        expr = cond if expr is None else expr.when(F.col("lang") == lang, F.lit(t))
-    thr = expr.otherwise(thr)
+        expr = (F.when if expr is None else expr.when)(F.col("lang") == lang, F.lit(t))
+    thr = expr.otherwise(F.lit("80000000"))
     return docs.filter(h < thr).select("doc_id", "lang")
 
 

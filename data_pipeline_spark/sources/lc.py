@@ -6,9 +6,10 @@ kept:
 
 - **@graph reconstitution** (mapper.py:346-366): records arrive as a
   JSON-LD node list; the top node is looked up by ``namespace+identifier``
-  and referenced nodes are inlined.  Spark form: ``map_from_entries`` over
-  the node array + ``element_at`` lookups — the reference's cycle-guarded
-  recursion becomes bounded hops (one RWO hop is all LC data uses).  The
+  and referenced nodes are inlined.  Spark form: last-wins filtered array
+  lookups (duplicate node ids tolerated, like the reference's dict build)
+  — the cycle-guarded recursion becomes bounded hops (one RWO hop is all
+  LC data uses).  The
   no-rules JSON-LD compaction coercions (str|dict|list at mapper.py:
   177-246) are normalized at parse time by the dump schema.
 - **Type vetoes** (mapper.py:111-148): DeprecatedAuthority/NameTitle
@@ -126,28 +127,31 @@ def map_records(loaded: DataFrame, source_name: str = "lc") -> DataFrame:
     graph walk is two map lookups)."""
     doc = F.col("doc")
     ident = fix_identifier(doc.getField("identifier"))
-    nodes = F.map_from_entries(
-        F.transform(
-            doc.getField("graph"),
-            lambda n: F.struct(n.getField("id").alias("key"), n.alias("value")),
+
+    def node(key: F.Column) -> F.Column:
+        """Last @graph entry with this id — JSON-LD may repeat a node id
+        across entries; the reference's ``nodes[n["@id"]] = n`` loop keeps
+        the last one, and a filter+element_at(-1) does the same without
+        map_from_entries' DUPLICATED_MAP_KEY failure mode."""
+        return F.try_element_at(
+            F.filter(doc.getField("graph"), lambda n: n.getField("id") == key), F.lit(-1)
         )
-    )
+
     # top-node election: try the lcnaf namespace first, then lcsh — the
     # reference knows which namespace it is configured for; a generic dump
     # carries either.
     top = F.coalesce(
-        F.element_at(F.col("nodes"), F.concat(F.lit(NAF_NS), F.col("ident"))),
-        F.element_at(F.col("nodes"), F.concat(F.lit(SH_NS), F.col("ident"))),
+        node(F.concat(F.lit(NAF_NS), F.col("ident"))),
+        node(F.concat(F.lit(SH_NS), F.col("ident"))),
     )
 
     df = (
         loaded.withColumn("ident", ident)
         .filter(F.col("ident").isNotNull())
-        .withColumn("nodes", nodes)
         .withColumn("top", top)
         .filter(F.col("top").isNotNull())
         # reconstitution hop: inline the identifiesRWO node if referenced
-        .withColumn("rwo", F.element_at(F.col("nodes"), F.col("top").getField("rwo_ref")))
+        .withColumn("rwo", node(F.col("top").getField("rwo_ref")))
         # mapper.py:139-146 type vetoes
         .filter(
             ~F.arrays_overlap(

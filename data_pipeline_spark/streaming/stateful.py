@@ -57,39 +57,61 @@ SESSION_STATE = "start timestamp, last timestamp, n bigint"
 SESSION_GAP_MS = 30 * 60 * 1000
 
 
-def _update_sessions(key, pdfs, state: GroupState):
-    """Gap-based sessionization (r07's streaming twin): a session closes
-    when the event-time watermark passes last_event + gap — Spark fires
-    the timed-out state as its own invocation with an empty batch."""
+def _epoch_ms(ts) -> int:
+    """Naive timestamp -> epoch ms, wall-clock-as-UTC on BOTH the pandas
+    and datetime.datetime paths.  datetime.timestamp() would interpret a
+    naive value in the OS-local zone, shifting session closes by the
+    machine's UTC offset on non-UTC hosts; pd.Timestamp(...).value is
+    offset-free for both input types."""
     import pandas as pd
+
+    return int(pd.Timestamp(ts).value // 1_000_000)
+
+
+def _update_sessions(key, pdfs, state: GroupState):
+    """Gap-based sessionization (r07's streaming twin): events sorted by
+    time split wherever the gap exceeds SESSION_GAP_MS — every session
+    closed by an in-batch split (or by a new event beyond the open
+    session's gap) emits immediately; the still-open tail session emits
+    when the event-time watermark passes last + gap (Spark fires the
+    timed-out state as its own invocation with an empty batch)."""
+    import pandas as pd
+
+    def row(start, last, n):
+        return pd.DataFrame(
+            {"user_id": [key[0]], "session_start": [start],
+             "session_end": [last], "n_events": [n]}
+        )
 
     if state.hasTimedOut:
         start, last, n = state.get
         state.remove()
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "session_start": [start],
-             "session_end": [last], "n_events": [n]}
-        )
+        yield row(start, last, n)
         return
 
     start, last, n = state.get if state.exists else (None, None, 0)
-    for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
-        ts = pd.to_datetime(pdf["ts"])
-        lo, hi = ts.min(), ts.max()
-        start = lo if start is None or lo < start else start
-        last = hi if last is None or hi > last else last
-        n += len(pdf)
+    times = [pd.to_datetime(pdf["ts"]).sort_values() for pdf in pdfs if len(pdf)]
+    all_ts = pd.concat(times).sort_values() if times else pd.Series([], dtype="datetime64[ns]")
+    for ts in all_ts:
+        if last is not None and _epoch_ms(ts) - _epoch_ms(last) > SESSION_GAP_MS:
+            # gap exceeded WITHIN the data: the open session is closed by
+            # this very event, no watermark needed (r07's split rule)
+            yield row(start, last, n)
+            start, last, n = ts, ts, 1
+        else:
+            # a late in-gap event may precede the open session's start
+            start = ts if start is None or ts < start else start
+            last = ts if last is None or ts > last else last
+            n += 1
+    if last is None:
+        return  # invoked with neither data nor timeout — nothing to track
     state.update((start, last, n))
-    # the session stays open until the WATERMARK (not wall clock) passes
-    # last + gap: late events inside the gap reopen nothing, they extend.
-    # Clamp to just past the current watermark — a batch of late events
-    # can put last+gap in the past, which Spark rejects; such a session
-    # closes at the next watermark advance instead.
-    due = int(last.timestamp() * 1000) + SESSION_GAP_MS
+    # the open tail session survives until the WATERMARK (not wall clock)
+    # passes last + gap.  Clamp to just past the current watermark — a
+    # batch of late events can put last+gap in the past, which Spark
+    # rejects; such a session closes at the next watermark advance.
+    due = _epoch_ms(last) + SESSION_GAP_MS
     state.setTimeoutTimestamp(max(due, state.getCurrentWatermarkMs() + 1))
-    yield from ()
 
 
 def streaming_sessions(events_stream, watermark: str = "10 minutes"):

@@ -352,11 +352,14 @@ def test_streaming_sessions_close_on_watermark(spark, tmp_path):
 
     feed = tmp_path / "sessfeed"
     feed.mkdir()
-    # batch 1: user 1 has two events a minute apart at 10:00
+    # batch 1: user 1 has two events a minute apart at 10:00, plus one at
+    # 11:00 — 59 minutes after the previous, so the 30-minute gap rule
+    # must SPLIT inside the batch (first session emits immediately)
     with open(feed / "a.jsonl", "w") as f:
         for r in [
             {"user_id": 1, "ts": "2024-01-01T10:00:00"},
             {"user_id": 1, "ts": "2024-01-01T10:01:00"},
+            {"user_id": 1, "ts": "2024-01-01T11:00:00"},
         ]:
             f.write(json.dumps(r) + "\n")
     # batch 2: user 2 at 12:00 advances the watermark to 11:50 (past user
@@ -385,12 +388,17 @@ def test_streaming_sessions_close_on_watermark(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    rows = {r.user_id: r for r in spark.sql("SELECT * FROM sessions").collect()}
-    # user 1's session closed exactly once with the right bounds
-    r1 = rows[1]
-    assert (str(r1.session_start), str(r1.session_end), r1.n_events) == (
-        "2024-01-01 10:00:00", "2024-01-01 10:01:00", 2
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    u1 = sorted(
+        (str(r.session_start), str(r.session_end), r.n_events)
+        for r in rows if r.user_id == 1
     )
+    # first session split inside the batch by the 59-minute gap; the tail
+    # session (11:00) closed on timeout once the watermark hit 11:50
+    assert u1 == [
+        ("2024-01-01 10:00:00", "2024-01-01 10:01:00", 2),
+        ("2024-01-01 11:00:00", "2024-01-01 11:00:00", 1),
+    ]
     # user 3's session cannot have closed: the watermark never passed
     # 14:00 + 30min (no later events arrived)
-    assert 3 not in rows
+    assert not [r for r in rows if r.user_id == 3]

@@ -176,15 +176,22 @@ LC_RECORDS = [
             {"id": "_:rwo1", "types": ["madsrdf:Geographic"]},
         ],
     },
-    # LCSH topical concept -> Type default, lcsh routing
+    # LCSH topical concept -> Type default, lcsh routing; the top node id
+    # appears TWICE (JSON-LD splits properties across entries) — the
+    # last entry wins, like the reference's nodes-dict build
     {
         "identifier": "sh85005249",
         "graph": [
             {
                 "id": "http://id.loc.gov/authorities/subjects/sh85005249",
+                "types": ["madsrdf:Topic"],
+                "auth_labels": [{"value": "stale first entry"}],
+            },
+            {
+                "id": "http://id.loc.gov/authorities/subjects/sh85005249",
                 "types": ["madsrdf:Topic", "madsrdf:Authority"],
                 "auth_labels": [{"value": "Amphibians"}],
-            }
+            },
         ],
     },
     # deprecated authority -> trashed
@@ -245,6 +252,7 @@ def test_lc_mapper_end_to_end(spark, tmp_path):
 
     frog = rows["sh85005249"]
     assert frog.rectype == "Type" and frog.source == "lcsh"  # F23 default + routing
+    assert json.loads(frog.data)["_label"] == "Amphibians"  # last duplicate node won
 
     # envelopes parse through the shared pipeline surface
     parsed = with_doc(envelopes)
