@@ -618,20 +618,33 @@ def t04_nations_in_both(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p04_date_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-plausibility join (P4, collector.py:35-106: |year_a-year_b|<=10):
-    equi-join on the entity key + post-join range predicate — the only
-    non-equi predicate in the reference."""
+    the reference applies the range predicate after an entity-key equi-join,
+    which generates O(k^2) candidates per key before filtering — a straggler
+    task on any hot key at scale.  Bounded form (the range_join.py bin
+    pattern applied to point-point proximity): bucket ts to the hour and
+    equi-join on (user_id, bin), probing each left event against its own
+    and both adjacent bins.  Any pair within 1h differs by at most one bin,
+    and each pair meets in exactly one probe (b's bin is unique), so the
+    result is identical while candidates are bounded by per-(user, hour)
+    co-residency instead of per-user totals."""
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    a = ev.alias("a")
-    b = ev.alias("b")
+    hour_bin = F.date_trunc("hour", F.col("ts"))
+    one_hour = F.expr("INTERVAL 1 HOUR")
+    a = ev.withColumn(
+        "probe_bin",
+        F.explode(F.array(hour_bin - one_hour, hour_bin, hour_bin + one_hour)),
+    ).alias("a")
+    b = ev.withColumn("bin", hour_bin).alias("b")
     return (
         a.join(
             b,
             (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.event_id") < F.col("b.event_id")),
+            & (F.col("a.probe_bin") == F.col("b.bin")),
         )
         .filter(
-            (F.col("b.ts") >= F.col("a.ts") - F.expr("INTERVAL 1 HOUR"))
-            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR"))
+            (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("b.ts") >= F.col("a.ts") - one_hour)
+            & (F.col("b.ts") <= F.col("a.ts") + one_hour)
         )
         .groupBy(F.col("a.user_id").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_close_pairs"))

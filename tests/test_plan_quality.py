@@ -116,6 +116,25 @@ def test_rj01_range_join_is_bin_equijoin(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_p04_proximity_join_is_bin_bounded(spark):
+    """p04 must equi-join on (user_id, hour bin) so per-task candidates are
+    bounded by bin co-residency — a join keyed on user_id alone regenerates
+    the O(k^2)-per-key pair explosion that stragglers on a hot key."""
+    import re
+
+    plan = _plan(spark, "p04_date_proximity_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the join's left key list must carry BOTH user_id and probe_bin
+    join_keys = re.findall(
+        r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)(?:\([^)]*\))? (\[[^\]]*\])",
+        plan,
+    )
+    assert any(
+        "user_id" in k and "probe_bin" in k for k in join_keys
+    ), f"no join keyed on (user_id, probe_bin): {join_keys}"
+
+
 def test_reconcile_gate_queries_no_cartesian(spark):
     """The reconcile-family golden gates must stay equi-joins end to end:
     name/uri probes against broadcast indexes, never a theta/cross join."""
