@@ -53,7 +53,12 @@ def running_user_totals(events_stream):
 SESSION_OUTPUT = (
     "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
 )
-SESSION_STATE = "start timestamp, last timestamp, n bigint"
+# ALL not-yet-finalized sessions for the key (parallel arrays, sorted by
+# start): a session closed by an in-batch gap split is NOT final until the
+# watermark passes its end + gap — with watermark delay < gap, a late
+# in-gap event can still arrive and must merge into the session it belongs
+# to (or bridge two of them) instead of corrupting the newest open one.
+SESSION_STATE = "starts array<timestamp>, lasts array<timestamp>, ns array<bigint>"
 SESSION_GAP_MS = 30 * 60 * 1000
 
 
@@ -69,12 +74,19 @@ def _epoch_ms(ts) -> int:
 
 
 def _update_sessions(key, pdfs, state: GroupState):
-    """Gap-based sessionization (r07's streaming twin): events sorted by
-    time split wherever the gap exceeds SESSION_GAP_MS — every session
-    closed by an in-batch split (or by a new event beyond the open
-    session's gap) emits immediately; the still-open tail session emits
-    when the event-time watermark passes last + gap (Spark fires the
-    timed-out state as its own invocation with an empty batch)."""
+    """Gap-based sessionization (r07's streaming twin): a session is the
+    maximal run of events with no inter-event gap above SESSION_GAP_MS.
+
+    Every session — including ones closed by an in-batch gap split — is
+    held in state and emitted ONLY once the event-time watermark passes
+    its end + gap.  Until then a late in-gap event (admissible whenever
+    watermark delay < gap) merges into whichever pending session's
+    [start - gap, last + gap] interval it falls in, and an event bridging
+    two pending sessions coalesces them — exactly the sessions the batch
+    twin computes over the complete sorted event sequence.  Spark drops
+    events older than the watermark before the handler runs, so a session
+    with last + gap <= watermark can no longer change: emission at that
+    point is exactly-once and final."""
     import pandas as pd
 
     def row(start, last, n):
@@ -83,35 +95,64 @@ def _update_sessions(key, pdfs, state: GroupState):
              "session_end": [last], "n_events": [n]}
         )
 
-    if state.hasTimedOut:
-        start, last, n = state.get
-        state.remove()
-        yield row(start, last, n)
-        return
+    sessions: list[list] = []
+    if state.exists:
+        starts, lasts, ns = state.get
+        sessions = [[pd.Timestamp(s), pd.Timestamp(e), int(n)]
+                    for s, e, n in zip(starts, lasts, ns)]
 
-    start, last, n = state.get if state.exists else (None, None, 0)
-    times = [pd.to_datetime(pdf["ts"]).sort_values() for pdf in pdfs if len(pdf)]
-    all_ts = pd.concat(times).sort_values() if times else pd.Series([], dtype="datetime64[ns]")
-    for ts in all_ts:
-        if last is not None and _epoch_ms(ts) - _epoch_ms(last) > SESSION_GAP_MS:
-            # gap exceeded WITHIN the data: the open session is closed by
-            # this very event, no watermark needed (r07's split rule)
-            yield row(start, last, n)
-            start, last, n = ts, ts, 1
+    if not state.hasTimedOut:
+        times = [pd.to_datetime(pdf["ts"]).sort_values() for pdf in pdfs if len(pdf)]
+        all_ts = (
+            pd.concat(times).sort_values()
+            if times else pd.Series([], dtype="datetime64[ns]")
+        )
+        for ts in all_ts:
+            t = _epoch_ms(ts)
+            hit = None
+            for s in sessions:
+                if (_epoch_ms(s[0]) - SESSION_GAP_MS <= t
+                        <= _epoch_ms(s[1]) + SESSION_GAP_MS):
+                    hit = s
+                    break
+            if hit is None:
+                sessions.append([ts, ts, 1])
+            else:
+                hit[0] = min(hit[0], ts)
+                hit[1] = max(hit[1], ts)
+                hit[2] += 1
+            # the event may have bridged two sessions into gap range —
+            # coalesce neighbours (list stays tiny: open sessions per key)
+            sessions.sort(key=lambda s: s[0])
+            merged: list[list] = []
+            for s in sessions:
+                if merged and _epoch_ms(s[0]) - _epoch_ms(merged[-1][1]) <= SESSION_GAP_MS:
+                    merged[-1][1] = max(merged[-1][1], s[1])
+                    merged[-1][0] = min(merged[-1][0], s[0])
+                    merged[-1][2] += s[2]
+                else:
+                    merged.append(s)
+            sessions = merged
+
+    wm = state.getCurrentWatermarkMs()
+    live = []
+    for s in sessions:
+        if _epoch_ms(s[1]) + SESSION_GAP_MS <= wm:
+            yield row(*s)  # finalized: no admissible event can reach it
         else:
-            # a late in-gap event may precede the open session's start
-            start = ts if start is None or ts < start else start
-            last = ts if last is None or ts > last else last
-            n += 1
-    if last is None:
-        return  # invoked with neither data nor timeout — nothing to track
-    state.update((start, last, n))
-    # the open tail session survives until the WATERMARK (not wall clock)
-    # passes last + gap.  Clamp to just past the current watermark — a
-    # batch of late events can put last+gap in the past, which Spark
-    # rejects; such a session closes at the next watermark advance.
-    due = _epoch_ms(last) + SESSION_GAP_MS
-    state.setTimeoutTimestamp(max(due, state.getCurrentWatermarkMs() + 1))
+            live.append(s)
+    if not live:
+        if state.exists:
+            state.remove()
+        return
+    state.update((
+        [s[0] for s in live], [s[1] for s in live], [s[2] for s in live],
+    ))
+    # wake when the earliest pending session becomes final.  Clamp to just
+    # past the current watermark — late events can put end+gap in the
+    # past, which Spark rejects; such sessions close at the next advance.
+    due = min(_epoch_ms(s[1]) for s in live) + SESSION_GAP_MS
+    state.setTimeoutTimestamp(max(due, wm + 1))
 
 
 def streaming_sessions(events_stream, watermark: str = "10 minutes"):

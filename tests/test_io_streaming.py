@@ -402,3 +402,52 @@ def test_streaming_sessions_close_on_watermark(spark, tmp_path):
     # user 3's session cannot have closed: the watermark never passed
     # 14:00 + 30min (no later events arrived)
     assert not [r for r in rows if r.user_id == 3]
+
+
+def test_streaming_sessions_late_ingap_event_merges(spark, tmp_path):
+    """Watermark delay (10m) < gap (30m): a late in-gap event admitted
+    after an in-batch gap split must merge the split-closed session with
+    its successor, not drag the successor's start backwards into an
+    overlapping pair.  Batch 1 splits 10:00 | 10:35; batch 2's late 10:28
+    (> watermark 10:25) bridges both intervals; the finalized output is
+    ONE session 10:00-10:35 with 3 events — the r07 batch twin's answer
+    for the same event multiset."""
+    from data_pipeline_spark.streaming.stateful import streaming_sessions
+
+    import os
+
+    feed = tmp_path / "latefeed"
+    feed.mkdir()
+    with open(feed / "a.jsonl", "w") as f:
+        f.write(json.dumps({"user_id": 1, "ts": "2024-01-01T10:00:00"}) + "\n")
+        f.write(json.dumps({"user_id": 1, "ts": "2024-01-01T10:35:00"}) + "\n")
+    with open(feed / "b.jsonl", "w") as f:  # late, in-gap, above watermark
+        f.write(json.dumps({"user_id": 1, "ts": "2024-01-01T10:28:00"}) + "\n")
+    with open(feed / "c.jsonl", "w") as f:  # advances watermark to 11:50
+        f.write(json.dumps({"user_id": 2, "ts": "2024-01-01T12:00:00"}) + "\n")
+    with open(feed / "d.jsonl", "w") as f:  # batch where the timeout fires
+        f.write(json.dumps({"user_id": 3, "ts": "2024-01-01T14:00:00"}) + "\n")
+    for i, name in enumerate(["a.jsonl", "b.jsonl", "c.jsonl", "d.jsonl"]):
+        os.utime(feed / name, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+    )
+    q = (
+        streaming_sessions(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM late_sessions").collect()
+    u1 = sorted(
+        (str(r.session_start), str(r.session_end), r.n_events)
+        for r in rows if r.user_id == 1
+    )
+    assert u1 == [("2024-01-01 10:00:00", "2024-01-01 10:35:00", 3)]
