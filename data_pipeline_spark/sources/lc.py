@@ -51,7 +51,8 @@ RAW_SCHEMA = (
 NAF_NS = "http://id.loc.gov/authorities/names/"
 SH_NS = "http://id.loc.gov/authorities/subjects/"
 
-# mapper.py:17-33 — @type -> record class, in declaration order.
+# mapper.py:17-33 — @type -> record class, incl. the full-URI spellings
+# (bibframe/foaf) some records carry instead of the compact prefixes.
 TYPE_MAP = [
     ("madsrdf:Geographic", "Place"),
     ("madsrdf:Language", "Language"),
@@ -62,6 +63,10 @@ TYPE_MAP = [
     ("madsrdf:Temporal", "Period"),
     ("madsrdf:Organization", "Group"),
     ("foaf:Person", "Person"),
+    ("http://id.loc.gov/ontologies/bibframe/Person", "Person"),
+    ("http://xmlns.com/foaf/0.1/Person", "Person"),
+    ("http://xmlns.com/foaf/0.1/Organization", "Group"),
+    ("http://id.loc.gov/ontologies/bibframe/Organization", "Group"),
     ("madsrdf:Title", "LinguisticObject"),
 ]
 IGNORE_TYPES = ["madsrdf:DeprecatedAuthority", "madsrdf:NameTitle"]
@@ -85,14 +90,17 @@ def fix_identifier(ident: F.Column) -> F.Column:
 
 
 def _first_mapped(types: F.Column) -> F.Column:
-    """First @type present in TYPE_MAP, honoring the map's declaration
-    order the way the reference's `for t in @type` loop honors the
-    record's order — LC data never carries two mapped types, so record
-    order and map order elect the same winner."""
-    out = F.lit(None).cast("string")
-    for t, cls in reversed(TYPE_MAP):
-        out = F.when(F.array_contains(F.coalesce(types, F.array()), t), F.lit(cls)).otherwise(out)
-    return out
+    """First @type present in TYPE_MAP in RECORD order — the reference's
+    `for t in new["@type"]` loop breaks on the record's first mapped type,
+    which differs from map-declaration order when a record carries two
+    mapped types (e.g. [PersonalName, Geographic] must elect Person)."""
+    keys = [t for t, _ in TYPE_MAP]
+    winner = F.try_element_at(
+        F.filter(F.coalesce(types, F.array()), lambda t: t.isin(*keys)),
+        F.lit(1),
+    )
+    cls_map = F.create_map(*[F.lit(x) for pair in TYPE_MAP for x in pair])
+    return F.when(winner.isNotNull(), F.try_element_at(cls_map, winner))
 
 
 def guess_type(top: F.Column, rwo: F.Column) -> F.Column:

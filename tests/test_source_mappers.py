@@ -218,6 +218,31 @@ LC_RECORDS = [
             }
         ],
     },
+    # TWO mapped types in record order contrary to TYPE_MAP declaration
+    # order: the reference's `for t in @type` loop elects Person (record
+    # order), not Place (map order)
+    {
+        "identifier": "n81018853",
+        "graph": [
+            {
+                "id": "http://id.loc.gov/authorities/names/n81018853",
+                "types": ["madsrdf:PersonalName", "madsrdf:Geographic"],
+                "auth_labels": [{"value": "Record-order election"}],
+            }
+        ],
+    },
+    # typed ONLY with the full foaf URI — must elect Person, not fall
+    # through to the Type default (mapper.py:27-30 full-URI map entries)
+    {
+        "identifier": "n85095299",
+        "graph": [
+            {
+                "id": "http://id.loc.gov/authorities/names/n85095299",
+                "types": ["http://xmlns.com/foaf/0.1/Person"],
+                "auth_labels": [{"value": "Full-URI typed person"}],
+            }
+        ],
+    },
 ]
 
 
@@ -234,7 +259,13 @@ def test_lc_mapper_end_to_end(spark, tmp_path):
 
     rows = {r.identifier: r for r in envelopes.collect()}
     # deprecated, sentinel and Title records trashed
-    assert set(rows) == {"n79021164", "n79006971", "sh85005249"}
+    assert set(rows) == {
+        "n79021164", "n79006971", "sh85005249", "n81018853", "n85095299",
+    }
+    # record-order election: [PersonalName, Geographic] -> Person
+    assert rows["n81018853"].rectype == "Person"
+    # full-URI foaf type maps instead of defaulting to Type
+    assert rows["n85095299"].rectype == "Person"
 
     twain = rows["n79021164"]
     assert twain.rectype == "Person" and twain.source == "lcnaf"
@@ -256,4 +287,4 @@ def test_lc_mapper_end_to_end(spark, tmp_path):
 
     # envelopes parse through the shared pipeline surface
     parsed = with_doc(envelopes)
-    assert parsed.filter(F.col("doc").isNotNull()).count() == 3
+    assert parsed.filter(F.col("doc").isNotNull()).count() == 5
