@@ -35,7 +35,32 @@ JACCARD_T = 0.6
 # shared Spark-side builders (used by the declared queries AND importable as
 # library functions for arbitrary corpora)
 # ---------------------------------------------------------------------------
-_TIER_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_TIER_CACHE: dict[tuple[str, str, str, str], DataFrame] = {}
+
+
+def _input_fingerprint(sf_dir: str) -> str:
+    """Cheap identity of the documents input: (name, size, mtime_ns) of
+    every file under <sf_dir>/documents.parquet.  Regenerating testdata in
+    place within one SparkSession changes the fingerprint and invalidates
+    the memoized tiers instead of silently serving stale checkpoints."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    parts: list[str] = []
+    if os.path.isdir(path):
+        for entry in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, entry))
+            parts.append(f"{entry}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+    return ";".join(parts)
+
+
+def clear_tier_cache() -> None:
+    """Drop all memoized tiers (test-harness hook for in-place testdata
+    regeneration; the checkpoint blocks are released with the refs)."""
+    _TIER_CACHE.clear()
 
 
 def _tier(spark: SparkSession, sf_dir: str, key: str, builder) -> DataFrame:
@@ -45,15 +70,22 @@ def _tier(spark: SparkSession, sf_dir: str, key: str, builder) -> DataFrame:
     candidates build on shingles.  In production each tier is a persisted
     table (SURVEY §7.1) that downstream stages READ, not recompute — this
     cache is the test-harness stand-in for that, keyed by application id
-    so a new SparkContext never sees another context's checkpoint blocks.
-    Every tier is a pure deterministic function of the input parquet
-    (md5-based hashing, no RNG), so memoization cannot change results."""
+    (a new SparkContext never sees another context's checkpoint blocks)
+    and by an input fingerprint (a testdata regen under the same path
+    invalidates rather than serving stale tiers).  Every tier is a pure
+    deterministic function of the input parquet (md5-based hashing, no
+    RNG), so memoization cannot change results."""
     app = spark.sparkContext.applicationId
-    # evict tiers of stopped contexts: their checkpoint blocks are gone
-    # and keeping the DataFrames pins dead-session plan graphs
-    for stale in [k for k in _TIER_CACHE if k[0] != app]:
+    fp = _input_fingerprint(sf_dir)
+    # evict tiers of stopped contexts (their checkpoint blocks are gone;
+    # keeping the DataFrames pins dead-session plan graphs) and of inputs
+    # that changed under this sf_dir (stale data AND freed blocks)
+    for stale in [
+        k for k in _TIER_CACHE
+        if k[0] != app or (k[1] == sf_dir and k[3] != fp)
+    ]:
         del _TIER_CACHE[stale]
-    ck = (app, sf_dir, key)
+    ck = (app, sf_dir, key, fp)
     df = _TIER_CACHE.get(ck)
     if df is None:
         df = builder().localCheckpoint()

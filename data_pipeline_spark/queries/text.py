@@ -255,8 +255,19 @@ def d06_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     index self-join -> intersection counts -> Jaccard. This exact-Jaccard
     form is the oracle twin of the MinHash/LSH scale path
     (pipeline/dedup.py): LSH banding replaces the full shingle self-join
-    with bucketed candidate generation at 100TB."""
+    with bucketed candidate generation at 100TB.  Deliberately quadratic
+    in hot shingles — guarded against accidental large-corpus use."""
+    import os
+
     docs = load_table(spark, sf_dir, "documents")
+    max_docs = int(os.environ.get("SPARK_GRAFT_D06_MAX_DOCS", "100000"))
+    n = docs.count()
+    if n > max_docs:
+        raise ValueError(
+            f"d06_ngram_jaccard_pairs is the quadratic small-SF oracle twin "
+            f"({n} docs > limit {max_docs}); use d07_minhash_lsh_pairs for "
+            f"large corpora, or raise SPARK_GRAFT_D06_MAX_DOCS explicitly."
+        )
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     with_toks = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
     shingles = (

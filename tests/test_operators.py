@@ -294,6 +294,71 @@ def test_d09_recall_vs_exact_allpairs(spark):
     assert recall >= 0.95, f"LSH recall {recall:.3f} < 0.95 ({len(exact)} exact pairs)"
 
 
+def test_d06_refuses_large_corpus(spark, monkeypatch):
+    """d06 is the declared-quadratic oracle twin: above the doc-count
+    guard it must refuse with a pointer at the d07 scale path instead of
+    launching a hot-shingle self-join."""
+    import pytest
+
+    from data_pipeline_spark.queries.text import d06_ngram_jaccard_pairs
+
+    from .conftest import SF_ORACLE
+
+    monkeypatch.setenv("SPARK_GRAFT_D06_MAX_DOCS", "10")
+    with pytest.raises(ValueError, match="d07_minhash_lsh_pairs"):
+        d06_ngram_jaccard_pairs(spark, SF_ORACLE)
+
+
+def test_tier_cache_invalidates_on_input_regen(spark, tmp_path):
+    """An in-place testdata regeneration under the same sf_dir must
+    invalidate the memoized dedup tiers (the cache key carries an input
+    fingerprint), never serve a stale checkpoint."""
+    from data_pipeline_spark.queries.dedup import (
+        _TIER_CACHE, _shingles_tier, clear_tier_cache,
+    )
+
+    sf = str(tmp_path)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    first = {r.shingle for r in _shingles_tier(spark, sf).collect()}
+    assert "alpha beta gamma" in first
+    # same input -> memoized (same object back)
+    assert _shingles_tier(spark, sf) is _shingles_tier(spark, sf)
+
+    spark.createDataFrame(
+        [(1, "zeta eta theta iota")], ["doc_id", "text"]
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    second = {r.shingle for r in _shingles_tier(spark, sf).collect()}
+    assert "zeta eta theta" in second and "alpha beta gamma" not in second
+    # the stale tier was evicted, not retained alongside
+    assert len([k for k in _TIER_CACHE if k[1] == sf]) == 1
+    clear_tier_cache()
+    assert not _TIER_CACHE
+
+
+def test_d09_exact_equality_at_tiny_sf(spark):
+    """The d09 driver oracle replicates the LSH scheme, so a bug in the
+    SHARED scheme (plane derivation, multiprobe flips) would pass that
+    gate on both sides.  This pins the scheme against ground truth where
+    it owes perfection: at sf0.001 the candidate set equals the exact
+    all-pairs near-dup set (measured recall 1.0) — any scheme regression
+    that loses a pair turns this red even if the replica oracle agrees."""
+    from data_pipeline_spark.queries.dedup import EMB_EXACT_SQL, d09_embedding_neardup
+
+    from .oracle_harness import duckdb_con
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb_con(sf)
+    exact = {(r[0], r[1]) for r in con.execute(EMB_EXACT_SQL).fetchall()}
+    got = {(r.id_a, r.id_b) for r in d09_embedding_neardup(spark, sf).collect()}
+    assert exact, "exact twin found no pairs — test is vacuous"
+    assert got == exact, (
+        f"missed: {sorted(exact - got)[:5]}, extra: {sorted(got - exact)[:5]}"
+    )
+
+
 def test_d16_packing_invariants(spark):
     """Structural invariants of the streaming-fill packer: every doc lands
     in exactly one pack, per-shard token totals are preserved, and no pack
