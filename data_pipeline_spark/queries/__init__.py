@@ -43,6 +43,7 @@ GATE_PIN = [
     "j08_reidentify", "p05_merge_veto", "p02_validation_rules",
     "j12_metatype_join", "f23_guess_type",
     "p04_date_proximity_pairs",  # r4 rewrite: hour-bin bounded pair join
+    "j11_wikimedia_image_gate",  # new in r4 (wikimedia mapper port)
 ]
 
 GATE_WINDOW_SIZE = 50

@@ -325,3 +325,82 @@ def f03_timespan_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("data", "$.produced_by.timespan._seconds_since_epoch_begin").cast("bigint").alias("begin_sec"),
         F.get_json_object("data", "$.produced_by.timespan._seconds_since_epoch_end").cast("bigint").alias("end_sec"),
     )
+
+
+@query(
+    "j11_wikimedia_image_gate",
+    oracle="""
+    SELECT c_custkey,
+           CASE c_custkey % 7
+             WHEN 0 THEN 'ok' WHEN 1 THEN 'bad_license'
+             WHEN 2 THEN 'no_data' WHEN 3 THEN 'no_image'
+             WHEN 4 THEN 'bad_extension' ELSE 'ok'
+           END AS status,
+           CASE c_custkey % 7
+             WHEN 0 THEN 'https://commons.wikimedia.org/wiki/Special:Filepath/Cat photo.jpg'
+             WHEN 5 THEN 'https://commons.wikimedia.org/wiki/Special:Filepath/Old painting.png'
+             WHEN 6 THEN 'https://commons.wikimedia.org/wiki/Special:Filepath/Plain.gif'
+           END AS access_point,
+           CASE c_custkey % 7
+             WHEN 0 THEN '<span>A cat by Bob own work, <a href="http://lic.example/by4">CC BY 4.0</a></span>'
+             WHEN 5 THEN '<span>Old painting.png, Public Domain</span>'
+             WHEN 6 THEN '<span>Plain name, <a href="http://lic.example/cc0">CC0</a></span>'
+           END AS credit
+    FROM customer
+    """,
+    survey="J11,F11,F14,U1",
+)
+def j11_wikimedia_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concrete J11 through the driver gate: the wikimedia imageinfo
+    mapper's full decision surface (reference sources/general/wikimedia/
+    mapper.py:21-89), one path per rotation — allowed-license keep with
+    the composed credit line (HTML-stripped name, artist, credit,
+    <a>-wrapped short license name), the bad-license / missing-page /
+    missing-imageinfo / bad-extension drops, a url-less pd license
+    falling back to UsageTerms with the raw title as display name, and a
+    no-artist/no-credit keep."""
+    import json as _json
+
+    from ..sources.wikimedia import RAW_SCHEMA, image_fields
+
+    def resp(title, meta):
+        page = {"title": title}
+        if meta is not None:
+            page["imageinfo"] = [{"extmetadata": {
+                k: {"value": v} for k, v in meta.items()
+            }}]
+        return _json.dumps(
+            {"identifier": "x", "data": {"query": {"pages": {"1": page}}}}
+        )
+
+    cases = [
+        resp("File:Cat photo.jpg", {
+            "License": "cc-by-4.0", "LicenseUrl": "http://lic.example/by4",
+            "LicenseShortName": "CC BY 4.0", "UsageTerms": "CC Attribution",
+            "ObjectName": "<b>A cat</b>", "ImageDescription": "d",
+            "Artist": "Bob", "Credit": "own work",
+        }),
+        resp("File:Locked.jpg", {"License": "all-rights-reserved"}),
+        _json.dumps({"identifier": "x", "data": {"query": {"pages": {}}}}),
+        resp("File:NoInfo.jpg", None),
+        resp("File:Scan.tiff", {"License": "cc0"}),
+        resp("File:Old painting.png", {
+            "License": "pd", "UsageTerms": "Public Domain",
+        }),
+        resp("File:Plain.gif", {
+            "License": "cc0", "LicenseUrl": "http://lic.example/cc0",
+            "LicenseShortName": "CC0", "ObjectName": "Plain name",
+        }),
+    ]
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    value = F.lit(None).cast("string")
+    for i, line in enumerate(cases):
+        value = F.when(k % 7 == i, F.lit(line)).otherwise(value)
+    img = image_fields(F.from_json(value, RAW_SCHEMA))
+    return c.select(
+        "c_custkey",
+        img.getField("status").alias("status"),
+        img.getField("access_point").alias("access_point"),
+        img.getField("credit_span").alias("credit"),
+    )

@@ -288,3 +288,131 @@ def test_lc_mapper_end_to_end(spark, tmp_path):
     # envelopes parse through the shared pipeline surface
     parsed = with_doc(envelopes)
     assert parsed.filter(F.col("doc").isNotNull()).count() == 5
+
+
+def _wm_response(identifier, title=None, license=None, licurl="", licsn="",
+                 usage="", objname="", desc="", artist="", credit="",
+                 no_pages=False, no_imageinfo=False):
+    if no_pages:
+        return {"identifier": identifier, "data": {"query": {"pages": {}}}}
+    page = {"title": title}
+    if not no_imageinfo:
+        page["imageinfo"] = [{"extmetadata": {
+            "License": {"value": license or ""},
+            "ObjectName": {"value": objname},
+            "ImageDescription": {"value": desc},
+            "LicenseUrl": {"value": licurl},
+            "UsageTerms": {"value": usage},
+            "LicenseShortName": {"value": licsn},
+            "Credit": {"value": credit},
+            "Artist": {"value": artist},
+        }}]
+    return {"identifier": identifier, "data": {"query": {"pages": {"123": page}}}}
+
+
+# identifiers are the F11-munged filenames the fetcher was asked for
+# (final/mapper.py:108-127): that munged name is the J11 join key
+WM_RESPONSES = [
+    # allowed license, HTML in name/description, full credit line
+    _wm_response(
+        "Cat_photo.jpg", title="File:Cat photo.jpg", license="cc-by-4.0",
+        licurl="https://creativecommons.org/licenses/by/4.0",
+        licsn="CC BY 4.0", usage="Creative Commons Attribution 4.0",
+        objname="<b>A cat</b>", desc="A <i>fluffy</i>\ncat", artist="Bob",
+        credit="own work",
+    ),
+    # pd license with NO LicenseUrl -> UsageTerms in the credit line,
+    # null license_uri in the J11 table
+    _wm_response("Old_painting.png", title="File:Old painting.png",
+                 license="pd", usage="Public Domain"),
+    # cropped variant of pd-img (same allowed license) for the J11
+    # cropped-preference path
+    _wm_response("Old_painting_cropped.png",
+                 title="File:Old painting cropped.png",
+                 license="pd", usage="Public Domain"),
+    _wm_response("Locked.jpg", title="File:Locked.jpg",
+                 license="all-rights-reserved"),
+    _wm_response("Missing.jpg", no_pages=True),
+    _wm_response("NoInfo.jpg", title="File:NoInfo.jpg", no_imageinfo=True),
+    _wm_response("Scan.tiff", title="File:Scan.tiff", license="cc0"),
+]
+
+
+def test_wikimedia_mapper_and_j11_end_to_end(spark, tmp_path):
+    """U1 #4 + concrete J11: imageinfo responses -> DigitalImage envelopes
+    (license/extension/missing-data gates) -> (filename, license_uri)
+    lookup -> enrich_wikimedia_licenses validates access points, including
+    the cropped-variant preference — F11 munge to J11 join end to end."""
+    from data_pipeline_spark.pipeline.enrich import enrich_wikimedia_licenses
+    from data_pipeline_spark.sources.wikimedia import CONFIG, licenses_from_mapped
+
+    dump = tmp_path / "wm.jsonl"
+    _write_jsonl(dump, WM_RESPONSES)
+
+    reg = SourceRegistry()
+    src = reg.register_config({**CONFIG, "dump_path": str(dump)})
+    loaded = src.component("loader")(spark, src.config)
+    envelopes = src.component("mapper")(loaded)
+
+    rows = {r.identifier: r for r in envelopes.collect()}
+    # bad license / missing pages / no imageinfo / bad extension all trashed
+    assert set(rows) == {
+        "Cat_photo.jpg", "Old_painting.png", "Old_painting_cropped.png",
+    }
+    assert all(r.rectype == "DigitalImage" and r.source == "wikimedia"
+               for r in rows.values())
+
+    cat = json.loads(rows["Cat_photo.jpg"].data)
+    assert cat["access_point"][0]["id"] == (
+        "https://commons.wikimedia.org/wiki/Special:Filepath/Cat photo.jpg"
+    )
+    assert cat["identified_by"][0]["content"] == "A cat"  # F14 strip
+    by_role = {s["role"]: s["content"] for s in cat["referred_to_by"]}
+    assert by_role["description"] == "A fluffy cat"
+    assert by_role["rights_statement"] == (
+        '<span>A cat by Bob own work, '
+        '<a href="https://creativecommons.org/licenses/by/4.0">CC BY 4.0</a></span>'
+    )
+    assert cat["subject_to"][0]["classified_as"][0]["id"] == (
+        "https://creativecommons.org/licenses/by/4.0"
+    )
+    pd_img = json.loads(rows["Old_painting.png"].data)
+    assert "subject_to" not in pd_img or pd_img["subject_to"] is None
+    # cname falls back to the title (extension and all, mapper.py:80)
+    assert any(s["content"] == "<span>Old painting.png, Public Domain</span>"
+               for s in pd_img["referred_to_by"])
+
+    # ---- J11: mapper output becomes the license lookup ----
+    licenses = licenses_from_mapped(envelopes)
+    lic_rows = {r.filename: r.license_uri for r in licenses.collect()}
+    # keyed by the fetch identifier = F11-munged filename
+    assert lic_rows["Cat_photo.jpg"] == "https://creativecommons.org/licenses/by/4.0"
+    assert lic_rows["Old_painting.png"] is None  # pd: url-less license
+
+    aps = spark.createDataFrame(
+        [
+            # unnormalized spelling of a licensed image -> kept via F11
+            ("rec1", "http://commons.wikimedia.org/wiki/Special:FilePath/Cat%20photo.jpg"),
+            # wikimedia image with NO license row -> dropped
+            ("rec1", "https://commons.wikimedia.org/wiki/Special:Filepath/Unknown.jpg"),
+            # non-wikimedia, non-yale -> dropped
+            ("rec1", "https://elsewhere.example/img.jpg"),
+            # yale passes through license-less
+            ("rec2", "https://media.yale.edu/content/xyz.jpg"),
+            # cropped + base both present -> cropped kept, base removed
+            ("rec3", "https://commons.wikimedia.org/wiki/Special:Filepath/Old%20painting%20cropped.png"),
+            ("rec3", "https://commons.wikimedia.org/wiki/Special:Filepath/Old%20painting.png"),
+        ],
+        ["record_uri", "ap_id"],
+    )
+    got = {(r.record_uri, r.ap, r.license_uri)
+           for r in enrich_wikimedia_licenses(aps, licenses).collect()}
+    assert (
+        "rec1",
+        "https://commons.wikimedia.org/wiki/special:filepath/Cat_photo.jpg",
+        "https://creativecommons.org/licenses/by/4.0",
+    ) in got
+    assert ("rec2", "https://media.yale.edu/content/xyz.jpg", None) in got
+    rec3 = {t for t in got if t[0] == "rec3"}
+    assert len(rec3) == 1 and "cropped" in next(iter(rec3))[1]
+    assert not any("Unknown" in t[1] or "elsewhere" in t[1] for t in got)
