@@ -44,6 +44,7 @@ GATE_PIN = [
     "j12_metatype_join", "f23_guess_type",
     "p04_date_proximity_pairs",  # r4 rewrite: hour-bin bounded pair join
     "j11_wikimedia_image_gate",  # new in r4 (wikimedia mapper port)
+    "u05_llm_person_names",  # new in r4 (LLM names-table enrichment)
 ]
 
 GATE_WINDOW_SIZE = 50

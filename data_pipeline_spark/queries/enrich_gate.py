@@ -404,3 +404,84 @@ def j11_wikimedia_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         img.getField("access_point").alias("access_point"),
         img.getField("credit_span").alias("credit"),
     )
+
+
+@query(
+    "u05_llm_person_names",
+    oracle="""
+    SELECT 'y' || c_custkey AS yuid,
+           CASE c_custkey % 6
+             WHEN 0 THEN 'Roger A. King'
+             WHEN 1 THEN 'Ada B. Lovelace'
+             WHEN 4 THEN 'Roger King'
+             ELSE 'Origname' || c_custkey
+           END AS primary_name,
+           CASE c_custkey % 6
+             WHEN 0 THEN 'King, Roger A. (1945-2003)'
+             WHEN 1 THEN 'Lovelace, Ada B. (1800-)'
+             WHEN 4 THEN 'King, Roger (1900-)'
+           END AS sort_name,
+           CASE c_custkey % 6
+             WHEN 0 THEN '1945-01-01T00:00:00'
+             WHEN 1 THEN '1800-01-01T00:00:00'
+           END AS born_begin,
+           CASE c_custkey % 6
+             WHEN 0 THEN '2003-01-01T00:00:00'
+           END AS died_begin
+    FROM customer
+    """,
+    survey="U5,A8,J11",
+)
+def u05_llm_person_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concrete U5 (final/mapper.py:239-360 + index_loader.py:26-60):
+    the LLM person-names table changes the elected primary, one lookup/
+    formatting path per rotation — yuid hit with middle names + both
+    years (k%6=0), yuid-miss label-fallback hit with middle initials and
+    a birth year only (1), a parse missing last_name producing NO
+    enrichment (2), no table row at all (3), a record that already has a
+    born event keeping it while the name still flips (4), and a
+    non-Person record whose label matches a table row but must not be
+    enriched (5)."""
+    from ..pipeline.enrich import elect_primary_names, llm_person_names
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    m = k % 6
+
+    rectype = F.when(m == 5, F.lit("Group")).otherwise(F.lit("Person"))
+    born = F.when(
+        m == 4,
+        F.lit(',"born":{"type":"Birth","timespan":{"begin_of_the_begin":"1850-01-01T00:00:00"}}'),
+    ).otherwise(F.lit(""))
+    data = F.concat(
+        F.lit('{"id":"y'), ks, F.lit('","type":"'), rectype,
+        F.lit('","identified_by":[{"type":"Name","content":"Origname'), ks,
+        F.lit('","classified_as":[{"id":"http://vocab.example/primaryName"}],'
+              '"language":[{"id":"http://vocab.example/lang/eng"}]}]'),
+        born, F.lit("}"),
+    )
+    merged = c.select(F.concat(F.lit("y"), ks).alias("yuid"), data.alias("data"))
+
+    # the names table: lux_id key for 0/2/4, label key for 1/5, none for 3
+    names = c.select(
+        F.when(m.isin(0, 2, 4), F.concat(F.lit("y"), ks)).alias("lux_id"),
+        F.when(m.isin(1, 5), F.concat(F.lit("Origname"), ks)).alias("primary_name"),
+        F.when(m.isin(0, 4), F.lit("Roger")).when(m == 1, F.lit("Ada"))
+         .when(m == 2, F.lit("Broken")).when(m == 5, F.lit("Ghost")).alias("first_name"),
+        F.when(m.isin(0, 4), F.lit("King")).when(m == 1, F.lit("Lovelace"))
+         .when(m == 5, F.lit("Writer")).alias("last_name"),
+        F.when(m == 0, F.array(F.lit("A."))).alias("middle_names"),
+        F.when(m == 1, F.array(F.lit("B."))).alias("middle_initials"),
+        F.when(m == 0, F.lit(1945)).when(m == 1, F.lit(1800))
+         .when(m == 4, F.lit(1900)).cast("int").alias("birth_year"),
+        F.when(m == 0, F.lit(2003)).cast("int").alias("death_year"),
+    ).filter(m != 3)
+
+    llm = llm_person_names(merged, names)
+    elected = elect_primary_names(merged, llm_names=llm).filter(F.col("lang") == "en")
+    return elected.join(llm, "yuid", "left").select(
+        "yuid", "primary_name",
+        F.col("llm_sort").alias("sort_name"),
+        "born_begin", "died_begin",
+    )

@@ -311,3 +311,30 @@ def test_repair_timespans(spark):
     assert prod["end_of_the_end"] == "-0425-12-31T23:59:59"
     assert prod["_seconds_since_epoch_begin"] < 0
     assert out["r2"] == {"id": "uri:y"}  # untouched fast path
+
+
+def test_load_llm_names_skips_bad_lines_and_long_labels(spark, tmp_path):
+    """U5 loader twin of LlmNameIndexLoader.load: null parsed_output rows
+    are the reference's 'bad' lines (skipped); names over 498 chars lose
+    their label key but keep the lux_id key."""
+    import json
+
+    from data_pipeline_spark.pipeline.enrich import load_llm_names
+
+    path = tmp_path / "names.jsonl"
+    rows = [
+        {"lux_id": "y1", "primary_name": "Roger King",
+         "parsed_output": {"first_name": "Roger", "last_name": "King",
+                           "middle_names": ["A."], "birth_year": 1945}},
+        {"lux_id": "y2", "primary_name": "Bad Parse", "parsed_output": None},
+        {"lux_id": "y3", "primary_name": "L" * 499,
+         "parsed_output": {"first_name": "Long", "last_name": "Name"}},
+    ]
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    got = {r.lux_id: r for r in load_llm_names(spark, str(path)).collect()}
+    assert set(got) == {"y1", "y3"}  # null parsed_output skipped
+    assert got["y1"].first_name == "Roger" and got["y1"].birth_year == 1945
+    assert got["y3"].primary_name is None  # too long for the label key
+    assert got["y3"].last_name == "Name"
