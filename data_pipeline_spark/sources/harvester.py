@@ -33,10 +33,19 @@ def crawl_activity_stream(
     collection_url: str,
     last_harvest: str | None = None,
     harvest_from: str | None = None,
+    item_prefilter: Callable[[dict[str, Any]], dict[str, Any] | None] | None = None,
 ) -> Iterator[dict[str, Any]]:
     """Yield change rows ``{seq, end_time, change, object_uri}`` walking the
     feed newest-first. ``fetch_page(url)`` returns the parsed JSON of a
-    collection or page document."""
+    collection or page document.
+
+    ``item_prefilter`` is the S4 feed filter+rewrite hook (the Getty
+    harvester shape, sources/authorities/getty/harvester.py:7-26 in
+    /root/reference): it runs BEFORE the watermark/replay/seen logic —
+    returning None drops the item without tripping the last_harvest stop
+    (the reference filters items out before ASHarvester.process_items
+    ever sees their endTime), and a returned (possibly rewritten) item
+    feeds the normal R1/R2/R5 path, so dedup keys on the REWRITTEN id."""
     coll = fetch_page(collection_url)
     page_url = (coll.get("last") or {}).get("id")
     seen: set[str] = set()
@@ -45,6 +54,10 @@ def crawl_activity_stream(
         page = fetch_page(page_url)
         items = list(reversed(page.get("orderedItems") or []))  # newest first
         for item in items:
+            if item_prefilter is not None:
+                item = item_prefilter(item)
+                if item is None:
+                    continue
             end_time = item.get("endTime")
             if last_harvest is not None and end_time is not None and end_time <= last_harvest:
                 return  # R1: everything older is already harvested

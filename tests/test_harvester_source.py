@@ -170,3 +170,64 @@ def test_schedule_order():
     # unknown sizes go last
     reg.register("mystery")
     assert reg.schedule_order({"wikidata": 1, "lcsh": 2, "ycba": 3})[-1] == "mystery"
+
+
+def _getty_feed():
+    """Mixed-vocabulary Getty feed: aat + ulan items interleaved; the
+    oldest pre-watermark item belongs to the OTHER vocabulary, so a
+    filter running after the watermark check would stop the walk too
+    early and lose 'aat/300000001'."""
+    pages = {
+        "coll": {"last": {"id": "g2"}},
+        "g2": {
+            "prev": {"id": "g1"},
+            "orderedItems": [
+                {"type": "Update", "endTime": "2026-02-01T10:00:00",
+                 "object": {"id": "https://data.getty.edu/vocab/aat/300404670"}},
+                {"type": "Update", "endTime": "2026-02-01T11:00:00",
+                 "object": {"id": "https://data.getty.edu/vocab/ulan/500115588"}},
+                # duplicate of the aat item under the raw spelling: dedup
+                # must key on the REWRITTEN id
+                {"type": "Refresh", "endTime": "2026-02-01T12:00:00",
+                 "object": {"id": "https://data.getty.edu/vocab/aat/300404670"}},
+            ],
+        },
+        "g1": {
+            # walker reverses (stored oldest-first), so processing order is:
+            # malformed, ulan 01-01, aat 01-20, aat 2025-12-01.  The
+            # below-watermark ulan item is hit BEFORE the kept aat item —
+            # a filter running after the R1 check would stop the walk
+            # there and lose aat/300000001.
+            "orderedItems": [
+                {"type": "Update", "endTime": "2025-12-01T00:00:00",
+                 "object": {"id": "https://data.getty.edu/vocab/aat/300999999"}},
+                {"type": "Create", "endTime": "2026-01-20T00:00:00",
+                 "object": {"id": "https://data.getty.edu/vocab/aat/300000001"}},
+                # other-vocab item BELOW the watermark: reference filters
+                # it out before the endTime check -> must not stop the walk
+                {"type": "Update", "endTime": "2026-01-01T00:00:00",
+                 "object": {"id": "https://data.getty.edu/vocab/ulan/500000001"}},
+                {"malformed": True},  # no object id -> dropped quietly
+            ],
+        },
+    }
+    return lambda url: pages[url]
+
+
+def test_getty_filter_rewrite_before_watermark():
+    """S4 (Getty shape): only the configured vocabulary survives, ids are
+    rewritten to vocab.getty.edu BEFORE seen-dedup, and foreign-vocab
+    items below the watermark do not terminate the crawl — but an
+    in-vocabulary item below it does (R1)."""
+    from data_pipeline_spark.sources.getty import crawl
+
+    rows = list(
+        crawl(_getty_feed(), "coll", "aat", last_harvest="2026-01-10T00:00:00")
+    )
+    assert [(r["object_uri"], r["change"]) for r in rows] == [
+        ("http://vocab.getty.edu/aat/300404670", "update"),  # newest wins dedup
+        ("http://vocab.getty.edu/aat/300000001", "create"),
+    ]
+    # the 2025-12-01 aat item (below watermark) stopped the walk; the
+    # 2026-01-01 ulan item did NOT
+    assert all("300999999" not in r["object_uri"] for r in rows)
