@@ -26,6 +26,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     stats: dict | None = None,
+    algorithm: str = "halving",
 ) -> DataFrame:
     """Label every node of the undirected graph with the minimum node id
     reachable from it. Returns DataFrame(node, component).
@@ -33,7 +34,23 @@ def connected_components(
     ``edges`` may be directed and contain duplicates/self-loops; it is
     symmetrized and deduplicated here.  ``stats`` (if given) receives
     {"rounds": n} so tests can pin the O(log n) convergence claim.
+
+    ``algorithm``: 'halving' (default) is label propagation with pointer
+    shortcutting — right for equivalence graphs whose components have
+    bounded diameter (the reference caps BFS at max_distance=3).  'star'
+    switches to large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"), whose per-round work is
+    proportional to the CURRENT edge set rather than the full label
+    relation — the fallback for pathological graphs (very long chains,
+    giant components) where propagation's every-round full-label join
+    becomes the bottleneck at scale.
     """
+    if algorithm == "star":
+        return connected_components_star(
+            edges, src=src, dst=dst, max_iter=max_iter, stats=stats
+        )
+    if algorithm != "halving":
+        raise ValueError(f"unknown closure algorithm: {algorithm!r}")
     fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     sym = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     sym = sym.filter(F.col("src") != F.col("dst")).localCheckpoint()
@@ -90,3 +107,80 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = rounds
     return labels
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """(u,v) edge set -> large-star round: every node connects its
+    strictly-larger neighbors to the minimum of its closed neighborhood."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: every node connects its smaller-or-equal
+    neighbors (grouping each edge at its larger endpoint) to the minimum
+    of that closed neighborhood."""
+    canon = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    m = canon.groupBy("u").agg(F.min("v").alias("mn"))
+    j = canon.join(m, "u")
+    return (
+        j.filter(F.col("v") != F.col("mn"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .union(j.select("u", F.col("mn").alias("v")))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Large-star/small-star connected components: alternate the two star
+    operations until the edge set reaches its fixpoint (a forest of
+    stars), then read each node's component off its star root.  O(log n)
+    rounds on any graph — including the long chains and giant components
+    where per-round label propagation degrades — and every round is the
+    same bounded-fanout groupBy+join primitive, so no single key ever
+    accumulates more than its current neighborhood."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        new_e = _small_star(_large_star(e)).localCheckpoint()
+        changed = (
+            new_e.exceptAll(e).limit(1).count() + e.exceptAll(new_e).limit(1).count()
+        )
+        e = new_e
+        if changed == 0:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    # converged: edges point children at their star root (v < u, v = root)
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("mn")).alias("component"),
+        )
+    )

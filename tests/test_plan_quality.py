@@ -177,3 +177,33 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_orders")
         spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+
+
+def test_closure_star_variant_matches_and_converges_fast(spark):
+    """The large-star/small-star fallback (algorithm='star') must agree
+    with the default labeling and converge in O(log n) rounds on the
+    pathological long chain that motivates it."""
+    from data_pipeline_spark.pipeline.closure import connected_components
+
+    chain = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(119)], ["src", "dst"]
+    )
+    stats: dict = {}
+    labels = connected_components(chain, stats=stats, algorithm="star")
+    rows = {r.node: r.component for r in labels.collect()}
+    assert set(rows.values()) == {"n000"}
+    assert len(rows) == 120
+    assert stats["rounds"] <= 10, f"star chain took {stats['rounds']} rounds"
+
+    # two components + duplicate/reversed/self-loop noise: same answer as
+    # the default algorithm
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "b"), ("x", "x"), ("y", "z"),
+         ("z", "y"), ("a", "c")],
+        ["src", "dst"],
+    )
+    default = {(r.node, r.component)
+               for r in connected_components(edges).collect()}
+    star = {(r.node, r.component)
+            for r in connected_components(edges, algorithm="star").collect()}
+    assert star == default
