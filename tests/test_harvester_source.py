@@ -231,3 +231,96 @@ def test_getty_filter_rewrite_before_watermark():
     # the 2025-12-01 aat item (below watermark) stopped the walk; the
     # 2026-01-01 ulan item did NOT
     assert all("300999999" not in r["object_uri"] for r in rows)
+
+
+def test_wof_sqlite_scan_and_point_lookup(spark, tmp_path):
+    """S13: the WOF SQLite dump reads distributed (rowid-range mapInPandas
+    scan) and serves point lookups with the chunked-path HTTP fallback."""
+    import sqlite3
+
+    from data_pipeline_spark.sources.fetcher import fetch_records
+    from data_pipeline_spark.sources.wof import (
+        load_sqlite_table, make_fetch_uri, wof_fetch_factory,
+    )
+
+    db = str(tmp_path / "wof.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE geojson (id INTEGER, body TEXT)")
+        conn.executemany(
+            "INSERT INTO geojson VALUES (?, ?)",
+            [(i, json.dumps({"wof:id": i, "name": f"place{i}"})) for i in range(100)],
+        )
+
+    # bulk scan: all rows, through several range partitions
+    df = load_sqlite_table(spark, db, n_partitions=7)
+    assert df.rdd.getNumPartitions() == 7
+    rows = {int(r.id): json.loads(r.body)["name"] for r in df.collect()}
+    assert len(rows) == 100 and rows[42] == "place42"
+
+    # chunked HTTP scheme (fetcher.py:16-31)
+    assert make_fetch_uri("85633793") == (
+        "https://data.whosonfirst.org/856/337/93/85633793.geojson"
+    )
+    assert make_fetch_uri("85633793.geojson").endswith("/85633793.geojson")
+
+    # point lookups through the S1 distributed fetcher: dump hit, then a
+    # dump miss falling through to the injected HTTP fetch
+    def http_factory():
+        return lambda uri: json.dumps({"fetched_from": uri})
+
+    uris = spark.createDataFrame([("42",), ("424242",)], ["uri"])
+    got = {r.uri: (r.ok, r.payload) for r in fetch_records(
+        uris, wof_fetch_factory(db, http_factory), parallelism=2).collect()}
+    assert json.loads(got["42"][1])["name"] == "place42"
+    assert json.loads(got["424242"][1])["fetched_from"] == (
+        "https://data.whosonfirst.org/424/242/424242.geojson"
+    )
+    # offline mode: miss with no HTTP fallback -> ok=false row
+    got2 = {r.uri: r.ok for r in fetch_records(
+        uris, wof_fetch_factory(db), parallelism=2).collect()}
+    assert got2["42"] is True and got2["424242"] is False
+
+
+def test_sparql_select_ids_and_harvest(spark):
+    """S14: SELECT -> bindings -> DataFrame/ids, prefix auto-prepend only
+    when the query has none, and the harvest composition fanning record
+    fetches through the S1 fetcher."""
+    from data_pipeline_spark.sources.sparql import (
+        bindings_to_df, harvest_sparql, search_sparql, sparql_ids,
+    )
+
+    seen_queries = []
+
+    def fake_endpoint(query):
+        seen_queries.append(query)
+        return {
+            "results": {"bindings": [
+                {"topic": {"type": "uri", "value": "https://auth.example/n/00270331"},
+                 "label": {"type": "literal", "value": "Topic A"}},
+                {"topic": {"type": "uri", "value": "https://auth.example/n/99999999"}},
+            ]}
+        }
+
+    binds = search_sparql(fake_endpoint, "SELECT ?topic WHERE { ?s ?p ?o }")
+    assert seen_queries[0].startswith("PREFIX rdf:")  # prefixes prepended
+    search_sparql(fake_endpoint, "PREFIX x: <urn:x>\nSELECT ?t WHERE {}")
+    assert seen_queries[1].startswith("PREFIX x:")  # own prefixes kept
+
+    df = bindings_to_df(spark, binds)
+    assert df.columns == ["topic", "label"]
+    vals = {r.topic: r.label for r in df.collect()}
+    assert vals["https://auth.example/n/00270331"] == "Topic A"
+    assert vals["https://auth.example/n/99999999"] is None  # OPTIONAL-style
+
+    assert sparql_ids(fake_endpoint, "SELECT ?topic WHERE {}") == [
+        "https://auth.example/n/00270331", "https://auth.example/n/99999999",
+    ]
+
+    def record_factory():
+        return lambda ident: json.dumps({"id": ident, "fetched": True})
+
+    got = {r.uri: json.loads(r.payload) for r in harvest_sparql(
+        spark, fake_endpoint, "SELECT ?topic WHERE {}", record_factory,
+        parallelism=2).collect()}
+    assert set(got) == {"00270331", "99999999"}  # identifier split off URI
+    assert got["00270331"]["fetched"] is True
