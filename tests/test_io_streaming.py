@@ -451,3 +451,60 @@ def test_streaming_sessions_late_ingap_event_merges(spark, tmp_path):
         for r in rows if r.user_id == 1
     )
     assert u1 == [("2024-01-01 10:00:00", "2024-01-01 10:35:00", 3)]
+
+
+def test_kv_store_build_sorted_runs_and_class_index(spark, tmp_path):
+    """K7: the distributed parts of the LMDB distribution build — global
+    range-sort into disjoint ordered runs (LMDB append=True needs exactly
+    this order) and the class index packed in batches of 30 keys — plus
+    the gated native writer raising cleanly without the lmdb package."""
+    import uuid as _uuid
+
+    import pytest
+
+    from data_pipeline_spark.sinks.kv_store import (
+        IDX_BATCH, class_index_batches, kv_records, prepare_kv_dataset,
+        write_lmdb_store,
+    )
+
+    rows = [
+        (f"https://x.test/data/{_uuid.uuid5(_uuid.NAMESPACE_URL, str(i))}",
+         "Person" if i % 3 else "Group", '{"id":"r%d"}' % i)
+        for i in range(100)
+    ]
+    merged = spark.createDataFrame(rows, "yuid string, rectype string, data string")
+    recs = kv_records(merged)
+    out = str(tmp_path / "kvruns")
+    prepare_kv_dataset(recs, out, n_shards=5)
+
+    # shards are internally sorted AND range-disjoint in shard-file order:
+    # concatenating part files yields one globally sorted key stream
+    import glob
+
+    import pyarrow.parquet as pq
+
+    stream = []
+    for part in sorted(glob.glob(f"{out}/part-*")):
+        keys = pq.read_table(part, columns=["key_hex"]).column(0).to_pylist()
+        assert keys == sorted(keys), "run not internally sorted"
+        if stream and keys:
+            assert stream[-1] <= keys[0], "runs overlap: append order broken"
+        stream.extend(keys)
+    assert len(stream) == 100 and stream == sorted(stream)
+
+    # class index: batches of <=30 hex keys, concatenated in key order
+    idx = class_index_batches(recs).collect()
+    person_batches = sorted(
+        [r for r in idx if r.cls == "Person"], key=lambda r: r.batch_id
+    )
+    n_person = sum(1 for _, c, _ in rows if c == "Person")
+    assert sum(len(r.packed) // 36 for r in person_batches) == n_person
+    person_keys = sorted(k for k, c, _ in (
+        (r[0].rsplit("/", 1)[-1].lower(), r[1], r[2]) for r in rows) if c == "Person")
+    packed_all = "".join(r.packed for r in person_batches)
+    assert packed_all == "".join(person_keys)
+    assert all(len(r.packed) <= 36 * IDX_BATCH for r in idx)
+
+    # native writer is environment-gated, never half-writes
+    with pytest.raises(NotImplementedError, match="lmdb"):
+        write_lmdb_store(out, str(tmp_path / "store.lmdb"))
