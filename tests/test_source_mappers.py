@@ -416,3 +416,125 @@ def test_wikimedia_mapper_and_j11_end_to_end(spark, tmp_path):
     rec3 = {t for t in got if t[0] == "rec3"}
     assert len(rec3) == 1 and "cropped" in next(iter(rec3))[1]
     assert not any("Unknown" in t[1] or "elsewhere" in t[1] for t in got)
+
+
+JP_RECORDS = [
+    # person: pref transcription (ja-Latn tag splits to ja), alt label with
+    # a transcription duplicating the PREF literal (dupes-set drop), birth/
+    # death dates, activity fields + biography
+    {
+        "identifier": "00270331",
+        "doc": {
+            "uri": "http://id.ndl.go.jp/auth/entity/00270331",
+            "prefLabel": {
+                "literalForm": "夏目漱石",
+                "transcriptions": [
+                    {"value": "Natsume Soseki", "lang": "ja-Latn"},
+                    {"value": "夏目漱石", "lang": "ja"},  # == pref -> dropped
+                ],
+            },
+            "altLabel": [
+                {"literalForm": "夏目金之助",
+                 "transcriptions": [
+                     {"value": "Natsume Kinnosuke", "lang": "ja-Latn"},
+                     {"value": "夏目漱石", "lang": "ja"},  # in dupes -> dropped
+                 ]},
+                {"literalForm": "夏目金之助"},  # repeated literal -> dropped
+            ],
+            "exactMatch": [{"uri": "http://viaf.org/viaf/36925766"}],
+            "primaryTopic": {
+                "type": {"uri": "http://xmlns.com/foaf/0.1/Person"},
+                "dateOfBirth": "1867-02-09", "dateOfDeath": "1916-12-09",
+                "fieldOfActivityOfThePerson": ["小説家"],
+                "biographicalInformation": ["Novelist of the Meiji era"],
+            },
+        },
+    },
+    # group via FRBR Family -> Group + family classification; previousName
+    {
+        "identifier": "00000001",
+        "doc": {
+            "uri": "http://id.ndl.go.jp/auth/entity/00000001",
+            "label": "Some Family",
+            "prefLabel": {},
+            "primaryTopic": {
+                "type": {"uri": "http://RDVocab.info/uri/schema/FRBRentitiesRDA/Family"},
+                "dateOfEstablishment": "1800",
+                "familyHistory": ["A long family history"],
+                "previousName": [{"uri": "http://id.ndl.go.jp/auth/entity/x1",
+                                  "label": "Old Family Name"}],
+            },
+        },
+    },
+    # geographic scheme -> Place
+    {
+        "identifier": "00646102",
+        "doc": {
+            "uri": "http://id.ndl.go.jp/auth/entity/00646102",
+            "prefLabel": {"literalForm": "東京都"},
+            "inScheme": {"uri": "http://id.ndl.go.jp/auth#geographicNames"},
+        },
+    },
+    # uniform title -> dropped
+    {
+        "identifier": "00999999",
+        "doc": {
+            "uri": "http://id.ndl.go.jp/auth/entity/00999999",
+            "prefLabel": {"literalForm": "源氏物語"},
+            "inScheme": {"uri": "http://id.ndl.go.jp/auth#uniformTitles"},
+        },
+    },
+    # unknown scheme, no topic type -> dropped
+    {
+        "identifier": "00888888",
+        "doc": {"uri": "http://id.ndl.go.jp/auth/entity/00888888",
+                "prefLabel": {"literalForm": "mystery"}},
+    },
+]
+
+
+def test_japan_mapper_end_to_end(spark, tmp_path):
+    from data_pipeline_spark.sources.japan import CONFIG
+
+    dump = tmp_path / "ndl.jsonl"
+    _write_jsonl(dump, JP_RECORDS)
+
+    reg = SourceRegistry()
+    src = reg.register_config({**CONFIG, "dump_path": str(dump)})
+    loaded = src.component("loader")(spark, src.config)
+    envelopes = src.component("mapper")(loaded)
+
+    rows = {r.identifier: r for r in envelopes.collect()}
+    # uniform title + unknown scheme trashed
+    assert set(rows) == {"00270331", "00000001", "00646102"}
+
+    soseki = json.loads(rows["00270331"].data)
+    assert rows["00270331"].rectype == "Person"
+    names = [(n["content"], n.get("language"),
+              n["classified_as"][0]["id"].rsplit("/", 1)[-1])
+             for n in soseki["identified_by"]]
+    # transcription PrimaryName first (ja from ja-Latn... the SPLIT head),
+    # pref anchor, then alt literal + its fresh transcription; both
+    # dupes-set drops applied
+    assert names == [
+        ("Natsume Soseki", "ja", "primaryName"),
+        ("夏目漱石", None, "primaryName"),
+        ("夏目金之助", None, "alternateName"),
+        ("Natsume Kinnosuke", "ja", "alternateName"),
+    ]
+    assert soseki["born"]["timespan"]["begin_of_the_begin"] == "1867-02-09T00:00:00"
+    assert soseki["died"]["timespan"]["end_of_the_end"] == "1916-12-09T23:59:59"
+    stmts = {(s["content"], s.get("language")) for s in soseki["referred_to_by"]}
+    assert ("小説家", "ja") in stmts
+    assert ("Novelist of the Meiji era", None) in stmts
+    assert soseki["equivalent"][0]["id"] == "http://viaf.org/viaf/36925766"
+
+    fam = json.loads(rows["00000001"].data)
+    assert rows["00000001"].rectype == "Group"
+    assert fam["classified_as"][0]["id"].endswith("/family")
+    assert fam["identified_by"][0]["content"] == "Some Family"  # label fallback
+    assert fam["formed_by"]["timespan"]["begin_of_the_begin"] == "1800-01-01T00:00:00"
+    assert fam["attributed_by"][0]["assigned"]["_label"] == "Old Family Name"
+    assert fam["attributed_by"][0]["classified_as"][0]["id"].endswith("Q79030196")
+
+    assert rows["00646102"].rectype == "Place"
