@@ -13,6 +13,7 @@ from . import relational2  # noqa: F401, E402
 from . import relational3  # noqa: F401, E402
 from . import text  # noqa: F401, E402
 from . import text2  # noqa: F401, E402
+from . import text3  # noqa: F401, E402
 from . import vector  # noqa: F401, E402
 from . import cdc  # noqa: F401, E402
 from . import dedup  # noqa: F401, E402
@@ -45,6 +46,7 @@ GATE_PIN = [
     "p04_date_proximity_pairs",  # r4 rewrite: hour-bin bounded pair join
     "j11_wikimedia_image_gate",  # new in r4 (wikimedia mapper port)
     "u05_llm_person_names",  # new in r4 (LLM names-table enrichment)
+    "d18_pii_scrub", "d19_benchmark_contamination",  # new in r4
 ]
 
 GATE_WINDOW_SIZE = 50

@@ -207,3 +207,13 @@ def test_closure_star_variant_matches_and_converges_fast(spark):
     star = {(r.node, r.component)
             for r in connected_components(edges, algorithm="star").collect()}
     assert star == default
+
+
+def test_d19_contamination_broadcasts_benchmark_side(spark):
+    """The decontamination join must broadcast the bounded benchmark
+    n-gram set and meet on the md5 key — never shuffle raw text or fall
+    into a nested-loop join."""
+    plan = _plan(spark, "d19_benchmark_contamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
