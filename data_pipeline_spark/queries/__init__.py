@@ -47,6 +47,7 @@ GATE_PIN = [
     "j11_wikimedia_image_gate",  # new in r4 (wikimedia mapper port)
     "u05_llm_person_names",  # new in r4 (LLM names-table enrichment)
     "d18_pii_scrub", "d19_benchmark_contamination",  # new in r4
+    "d20_paragraph_dedup",  # new in r4
 ]
 
 GATE_WINDOW_SIZE = 50

@@ -180,3 +180,104 @@ def d19_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
     )
+
+
+_SENT_SPLIT = r"\.\s+"
+_DUP_MOD = 13
+_BOILER = "this material is provided as is without warranty of any kind"
+
+
+@query(
+    "d20_paragraph_dedup",
+    oracle=f"""
+    WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {_DUP_MOD} = 0
+                    THEN text || '. {_BOILER}' ELSE text END AS text
+        FROM documents
+    ),
+    paras AS (
+        SELECT doc_id, pos, para FROM (
+            SELECT doc_id,
+                   generate_subscripts(parts, 1) AS pos,
+                   unnest(parts) AS para
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(lower(trim(text)), '{_SENT_SPLIT}') AS parts
+                  FROM planted)
+        ) WHERE trim(para) != ''
+    ),
+    owners AS (
+        SELECT para,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               MIN(doc_id * 1000000 + pos) AS owner
+        FROM paras GROUP BY para
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+           CAST(SUM(CASE WHEN o.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_paragraphs,
+           md5(string_agg(
+               CASE WHEN o.n_copies = 1 OR o.owner = p.doc_id * 1000000 + p.pos
+                    THEN p.para END, '. ' ORDER BY p.pos)) AS cleaned_md5
+    FROM paras p JOIN owners o ON p.para = o.para
+    GROUP BY p.doc_id
+    """,
+    survey="dedup-paragraph",
+)
+def d20_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-paragraph removal (the sub-document dedup
+    granularity: boilerplate/license blocks repeated across documents).
+    Sentences are the paragraph unit here (the corpus is single-line);
+    every sentence groups corpus-wide, a duplicated sentence keeps only
+    its first global occurrence (min (doc_id, pos) owner), and each
+    document reassembles from its surviving sentences — counts plus the
+    cleaned-text md5 gate the whole pipeline.  A planted boilerplate
+    sentence on doc_id % 13 == 0 guarantees known cross-doc duplicates.
+
+    Scale shape: explode -> one groupBy on the sentence (corpus-wide
+    ownership), hash-equi join back, one groupBy per doc to reassemble —
+    two shuffles, no driver state, no raw-text theta joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.when(k % _DUP_MOD == 0, F.concat(F.col("text"), F.lit(". " + _BOILER)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    parts = F.split(F.lower(F.trim(F.col("text"))), _SENT_SPLIT)
+    paras = (
+        planted.select(
+            "doc_id", F.posexplode(parts).alias("pos0", "para")
+        )
+        .filter(F.trim(F.col("para")) != "")
+        # 1-based pos to match generate_subscripts
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "para")
+    )
+    owners = paras.groupBy("para").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.min(F.col("doc_id") * 1000000 + F.col("pos")).alias("owner"),
+    )
+    keep = (F.col("n_copies") == 1) | (
+        F.col("owner") == F.col("doc_id") * 1000000 + F.col("pos")
+    )
+    joined = paras.join(owners, "para").withColumn(
+        "kept", F.when(keep, F.col("para"))
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paragraphs"),
+        F.sum((F.col("n_copies") > 1).cast("int")).cast("bigint").alias("n_dup_paragraphs"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("kept").isNotNull(),
+                                   F.struct(F.col("pos"), F.col("kept").alias("para")))
+                        )
+                    ),
+                    lambda s: s.getField("para"),
+                ),
+                ". ",
+            )
+        ).alias("cleaned_md5"),
+    )
