@@ -266,9 +266,23 @@ def llm_person_names(merged: DataFrame, names: DataFrame) -> DataFrame:
         "first_name", "last_name", "middle_names", "middle_initials",
         "birth_year", "death_year",
     ]
+
+    def one_per_key(df: DataFrame, key: str) -> DataFrame:
+        """Deterministic row election on key collisions: the max of the
+        remaining columns as a struct.  dropDuplicates would keep a
+        partition-order-dependent arbitrary row; the reference's dict
+        loader is last-line-wins — file order is gone in a DataFrame, so
+        a content-total-order stands in, stable across runs."""
+        others = [c for c in df.columns if c != key]
+        return (
+            df.groupBy(key)
+            .agg(F.max(F.struct(*[F.col(c) for c in others])).alias("_s"))
+            .select(key, *[F.col(f"_s.{c}").alias(c) for c in others])
+        )
+
     by_id = base.join(
-        F.broadcast(names.dropDuplicates(["lux_id"])),
-        base["yuid"] == names["lux_id"],
+        F.broadcast(one_per_key(names, "lux_id")),
+        base["yuid"] == F.col("lux_id"),
         "left",
     )
     hit = by_id.filter(F.col("lux_id").isNotNull()).select(
@@ -279,8 +293,9 @@ def llm_person_names(merged: DataFrame, names: DataFrame) -> DataFrame:
         .select("yuid", "label", "has_born", "has_died")
         .join(
             F.broadcast(
-                names.filter(F.col("primary_name").isNotNull()).dropDuplicates(
-                    ["primary_name"]
+                one_per_key(
+                    names.filter(F.col("primary_name").isNotNull()),
+                    "primary_name",
                 )
             ),
             F.col("label") == F.col("primary_name"),

@@ -261,12 +261,14 @@ def d06_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     max_docs = int(os.environ.get("SPARK_GRAFT_D06_MAX_DOCS", "100000"))
-    n = docs.count()
+    # limit(k+1).count() short-circuits the scan at the threshold — the
+    # guard's cost is bounded by max_docs rows, never a full corpus count
+    n = docs.limit(max_docs + 1).count()
     if n > max_docs:
         raise ValueError(
             f"d06_ngram_jaccard_pairs is the quadratic small-SF oracle twin "
-            f"({n} docs > limit {max_docs}); use d07_minhash_lsh_pairs for "
-            f"large corpora, or raise SPARK_GRAFT_D06_MAX_DOCS explicitly."
+            f"(>{max_docs} docs); use d07_minhash_lsh_pairs for large "
+            f"corpora, or raise SPARK_GRAFT_D06_MAX_DOCS explicitly."
         )
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     with_toks = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)

@@ -216,9 +216,9 @@ _BOILER = "this material is provided as is without warranty of any kind"
            CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
            CAST(SUM(CASE WHEN o.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_dup_paragraphs,
-           md5(string_agg(
+           md5(coalesce(string_agg(
                CASE WHEN o.n_copies = 1 OR o.owner = p.doc_id * 1000000 + p.pos
-                    THEN p.para END, '. ' ORDER BY p.pos)) AS cleaned_md5
+                    THEN p.para END, '. ' ORDER BY p.pos), '')) AS cleaned_md5
     FROM paras p JOIN owners o ON p.para = o.para
     GROUP BY p.doc_id
     """,
@@ -231,8 +231,11 @@ def d20_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every sentence groups corpus-wide, a duplicated sentence keeps only
     its first global occurrence (min (doc_id, pos) owner), and each
     document reassembles from its surviving sentences — counts plus the
-    cleaned-text md5 gate the whole pipeline.  A planted boilerplate
-    sentence on doc_id % 13 == 0 guarantees known cross-doc duplicates.
+    cleaned-text md5 gate the whole pipeline.  A document that keeps
+    nothing hashes the empty string on BOTH engines (the oracle
+    coalesces its all-NULL string_agg; such docs exist at sf0.1).  A
+    planted boilerplate sentence on doc_id % 13 == 0 guarantees known
+    cross-doc duplicates.
 
     Scale shape: explode -> one groupBy on the sentence (corpus-wide
     ownership), hash-equi join back, one groupBy per doc to reassemble —

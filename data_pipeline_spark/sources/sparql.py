@@ -50,7 +50,9 @@ def sparql_ids(fetch, query: str, prefixes: str | None = None) -> list[str]:
     if not binds:
         return []
     k = list(binds[0].keys())[0]
-    return [b[k]["value"] for b in binds]
+    # OPTIONAL-variable rows may omit k entirely — skip them instead of
+    # letting one row kill the harvest
+    return [b[k]["value"] for b in binds if b.get(k)]
 
 
 def bindings_to_df(spark: SparkSession, bindings: list[dict[str, Any]]) -> DataFrame:

@@ -83,8 +83,10 @@ def load_sqlite_table(
         finally:
             conn.close()
 
-    ranges = spark.createDataFrame(bounds, "lo long, hi long").repartition(
-        len(bounds)
+    # one range per partition, deterministically: repartition(n) round-
+    # robins and can pack two ranges in one task while another sits idle
+    ranges = spark.createDataFrame(
+        spark.sparkContext.parallelize(bounds, len(bounds)), "lo long, hi long"
     )
     return ranges.mapInPandas(scan, schema)
 

@@ -137,7 +137,11 @@ def _update_sessions(key, pdfs, state: GroupState):
     wm = state.getCurrentWatermarkMs()
     live = []
     for s in sessions:
-        if _epoch_ms(s[1]) + SESSION_GAP_MS <= wm:
+        # STRICTLY below the watermark: an admissible event may arrive
+        # with ts == wm, and ts - last == gap exactly is IN-session for
+        # the batch twin (split only when gap EXCEEDS the threshold), so
+        # end + gap == wm is not final yet
+        if _epoch_ms(s[1]) + SESSION_GAP_MS < wm:
             yield row(*s)  # finalized: no admissible event can reach it
         else:
             live.append(s)
