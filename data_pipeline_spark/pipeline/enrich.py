@@ -165,11 +165,15 @@ def elect_primary_names(
     for code, p in LANG_PRIORITY.items():
         lang_prio = F.when(lang == code, F.lit(p)).otherwise(lang_prio)
     is_acronym = F.col("name").rlike(r"^[A-Z0-9.]+$")
+    # The acronym demotion never applies to LLM-injected names: the
+    # reference PREPENDS the LLM primary unconditionally
+    # (final/mapper.py:322-326), so an all-caps LLM parse must still win
+    # the en election rather than rank behind every existing primary.
     score = (
         F.when(F.col("is_primary"), 5).otherwise(0)
         + F.when(F.col("is_llm"), 6).otherwise(0)
         + lang_prio
-        - F.when(is_acronym, 1000).otherwise(0)
+        - F.when(is_acronym & ~F.col("is_llm"), 1000).otherwise(0)
     )
     w = W.partitionBy("yuid", lang).orderBy(
         F.desc(score), F.length("name"), "name"

@@ -60,15 +60,28 @@ def prepare_kv_dataset(records: DataFrame, out_path: str, n_shards: int = 24) ->
 def class_index_batches(records: DataFrame, batch: int = IDX_BATCH) -> DataFrame:
     """(cls, batch_id, packed): the class index — per-class batches of up
     to ``batch`` keys, concatenated in global key order (the dupsort
-    values the reference writes per class)."""
+    values the reference writes per class).  ``packed`` is BINARY in
+    16-byte uuid strides — byte-compatible with the reference index
+    (make_dataset_lmdb.py:68 packs uuid.bytes, read back in 16-byte
+    strides at :105) and with ``write_lmdb_store`` below, which appends
+    the same ``bytes.fromhex`` keys.  Hex lexical order == byte order,
+    so sorting on key_hex sorts the packed bytes too."""
     from pyspark.sql import Window as W
 
     rn = F.row_number().over(W.partitionBy("cls").orderBy("key_hex"))
+    keys16 = F.transform(
+        F.sort_array(F.collect_list("key_hex")),
+        lambda k: F.unhex(F.regexp_replace(k, "-", "")),
+    )
     return (
         records.withColumn("rn", rn)
         .withColumn("batch_id", ((F.col("rn") - 1) / batch).cast("long"))
         .groupBy("cls", "batch_id")
-        .agg(F.concat_ws("", F.sort_array(F.collect_list("key_hex"))).alias("packed"))
+        .agg(
+            F.aggregate(
+                keys16, F.lit(b""), lambda acc, x: F.concat(acc, x)
+            ).alias("packed")
+        )
     )
 
 

@@ -20,10 +20,14 @@ DataFrame expressions.  Shapes kept:
   dateOfDeath through the F1 date parser with the raw string as
   DisplayName; fieldOfActivityOfThePerson -> ja BiographyStatements;
   biographicalInformation -> untagged BiographyStatements.
-- **group events** (handle_group, mapper.py:154-220): establishment /
+- **group events** (handle_group, mapper.py:154-233): establishment /
   termination -> Formation/Dissolution timespans; family/corporate
-  history -> ja Notes; previousName -> AttributeAssignment classified as
-  wikidata Q79030196 ("Previous Name").
+  history -> ja Notes; previousName / laterName (record level, label
+  falling back to the pref literal) -> AttributeAssignments classified
+  as wikidata Q79030196 ("Previous Name") / Q79030284 ("Later Name").
+- **transform extras** (mapper.py:257-274): primaryTopic.name becomes an
+  AlternateName unless already in the dupes set; anotherName / realName
+  URIs become equivalents typed like the record.
 
 The SPARQL discovery side (JapanSparqlFetcher) is the S14 connector
 (sources/sparql.py: harvest_sparql); this module is the record mapper.
@@ -41,8 +45,10 @@ SCHEME_UNIFORM = "http://id.ndl.go.jp/auth#uniformTitles"
 SCHEME_GEO = "http://id.ndl.go.jp/auth#geographicNames"
 SCHEME_TOPIC = "http://id.ndl.go.jp/auth#topicalTerms"
 PREVIOUS_NAME_TYPE = "http://www.wikidata.org/entity/Q79030196"
+LATER_NAME_TYPE = "http://www.wikidata.org/entity/Q79030284"
 
 _LABEL = "struct<literalForm: string, transcriptions: array<struct<value: string, lang: string>>>"
+_REF = "array<struct<uri: string, label: string>>"
 RAW_SCHEMA = (
     "identifier string, record_time string,"
     " doc struct<"
@@ -51,14 +57,15 @@ RAW_SCHEMA = (
     f"  altLabel: array<{_LABEL}>,"
     "   exactMatch: array<struct<uri: string>>,"
     "   inScheme: struct<uri: string>,"
+    f"  previousName: {_REF}, laterName: {_REF},"
+    f"  anotherName: {_REF}, realName: {_REF},"
     "   primaryTopic: struct<"
-    "     type: struct<uri: string>,"
+    "     type: struct<uri: string>, name: string,"
     "     dateOfBirth: string, dateOfDeath: string,"
     "     dateOfEstablishment: string, dateOfTermination: string,"
     "     fieldOfActivityOfThePerson: array<string>,"
     "     biographicalInformation: array<string>,"
-    "     familyHistory: array<string>, corporateHistory: array<string>,"
-    "     previousName: array<struct<uri: string, label: string>>>>"
+    "     familyHistory: array<string>, corporateHistory: array<string>>>"
 )
 
 
@@ -109,14 +116,37 @@ def _txn_lang(t: F.Column) -> F.Column:
     return F.when(head != "", F.lower(head))
 
 
-def _names(doc: F.Column) -> F.Column:
-    """handle_common's name assembly, dupes-set order preserved."""
-    pref = doc.getField("prefLabel")
-    preflbl = F.coalesce(
-        F.nullif(pref.getField("literalForm"), F.lit("")),
+_NAME_T = (
+    "struct<type: string, content: string, language: string,"
+    " classified_as: array<struct<id: string, type: string>>>"
+)
+
+
+def _preflbl(doc: F.Column) -> F.Column:
+    """The pref literal with the ``label`` fallback (mapper.py:54-57)."""
+    return F.coalesce(
+        F.nullif(doc.getField("prefLabel").getField("literalForm"), F.lit("")),
         F.nullif(doc.getField("label"), F.lit("")),
         F.lit(""),
     )
+
+
+def _dupes(doc: F.Column) -> F.Column:
+    """The dupes set handle_common returns: pref literal + every alt
+    literal (transcription values never join it — mapper.py:58,84-85)."""
+    return F.concat(
+        F.array(_preflbl(doc)),
+        F.transform(
+            F.coalesce(doc.getField("altLabel"), F.array()),
+            lambda a: F.coalesce(a.getField("literalForm"), F.lit("")),
+        ),
+    )
+
+
+def _names(doc: F.Column) -> F.Column:
+    """handle_common's name assembly, dupes-set order preserved."""
+    pref = doc.getField("prefLabel")
+    preflbl = _preflbl(doc)
     pref_txns = F.filter(
         F.transform(
             F.coalesce(pref.getField("transcriptions"), F.array()),
@@ -135,10 +165,7 @@ def _names(doc: F.Column) -> F.Column:
 
     # the running dupes set: seen = {preflbl} + each visited alt literal;
     # alt transcriptions test against seen AFTER their own literal joined
-    name_t = (
-        "struct<type: string, content: string, language: string,"
-        " classified_as: array<struct<id: string, type: string>>>"
-    )
+    name_t = _NAME_T
     init = F.struct(
         F.array(preflbl).alias("seen"),
         F.array().cast(f"array<{name_t}>").alias("names"),
@@ -252,7 +279,26 @@ def map_records(loaded: DataFrame, source_name: str = "japan") -> DataFrame:
     is_family = (
         F.coalesce(topic.getField("type").getField("uri"), F.lit("")) == FRBR_FAMILY
     )
-    equivalents = F.filter(
+
+    def uri_refs(field: str) -> F.Column:
+        """Non-empty URIs of a record-level {uri,label} array, typed like
+        the record (exactMatch mapper.py:99-103; anotherName/realName
+        mapper.py:262-274)."""
+        return F.filter(
+            F.transform(
+                F.coalesce(d.getField(field), F.array()),
+                lambda e: F.when(
+                    e.getField("uri").isNotNull() & (e.getField("uri") != ""),
+                    F.struct(
+                        e.getField("uri").alias("id"),
+                        F.col("rectype").alias("type"),
+                    ),
+                ),
+            ),
+            lambda e: e.isNotNull(),
+        )
+
+    exact = F.filter(
         F.transform(
             F.coalesce(d.getField("exactMatch"), F.array()),
             lambda e: F.when(
@@ -262,34 +308,55 @@ def map_records(loaded: DataFrame, source_name: str = "japan") -> DataFrame:
         ),
         lambda e: e.isNotNull(),
     )
-    previous = F.filter(
-        F.transform(
-            F.coalesce(topic.getField("previousName"), F.array()),
-            lambda p: F.when(
-                p.getField("uri").isNotNull() & (p.getField("uri") != ""),
-                F.struct(
-                    F.lit("AttributeAssignment").alias("type"),
+    equivalents = F.concat(exact, uri_refs("anotherName"), uri_refs("realName"))
+
+    preflbl = _preflbl(d)
+
+    def attributions(field: str, type_uri: str) -> F.Column:
+        """Record-level previousName/laterName -> AttributeAssignments
+        (mapper.py:209-233); the ref label falls back to the pref
+        literal, as the reference's ``orec.get('label', preflbl)``."""
+        return F.filter(
+            F.transform(
+                F.coalesce(d.getField(field), F.array()),
+                lambda p: F.when(
+                    p.getField("uri").isNotNull() & (p.getField("uri") != ""),
                     F.struct(
-                        p.getField("uri").alias("id"), F.lit("Group").alias("type"),
-                        p.getField("label").alias("_label"),
-                    ).alias("assigned"),
-                    F.array(
+                        F.lit("AttributeAssignment").alias("type"),
                         F.struct(
-                            F.lit(PREVIOUS_NAME_TYPE).alias("id"),
-                            F.lit("Type").alias("type"),
-                        )
-                    ).alias("classified_as"),
+                            p.getField("uri").alias("id"), F.lit("Group").alias("type"),
+                            F.coalesce(p.getField("label"), preflbl).alias("_label"),
+                        ).alias("assigned"),
+                        F.array(
+                            F.struct(
+                                F.lit(type_uri).alias("id"),
+                                F.lit("Type").alias("type"),
+                            )
+                        ).alias("classified_as"),
+                    ),
                 ),
             ),
-        ),
-        lambda p: p.isNotNull(),
+            lambda p: p.isNotNull(),
+        )
+
+    attributed = F.concat(
+        attributions("previousName", PREVIOUS_NAME_TYPE),
+        attributions("laterName", LATER_NAME_TYPE),
     )
+
+    # primaryTopic.name -> AlternateName unless already a known literal
+    # (mapper.py:257-260; the dupes set is pref + alt literals only)
+    topic_name = F.coalesce(topic.getField("name"), F.lit(""))
+    topic_alt = F.when(
+        (topic_name != "") & ~F.array_contains(_dupes(d), topic_name),
+        F.array(_name(topic_name, "alternateName")),
+    ).otherwise(F.array().cast(f"array<{_NAME_T}>"))
 
     body = F.to_json(
         F.struct(
             d.getField("uri").alias("id"),
             F.col("rectype").alias("type"),
-            _names(d).alias("identified_by"),
+            F.concat(_names(d), topic_alt).alias("identified_by"),
             _statements(d, F.col("rectype")).alias("referred_to_by"),
             equivalents.alias("equivalent"),
             F.when(
@@ -305,7 +372,7 @@ def map_records(loaded: DataFrame, source_name: str = "japan") -> DataFrame:
             F.when(is_person, event(F.col("end_ts"), F.col("end_raw"))).alias("died"),
             F.when(is_group, event(F.col("begin_ts"), F.col("begin_raw"))).alias("formed_by"),
             F.when(is_group, event(F.col("end_ts"), F.col("end_raw"))).alias("dissolved_by"),
-            F.when(is_group, previous).alias("attributed_by"),
+            F.when(is_group, attributed).alias("attributed_by"),
         )
     )
     return df.select(

@@ -131,6 +131,29 @@ def test_primary_name_election(spark):
     assert got["de"] == "Turner"
 
 
+def test_llm_acronym_primary_still_wins(spark):
+    """The acronym demotion must not apply to LLM-injected names: the
+    reference PREPENDS the LLM primary unconditionally
+    (final/mapper.py:322-326), so an all-caps single-token LLM parse
+    (e.g. a monogrammist) still wins the en election over an existing
+    lowercase primary."""
+    doc = {
+        "id": "y3", "type": "Person",
+        "identified_by": [
+            {"type": "Name", "content": "Master of the Embroidered Foliage",
+             "language": [{"id": "lang/en"}],
+             "classified_as": [{"id": "vocab/primaryName"}]},
+        ],
+    }
+    merged = spark.createDataFrame(
+        [("y3", "Person", json.dumps(doc))], "yuid string, rectype string, data string"
+    )
+    llm = spark.createDataFrame([("y3", "M.E.F.")], "yuid string, llm_primary string")
+    got = {r.lang: r.primary_name
+           for r in elect_primary_names(merged, llm_names=llm).collect()}
+    assert got["en"] == "M.E.F."
+
+
 def test_primary_name_election_iso639_2_uris(spark):
     """F15: 3-letter language URIs (both bibliographic and terminological
     variants) must bucket into the SAME 2-letter lane as the 639-1 form —

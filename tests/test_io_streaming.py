@@ -492,18 +492,22 @@ def test_kv_store_build_sorted_runs_and_class_index(spark, tmp_path):
         stream.extend(keys)
     assert len(stream) == 100 and stream == sorted(stream)
 
-    # class index: batches of <=30 hex keys, concatenated in key order
+    # class index: batches of <=30 keys packed as BINARY in 16-byte uuid
+    # strides (byte-compatible with the reference's make_dataset_lmdb
+    # index, which packs uuid.bytes and reads 16-byte strides back)
     idx = class_index_batches(recs).collect()
     person_batches = sorted(
         [r for r in idx if r.cls == "Person"], key=lambda r: r.batch_id
     )
     n_person = sum(1 for _, c, _ in rows if c == "Person")
-    assert sum(len(r.packed) // 36 for r in person_batches) == n_person
+    assert sum(len(r.packed) // 16 for r in person_batches) == n_person
     person_keys = sorted(k for k, c, _ in (
         (r[0].rsplit("/", 1)[-1].lower(), r[1], r[2]) for r in rows) if c == "Person")
-    packed_all = "".join(r.packed for r in person_batches)
-    assert packed_all == "".join(person_keys)
-    assert all(len(r.packed) <= 36 * IDX_BATCH for r in idx)
+    packed_all = b"".join(bytes(r.packed) for r in person_batches)
+    assert packed_all == b"".join(
+        bytes.fromhex(k.replace("-", "")) for k in person_keys
+    )
+    assert all(len(r.packed) <= 16 * IDX_BATCH for r in idx)
 
     # native writer is environment-gated, never half-writes
     with pytest.raises(NotImplementedError, match="lmdb"):

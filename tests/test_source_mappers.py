@@ -442,27 +442,39 @@ JP_RECORDS = [
                 {"literalForm": "夏目金之助"},  # repeated literal -> dropped
             ],
             "exactMatch": [{"uri": "http://viaf.org/viaf/36925766"}],
+            # realName URI joins equivalents typed like the record
+            # (reference mapper.py:269-274)
+            "realName": [{"uri": "http://id.ndl.go.jp/auth/entity/r9",
+                          "label": "Real Name"}],
             "primaryTopic": {
                 "type": {"uri": "http://xmlns.com/foaf/0.1/Person"},
+                # topic name not in dupes -> AlternateName (mapper.py:257-260)
+                "name": "Souseki Natume",
                 "dateOfBirth": "1867-02-09", "dateOfDeath": "1916-12-09",
                 "fieldOfActivityOfThePerson": ["小説家"],
                 "biographicalInformation": ["Novelist of the Meiji era"],
             },
         },
     },
-    # group via FRBR Family -> Group + family classification; previousName
+    # group via FRBR Family -> Group + family classification; record-level
+    # previousName/laterName attributions (label fallback = pref literal)
+    # and anotherName equivalent; topic name already in dupes -> dropped
     {
         "identifier": "00000001",
         "doc": {
             "uri": "http://id.ndl.go.jp/auth/entity/00000001",
             "label": "Some Family",
             "prefLabel": {},
+            "previousName": [{"uri": "http://id.ndl.go.jp/auth/entity/x1",
+                              "label": "Old Family Name"}],
+            "laterName": [{"uri": "http://id.ndl.go.jp/auth/entity/x2"}],
+            "anotherName": [{"uri": "http://id.ndl.go.jp/auth/entity/a3",
+                             "label": "Other"}],
             "primaryTopic": {
                 "type": {"uri": "http://RDVocab.info/uri/schema/FRBRentitiesRDA/Family"},
+                "name": "Some Family",
                 "dateOfEstablishment": "1800",
                 "familyHistory": ["A long family history"],
-                "previousName": [{"uri": "http://id.ndl.go.jp/auth/entity/x1",
-                                  "label": "Old Family Name"}],
             },
         },
     },
@@ -521,20 +533,35 @@ def test_japan_mapper_end_to_end(spark, tmp_path):
         ("夏目漱石", None, "primaryName"),
         ("夏目金之助", None, "alternateName"),
         ("Natsume Kinnosuke", "ja", "alternateName"),
+        ("Souseki Natume", None, "alternateName"),  # topic name, not in dupes
     ]
     assert soseki["born"]["timespan"]["begin_of_the_begin"] == "1867-02-09T00:00:00"
     assert soseki["died"]["timespan"]["end_of_the_end"] == "1916-12-09T23:59:59"
     stmts = {(s["content"], s.get("language")) for s in soseki["referred_to_by"]}
     assert ("小説家", "ja") in stmts
     assert ("Novelist of the Meiji era", None) in stmts
-    assert soseki["equivalent"][0]["id"] == "http://viaf.org/viaf/36925766"
+    # exactMatch first, then realName — both typed like the record
+    assert [e["id"] for e in soseki["equivalent"]] == [
+        "http://viaf.org/viaf/36925766",
+        "http://id.ndl.go.jp/auth/entity/r9",
+    ]
+    assert all(e["type"] == "Person" for e in soseki["equivalent"])
 
     fam = json.loads(rows["00000001"].data)
     assert rows["00000001"].rectype == "Group"
     assert fam["classified_as"][0]["id"].endswith("/family")
     assert fam["identified_by"][0]["content"] == "Some Family"  # label fallback
+    # topic name == pref-literal-fallback label -> in dupes -> no extra name
+    assert [n["content"] for n in fam["identified_by"]] == ["Some Family"]
     assert fam["formed_by"]["timespan"]["begin_of_the_begin"] == "1800-01-01T00:00:00"
-    assert fam["attributed_by"][0]["assigned"]["_label"] == "Old Family Name"
-    assert fam["attributed_by"][0]["classified_as"][0]["id"].endswith("Q79030196")
+    # previousName then laterName; absent label falls back to pref literal
+    assert [(a["assigned"]["_label"], a["classified_as"][0]["id"].rsplit("/", 1)[-1])
+            for a in fam["attributed_by"]] == [
+        ("Old Family Name", "Q79030196"),
+        ("Some Family", "Q79030284"),
+    ]
+    assert fam["equivalent"] == [
+        {"id": "http://id.ndl.go.jp/auth/entity/a3", "type": "Group"}
+    ]
 
     assert rows["00646102"].rectype == "Place"
