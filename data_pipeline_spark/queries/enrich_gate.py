@@ -485,3 +485,114 @@ def u05_llm_person_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("llm_sort").alias("sort_name"),
         "born_begin", "died_begin",
     )
+
+
+@query(
+    "u07_geonames_place_gate",
+    oracle="""
+    SELECT 'https://sws.geonames.org/' || c_custkey AS identifier,
+           CASE c_custkey % 5
+             WHEN 0 THEN 'Town' || c_custkey
+             WHEN 1 THEN 'Place' || c_custkey
+             WHEN 2 THEN 'U' || c_custkey
+             ELSE 'Alt' || c_custkey
+           END AS name,
+           CASE c_custkey % 5
+             WHEN 0 THEN 'POINT ( 2.25 48.5 )'
+             WHEN 1 THEN 'POINT ( -179.75 89.75 )'
+           END AS wkt,
+           CASE c_custkey % 5
+             WHEN 0 THEN 'https://sws.geonames.org/p' || c_custkey
+             WHEN 1 THEN 'https://sws.geonames.org/c' || c_custkey
+           END AS parent,
+           CASE c_custkey % 5
+             WHEN 0 THEN 'https://kg.example/x' || c_custkey
+           END AS equiv,
+           CASE c_custkey % 5 WHEN 0 THEN 2 ELSE 1 END AS n_names
+    FROM customer WHERE c_custkey % 5 <> 4
+    """,
+    survey="U1,F16,F18,S5",
+)
+def u07_geonames_place_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GeoNames RDF/XML mapper (reference sources/general/geonames/
+    mapper.py:25-136) through the driver gate, one path per rotation:
+    the full record (gn:name election, officialName LAST-per-lang dict
+    semantics, 'xx' language filtered, parentFeature over parentCountry,
+    labelled seeAlso equivalent, F16 POINT emission), the en-official
+    fallback with extreme coords run through the F18 clamp, the untagged
+    official fallback with no geometry, the en-alternate fallback, and
+    broken XML dropped entirely."""
+    from ..functions.geometry import clamp_coords
+    from ..sources.geonames import map_records
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    m = k % 5
+
+    def feat(body):
+        return F.concat(
+            F.lit(
+                '<rdf:RDF xmlns:gn="http://www.geonames.org/ontology#"'
+                ' xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+                ' xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"'
+                ' xmlns:wgs84_pos="http://www.w3.org/2003/01/geo/wgs84_pos#">'
+                '<gn:Feature rdf:about="https://sws.geonames.org/'
+            ),
+            ks, F.lit('/">'), body, F.lit("</gn:Feature></rdf:RDF>"),
+        )
+
+    full = feat(F.concat(
+        F.lit("<gn:name>Town"), ks, F.lit("</gn:name>"
+              '<gn:officialName xml:lang="fr">Old'), ks,
+        F.lit('</gn:officialName><gn:officialName xml:lang="fr">Ville'), ks,
+        F.lit('</gn:officialName><gn:alternateName xml:lang="xx">Xx</gn:alternateName>'
+              '<gn:alternateName xml:lang="it">Citta'), ks,
+        F.lit("</gn:alternateName>"
+              "<wgs84_pos:lat>48.5</wgs84_pos:lat><wgs84_pos:long>2.25</wgs84_pos:long>"
+              '<gn:parentFeature rdf:resource="https://sws.geonames.org/p'), ks,
+        F.lit('"/><gn:parentCountry rdf:resource="https://sws.geonames.org/cX'), ks,
+        F.lit('"/><rdfs:seeAlso rdf:resource="https://kg.example/x'), ks, F.lit('"/>'),
+    ))
+    en_official = feat(F.concat(
+        F.lit('<gn:officialName xml:lang="en">Place'), ks,
+        F.lit("</gn:officialName>"
+              "<wgs84_pos:lat>90</wgs84_pos:lat><wgs84_pos:long>-180</wgs84_pos:long>"
+              '<gn:parentCountry rdf:resource="https://sws.geonames.org/c'), ks,
+        F.lit('"/>'),
+    ))
+    untagged = feat(F.concat(F.lit("<gn:officialName>U"), ks, F.lit("</gn:officialName>")))
+    en_alt = feat(F.concat(
+        F.lit('<gn:alternateName xml:lang="en">Alt'), ks, F.lit("</gn:alternateName>")
+    ))
+    broken = F.lit("<rdf:RDF><gn:Feature>never closed")
+    xml = (
+        F.when(m == 0, full).when(m == 1, en_official).when(m == 2, untagged)
+        .when(m == 3, en_alt).otherwise(broken)
+    )
+
+    loaded = c.select(
+        F.struct(
+            F.concat(F.lit("https://sws.geonames.org/"), ks, F.lit("/")).alias(
+                "identifier"
+            ),
+            F.lit(None).cast("string").alias("record_time"),
+            F.struct(xml.alias("value")).alias("doc"),
+        ).alias("doc")
+    )
+    envs = map_records(loaded)
+    doc = F.from_json(
+        "data",
+        "struct<_label: string, defined_by: string,"
+        " part_of: array<struct<id: string, type: string>>,"
+        " equivalent: array<struct<id: string, type: string, _label: string>>,"
+        " identified_by: array<struct<type: string, content: string>>>",
+    )
+    return envs.select(
+        "identifier",
+        doc.getField("_label").alias("name"),
+        clamp_coords(doc.getField("defined_by")).alias("wkt"),
+        F.try_element_at(doc.getField("part_of"), F.lit(1)).getField("id").alias("parent"),
+        F.try_element_at(doc.getField("equivalent"), F.lit(1)).getField("id").alias("equiv"),
+        F.size(doc.getField("identified_by")).alias("n_names"),
+    )

@@ -565,3 +565,145 @@ def test_japan_mapper_end_to_end(spark, tmp_path):
     ]
 
     assert rows["00646102"].rectype == "Place"
+
+
+# ---------------------------------------------------------------- geonames
+def _gn_xml(about, body):
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="no"?>'
+        '<rdf:RDF xmlns:gn="http://www.geonames.org/ontology#"'
+        ' xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"'
+        ' xmlns:wgs84_pos="http://www.w3.org/2003/01/geo/wgs84_pos#">'
+        f'<gn:Feature rdf:about="{about}">{body}</gn:Feature></rdf:RDF>'
+    )
+
+
+GN_RECORDS = [
+    # full record: gn:name wins the election; officialName dict semantics
+    # (LAST fr value wins, position kept), language filter drops 'xx';
+    # parentFeature beats parentCountry; seeAlso -> labelled equivalent
+    {
+        "identifier": "https://sws.geonames.org/2988507/",
+        "doc": {"value": _gn_xml(
+            "https://sws.geonames.org/2988507/",
+            "<gn:name>Paris</gn:name>"
+            '<gn:officialName xml:lang="fr">Paname</gn:officialName>'
+            '<gn:officialName xml:lang="fr">Paris</gn:officialName>'
+            '<gn:officialName xml:lang="en">Paris</gn:officialName>'
+            '<gn:alternateName xml:lang="xx">Parigi-x</gn:alternateName>'
+            '<gn:alternateName xml:lang="it">Parigi</gn:alternateName>'
+            "<wgs84_pos:lat>48.85341</wgs84_pos:lat>"
+            "<wgs84_pos:long>2.3488</wgs84_pos:long>"
+            '<gn:parentFeature rdf:resource="https://sws.geonames.org/3012874/"/>'
+            '<gn:parentCountry rdf:resource="https://sws.geonames.org/3017382/"/>'
+            '<rdfs:seeAlso rdf:resource="https://dbpedia.org/resource/Paris"/>'
+        )},
+    },
+    # no gn:name -> en officialName elected; parentCountry fallback
+    {
+        "identifier": "https://sws.geonames.org/999/",
+        "doc": {"value": _gn_xml(
+            "https://sws.geonames.org/999/",
+            '<gn:officialName xml:lang="en">Nowhere</gn:officialName>'
+            '<gn:parentCountry rdf:resource="https://sws.geonames.org/1/"/>'
+        )},
+    },
+    # untagged officialName only; no coords -> no defined_by
+    {
+        "identifier": "https://sws.geonames.org/888/",
+        "doc": {"value": _gn_xml(
+            "https://sws.geonames.org/888/",
+            "<gn:officialName>Utopia</gn:officialName>"
+        )},
+    },
+    # broken XML -> dropped (reference returns None)
+    {"identifier": "https://sws.geonames.org/777/",
+     "doc": {"value": "<rdf:RDF><gn:Feature>no close"}},
+]
+
+
+def test_geonames_xml_mapper_end_to_end(spark, tmp_path):
+    from data_pipeline_spark.sources.geonames import CONFIG
+
+    dump = tmp_path / "gn.jsonl"
+    _write_jsonl(dump, GN_RECORDS)
+    reg = SourceRegistry()
+    src = reg.register_config({**CONFIG, "dump_path": str(dump)})
+    loaded = src.component("loader")(spark, src.config)
+    envelopes = src.component("mapper")(loaded)
+
+    rows = {r.identifier: r for r in envelopes.collect()}
+    assert set(rows) == {
+        "https://sws.geonames.org/2988507",  # trailing slash trimmed
+        "https://sws.geonames.org/999",
+        "https://sws.geonames.org/888",
+    }
+    assert all(r.rectype == "Place" for r in rows.values())
+
+    paris = json.loads(rows["https://sws.geonames.org/2988507"].data)
+    assert paris["_label"] == "Paris"
+    names = [(n["content"], n.get("language"),
+              n["classified_as"][0]["id"].rsplit("/", 1)[-1])
+             for n in paris["identified_by"]]
+    # fr dict slot keeps first-seen position but LAST value; xx filtered
+    assert names == [
+        ("Paris", "fr", "primaryName"),
+        ("Paris", "en", "primaryName"),
+        ("Parigi", "it", "alternateName"),
+    ]
+    assert paris["defined_by"] == "POINT ( 2.3488 48.85341 )"
+    assert [p["id"] for p in paris["part_of"]] == ["https://sws.geonames.org/3012874/"]
+    assert paris["equivalent"] == [{
+        "id": "https://dbpedia.org/resource/Paris", "type": "Place",
+        "_label": "Paris",
+    }]
+
+    nowhere = json.loads(rows["https://sws.geonames.org/999"].data)
+    assert nowhere["_label"] == "Nowhere"
+    assert [p["id"] for p in nowhere["part_of"]] == ["https://sws.geonames.org/1/"]
+    assert "defined_by" not in nowhere
+
+    utopia = json.loads(rows["https://sws.geonames.org/888"].data)
+    assert utopia["_label"] == "Utopia"
+    assert utopia["identified_by"][0]["content"] == "Utopia"
+    assert "language" not in utopia["identified_by"][0]
+
+
+def test_geonames_bulk_dump_mapper(spark, tmp_path):
+    """loader.py:46-73: TSV rows -> envelopes, hierarchy join, alternates
+    minus the primary, keep-first per geonameid."""
+    from data_pipeline_spark.sources.geonames import (
+        load_dump, load_hierarchy, map_dump,
+    )
+
+    allc = tmp_path / "allCountries.txt"
+    cols = lambda *v: "\t".join(v)  # noqa: E731
+    allc.write_text("\n".join([
+        cols("2988507", "Paris", "Paris", "Paname,Paris,Lutece",
+             "48.85341", "2.3488", "P", "PPLC", "FR", "", "11", "75", "", "",
+             "2138551", "", "42", "Europe/Paris", "2024-01-15"),
+        cols("999", "Nowhere", "Nowhere", "", "", "", "P", "PPL", "XX", "",
+             "", "", "", "", "0", "", "0", "UTC", "2024-02-01"),
+        cols("2988507", "Paris DUPE", "x", "", "0", "0", "P", "PPL", "FR", "",
+             "", "", "", "", "0", "", "0", "UTC", "2024-03-01"),
+    ]) + "\n")
+    hier = tmp_path / "hierarchy.txt"
+    hier.write_text(cols("3012874", "2988507", "ADM") + "\n")
+
+    envs = map_dump(load_dump(spark, str(allc)), load_hierarchy(spark, str(hier)))
+    rows = {r.identifier: r for r in envs.collect()}
+    assert set(rows) == {
+        "https://sws.geonames.org/2988507", "https://sws.geonames.org/999",
+    }
+    paris = json.loads(rows["https://sws.geonames.org/2988507"].data)
+    assert paris["_label"] == "Paris"  # keep-first, not the DUPE row
+    assert [n["content"] for n in paris["identified_by"]] == [
+        "Paris", "Paname", "Lutece",  # primary + alternates minus primary
+    ]
+    assert paris["defined_by"] == "POINT ( 2.3488 48.85341 )"
+    assert paris["part_of"][0]["id"] == "https://sws.geonames.org/3012874"
+    assert rows["https://sws.geonames.org/2988507"].record_time == "2024-01-15T00:00:00"
+
+    nowhere = json.loads(rows["https://sws.geonames.org/999"].data)
+    assert "defined_by" not in nowhere and "part_of" not in nowhere
