@@ -148,9 +148,27 @@ def merge_docs(docs: list[dict]) -> dict:
     return base
 
 
-def _consent(hooks, kind: str, base_doc: dict, cand_doc: dict) -> bool:
+def _consent(hooks, kind: str, base_doc: dict, cand_doc: dict,
+             base_src: str = "", cand_src: str = "") -> bool:
     fn = (hooks or {}).get(kind)
-    return True if fn is None else bool(fn(base_doc, cand_doc))
+    if fn is None:
+        return True
+    # hooks take (base_doc, cand_doc) or, when the veto depends on the
+    # other record's SOURCE (the reference passes whole record envelopes,
+    # e.g. yale/ycba/mapper.py:14-27 checking to_merge['source']),
+    # (base_doc, cand_doc, base_src, cand_src)
+    arity = getattr(fn, "_p5_arity", None)
+    if arity is None:
+        import inspect
+
+        arity = len(inspect.signature(fn).parameters)
+        try:
+            fn._p5_arity = arity
+        except (AttributeError, TypeError):
+            pass
+    if arity >= 4:
+        return bool(fn(base_doc, cand_doc, base_src, cand_src))
+    return bool(fn(base_doc, cand_doc))
 
 
 def should_merge(
@@ -163,8 +181,10 @@ def should_merge(
     to True (mapper.py:276-280's base-class behavior)."""
     if not vetoes:
         return True
-    return _consent(vetoes.get(base_src), "should_merge_into", base_doc, cand_doc) and _consent(
-        vetoes.get(cand_src), "should_merge_from", base_doc, cand_doc
+    return _consent(
+        vetoes.get(base_src), "should_merge_into", base_doc, cand_doc, base_src, cand_src
+    ) and _consent(
+        vetoes.get(cand_src), "should_merge_from", base_doc, cand_doc, base_src, cand_src
     )
 
 

@@ -596,3 +596,127 @@ def u07_geonames_place_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(doc.getField("equivalent"), F.lit(1)).getField("id").alias("equiv"),
         F.size(doc.getField("identified_by")).alias("n_names"),
     )
+
+
+@query(
+    "u08_ycba_transform_gate",
+    oracle="""
+    SELECT 'r' || c_custkey AS identifier,
+           CASE c_custkey % 6
+             WHEN 0 THEN 'HumanMadeObject' WHEN 1 THEN 'VisualItem'
+             WHEN 2 THEN 'Place' WHEN 3 THEN 'Period' ELSE 'Group'
+           END AS rectype,
+           CASE WHEN c_custkey % 6 IN (0, 3) THEN 1 ELSE 0 END AS n_classes,
+           CASE c_custkey % 6 WHEN 0 THEN 'First' || c_custkey END AS first_stmt,
+           CASE c_custkey % 6
+             WHEN 1 THEN 'http://vocab.getty.edu/aat/300015637'
+           END AS rep_id,
+           CASE c_custkey % 6 WHEN 2 THEN 'POINT (2.5 48.25)' END AS wkt,
+           CASE c_custkey % 6
+             WHEN 3 THEN '1801-01-01T00:00:00'
+             WHEN 4 THEN '1900-01-01T00:00:00'
+           END AS ts_begin,
+           CASE c_custkey % 6 WHEN 3 THEN '1900-12-31T23:59:59' END AS ts_end,
+           CASE c_custkey % 6 WHEN 0 THEN 1 ELSE 0 END AS n_equiv
+    FROM customer WHERE c_custkey % 6 <> 5
+    """,
+    survey="U1,P5,F3,F2,F13",
+)
+def u08_ycba_transform_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The YCBA internal-unit cleanup mapper (reference sources/yale/
+    ycba/mapper.py:29-118) through the driver gate, one transform path
+    per rotation: the Collection-Item classification + wikidata
+    equivalent purge + statement list->first (HumanMadeObject), the
+    local-term purge + doubled-AAT fix (VisualItem), GeoJSON->WKT
+    (Place), the Period classification + century timespan through the
+    F1/F2 parser, timespan normalization (Z strip, junk end prop
+    deleted), and unparseable JSON dropped entirely."""
+    import json as _json
+
+    from ..sources.ycba import map_records
+
+    aat = "http://vocab.getty.edu/aat/"
+    geo_frag = '"defined_by":' + _json.dumps(_json.dumps(
+        {"features": [{"geometry": {"type": "Point", "coordinates": [2.5, 48.25]}}]}
+    )).replace("'", "")
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    m = k % 6
+
+    hmo = F.concat(
+        F.lit('{"id":"https://coll.example/v3/obj/aa/r'), ks,
+        F.lit('","type":"HumanMadeObject","identified_by":[{"type":"Identifier",'
+              '"content":"B.'), ks,
+        F.lit('","classified_as":[{"id":"' + aat + '300312355"}]}],'
+              '"referred_to_by":[{"type":"LinguisticObject","content":["First'), ks,
+        F.lit('","Second"]}],"equivalent":[{"id":"http://www.wikidata.org/entity/Q'),
+        ks,
+        F.lit('"},{"id":"https://kg.example/e'), ks,
+        F.lit('","type":"HumanMadeObject"}]}'),
+    )
+    vis = F.concat(
+        F.lit('{"id":"https://coll.example/v3/vis/bb/r'), ks,
+        F.lit('","type":"VisualItem","represents":[{"id":"' + aat + aat
+              + '300015637"},{"id":"http://collection.britishart.yale.edu/term/5"}]}'),
+    )
+    pla = F.concat(
+        F.lit('{"id":"https://coll.example/v3/pla/cc/r'), ks,
+        F.lit('","type":"Place",' + geo_frag + "}"),
+    )
+    per = F.concat(
+        F.lit('{"id":"https://coll.example/v3/per/dd/r'), ks,
+        F.lit('","type":"Period","identified_by":[{"type":"Name",'
+              '"content":"19th century","classified_as":[{"id":"'
+              + aat + '300404670"}]}]}'),
+    )
+    grp = F.concat(
+        F.lit('{"id":"https://coll.example/v3/grp/ee/r'), ks,
+        F.lit('","type":"Group","formed_by":{"type":"Formation","timespan":'
+              '{"begin_of_the_begin":"1900-01-01T00:00:00Z",'
+              '"end_of_the_end":"junkdate"}}}'),
+    )
+    value = (
+        F.when(m == 0, hmo).when(m == 1, vis).when(m == 2, pla)
+        .when(m == 3, per).when(m == 4, grp).otherwise(F.lit("not json {"))
+    )
+    loaded = c.select(
+        F.concat(F.lit("r"), ks).alias("identifier"),
+        F.lit("2026-01-01T00:00:00").alias("record_time"),
+        value.alias("value"),
+    )
+    envs = map_records(loaded, namespace="https://coll.example/v3/")
+    doc = F.from_json(
+        "data",
+        "struct<type: string, classified_as: array<struct<id: string>>,"
+        " referred_to_by: array<struct<content: string>>,"
+        " represents: array<struct<id: string>>, defined_by: string,"
+        " equivalent: array<struct<id: string>>,"
+        " timespan: struct<begin_of_the_begin: string, end_of_the_end: string>,"
+        " formed_by: struct<timespan: struct<begin_of_the_begin: string,"
+        " end_of_the_end: string>>>",
+    )
+
+    def nsize(col):
+        return F.when(col.isNotNull(), F.size(col)).otherwise(F.lit(0))
+
+    return envs.select(
+        "identifier",
+        "rectype",
+        nsize(doc.getField("classified_as")).alias("n_classes"),
+        F.try_element_at(doc.getField("referred_to_by"), F.lit(1))
+        .getField("content").alias("first_stmt"),
+        F.try_element_at(doc.getField("represents"), F.lit(1))
+        .getField("id").alias("rep_id"),
+        doc.getField("defined_by").alias("wkt"),
+        F.coalesce(
+            doc.getField("timespan").getField("begin_of_the_begin"),
+            doc.getField("formed_by").getField("timespan").getField("begin_of_the_begin"),
+        ).alias("ts_begin"),
+        F.coalesce(
+            doc.getField("timespan").getField("end_of_the_end"),
+            doc.getField("formed_by").getField("timespan").getField("end_of_the_end"),
+        ).alias("ts_end"),
+        nsize(doc.getField("equivalent")).alias("n_equiv"),
+    )

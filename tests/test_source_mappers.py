@@ -707,3 +707,199 @@ def test_geonames_bulk_dump_mapper(spark, tmp_path):
 
     nowhere = json.loads(rows["https://sws.geonames.org/999"].data)
     assert "defined_by" not in nowhere and "part_of" not in nowhere
+
+
+# ------------------------------------------------------------------- ycba
+AAT = "http://vocab.getty.edu/aat/"
+
+
+def _ycba_docs():
+    geo = json.dumps(
+        {"features": [{"geometry": {"type": "Point", "coordinates": [2.5, 48.25]}}]}
+    )
+    return {
+        # HMO: accession -> Collection Item class; wikidata equivalent out;
+        # statement content list -> first
+        "obj/aa/r1": {
+            "id": "https://coll.example/v3/obj/aa/r1", "type": "HumanMadeObject",
+            "identified_by": [{"type": "Identifier", "content": "B1977.14.1",
+                               "classified_as": [{"id": AAT + "300312355"}]}],
+            "referred_to_by": [{"type": "LinguisticObject",
+                                "content": ["First", "Second"]}],
+            "equivalent": [{"id": "http://www.wikidata.org/entity/Q1"},
+                           {"id": "https://kg.example/e1", "type": "HumanMadeObject"}],
+        },
+        # VisualItem: term purge + doubled-AAT fix
+        "vis/bb/r2": {
+            "id": "https://coll.example/v3/vis/bb/r2", "type": "VisualItem",
+            "represents": [
+                {"id": AAT + AAT + "300015637"},
+                {"id": "http://collection.britishart.yale.edu/term/5"},
+            ],
+        },
+        # Place: GeoJSON -> WKT
+        "pla/cc/r3": {
+            "id": "https://coll.example/v3/pla/cc/r3", "type": "Place",
+            "defined_by": geo,
+        },
+        # Period: AAT class + timespan via the F2 century parser
+        "per/dd/r4": {
+            "id": "https://coll.example/v3/per/dd/r4", "type": "Period",
+            "identified_by": [{"type": "Name", "content": "19th century",
+                               "classified_as": [{"id": AAT + "300404670"}]}],
+        },
+        # timespan normalization: Z stripped, junk end prop deleted
+        "grp/ee/r5": {
+            "id": "https://coll.example/v3/grp/ee/r5", "type": "Group",
+            "formed_by": {"type": "Formation", "timespan": {
+                "begin_of_the_begin": "1900-01-01T00:00:00Z",
+                "end_of_the_end": "junkdate",
+            }},
+        },
+    }
+
+
+def test_ycba_transform_paths(spark):
+    from data_pipeline_spark.sources.ycba import map_records
+
+    docs = _ycba_docs()
+    loaded = spark.createDataFrame(
+        [(k, json.dumps(v)) for k, v in docs.items()] + [("bad/xx/r9", "not json {")],
+        "identifier string, value string",
+    )
+    envs = map_records(loaded, namespace="https://coll.example/v3/")
+    rows = {r.identifier: r for r in envs.collect()}
+    assert set(rows) == set(docs)  # broken JSON dropped
+
+    hmo = json.loads(rows["obj/aa/r1"].data)
+    assert rows["obj/aa/r1"].rectype == "HumanMadeObject"
+    assert [c["id"] for c in hmo["classified_as"]] == [AAT + "300404024"]
+    assert hmo["referred_to_by"][0]["content"] == "First"
+    assert [e["id"] for e in hmo["equivalent"]] == ["https://kg.example/e1"]
+
+    vis = json.loads(rows["vis/bb/r2"].data)
+    assert [r["id"] for r in vis["represents"]] == [AAT + "300015637"]
+
+    pla = json.loads(rows["pla/cc/r3"].data)
+    assert pla["defined_by"] == "POINT (2.5 48.25)"
+
+    per = json.loads(rows["per/dd/r4"].data)
+    assert [c["id"] for c in per["classified_as"]] == [AAT + "300081446"]
+    # the F1 parser's century convention (f01 golden): Nth century =
+    # (N-1)*100+1 .. N*100
+    assert per["timespan"]["begin_of_the_begin"] == "1801-01-01T00:00:00"
+    assert per["timespan"]["end_of_the_end"] == "1900-12-31T23:59:59"
+    assert per["timespan"]["identified_by"][0]["content"] == "19th century"
+
+    grp = json.loads(rows["grp/ee/r5"].data)
+    ts = grp["formed_by"]["timespan"]
+    assert ts["begin_of_the_begin"] == "1900-01-01T00:00:00"
+    assert "end_of_the_end" not in ts
+
+
+def test_ycba_fix_links_and_merge_veto(spark):
+    from data_pipeline_spark.pipeline.merge_records import should_merge
+    from data_pipeline_spark.sources.ycba import (
+        CONFIG, map_records, transform_doc,
+    )
+
+    # fix_links: equivalents canonicalized with type/_label defaults;
+    # nested node ids rewritten; canonicalize-to-None unsets
+    doc = {
+        "id": "https://coll.example/v3/obj/aa/r1", "type": "HumanMadeObject",
+        "_label": "A Painting",
+        "equivalent": [{"id": "http://old.example/thing/7"}],
+        "produced_by": {"type": "Production",
+                        "carried_out_by": [{"id": "http://old.example/person/3",
+                                            "type": "Person"}]},
+        "shows": [{"id": "http://dead.example/v/1", "type": "VisualItem"}],
+    }
+    loaded = spark.createDataFrame(
+        [("obj/aa/r1", json.dumps(doc))], "identifier string, value string"
+    )
+    out = map_records(
+        loaded, namespace="https://coll.example/v3/",
+        rewrites={"http://old.example/": "https://new.example/",
+                  "http://dead.example/": None},
+    ).collect()[0]
+    got = json.loads(out.data)
+    assert got["equivalent"] == [{
+        "id": "https://new.example/thing/7", "type": "HumanMadeObject",
+        "_label": "A Painting",
+    }]
+    assert got["produced_by"]["carried_out_by"][0]["id"] == "https://new.example/person/3"
+    assert "id" not in got["shows"][0]
+
+    # P5: wikidata never folds into a YCBA object record, either direction
+    reg = SourceRegistry()
+    reg.register_config({**CONFIG, "dump_path": "/nonexistent"})
+    vetoes = reg.merge_hooks_map()
+    obj = {"type": "HumanMadeObject"}
+    wd = {"type": "Person"}
+    assert not should_merge(vetoes, obj, "ycba", wd, "wikidata")
+    assert not should_merge(vetoes, wd, "wikidata", obj, "ycba")
+    assert should_merge(vetoes, obj, "ycba", wd, "japan")
+    assert should_merge(vetoes, {"type": "Person"}, "ycba", wd, "wikidata")
+
+
+def test_ycba_activitystream_harvest_replay(spark, tmp_path):
+    """The internal-unit shape end-to-end: S2 AS walk (paged fixture) ->
+    R1-R6 change application -> cache -> the YCBA cleanup mapper — a
+    mapped source feeding the harvest machinery rather than synthetic
+    events."""
+    from data_pipeline_spark.sources.harvester import run_harvest
+    from data_pipeline_spark.sources.ycba import map_records
+
+    docs = _ycba_docs()
+    ns = "https://coll.example/v3/"
+    uris = [ns + k for k in docs]
+
+    pages = {
+        "https://coll.example/activity_stream/collection1.json": {
+            "type": "OrderedCollection",
+            "last": {"id": "https://coll.example/as/page2"},
+        },
+        # oldest page: first three creates
+        "https://coll.example/as/page1": {
+            "orderedItems": [
+                {"type": "Create", "endTime": f"2026-01-0{i+1}T00:00:00",
+                 "object": {"id": uris[i]}} for i in range(3)
+            ],
+        },
+        # newest page: an update to r1, creates for r4/r5, a delete for r3
+        "https://coll.example/as/page2": {
+            "prev": {"id": "https://coll.example/as/page1"},
+            "orderedItems": [
+                {"type": "Update", "endTime": "2026-01-04T00:00:00",
+                 "object": {"id": uris[0]}},
+                {"type": "Create", "endTime": "2026-01-05T00:00:00",
+                 "object": {"id": uris[3]}},
+                {"type": "Create", "endTime": "2026-01-06T00:00:00",
+                 "object": {"id": uris[4]}},
+                {"type": "Delete", "endTime": "2026-01-07T00:00:00",
+                 "object": {"id": uris[2]}},
+            ],
+        },
+    }
+
+    def fetch_record(uri):
+        return json.dumps(docs[uri.removeprefix(ns)])
+
+    cache = str(tmp_path / "ycba_cache")
+    n = run_harvest(spark, pages.__getitem__,
+                    "https://coll.example/activity_stream/collection1.json",
+                    cache, fetch_record=fetch_record)
+    assert n == 5  # r1 seen once (newest wins), r2-r5 once each
+
+    cached = spark.read.parquet(cache)
+    loaded = cached.select(
+        F.expr(f"replace(object_uri, '{ns}', '')").alias("identifier"),
+        F.col("record_time").cast("string").alias("record_time"),
+        F.col("data").alias("value"),
+    )
+    envs = map_records(loaded, namespace=ns)
+    rows = {r.identifier: r for r in envs.collect()}
+    # the Place was tombstoned by the delete; everything else mapped
+    assert set(rows) == {"obj/aa/r1", "vis/bb/r2", "per/dd/r4", "grp/ee/r5"}
+    assert json.loads(rows["per/dd/r4"].data)["timespan"][
+        "begin_of_the_begin"] == "1801-01-01T00:00:00"
