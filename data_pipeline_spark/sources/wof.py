@@ -70,16 +70,19 @@ def load_sqlite_table(
         try:
             for pdf in iterator:
                 for a, b in pdf.itertuples(index=False):
-                    rows = conn.execute(
+                    out = pd.read_sql_query(
                         f"SELECT {col_sql} FROM {table}"
                         " WHERE rowid BETWEEN ? AND ?",
-                        (int(a), int(b)),
-                    ).fetchall()
-                    if rows:
-                        yield pd.DataFrame(
-                            [[None if v is None else str(v) for v in r] for r in rows],
-                            columns=list(columns),
-                        )
+                        conn, params=(int(a), int(b)),
+                    )
+                    if len(out):
+                        # SQLite is dynamically typed: emit strings,
+                        # NULLs preserved (vectorized astype, not a
+                        # per-value Python loop)
+                        for c in out.columns:
+                            mask = out[c].notna()
+                            out[c] = out[c].astype(str).where(mask, None)
+                        yield out
         finally:
             conn.close()
 
