@@ -53,6 +53,9 @@ GATE_PIN = [
     # pin (ADVICE r4 #1); pin one round so the green row covers the
     # guarded code path explicitly
     "d06_ngram_jaccard_pairs",
+    # r5: sentence-split class pinned engine-identical (\x0b no longer a
+    # separator) — the r4 row no longer vouches for the current split
+    "d20_paragraph_dedup",
 ]
 
 GATE_WINDOW_SIZE = 50

@@ -182,7 +182,10 @@ def d19_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SENT_SPLIT = r"\.\s+"
+# engine-identical separator class: Java's \s includes \x0B where RE2's
+# does not, so the whitespace class is spelled out (property-tested
+# against the oracle on pathological corpora, tests/test_properties.py)
+_SENT_SPLIT = r"\.[ \t\n\f\r]+"
 _DUP_MOD = 13
 _BOILER = "this material is provided as is without warranty of any kind"
 
@@ -202,9 +205,9 @@ _BOILER = "this material is provided as is without warranty of any kind"
                    generate_subscripts(parts, 1) AS pos,
                    unnest(parts) AS para
             FROM (SELECT doc_id,
-                         regexp_split_to_array(lower(trim(text)), '{_SENT_SPLIT}') AS parts
+                         regexp_split_to_array(lower(trim(text, ' ')), '{_SENT_SPLIT}') AS parts
                   FROM planted)
-        ) WHERE trim(para) != ''
+        ) WHERE trim(para, ' ') != ''
     ),
     owners AS (
         SELECT para,

@@ -97,3 +97,63 @@ def test_rdp_simplify_invariants(pts, eps):
     # every kept point is an original point, in order
     it = iter(pts)
     assert all(p in pts for p in out)
+
+
+# --------------------------------------------------------------- d20 props
+# Corpus-level paragraph dedup vs its DuckDB oracle on PATHOLOGICAL
+# corpora: empty/whitespace docs, all-duplicate docs, split-eating
+# punctuation runs, Unicode sentence content.  NBSP (\\xa0) and vertical
+# tab (\\x0b) are in deliberately: they caught DuckDB trim() stripping
+# NBSP where Spark's trims only ASCII space, and Java \\s matching
+# \\x0b where RE2's does not — both now pinned (trim(x, ' ') in the
+# oracle, an explicit whitespace class in the split).  The alphabet avoids
+# characters whose lower() differs between engines (Turkish İ, ß, final
+# sigma) — collation parity is not what d20 claims; ownership election
+# and reassembly are.
+_D20_ALPHABET = "ab z.!?。、\t\n\x0b\xa0é漱石𝄞-"
+
+_d20_sentence = st.text(alphabet=_D20_ALPHABET, max_size=12)
+_d20_doc = st.one_of(
+    st.just(""),
+    st.just("   "),
+    st.just(". . ."),
+    st.lists(_d20_sentence, max_size=5).map(lambda ss: ". ".join(ss)),
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.data())
+def test_d20_paragraph_dedup_matches_oracle_on_pathological_corpora(
+    spark, tmp_path_factory, data
+):
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_spark.queries import QUERIES
+
+    from .oracle_harness import compare
+
+    docs = data.draw(st.lists(_d20_doc, min_size=1, max_size=12))
+    # force corpus-level duplicates: repeat one document verbatim
+    dup = data.draw(st.integers(0, len(docs) - 1))
+    docs = docs + [docs[dup]]
+
+    sf = tmp_path_factory.mktemp("d20prop")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }),
+        str(sf / "documents.parquet"),
+    )
+    q = QUERIES["d20_paragraph_dedup"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    try:
+        ok, msg = compare(q.spark_fn(spark, str(sf)), con, q.oracle)
+        assert ok, msg
+    finally:
+        con.close()
