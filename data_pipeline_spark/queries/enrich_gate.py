@@ -720,3 +720,106 @@ def u08_ycba_transform_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ts_end"),
         nsize(doc.getField("equivalent")).alias("n_equiv"),
     )
+
+
+@query(
+    "u09_wof_place_gate",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS identifier,
+           CASE c_custkey % 5
+             WHEN 0 THEN 'London' || c_custkey
+             WHEN 1 THEN 'Tiny' || c_custkey
+             WHEN 2 THEN 'Isle' || c_custkey
+             ELSE 'Scat' || c_custkey
+           END AS label,
+           CASE c_custkey % 5 WHEN 0 THEN 2 ELSE 1 END AS n_names,
+           CASE c_custkey % 5
+             WHEN 0 THEN 'http://www.wikidata.org/entity/Q' || c_custkey
+           END AS equiv0,
+           CASE c_custkey % 5
+             WHEN 0 THEN 'https://gazetteer.example/wof/' || (1000000 + c_custkey)
+             WHEN 1 THEN 'https://gazetteer.example/wof/55'
+           END AS parent,
+           CASE c_custkey % 5
+             WHEN 0 THEN 'POLYGON ((0.0 0.0, 0.5 0.0, 0.5 0.5, 0.0 0.5, 0.0 0.0))'
+             WHEN 1 THEN 'POLYGON ((1.0 2.0, 1.5 2.0, 1.5 2.5, 1.0 2.5, 1.0 2.0))'
+             WHEN 2 THEN 'POLYGON ((0.0 0.0, 0.5 0.0, 0.5 0.5, 0.0 0.5, 0.0 0.0))'
+             ELSE 'POINT (2.5 48.25 )'
+           END AS wkt
+    FROM customer WHERE c_custkey % 5 <> 4
+    """,
+    survey="U1,S13,F15,F16,F17,F19",
+)
+def u09_wof_place_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WOF Place mapper (reference sources/general/wof/mapper.py:
+    57-266) through the driver gate, one path per rotation: preferred
+    names through the F15 must-have filter + concordance equivalents +
+    parent_id + a kept polygon; wof:name fallback + the placetype-ladder
+    hierarchy parent + tiny-area polygon demoted to the bbox fallback; a
+    MultiPolygon that is really one ring, unwrapped; a real multipolygon
+    with no bbox falling back to the label point (reference formatting,
+    trailing space kept); and a record with no properties dropped."""
+    from ..sources.wof import map_records
+
+    big = "[[0.0,0.0],[0.5,0.0],[0.5,0.5],[0.0,0.5],[0.0,0.0]]"
+    tiny = "[[0.0,0.0],[0.001,0.0],[0.001,0.001],[0.0,0.001],[0.0,0.0]]"
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    m = k % 5
+
+    full = F.concat(
+        F.lit('{"id":'), ks,
+        F.lit(',"properties":{"name:eng_x_preferred":["London'), ks,
+        F.lit('"],"name:fra_x_preferred":["Londres'), ks,
+        F.lit('"],"name:xyz_x_preferred":["Nope"],"wof:concordances":'
+              '{"wd:id":"Q'), ks,
+        F.lit('"},"wof:parent_id":'), (k + 1000000).cast("string"),
+        F.lit('},"geometry":{"type":"Polygon","coordinates":[' + big + "]}}"),
+    )
+    tinyrec = F.concat(
+        F.lit('{"id":'), ks,
+        F.lit(',"properties":{"wof:name":"Tiny'), ks,
+        F.lit('","wof:parent_id":-1,"wof:placetype":"locality",'
+              '"wof:hierarchy":[{"county_id":55,"country_id":7}]},'
+              '"bbox":[1.0,2.0,1.5,2.5],'
+              '"geometry":{"type":"Polygon","coordinates":[' + tiny + "]}}"),
+    )
+    isle = F.concat(
+        F.lit('{"id":'), ks,
+        F.lit(',"properties":{"name:eng_x_preferred":["Isle'), ks,
+        F.lit('"]},"geometry":{"type":"MultiPolygon","coordinates":[['
+              + big + "]]}}"),
+    )
+    scat = F.concat(
+        F.lit('{"id":'), ks,
+        F.lit(',"properties":{"wof:name":"Scat'), ks,
+        F.lit('","lbl:latitude":48.25,"lbl:longitude":2.5},'
+              '"geometry":{"type":"MultiPolygon","coordinates":[['
+              + big + "],[" + tiny + "]]}}"),
+    )
+    empty = F.concat(F.lit('{"id":'), ks, F.lit(',"properties":{}}'))
+    body = (
+        F.when(m == 0, full).when(m == 1, tinyrec).when(m == 2, isle)
+        .when(m == 3, scat).otherwise(empty)
+    )
+    loaded = c.select(ks.alias("id"), body.alias("body"))
+    envs = map_records(loaded)
+    doc = F.from_json(
+        "data",
+        "struct<_label: string, defined_by: string,"
+        " identified_by: array<struct<content: string, language: string>>,"
+        " equivalent: array<struct<id: string>>,"
+        " part_of: array<struct<id: string>>>",
+    )
+    return envs.select(
+        "identifier",
+        doc.getField("_label").alias("label"),
+        F.size(doc.getField("identified_by")).alias("n_names"),
+        F.try_element_at(doc.getField("equivalent"), F.lit(1)).getField("id")
+        .alias("equiv0"),
+        F.try_element_at(doc.getField("part_of"), F.lit(1)).getField("id")
+        .alias("parent"),
+        doc.getField("defined_by").alias("wkt"),
+    )

@@ -903,3 +903,113 @@ def test_ycba_activitystream_harvest_replay(spark, tmp_path):
     assert set(rows) == {"obj/aa/r1", "vis/bb/r2", "per/dd/r4", "grp/ee/r5"}
     assert json.loads(rows["per/dd/r4"].data)["timespan"][
         "begin_of_the_begin"] == "1801-01-01T00:00:00"
+
+
+# -------------------------------------------------------------------- wof
+def test_wof_place_mapper_end_to_end(spark, tmp_path):
+    """S13 scan -> the WOF Place mapper: names via the F15 must-have
+    filter, concordance equivalents, parent election (parent_id, then
+    the placetype ladder through wof:hierarchy), and the geometry
+    pipeline (polygon keep, tiny-area demotion to bbox, label point)."""
+    import sqlite3
+
+    from data_pipeline_spark.sources.wof import (
+        load_sqlite_table, map_records, transform_place,
+    )
+
+    ns = "https://gazetteer.example/wof/"
+    big_ring = [[0.0, 0.0], [0.5, 0.0], [0.5, 0.5], [0.0, 0.5], [0.0, 0.0]]
+    tiny_ring = [[0.0, 0.0], [0.001, 0.0], [0.001, 0.001], [0.0, 0.001], [0.0, 0.0]]
+    feats = {
+        101: {  # full record: names, concordances, parent_id, real polygon
+            "id": 101,
+            "properties": {
+                "name:eng_x_preferred": ["London"],
+                "name:fra_x_preferred": ["Londres"],
+                "name:xyz_x_preferred": ["Nope"],  # unknown lang filtered
+                "wof:name": "London",
+                "wof:concordances": {"wd:id": "Q84", "gn:id": 2643743},
+                "wof:parent_id": 404,
+            },
+            "geometry": {"type": "Polygon", "coordinates": [big_ring]},
+        },
+        102: {  # no preferred names -> wof:name; hierarchy parent; tiny
+                # polygon demoted to the bbox fallback
+            "id": 102,
+            "properties": {
+                "wof:name": "Tinyville",
+                "wof:parent_id": -1,
+                "wof:placetype": "locality",
+                "wof:hierarchy": [{"county_id": 55, "country_id": 7}],
+            },
+            "bbox": [1.0, 2.0, 1.5, 2.5],
+            "geometry": {"type": "Polygon", "coordinates": [tiny_ring]},
+        },
+        103: {  # MultiPolygon that is really one ring, unwrapped
+            "id": 103,
+            "properties": {"name:eng_x_preferred": ["Isle"]},
+            "geometry": {"type": "MultiPolygon", "coordinates": [[big_ring]]},
+        },
+        104: {  # real multipolygon -> bbox; no bbox -> label point
+            "id": 104,
+            "properties": {
+                "wof:name": "Scattered",
+                "lbl:latitude": 48.25, "lbl:longitude": 2.5,
+            },
+            "geometry": {"type": "MultiPolygon",
+                         "coordinates": [[big_ring], [tiny_ring]]},
+        },
+        105: {"id": 105, "properties": {}},  # no props -> dropped
+    }
+
+    db = tmp_path / "wof.sqlite"
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE geojson (id INTEGER, body TEXT)")
+    conn.executemany(
+        "INSERT INTO geojson VALUES (?, ?)",
+        [(k, json.dumps(v)) for k, v in feats.items()],
+    )
+    conn.commit(); conn.close()
+
+    envs = map_records(load_sqlite_table(spark, str(db), n_partitions=2))
+    rows = {r.identifier: r for r in envs.collect()}
+    assert set(rows) == {"101", "102", "103", "104"}
+    assert all(r.rectype == "Place" for r in rows.values())
+
+    lon = json.loads(rows["101"].data)
+    assert lon["_label"] == "London"
+    assert {(n["content"], n.get("language")) for n in lon["identified_by"]} == {
+        ("London", "en"), ("Londres", "fr"),
+    }
+    assert [e["id"] for e in lon["equivalent"]] == [
+        "http://www.wikidata.org/entity/Q84", "https://sws.geonames.org/2643743",
+    ]
+    assert lon["part_of"][0]["id"] == ns + "404"
+    assert lon["defined_by"] == (
+        "POLYGON ((0.0 0.0, 0.5 0.0, 0.5 0.5, 0.0 0.5, 0.0 0.0))"
+    )
+
+    tiny = json.loads(rows["102"].data)
+    assert tiny["identified_by"][0]["content"] == "Tinyville"
+    assert "classified_as" not in tiny["identified_by"][0]  # plain Name
+    assert tiny["part_of"][0]["id"] == ns + "55"  # locality -> county rung
+    assert tiny["defined_by"] == (
+        "POLYGON ((1.0 2.0, 1.5 2.0, 1.5 2.5, 1.0 2.5, 1.0 2.0))"
+    )
+
+    isle = json.loads(rows["103"].data)
+    assert isle["defined_by"].startswith("POLYGON ((0.0 0.0,")
+
+    sca = json.loads(rows["104"].data)
+    assert sca["defined_by"] == "POINT (2.5 48.25 )"  # reference formatting
+
+    # adaptive F17: a 1000-point ring simplifies into the 100-600 band
+    import math
+    n = 1000
+    ring = [[round(math.cos(2 * math.pi * i / n), 6),
+             round(math.sin(2 * math.pi * i / n), 6)] for i in range(n)]
+    ring.append(ring[0])
+    doc = transform_place({"id": 1, "properties": {"wof:name": "Disc"},
+                           "geometry": {"type": "Polygon", "coordinates": [ring]}})
+    pts = doc["defined_by"].count(",") + 1
+    assert 100 <= pts <= 601
