@@ -1013,3 +1013,142 @@ def test_wof_place_mapper_end_to_end(spark, tmp_path):
                            "geometry": {"type": "Polygon", "coordinates": [ring]}})
     pts = doc["defined_by"].count(",") + 1
     assert 100 <= pts <= 601
+
+
+# -------------------------------------------------------------------- ror
+ROR_RECORDS = [
+    # full v2 record: display + alias + label names, established year,
+    # geonames residence, website, ISNI + wikidata external ids, parent
+    {
+        "identifier": "04aj4c181",
+        "doc": {
+            "id": "https://ror.org/04aj4c181",
+            "names": [
+                {"value": "Example University", "types": ["ror_display", "label"]},
+                {"value": "EU", "types": ["alias"]},  # alias skipped
+                {"value": "Universitas Exempli", "types": ["label"], "lang": "la"},
+            ],
+            "labels": [{"label": "Universite Exemple", "iso639": "fr"}],
+            "established": 1850,
+            "locations": [{"geonames_id": 2643743}],
+            "links": [{"type": "website", "value": "https://example.edu"},
+                      {"type": "wikipedia", "value": "https://wiki.example/x"}],
+            "external_ids": [
+                {"type": "ISNI", "all": ["0000 0001 234"]},
+                {"type": "Wikidata", "all": ["Q99"]},
+                {"type": "FundRef", "all": ["501100"]},
+            ],
+            "relationships": [
+                {"type": "parent", "id": "https://ror.org/parent1",
+                 "label": "Parent Org"},
+                {"type": "related", "id": "https://ror.org/rel1", "label": "R"},
+            ],
+        },
+    },
+    # legacy name field only
+    {"identifier": "legacy1",
+     "doc": {"id": "https://ror.org/legacy1", "name": "Old Style Org"}},
+    # nameless -> dropped
+    {"identifier": "noname1", "doc": {"id": "https://ror.org/noname1"}},
+]
+
+
+def test_ror_mapper_end_to_end(spark, tmp_path):
+    from data_pipeline_spark.sources.ror import CONFIG
+
+    dump = tmp_path / "ror.jsonl"
+    _write_jsonl(dump, ROR_RECORDS)
+    reg = SourceRegistry()
+    src = reg.register_config({**CONFIG, "dump_path": str(dump)})
+    envelopes = src.component("mapper")(src.component("loader")(spark, src.config))
+
+    rows = {r.identifier: r for r in envelopes.collect()}
+    assert set(rows) == {"04aj4c181", "legacy1"}  # nameless dropped
+    assert all(r.rectype == "Group" for r in rows.values())
+
+    u = json.loads(rows["04aj4c181"].data)
+    names = [(n["content"], n.get("language"),
+              (n.get("classified_as") or [{}])[0].get("id", "")) for n in u["identified_by"]]
+    assert names == [
+        ("Example University", None, "http://vocab.example/primaryName"),
+        ("Universitas Exempli", None, ""),  # 'la' not in process langs -> dropped
+        ("Universite Exemple", "fr", ""),
+    ]
+    assert u["formed_by"]["timespan"]["begin_of_the_begin"] == "1850-01-01T00:00:00"
+    assert u["formed_by"]["display"] == "1850"
+    assert u["residence"][0]["id"] == "https://sws.geonames.org/2643743"
+    assert u["subject_of"][0]["digitally_carried_by"]["access_point"][0]["id"] == (
+        "https://example.edu"
+    )
+    # the reference's literal short prefixes, kept verbatim (FundRef ignored)
+    assert [e["id"] for e in u["equivalent"]] == ["isni0000 0001 234", "wdQ99"]
+    assert u["member_of"] == [{"id": "https://ror.org/parent1", "type": "Group",
+                               "_label": "Parent Org"}]
+
+    legacy = json.loads(rows["legacy1"].data)
+    assert legacy["identified_by"][0]["content"] == "Old Style Org"
+    assert legacy["identified_by"][0]["classified_as"][0]["id"].endswith("primaryName")
+
+
+# ------------------------------------------------------------------- gbif
+GBIF_RECORDS = [
+    # canonical + vernacular, parent, rank class, description with 3-letter
+    # lang + source AA, altids (known source classified, unknown -> note)
+    {
+        "identifier": "5219404",
+        "doc": {
+            "key": 5219404, "rank": "SPECIES", "parentKey": 5219398,
+            "canonicalName": "Canis lupus", "vernacularName": "Gray Wolf",
+            "scientificName": "Canis lupus Linnaeus, 1758",
+            "description": [
+                {"description": "A large canine.", "language": "eng",
+                 "source": "Catalogue of Life"},
+            ],
+            "altids": [
+                {"sourceTaxonKey": "COL123",
+                 "source": "Catalogue of Life Checklist"},
+                {"sourceTaxonKey": "XYZ9", "source": "Obscure DB"},
+            ],
+        },
+    },
+    # no canonical/vernacular -> scientificName
+    {"identifier": "77", "doc": {"key": 77, "rank": "GENUS",
+                                 "scientificName": "Canis"}},
+    # nothing but the rank-named field -> data[rank] fallback
+    {"identifier": "88", "doc": {"key": 88, "rank": "FAMILY",
+                                 "family": "Canidae"}},
+]
+
+
+def test_gbif_mapper_end_to_end(spark, tmp_path):
+    from data_pipeline_spark.sources.gbif import CONFIG
+
+    dump = tmp_path / "gbif.jsonl"
+    _write_jsonl(dump, GBIF_RECORDS)
+    reg = SourceRegistry()
+    src = reg.register_config({**CONFIG, "dump_path": str(dump)})
+    envelopes = src.component("mapper")(src.component("loader")(spark, src.config))
+
+    rows = {r.identifier: r for r in envelopes.collect()}
+    assert set(rows) == {"5219404", "77", "88"}
+    assert all(r.rectype == "Type" for r in rows.values())
+
+    wolf = json.loads(rows["5219404"].data)
+    assert wolf["_label"] == "Canis lupus"
+    assert wolf["broader"][0]["id"].endswith("/5219398")
+    assert wolf["classified_as"][0]["id"] == "http://www.wikidata.org/entity/Q7432"
+    names = [(n["content"], n["classified_as"][0]["id"].rsplit("/", 1)[-1],
+              n.get("_note")) for n in wolf["identified_by"]]
+    assert names == [
+        ("Canis lupus", "primaryName", None),
+        ("Gray Wolf", "alternateName", None),
+        ("COL123", "Q38840", None),          # known source -> wikidata class
+        ("XYZ9", "alternateName", "Obscure DB"),  # unknown -> source note
+    ]
+    desc = wolf["referred_to_by"][0]
+    assert desc["content"] == "A large canine."
+    assert desc["language"] == "en"  # F15 3->2
+    assert desc["_source"] == "Catalogue of Life"
+
+    assert json.loads(rows["77"].data)["_label"] == "Canis"  # scientificName
+    assert json.loads(rows["88"].data)["_label"] == "Canidae"
