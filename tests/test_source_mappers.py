@@ -1152,3 +1152,122 @@ def test_gbif_mapper_end_to_end(spark, tmp_path):
 
     assert json.loads(rows["77"].data)["_label"] == "Canis"  # scientificName
     assert json.loads(rows["88"].data)["_label"] == "Canidae"
+
+
+# ------------------------------------------------------- homosaurus, snac
+def test_homosaurus_mapper_end_to_end(spark, tmp_path):
+    from data_pipeline_spark.sources.homosaurus import CONFIG
+
+    recs = [{
+        "identifier": "homoit0000travesti",
+        "doc": {
+            "skos:prefLabel": "Travesti",
+            "skos:altLabel": ["Travestis"],
+            "skos:exactMatch": [{"@id": "https://kg.example/e1"}],
+            # duplicate of an exactMatch id is NOT re-added; a fresh one is
+            "skos:closeMatch": [{"@id": "https://kg.example/e1"},
+                                {"@id": "https://kg.example/c2"}],
+            "rdfs:comment": "A gender identity term.",
+            "skos:broader": [{"@id": "https://vocab.example/homosaurus/parent"}],
+        },
+    }]
+    dump = tmp_path / "homo.jsonl"
+    _write_jsonl(dump, recs)
+    reg = SourceRegistry()
+    src = reg.register_config({**CONFIG, "dump_path": str(dump)})
+    rows = src.component("mapper")(
+        src.component("loader")(spark, src.config)).collect()
+    assert len(rows) == 1 and rows[0].rectype == "Type"
+    doc = json.loads(rows[0].data)
+    assert doc["_label"] == "Travesti"
+    assert [(n["content"], n["classified_as"][0]["id"].rsplit("/", 1)[-1])
+            for n in doc["identified_by"]] == [
+        ("Travesti", "primaryName"), ("Travestis", "alternateName")]
+    assert [e["id"] for e in doc["equivalent"]] == [
+        "https://kg.example/e1", "https://kg.example/c2"]
+    assert doc["referred_to_by"][0]["content"] == "A gender identity term."
+    assert doc["broader"][0]["id"].endswith("/parent")
+
+
+def test_snac_mapper_end_to_end(spark, tmp_path):
+    from data_pipeline_spark.sources.snac import CONFIG
+
+    recs = [
+        # person: score-99 primary among alternates, biogHist XML strip,
+        # mayBeSameAs + sameAs equivalents, birth/death + active range
+        {
+            "identifier": "c1",
+            "doc": {
+                "ark": "https://archive.example/ark:/99/c1",
+                "entityType": {"term": "person"},
+                "nameEntries": [
+                    {"original": "Trumbull, John", "preferenceScore": "50"},
+                    {"original": "Trumbull, John, 1756-1843",
+                     "preferenceScore": "99"},
+                ],
+                "biogHists": [{
+                    "text": "<biogHist><p>A   painter of\nthe revolution.</p></biogHist>",
+                    "language": {"term": "eng"},
+                }],
+                "relations": [
+                    {"type": {"term": "mayBeSameAs"},
+                     "targetArkID": "https://archive.example/ark:/99/x7"},
+                    {"type": {"term": "associatedWith"},
+                     "targetArkID": "https://archive.example/ark:/99/zz"},
+                ],
+                "sameAsRelations": [{"uri": "http://viaf.org/viaf/64055773"}],
+                "dates": [
+                    {"fromType": {"term": "Birth"}, "fromDate": "1756-06-06",
+                     "toType": {"term": "Death"}, "toDate": "1843-11-10"},
+                    {"fromType": {"term": "Active"}, "fromDate": "1780",
+                     "toType": {"term": "Active"}, "toDate": "1830"},
+                ],
+            },
+        },
+        # corporateBody -> Group with Establishment/Disestablishment
+        {
+            "identifier": "c2",
+            "doc": {
+                "ark": "https://archive.example/ark:/99/c2",
+                "entityType": {"term": "corporateBody"},
+                "nameEntries": [{"original": "Some Society"}],
+                "dates": [
+                    {"fromType": {"term": "Establishment"}, "fromDate": "1800"},
+                    {"toType": {"term": "Disestablishment"}, "toDate": "1900"},
+                ],
+            },
+        },
+    ]
+    dump = tmp_path / "snac.jsonl"
+    _write_jsonl(dump, recs)
+    reg = SourceRegistry()
+    src = reg.register_config({**CONFIG, "dump_path": str(dump)})
+    rows = {r.identifier: r
+            for r in src.component("mapper")(
+                src.component("loader")(spark, src.config)).collect()}
+
+    p = json.loads(rows["c1"].data)
+    assert rows["c1"].rectype == "Person"
+    assert [(n["content"], n["classified_as"][0]["id"].rsplit("/", 1)[-1])
+            for n in p["identified_by"]] == [
+        ("Trumbull, John", "alternateName"),
+        ("Trumbull, John, 1756-1843", "primaryName"),  # the score-99 entry
+    ]
+    assert all(n["language"] == "en" for n in p["identified_by"])
+    bio = p["referred_to_by"][0]
+    assert bio["content"] == "A painter of the revolution."  # tags + ws
+    assert bio["language"] == "en"
+    assert [e["id"] for e in p["equivalent"]] == [
+        "https://archive.example/ark:/99/x7", "http://viaf.org/viaf/64055773"]
+    assert p["born"]["timespan"]["begin_of_the_begin"] == "1756-06-06T00:00:00"
+    assert p["died"]["timespan"]["end_of_the_end"] == "1843-11-10T23:59:59"
+    assert p["active"]["display"] == "1780 - 1830"
+    assert p["active"]["timespan"]["begin_of_the_begin"] == "1780-01-01T00:00:00"
+    assert p["active"]["timespan"]["end_of_the_end"] == "1830-12-31T23:59:59"
+
+    g = json.loads(rows["c2"].data)
+    assert rows["c2"].rectype == "Group"
+    assert g["identified_by"][0]["classified_as"][0]["id"].endswith("primaryName")
+    assert g["formed_by"]["timespan"]["begin_of_the_begin"] == "1800-01-01T00:00:00"
+    assert g["dissolved_by"]["timespan"]["end_of_the_end"] == "1900-12-31T23:59:59"
+    assert "born" not in g and "active" not in g
