@@ -1271,3 +1271,239 @@ def test_snac_mapper_end_to_end(spark, tmp_path):
     assert g["formed_by"]["timespan"]["begin_of_the_begin"] == "1800-01-01T00:00:00"
     assert g["dissolved_by"]["timespan"]["end_of_the_end"] == "1900-12-31T23:59:59"
     assert "born" not in g and "active" not in g
+
+
+# ---------------------------------------------------------------- nomisma
+def test_nomisma_mapper_end_to_end(spark, tmp_path):
+    ns = "https://num.example/id/"
+    recs = [
+        # Mint -> Place with geo point, broader part_of, equivalents
+        {
+            "identifier": "rome",
+            "doc": {"@graph": [
+                {"@id": "nm:rome", "@type": ["nmo:Mint"],
+                 "skos:prefLabel": [{"@value": "Rome", "@language": "en"},
+                                    {"@value": "Roma", "@language": "it"}],
+                 "skos:altLabel": {"@value": "Rom", "@language": "de"},
+                 "skos:definition": [{"@value": "Mint of Rome",
+                                      "@language": "en"}],
+                 "skos:exactMatch": [{"@id": "https://kg.example/roma"}],
+                 "skos:broader": [{"@id": "nm:italy"}],
+                 "foaf:homepage": [{"@id": "https://num.example/rome.html"}]},
+                {"@id": ns + "rome#this", "@type": "geo:SpatialThing",
+                 "geo:lat": {"@value": "41.9"}, "geo:long": {"@value": "12.5"}},
+            ]},
+        },
+        # Deity -> Person with birth/death gYears + membership lookup
+        {
+            "identifier": "augustus",
+            "doc": {"@graph": [
+                {"@id": "nm:augustus", "@type": "foaf:Person",
+                 "skos:prefLabel": {"@value": "Augustus", "@language": "en"},
+                 "bio:birth": "x", "bio:death": "x",
+                 "org:hasMembership": [{"@id": ns + "augustus#m1"}],
+                 "org:memberOf": [{"@id": "nm:julioclaudian"}]},
+                {"@id": ns + "augustus#m1",
+                 "org:organization": {"@id": "nm:imperial_rome"}},
+                {"@id": ns + "augustus#birth",
+                 "dcterms:date": {"@type": "xsd:gYear", "@value": "-0062"}},
+                {"@id": ns + "augustus#death",
+                 "dcterms:date": {"@type": "xsd:gYear", "@value": "0014"}},
+            ]},
+        },
+        # Denomination -> Type with broader
+        {
+            "identifier": "denarius",
+            "doc": {"@graph": [
+                {"@id": "nm:denarius", "@type": ["nmo:Denomination"],
+                 "skos:prefLabel": {"@value": "Denarius", "@language": "en"},
+                 "skos:broader": {"@id": "nm:coin"}},
+            ]},
+        },
+        # unroutable type -> dropped
+        {"identifier": "odd",
+         "doc": {"@graph": [{"@id": "nm:odd", "@type": ["nmo:Whatever"]}]}},
+        # no graph -> dropped
+        {"identifier": "empty", "doc": {}},
+    ]
+    dump = tmp_path / "nomisma.jsonl"
+    _write_jsonl(dump, recs)
+
+    from data_pipeline_spark.sources.nomisma import CONFIG
+    reg = SourceRegistry()
+    src = reg.register_config({**CONFIG, "dump_path": str(dump)})
+    rows = {r.identifier: r
+            for r in src.component("mapper")(
+                src.component("loader")(spark, src.config)).collect()}
+    assert set(rows) == {"rome", "augustus", "denarius"}
+
+    rome = json.loads(rows["rome"].data)
+    assert rows["rome"].rectype == "Place"
+    assert rome["id"] == ns + "rome.jsonld"
+    assert [(n["content"], n.get("language")) for n in rome["identified_by"]] == [
+        ("Rome", "en"), ("Roma", "it"), ("Rom", "de")]
+    assert rome["referred_to_by"][0]["content"] == "Mint of Rome"
+    assert rome["equivalent"] == [{"id": "https://kg.example/roma",
+                                   "type": "Place"}]
+    assert rome["part_of"] == [{"id": ns + "italy.jsonld", "type": "Place"}]
+    assert rome["defined_by"] == "POINT ( 12.5 41.9 )"
+    assert rome["subject_of"][0]["digitally_carried_by"]["access_point"][0][
+        "id"] == "https://num.example/rome.html"
+
+    aug = json.loads(rows["augustus"].data)
+    assert rows["augustus"].rectype == "Person"
+    assert [m["id"] for m in aug["member_of"]] == [
+        ns + "imperial_rome.jsonld", ns + "julioclaudian.jsonld"]
+    # BCE gYear through the F1 parser
+    assert aug["born"]["timespan"]["begin_of_the_begin"].startswith("-0062")
+    assert aug["died"]["timespan"]["end_of_the_end"].startswith("0014")
+    assert aug["born"]["display"] == "-0062"
+
+    den = json.loads(rows["denarius"].data)
+    assert rows["denarius"].rectype == "Type"
+    assert den["broader"] == [{"id": ns + "coin.jsonld", "type": "Type"}]
+
+
+# ------------------------------------------------------------------ orcid
+def _orcid_xml(body):
+    return (
+        '<record:record xmlns:record="http://www.orcid.org/ns/record"'
+        ' xmlns:common="http://www.orcid.org/ns/common"'
+        ' xmlns:person="http://www.orcid.org/ns/person"'
+        ' xmlns:personal-details="http://www.orcid.org/ns/personal-details"'
+        ' xmlns:other-name="http://www.orcid.org/ns/other-name"'
+        ' xmlns:researcher-url="http://www.orcid.org/ns/researcher-url"'
+        ' xmlns:email="http://www.orcid.org/ns/email"'
+        ' xmlns:keyword="http://www.orcid.org/ns/keyword"'
+        ' xmlns:external-identifier="http://www.orcid.org/ns/external-identifier"'
+        ' xmlns:activities="http://www.orcid.org/ns/activities"'
+        ' xmlns:distinction="http://www.orcid.org/ns/distinction"'
+        ' xmlns:employment="http://www.orcid.org/ns/employment"'
+        ' xmlns:membership="http://www.orcid.org/ns/membership">'
+        + body + "</record:record>"
+    )
+
+
+def test_orcid_mapper_end_to_end(spark, tmp_path):
+    from data_pipeline_spark.sources.orcid import CONFIG
+
+    full = _orcid_xml(
+        "<common:orcid-identifier><common:uri>https://orcid.org/0000-0001-2345-6789"
+        "</common:uri></common:orcid-identifier>"
+        "<person:person>"
+        "<person:name>"
+        "<personal-details:given-names>Ada</personal-details:given-names>"
+        "<personal-details:family-name>Lovelace</personal-details:family-name>"
+        "</person:name>"
+        "<other-name:other-names><other-name:other-name>"
+        "<other-name:content>Countess of Lovelace</other-name:content>"
+        "</other-name:other-name></other-name:other-names>"
+        "<person:biography><personal-details:content>First programmer."
+        "</personal-details:content></person:biography>"
+        "<researcher-url:researcher-urls><researcher-url:researcher-url>"
+        "<researcher-url:url-name>Blog</researcher-url:url-name>"
+        "<researcher-url:url>https://ada.example/blog</researcher-url:url>"
+        "</researcher-url:researcher-url></researcher-url:researcher-urls>"
+        "<email:emails><email:email><email:email>ada@example.org</email:email>"
+        "</email:email></email:emails>"
+        "<keyword:keywords>"
+        "<keyword:keyword><keyword:content>computing</keyword:content></keyword:keyword>"
+        "<keyword:keyword><keyword:content>maths</keyword:content></keyword:keyword>"
+        "<keyword:keyword><keyword:content>computing</keyword:content></keyword:keyword>"
+        "</keyword:keywords>"
+        "<external-identifier:external-identifiers>"
+        "<external-identifier:external-identifier>"
+        "<common:external-id-type>Scopus Author ID</common:external-id-type>"
+        "<common:external-id-value>7004</common:external-id-value>"
+        "</external-identifier:external-identifier>"
+        "<external-identifier:external-identifier>"
+        "<common:external-id-type>GND</common:external-id-type>"
+        "<common:external-id-value>118729276</common:external-id-value>"
+        "</external-identifier:external-identifier>"
+        "<external-identifier:external-identifier>"
+        "<common:external-id-type>ResearcherID</common:external-id-type>"
+        "<common:external-id-value>X-1</common:external-id-value>"
+        "</external-identifier:external-identifier>"
+        "</external-identifier:external-identifiers>"
+        "</person:person>"
+        "<activities:activities-summary>"
+        "<activities:distinctions><activities:affiliation-group>"
+        "<distinction:distinction-summary>"
+        "<common:role-title>Fellow</common:role-title>"
+        "<common:organization><common:name>Royal Society</common:name>"
+        "</common:organization>"
+        "<common:start-date><common:year>1840</common:year>"
+        "<common:month>3</common:month></common:start-date>"
+        "</distinction:distinction-summary>"
+        "</activities:affiliation-group></activities:distinctions>"
+        "<activities:employments><activities:affiliation-group>"
+        "<employment:employment-summary><common:organization>"
+        "<common:name>Example University</common:name>"
+        "<common:disambiguated-organization>"
+        "<common:disambiguated-organization-identifier>https://ror.org/04aj4c181"
+        "</common:disambiguated-organization-identifier>"
+        "</common:disambiguated-organization></common:organization>"
+        "</employment:employment-summary>"
+        "</activities:affiliation-group></activities:employments>"
+        "</activities:activities-summary>"
+    )
+    credit = _orcid_xml(
+        "<common:orcid-identifier><common:uri>https://orcid.org/0000-0002-0000-0001"
+        "</common:uri></common:orcid-identifier>"
+        "<person:person><person:name>"
+        "<personal-details:given-names>Charles</personal-details:given-names>"
+        "<personal-details:family-name>Babbage</personal-details:family-name>"
+        "<personal-details:credit-name>C. Babbage</personal-details:credit-name>"
+        "</person:name></person:person>"
+    )
+    nameless = _orcid_xml(
+        "<common:orcid-identifier><common:uri>https://orcid.org/0000-0003-0000-0002"
+        "</common:uri></common:orcid-identifier><person:person/>"
+    )
+    recs = [
+        {"identifier": "0000-0001-2345-6789", "doc": {"xml": full}},
+        {"identifier": "0000-0002-0000-0001", "doc": {"xml": credit}},
+        {"identifier": "0000-0003-0000-0002", "doc": {"xml": nameless}},
+    ]
+    dump = tmp_path / "orcid.jsonl"
+    _write_jsonl(dump, recs)
+    reg = SourceRegistry()
+    src = reg.register_config({**CONFIG, "dump_path": str(dump)})
+    rows = {r.identifier: r
+            for r in src.component("mapper")(
+                src.component("loader")(spark, src.config)).collect()}
+    assert set(rows) == {"0000-0001-2345-6789", "0000-0002-0000-0001"}
+
+    ada = json.loads(rows["0000-0001-2345-6789"].data)
+    assert ada["id"] == "https://orcid.org/0000-0001-2345-6789"
+    assert ada["_label"] == "Ada Lovelace"  # no credit-name -> given+family
+    prim = ada["identified_by"][0]
+    assert prim["content"] == "Ada Lovelace"
+    assert [(p["content"], p["classified_as"][0]["id"].rsplit("/", 1)[-1])
+            for p in prim["part"]] == [("Ada", "givenName"),
+                                       ("Lovelace", "familyName")]
+    kinds = [(n["content"], n["classified_as"][0]["id"].rsplit("/", 1)[-1])
+             for n in ada["identified_by"][1:]]
+    assert kinds == [("Countess of Lovelace", "alternateName"),
+                     ("ada@example.org", "emailAddress")]
+    stmts = [s["content"] for s in ada["referred_to_by"]]
+    assert stmts == [
+        "First programmer.",
+        "Interests: computing; maths",  # deduped, joined
+        "Fellow (Royal Society ; 1840-03-01 - )",  # padded date, open end
+    ]
+    pages = [(p["digitally_carried_by"]["_label"],
+              p["digitally_carried_by"]["access_point"][0]["id"])
+             for p in ada["subject_of"]]
+    assert pages == [
+        ("Blog", "https://ada.example/blog"),
+        ("Scopus Homepage",
+         "https://www.scopus.com/authid/detail.uri?authorId=7004"),
+    ]  # ResearcherID killed
+    assert ada["equivalent"] == [{"id": "https://d-nb.info/gnd/118729276",
+                                  "type": "Person"}]
+    assert ada["member_of"] == [{"id": "https://ror.org/04aj4c181",
+                                 "type": "Group", "_label": "Example University"}]
+
+    cb = json.loads(rows["0000-0002-0000-0001"].data)
+    assert cb["_label"] == "C. Babbage"  # credit-name wins
