@@ -1507,3 +1507,110 @@ def test_orcid_mapper_end_to_end(spark, tmp_path):
 
     cb = json.loads(rows["0000-0002-0000-0001"].data)
     assert cb["_label"] == "C. Babbage"  # credit-name wins
+
+
+# -------------------------------------------------------------------- bne
+def test_bne_mapper_end_to_end(spark, tmp_path):
+    from data_pipeline_spark.sources.bne import CONFIG
+
+    recs = [
+        # person: P-coded names, equivalent assembly order, birth list
+        # carrying [birth, death], places, gender, depiction, bio,
+        # nationality + classifications
+        {"identifier": "XX1", "doc": {"@graph": [{
+            "@id": "https://datos.bne.es/resource/XX1",
+            "@type": "https://datos.bne.es/def/C1005",
+            "P5001": "Cervantes Saavedra, Miguel de",
+            "P5012": ["Cervantes, Miguel de",
+                      "Cervantes Saavedra, Miguel de"],  # dupe of pref
+            "P5024": ["http://viaf.org/viaf/17220427", "https://kg.example/s1"],
+            "sameAs": ["https://kg.example/s1"],
+            "seeAlso": "https://kg.example/see1",
+            "P5010": ["1547", "1616"],
+            "P50119": "Alcala de Henares",
+            "P50118": "Madrid",
+            "P50116": "Masculino",
+            "P3066": "https://img.example/cervantes.jpg",
+            "P3067": "Escritor espanol.",
+            "P50102": "Espana",
+            "P50104": ["Novelista"],
+        }]}},
+        # impossible lifespan -> both events cleared (F5)
+        {"identifier": "XX2", "doc": {"@graph": [{
+            "@id": "https://datos.bne.es/resource/XX2",
+            "@type": "https://datos.bne.es/def/C1005",
+            "P5001": "Impossible Person",
+            "P5010": "1900", "P5011": "1600",
+        }]}},
+        # geographic concept -> Place with broader part_of
+        {"identifier": "XX3", "doc": {"@graph": [{
+            "@id": "https://datos.bne.es/resource/XX3",
+            "@type": "http://www.w3.org/2004/02/skos/core#Concept",
+            "inScheme": "https://datos.bne.es/def/geograficos",
+            "prefLabel": {"@value": "Toledo", "@language": "es"},
+            "altLabel": ["Toletum", "Toledo"],  # second dupes the pref
+            "broader": "https://datos.bne.es/resource/XXesp",
+            "sameAs": "https://kg.example/toledo",
+        }]}},
+        # plain concept -> Type with broader
+        {"identifier": "XX4", "doc": {"@graph": [{
+            "@id": "https://datos.bne.es/resource/XX4",
+            "@type": "http://www.w3.org/2004/02/skos/core#Concept",
+            "prefLabel": [{"@value": "Novela", "@language": "es"}],
+            "broader": ["https://datos.bne.es/resource/XXlit"],
+        }]}},
+        # corporate body -> Group, ident only (no handle_group)
+        {"identifier": "XX5", "doc": {"@graph": [{
+            "@id": "https://datos.bne.es/resource/XX5",
+            "@type": "https://datos.bne.es/def/C1006",
+            "prefLabel": {"@value": "Biblioteca X", "@language": "es"},
+        }]}},
+        # unhandled type -> dropped
+        {"identifier": "XX6", "doc": {"@graph": [{
+            "@id": "https://datos.bne.es/resource/XX6",
+            "@type": "https://datos.bne.es/def/C9999"}]}},
+    ]
+    dump = tmp_path / "bne.jsonl"
+    _write_jsonl(dump, recs)
+    reg = SourceRegistry()
+    src = reg.register_config({**CONFIG, "dump_path": str(dump)})
+    rows = {r.identifier: r
+            for r in src.component("mapper")(
+                src.component("loader")(spark, src.config)).collect()}
+    assert set(rows) == {"XX1", "XX2", "XX3", "XX4", "XX5"}
+
+    c = json.loads(rows["XX1"].data)
+    assert rows["XX1"].rectype == "Person"
+    assert [n["content"] for n in c["identified_by"]] == [
+        "Cervantes Saavedra, Miguel de", "Cervantes, Miguel de"]  # dupe dropped
+    # P5024-minus-sameAs + sameAs, minus-seeAlso + seeAlso
+    assert [e["id"] for e in c["equivalent"]] == [
+        "http://viaf.org/viaf/17220427", "https://kg.example/s1",
+        "https://kg.example/see1"]
+    assert c["born"]["timespan"]["begin_of_the_begin"] == "1547-01-01T00:00:00"
+    assert c["born"]["took_place_at"][0]["_label"] == "Alcala de Henares"
+    # death carried in the 2-element birth list
+    assert c["died"]["timespan"]["end_of_the_end"] == "1616-12-31T23:59:59"
+    assert c["died"]["took_place_at"][0]["_label"] == "Madrid"
+    kinds = {x.get("_label"): x for x in c["classified_as"]}
+    assert "male" in kinds and "Espana" in kinds and "Novelista" in kinds
+    assert c["representation"][0]["digitally_shown_by"][0]["access_point"][0][
+        "id"] == "https://img.example/cervantes.jpg"
+    assert c["referred_to_by"][0]["language"] == "es"
+
+    imp = json.loads(rows["XX2"].data)
+    assert "born" not in imp and "died" not in imp  # F5 cleared both
+
+    tol = json.loads(rows["XX3"].data)
+    assert rows["XX3"].rectype == "Place"
+    assert [n["content"] for n in tol["identified_by"]] == ["Toledo", "Toletum"]
+    assert tol["part_of"][0]["id"].endswith("XXesp")
+    assert tol["equivalent"][0]["type"] == "Place"
+
+    nov = json.loads(rows["XX4"].data)
+    assert rows["XX4"].rectype == "Type"
+    assert nov["broader"][0]["id"].endswith("XXlit")
+
+    grp = json.loads(rows["XX5"].data)
+    assert rows["XX5"].rectype == "Group"
+    assert "identified_by" not in grp  # reference has no handle_group
