@@ -1614,3 +1614,52 @@ def test_bne_mapper_end_to_end(spark, tmp_path):
     grp = json.loads(rows["XX5"].data)
     assert rows["XX5"].rectype == "Group"
     assert "identified_by" not in grp  # reference has no handle_group
+
+
+# ------------------------------------------------- small internal units
+def test_internal_unit_mappers(spark):
+    """Ashmolean/Arches/IPCH/PMC: the light internal cleanup passes."""
+    from data_pipeline_spark.sources.internal_units import (
+        CONFIGS, map_ashmol, map_pmc,
+    )
+
+    aat = "http://vocab.getty.edu/aat/"
+    hmo = {"id": "https://coll.example/obj/1", "type": "HumanMadeObject"}
+    loaded = spark.createDataFrame(
+        [("obj/1", json.dumps(hmo))], "identifier string, value string"
+    )
+    out = json.loads(map_ashmol(loaded).collect()[0].data)
+    assert out["classified_as"][-1]["id"] == aat + "300404024"
+
+    pmc_docs = {
+        # Group part_of -> member_of
+        "g1": {"id": "x:g1", "type": "Group",
+               "part_of": [{"id": "x:parent", "type": "Group"}]},
+        # archive Set drops the collection class
+        "s1": {"id": "x:s1", "type": "Set",
+               "classified_as": [{"id": aat + "300375748"},
+                                 {"id": aat + "300025976"}]},
+        # internal-note statements purged, others kept
+        "o1": {"id": "x:o1", "type": "HumanMadeObject",
+               "referred_to_by": [
+                   {"content": "keep me"},
+                   {"content": "purge me",
+                    "classified_as": [{"id": aat + "300435438"}]},
+               ]},
+    }
+    loaded = spark.createDataFrame(
+        [(k, json.dumps(v)) for k, v in pmc_docs.items()],
+        "identifier string, value string",
+    )
+    rows = {r.identifier: json.loads(r.data) for r in map_pmc(loaded).collect()}
+    assert rows["g1"]["member_of"][0]["id"] == "x:parent"
+    assert "part_of" not in rows["g1"]
+    assert [c["id"] for c in rows["s1"]["classified_as"]] == [aat + "300375748"]
+    assert [r["content"] for r in rows["o1"]["referred_to_by"]] == ["keep me"]
+
+    # all four register through the registry with internal type
+    reg = SourceRegistry()
+    for cfg in CONFIGS:
+        src = reg.register_config(dict(cfg))
+        assert src.component("mapper") is not None
+    assert set(reg.names()) >= {"ashmol", "arches", "ipch", "pmc"}
