@@ -1663,3 +1663,83 @@ def test_internal_unit_mappers(spark):
         src = reg.register_config(dict(cfg))
         assert src.component("mapper") is not None
     assert set(reg.names()) >= {"ashmol", "arches", "ipch", "pmc"}
+
+
+def test_ypm_yuag_mappers(spark):
+    from data_pipeline_spark.sources.internal_units import map_ypm, map_yuag
+
+    aat = "http://vocab.getty.edu/aat/"
+    ypm_docs = {
+        # Place: '[no locality data]' primary takes the alternate's text
+        "p1": {"id": "x:p1", "type": "Place", "identified_by": [
+            {"type": "Name", "content": "[no locality data]",
+             "classified_as": [{"id": aat + "300404670"}]},
+            {"type": "Name", "content": "New Haven",
+             "classified_as": [{"id": "x:alt"}]},
+        ], "defined_by": "garbage wkt"},
+        # Species Type regains its wikidata id
+        "t1": {"id": "x:t1", "type": "Type",
+               "classified_as": [{"id": "", "_label": "Species"}]},
+        # HMO: accession -> Collection Item; equivalents retyped;
+        # id-less birth place purged
+        "o1": {"id": "x:o1", "type": "HumanMadeObject",
+               "identified_by": [
+                   {"type": "Identifier", "content": "YPM.1",
+                    "classified_as": [{"id": aat + "300404620"}]},
+                   {"type": "Name"},  # content-less -> purged
+               ],
+               "equivalent": [{"id": "x:eq1", "type": "Wrong"}]},
+    }
+    loaded = spark.createDataFrame(
+        [(k, json.dumps(v)) for k, v in ypm_docs.items()],
+        "identifier string, value string",
+    )
+    rows = {r.identifier: json.loads(r.data) for r in map_ypm(loaded).collect()}
+    p1 = rows["p1"]
+    assert [n["content"] for n in p1["identified_by"]] == ["New Haven"]
+    assert p1["identified_by"][0]["classified_as"][0]["id"] == aat + "300404670"
+    assert "defined_by" not in p1  # not POLYGON/POINT
+    assert rows["t1"]["classified_as"][0]["id"] == (
+        "https://www.wikidata.org/entity/Q7432")
+    o1 = rows["o1"]
+    assert o1["classified_as"][-1]["id"] == aat + "300404024"
+    assert o1["equivalent"][0]["type"] == "HumanMadeObject"
+    assert [n for n in o1["identified_by"] if "content" not in n] == []
+
+    yuag_docs = {
+        # Group with born -> Person; Primary Name normalization; numeric
+        # identifier content stringified
+        "a1": {"id": "x:a1", "type": "Group",
+               "born": {"timespan": {"begin_of_the_begin": "1850-01-01T00:00:00"}},
+               "equivalent": [{"id": "x:eq", "type": "Group"}],
+               "identified_as": [
+                   {"type": "Primary Name", "content": "Jane Sculptor",
+                    "id": "x:n1"},
+                   {"type": "Identifier", "content": 4603},
+               ]},
+        # Activity: timespan lifted from part_of; /agt/ venue rerouted
+        "e1": {"id": "x:e1", "type": "Activity",
+               "part_of": [{"id": "x:parent", "timespan": {
+                   "begin_of_the_begin": "1990-01-01T00:00:00"}}],
+               "took_place_at": [
+                   {"id": "https://m.example/lux/agt/9"},
+                   {"id": "https://m.example/lux/pla/3"},
+               ]},
+    }
+    loaded = spark.createDataFrame(
+        [(k, json.dumps(v)) for k, v in yuag_docs.items()],
+        "identifier string, value string",
+    )
+    rows = {r.identifier: r for r in map_yuag(loaded).collect()}
+    a1 = json.loads(rows["a1"].data)
+    assert rows["a1"].rectype == "Person" and a1["type"] == "Person"
+    assert a1["equivalent"][0]["type"] == "Person"
+    names = a1["identified_by"]
+    assert names[0]["type"] == "Name" and "id" not in names[0]
+    assert names[0]["classified_as"][0]["id"] == aat + "300404670"
+    assert names[1]["content"] == "4603"  # stringified
+    e1 = json.loads(rows["e1"].data)
+    assert e1["timespan"]["begin_of_the_begin"] == "1990-01-01T00:00:00"
+    assert "part_of" not in e1
+    assert e1["carried_out_by"][0]["type"] == "Group"
+    assert e1["took_place_at"][0]["type"] == "Place"
