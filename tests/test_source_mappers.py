@@ -1743,3 +1743,100 @@ def test_ypm_yuag_mappers(spark):
     assert "part_of" not in e1
     assert e1["carried_out_by"][0]["type"] == "Group"
     assert e1["took_place_at"][0]["type"] == "Place"
+
+
+# -------------------------------------------------------------------- viaf
+def _viaf_xml(body):
+    # the dump serializes with the DEFAULT namespace (unprefixed tags) —
+    # the schema's bare field names match that form
+    return ('<VIAFCluster xmlns="http://viaf.org/viaf/terms#">'
+            + body.replace("viaf:", "") + "</VIAFCluster>")
+
+
+def test_viaf_cluster_mapper(spark, tmp_path):
+    from data_pipeline_spark.sources.viaf import CONFIG, map_records
+
+    person = _viaf_xml(
+        "<viaf:nameType>Personal</viaf:nameType>"
+        "<viaf:mainHeadings>"
+        "<viaf:data><viaf:text>Goethe (WKP only)</viaf:text>"
+        "<viaf:sources><viaf:s>WKP</viaf:s></viaf:sources></viaf:data>"
+        "<viaf:data><viaf:text>Goethe, Johann Wolfgang von</viaf:text>"
+        "<viaf:sources><viaf:s>LC</viaf:s><viaf:s>DNB</viaf:s></viaf:sources>"
+        "</viaf:data>"
+        "<viaf:data><viaf:text>Gete</viaf:text>"
+        "<viaf:sources><viaf:s>NDL</viaf:s></viaf:sources></viaf:data>"
+        "</viaf:mainHeadings>"
+        "<viaf:sources>"
+        '<viaf:source nsid="http://d-nb.info/gnd/118540238">DNB|118540238'
+        "</viaf:source>"
+        '<viaf:source nsid="http://catalogue.bnf.fr/ark:/12148/cb119045">'
+        "BNF|119045</viaf:source>"
+        '<viaf:source nsid="x">LC|n  79003362</viaf:source>'
+        '<viaf:source nsid="x">FAST|fst29184</viaf:source>'
+        '<viaf:source nsid="x">XXX|123</viaf:source>'
+        "</viaf:sources>"
+        "<viaf:birthDate>1749-08-28</viaf:birthDate>"
+        "<viaf:deathDate>1832-03-22</viaf:deathDate>"
+        "<viaf:dateType>lived</viaf:dateType>"
+        "<viaf:fixed><viaf:gender>b</viaf:gender></viaf:fixed>"
+        "<viaf:nationalityOfEntity><viaf:data><viaf:text>DE</viaf:text>"
+        "</viaf:data></viaf:nationalityOfEntity>"
+    )
+    flourished = _viaf_xml(
+        "<viaf:nameType>Corporate</viaf:nameType>"
+        "<viaf:mainHeadings><viaf:data><viaf:text>Officina Plantiniana</viaf:text>"
+        "<viaf:sources><viaf:s>BNF</viaf:s></viaf:sources></viaf:data>"
+        "</viaf:mainHeadings>"
+        "<viaf:birthDate>1555</viaf:birthDate>"
+        "<viaf:deathDate>1620</viaf:deathDate>"
+        "<viaf:dateType>flourished</viaf:dateType>"
+    )
+    title = _viaf_xml("<viaf:nameType>UniformTitleWork</viaf:nameType>")
+    recs = [
+        {"identifier": "24602065", "doc": {"xml": person}},
+        {"identifier": "158744532", "doc": {"xml": flourished}},
+        {"identifier": "183765". replace("3", "3"), "doc": {"xml": title}},
+        {"identifier": "sourceID/xyz", "doc": {"xml": person}},
+    ]
+    dump = tmp_path / "viaf.jsonl"
+    _write_jsonl(dump, recs)
+    reg = SourceRegistry()
+    src = reg.register_config({**CONFIG, "dump_path": str(dump)})
+    rows = {r.identifier: r
+            for r in src.component("mapper")(
+                src.component("loader")(spark, src.config)).collect()}
+    # UniformTitleWork and sourceID/ identifiers dropped
+    assert set(rows) == {"24602065", "158744532"}
+
+    g = json.loads(rows["24602065"].data)
+    assert rows["24602065"].rectype == "Person"
+    assert g["id"] == "http://viaf.org/viaf/24602065"
+    assert g["_label"] == "Goethe, Johann Wolfgang von"  # LC-sourced primary
+    names = [(n["content"], n["classified_as"][0]["id"].rsplit("/", 1)[-1])
+             for n in g["identified_by"]]
+    # WKP-only heading skipped (cluster has >1 headings)
+    assert names == [
+        ("Goethe, Johann Wolfgang von", "primaryName"), ("Gete", "name")]
+    eq = [e["id"] for e in g["equivalent"]]
+    assert eq == [
+        "https://d-nb.info/gnd/118540238".replace("https", "http"),
+        "https://data.bnf.fr/ark:/12148/cb119045",
+        "http://id.loc.gov/authorities/names/n79003362",  # spaces removed
+        "http://id.worldcat.org/fast/29184",  # fst stripped
+    ]
+    assert g["born"]["timespan"]["begin_of_the_begin"] == "1749-08-28T00:00:00"
+    assert g["died"]["timespan"]["end_of_the_end"] == "1832-03-22T23:59:59"
+    cls_ids = [c["id"] for c in g["classified_as"]]
+    assert "http://vocab.getty.edu/aat/300189559" in cls_ids  # male
+    assert "http://vocab.getty.edu/aat/300111192" in cls_ids  # de nationality
+
+    fl = json.loads(rows["158744532"].data)
+    assert rows["158744532"].rectype == "Group"
+    assert "born" not in fl and "died" not in fl
+    # Active span ends at the BEGIN of the death parse (reference behavior)
+    assert fl["carried_out"]["timespan"]["begin_of_the_begin"] == (
+        "1555-01-01T00:00:00")
+    assert fl["carried_out"]["timespan"]["end_of_the_end"] == (
+        "1620-01-01T00:00:00")
+    assert fl["carried_out"]["display"] == "1555 to 1620"
