@@ -1840,3 +1840,126 @@ def test_viaf_cluster_mapper(spark, tmp_path):
     assert fl["carried_out"]["timespan"]["end_of_the_end"] == (
         "1620-01-01T00:00:00")
     assert fl["carried_out"]["display"] == "1555 to 1620"
+
+
+# --------------------------------------------------------------------- dnb
+def test_dnb_mapper_end_to_end(spark, tmp_path):
+    from data_pipeline_spark.sources.dnb import (
+        CONFIG, enrich_close_matches, load_macs,
+    )
+
+    gnd = "https://d-nb.info/standards/elementset/gnd#"
+    recs = [
+        # entity-graph person: century-completed death year, places,
+        # pseudonym, gender, occupation, affiliation, depiction space fix
+        {"identifier": "118540238", "doc": {
+            "@id": "https://d-nb.info/gnd/118540238", "@type": "person",
+            "preferredName": "Goethe, Johann Wolfgang von",
+            "variantName": ["Goethe, J. W. von"],
+            "pseudonym": [{"preferredName": "J.W.G."}],
+            "biographicalOrHistoricalInformation": "Dichter.",
+            "homepage": ["https://d-nb.info/gnd/118540238/about",
+                         "https://goethe.example/home"],
+            "depiction": [{"@id": "https://img.example/Goethe Portrait.jpg"}],
+            "sameAs": [{"@id": "http://viaf.org/viaf/24602065"}],
+            "dateOfBirth": "1749-08-28",
+            "dateOfDeath": "96",  # century-completed from the birth year
+            "placeOfBirth": [{"@id": "https://d-nb.info/gnd/4018118-2",
+                              "preferredName": "Frankfurt"}],
+            "gender": [{"@id":
+                        "https://d-nb.info/standards/vocab/gnd/gender#male"}],
+            "professionOrOccupation": [{"@id": "https://d-nb.info/gnd/occ1",
+                                        "preferredName": "Dichter"}],
+            "affiliation": [{"@id": "https://d-nb.info/gnd/org1",
+                             "preferredName": "Weimar Court"}],
+        }},
+        # entity-graph place with a GeoJSON point
+        {"identifier": "4018118-2", "doc": {
+            "@id": "https://d-nb.info/gnd/4018118-2", "@type": "place",
+            "preferredName": "Frankfurt am Main",
+            "location": {"geometry": {"type": "Point",
+                                      "coordinates": [8.68, 50.11]}},
+        }},
+        # sachbegriff list record -> Type with German names, broaders,
+        # owl:sameAs, related-place attribution, self-describedby skipped
+        {"identifier": "4133150-3/about", "doc": {"list": [
+            {"@id": "https://d-nb.info/gnd/4133150-3/about"},
+            {"@id": "https://d-nb.info/gnd/4133150-3",
+             "@type": [gnd.replace("#", "#x") + ""],  # ignored entry type
+             },
+        ]}},
+    ]
+    # make the lds record realistic (schema keys are full URIs)
+    recs[2]["doc"]["list"][1].update({
+        "@type": ["https://d-nb.info/standards/elementset/gnd#SubjectHeadingSensoStricto"],
+        "http://www.w3.org/2002/07/owl#sameAs": [
+            {"@id": "http://www.wikidata.org/entity/Q330369"}],
+        "http://www.w3.org/2007/05/powder-s#describedby": [
+            {"@id": "https://d-nb.info/gnd/4133150-3/about"}],
+        gnd + "preferredNameForTheSubjectHeading": [
+            {"@value": "Arts and crafts movement"}],
+        gnd + "variantNameForTheSubjectHeading": [
+            {"@value": "GB / Arts and crafts"}],
+        gnd + "definition": [{"@value": "Eine Bewegung."}],
+        gnd + "broaderTermGeneral": [{"@id": "https://d-nb.info/gnd/4114333-4"}],
+        gnd + "relatedPlaceOrGeographicName": [
+            {"@id": "https://d-nb.info/gnd/4022153-2"}],
+    })
+
+    dump = tmp_path / "dnb.jsonl"
+    _write_jsonl(dump, recs)
+    reg = SourceRegistry()
+    src = reg.register_config({**CONFIG, "dump_path": str(dump)})
+    envs = src.component("mapper")(src.component("loader")(spark, src.config))
+    rows = {r.identifier: r for r in envs.collect()}
+    assert set(rows) == {"118540238", "4018118-2", "4133150-3"}  # /about stripped
+
+    g = json.loads(rows["118540238"].data)
+    assert rows["118540238"].rectype == "Person"
+    kinds = [(n["content"], n["classified_as"][0]["id"].rsplit("/", 1)[-1])
+             for n in g["identified_by"]]
+    assert kinds == [
+        ("Goethe, Johann Wolfgang von", "primaryName"),
+        ("Goethe, J. W. von", "alternateName"),
+        ("J.W.G.", "pseudonym"),
+    ]
+    # self-referencing homepage skipped, external kept
+    assert [p["digitally_carried_by"]["access_point"][0]["id"]
+            for p in g["subject_of"]] == ["https://goethe.example/home"]
+    assert g["representation"][0]["digitally_shown_by"][0]["access_point"][0][
+        "id"] == "https://img.example/Goethe_Portrait.jpg"
+    assert g["born"]["timespan"]["begin_of_the_begin"] == "1749-08-28T00:00:00"
+    assert g["born"]["took_place_at"][0]["_label"] == "Frankfurt"
+    # '96' century-completed from the birth year -> 1796
+    assert g["died"]["timespan"]["end_of_the_end"] == "1796-12-31T23:59:59"
+    assert g["died"]["display"] == "1796"
+    roles = {c.get("role") for c in g["classified_as"]}
+    assert {"gender", "occupation"} <= roles
+    assert g["member_of"][0]["_label"] == "Weimar Court"
+
+    fr = json.loads(rows["4018118-2"].data)
+    assert fr["defined_by"] == "POINT ( 8.68 50.11 )"
+
+    t = json.loads(rows["4133150-3"].data)
+    assert rows["4133150-3"].rectype == "Type"
+    assert t["_label"] == "Arts and crafts movement"
+    assert all(n["language"] == "de" for n in t["identified_by"])
+    assert t["equivalent"][0]["id"] == "http://www.wikidata.org/entity/Q330369"
+    assert t["broader"][0]["id"].endswith("4114333-4")
+    assert t["attributed_by"][0]["assigned"]["id"].endswith("4022153-2")
+    assert "subject_of" not in t  # self-describedby skipped
+
+    # macs closeMatch enrichment as a join
+    macs = tmp_path / "macs.nt"
+    macs.write_text(
+        "<https://d-nb.info/gnd/4133150-3> "
+        "<http://www.w3.org/2004/02/skos/core#closeMatch> "
+        "<http://id.loc.gov/authorities/subjects/sh85000691> .\n"
+        "<https://d-nb.info/gnd/9999> <http://example.org/other> "
+        "<http://x.example/ignored> .\n"
+    )
+    enriched = enrich_close_matches(envs, load_macs(spark, str(macs)))
+    e = {r.identifier: json.loads(r.data) for r in enriched.collect()}
+    eq_ids = [x["id"] for x in e["4133150-3"]["equivalent"]]
+    assert "http://id.loc.gov/authorities/subjects/sh85000691" in eq_ids
+    assert "equivalent" not in e["4018118-2"]  # untouched rows pass through
