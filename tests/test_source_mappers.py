@@ -1963,3 +1963,113 @@ def test_dnb_mapper_end_to_end(spark, tmp_path):
     eq_ids = [x["id"] for x in e["4133150-3"]["equivalent"]]
     assert "http://id.loc.gov/authorities/subjects/sh85000691" in eq_ids
     assert "equivalent" not in e["4018118-2"]  # untouched rows pass through
+
+
+# --------------------------------------------------------------------- bnf
+def _bnf_xml(descriptions):
+    return (
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:skos="http://www.w3.org/2004/02/skos/core#"'
+        ' xmlns:foaf="http://xmlns.com/foaf/0.1/"'
+        ' xmlns:bio="http://vocab.org/bio/0.1/"'
+        ' xmlns:geo="http://www.w3.org/2003/01/geo/wgs84_pos#"'
+        ' xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"'
+        ' xmlns:bnf-onto="http://data.bnf.fr/ontology/bnf-onto/"'
+        ' xmlns:rdagroup2elements="http://rdvocab.info/ElementsGr2/">'
+        + descriptions + "</rdf:RDF>"
+    )
+
+
+def test_bnf_xml_mapper(spark, tmp_path):
+    from data_pipeline_spark.sources.bnf import CONFIG
+
+    ark = "https://data.bnf.fr/ark:/12148/"
+    person = _bnf_xml(
+        f'<rdf:Description rdf:about="{ark}cb119133298">'
+        "<skos:prefLabel>Hugo, Victor</skos:prefLabel>"
+        "<skos:altLabel>Hugo, V.</skos:altLabel>"
+        '<skos:exactMatch rdf:resource="http://viaf.org/viaf/9847974"/>'
+        '<skos:closeMatch rdf:resource="https://kg.example/hugo"/>'
+        "<skos:note>Poete.</skos:note>"
+        "</rdf:Description>"
+        f'<rdf:Description rdf:about="{ark}cb119133298#about">'
+        '<rdf:type rdf:resource="http://xmlns.com/foaf/0.1/Person"/>'
+        "<foaf:gender>male</foaf:gender>"
+        "<bio:birth>1802-02-26</bio:birth>"
+        "<bio:death>1885-05-22</bio:death>"
+        "</rdf:Description>"
+    )
+    # concept node missing -> common skipped; Place name from rdfs:label
+    place = _bnf_xml(
+        f'<rdf:Description rdf:about="{ark}cb15272211p#about">'
+        '<rdf:type rdf:resource='
+        '"http://www.w3.org/2003/01/geo/wgs84_pos#SpatialThing"/>'
+        "<rdfs:label>Paris (France)</rdfs:label>"
+        "<geo:lat>48.856578</geo:lat><geo:long>2.351828</geo:long>"
+        "</rdf:Description>"
+    )
+    group = _bnf_xml(
+        f'<rdf:Description rdf:about="{ark}cb13905906c">'
+        "<skos:prefLabel>Academie francaise</skos:prefLabel>"
+        '<skos:broader rdf:resource="https://kg.example/academies"/>'
+        "</rdf:Description>"
+        f'<rdf:Description rdf:about="{ark}cb13905906c#about">'
+        '<rdf:type rdf:resource="http://xmlns.com/foaf/0.1/Organization"/>'
+        '<bnf-onto:firstYear rdf:datatype='
+        '"http://www.w3.org/2001/XMLSchema#integer">1635</bnf-onto:firstYear>'
+        "</rdf:Description>"
+    )
+    concept = _bnf_xml(
+        f'<rdf:Description rdf:about="{ark}cb11933051s">'
+        "<skos:prefLabel>Romantisme</skos:prefLabel>"
+        "<skos:scopeNote>Mouvement litteraire.</skos:scopeNote>"
+        "</rdf:Description>"
+        f'<rdf:Description rdf:about="{ark}cb11933051s#about">'
+        '<rdf:type rdf:resource="http://www.w3.org/2004/02/skos/core#Concept"/>'
+        "</rdf:Description>"
+    )
+    recs = [
+        {"identifier": "cb119133298", "doc": {"xml": person}},
+        {"identifier": "cb15272211p", "doc": {"xml": place}},
+        {"identifier": "cb13905906c", "doc": {"xml": group}},
+        {"identifier": "cb11933051s", "doc": {"xml": concept}},
+    ]
+    dump = tmp_path / "bnf.jsonl"
+    _write_jsonl(dump, recs)
+    reg = SourceRegistry()
+    src = reg.register_config({**CONFIG, "dump_path": str(dump)})
+    rows = {r.identifier: r
+            for r in src.component("mapper")(
+                src.component("loader")(spark, src.config)).collect()}
+    assert set(rows) == {"cb119133298", "cb15272211p", "cb13905906c",
+                         "cb11933051s"}
+
+    h = json.loads(rows["cb119133298"].data)
+    assert rows["cb119133298"].rectype == "Person"
+    assert h["id"] == ark + "cb119133298"
+    assert [(n["content"], n["language"]) for n in h["identified_by"]] == [
+        ("Hugo, Victor", "fr"), ("Hugo, V.", "fr")]
+    # exactMatch before closeMatch
+    assert [e["id"] for e in h["equivalent"]] == [
+        "http://viaf.org/viaf/9847974", "https://kg.example/hugo"]
+    assert h["referred_to_by"][0]["content"] == "Poete."
+    assert h["classified_as"][0]["_label"] == "male"
+    assert h["born"]["timespan"]["begin_of_the_begin"] == "1802-02-26T00:00:00"
+    assert h["died"]["timespan"]["end_of_the_end"] == "1885-05-22T23:59:59"
+
+    p = json.loads(rows["cb15272211p"].data)
+    assert rows["cb15272211p"].rectype == "Place"
+    assert p["identified_by"][0]["content"] == "Paris (France)"
+    assert p["identified_by"][0].get("language") is None  # fallback, untagged
+    assert p["defined_by"] == "POINT ( 2.351828 48.856578 )"
+
+    g = json.loads(rows["cb13905906c"].data)
+    assert rows["cb13905906c"].rectype == "Group"
+    assert g["broader"][0]["id"] == "https://kg.example/academies"
+    assert g["formed_by"]["timespan"]["begin_of_the_begin"] == (
+        "1635-01-01T00:00:00")
+    assert "dissolved_by" not in g
+
+    c = json.loads(rows["cb11933051s"].data)
+    assert rows["cb11933051s"].rectype == "Type"
+    assert c["referred_to_by"][0]["content"] == "Mouvement litteraire."
