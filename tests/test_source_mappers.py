@@ -2073,3 +2073,109 @@ def test_bnf_xml_mapper(spark, tmp_path):
     c = json.loads(rows["cb11933051s"].data)
     assert rows["cb11933051s"].rectype == "Type"
     assert c["referred_to_by"][0]["content"] == "Mouvement litteraire."
+
+
+# -------------------------------------------------------------------- fast
+def _marc(fields):
+    out = ['<record xmlns="http://www.loc.gov/MARC21/slim">']
+    for tag, subs in fields:
+        out.append(f'<datafield tag="{tag}">')
+        for code, text in subs:
+            out.append(f'<subfield code="{code}">{text}</subfield>')
+        out.append("</datafield>")
+    out.append("</record>")
+    return "".join(out)
+
+
+def test_fast_marc_mapper(spark, tmp_path):
+    from data_pipeline_spark.sources.fast import CONFIG, map_records
+
+    person = _marc([
+        ("100", [("a", "Dickens, Charles,"), ("d", "1812-1870")]),
+        ("400", [("a", "Dikkens, Sharl")]),
+        ("375", [("a", "male")]),
+        ("370", [("a", "Portsmouth")]),
+        ("700", [("0", "(DLC)n  78087607")]),
+        ("710", [("1", "(OCoLC)fst0012345")]),
+        ("500", [("i", "Note:"), ("a", "English novelist")]),
+    ])
+    place = _marc([
+        ("151", [("a", "Haarlem")]),
+        ("751", [("0", "(OCoLC)fst01259763"), ("a", "Haarlem (Netherlands)")]),
+        ("670", [("b", "52°22ʹ51ʺN 004°38ʹ13ʺE")]),
+        ("550", [("a", "cities"), ("0", "(OCoLC)fst0099999")]),
+    ])
+    typ = _marc([
+        ("150", [("a", "Art"), ("x", "History")]),
+        ("450", [("a", "Art history")]),
+        ("750", [("0", "(DLC)sh 85007462")]),
+        ("550", [("g", "Humanities"), ("0", "(OCoLC)fst0012000")]),
+        ("680", [("i", "Scope: study of art across time.")]),
+    ])
+    period = _marc([
+        ("448", [("a", "Nineteenth century")]),
+        ("148", [("a", "1800-1899")]),
+    ])
+    nothing = _marc([("999", [("a", "???")])])
+    recs = [
+        {"identifier": "34284", "doc": {"xml": person}},
+        {"identifier": "1259763", "doc": {"xml": place}},
+        {"identifier": "815177", "doc": {"xml": typ}},
+        {"identifier": "1171090", "doc": {"xml": period}},
+        {"identifier": "0", "doc": {"xml": nothing}},
+    ]
+    dump = tmp_path / "fast.jsonl"
+    _write_jsonl(dump, recs)
+    reg = SourceRegistry()
+    src = reg.register_config({**CONFIG, "dump_path": str(dump)})
+
+    # injectable reconciler: only 'portsmouth' resolves
+    def reconcile(name, rectype):
+        return "https://kg.example/portsmouth" if name == "portsmouth" else None
+
+    envs = map_records(
+        src.component("loader")(spark, src.config), reconcile=reconcile)
+    rows = {r.identifier: r for r in envs.collect()}
+    assert set(rows) == {"34284", "1259763", "815177", "1171090"}  # 999 dropped
+
+    p = json.loads(rows["34284"].data)
+    assert rows["34284"].rectype == "Person"
+    assert p["id"] == "http://id.worldcat.org/fast/34284"
+    contents = [n["content"] for n in p["identified_by"]]
+    assert set(contents) == {"Dickens, Charles", "Dikkens, Sharl"}
+    assert p["identified_by"][0]["classified_as"][0]["id"].endswith("primaryName")
+    # 100|d range fallback for dates
+    assert p["born"]["timespan"]["begin_of_the_begin"] == "1812-01-01T00:00:00"
+    # the one-arg build_timespan writes the BEGIN-side keys (reference
+    # passes the range's end as a start date)
+    assert p["died"]["timespan"]["begin_of_the_begin"] == "1870-01-01T00:00:00"
+    assert p["died"]["timespan"]["end_of_the_begin"] == "1870-12-31T23:59:59"
+    # birth place through the injectable reconciler
+    assert p["born"]["took_place_at"][0]["_label"] == "Portsmouth"
+    eq = [e["id"] for e in p["equivalent"]]
+    assert "http://id.loc.gov/authorities/subjects/n78087607" in eq  # (DLC)
+    assert "http://id.worldcat.org/fast/12345" in eq  # (OCoLC)fst, zeros gone
+    assert any(c.get("_label") == "male" for c in p.get("classified_as", []))
+    assert p["referred_to_by"][0]["content"] == "Note: English novelist"
+
+    h = json.loads(rows["1259763"].data)
+    assert rows["1259763"].rectype == "Place"
+    assert set(n["content"] for n in h["identified_by"]) == {
+        "Haarlem", "Haarlem (Netherlands)"}
+    assert h["defined_by"].startswith("POINT(4.63")
+    assert h["equivalent"][0]["id"] == "http://id.worldcat.org/fast/1259763"
+    assert h["classified_as"][0]["id"] == "http://id.worldcat.org/fast/99999"
+
+    t = json.loads(rows["815177"].data)
+    assert rows["815177"].rectype == "Type"
+    assert set(n["content"] for n in t["identified_by"]) == {
+        "Art, History", "Art history"}
+    assert t["equivalent"][0]["id"] == (
+        "http://id.loc.gov/authorities/subjects/sh85007462")
+    assert t["broader"][0]["id"] == "http://id.worldcat.org/fast/12000"
+    assert t["referred_to_by"][0]["content"].startswith("Scope:")
+
+    pe = json.loads(rows["1171090"].data)
+    assert rows["1171090"].rectype == "Period"
+    assert pe["timespan"]["begin_of_the_begin"] == "1800-01-01T00:00:00"
+    assert pe["timespan"]["end_of_the_end"] == "1899-12-31T23:59:59"
