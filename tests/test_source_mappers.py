@@ -2179,3 +2179,120 @@ def test_fast_marc_mapper(spark, tmp_path):
     assert rows["1171090"].rectype == "Period"
     assert pe["timespan"]["begin_of_the_begin"] == "1800-01-01T00:00:00"
     assert pe["timespan"]["end_of_the_end"] == "1899-12-31T23:59:59"
+
+
+# ------------------------------------------------------------- getty vocab
+def test_getty_vocab_mappers(spark):
+    from data_pipeline_spark.sources.getty_vocab import (
+        aat_should_merge_from, map_aat, map_tgn, map_ulan,
+    )
+
+    aat = "http://vocab.getty.edu/aat/"
+    aat_doc = {
+        "id": aat + "300015637", "type": "Type",
+        "_label": "watercolors (paintings)",
+        "identified_by": [
+            {"type": "Name", "content": "watercolors",
+             "language": [{"_label": "en"}],
+             "classified_as": [{"id": aat + "300404670"}]},
+            {"type": "Name", "content": "aquarelles",
+             "language": [{"_label": "fr"}],
+             "classified_as": [
+                 {"id": "http://vocab.getty.edu/term/type/AlternateDescriptor"}]},
+            {"type": "Name", "content": "akvareller",
+             "language": [{"_label": "xx"}]},  # unmapped lang -> dropped
+        ],
+        "referred_to_by": [
+            {"content": "Paintings in water-based paint.",
+             "language": [{"_label": "en"}],
+             "classified_as": [{"id": aat + "300435416"}]},
+        ],
+        "part_of": [{"id": aat + "300015617", "_label": "paintings"}],
+    }
+    loaded = spark.createDataFrame(
+        [("300015637", json.dumps(aat_doc))], "identifier string, value string")
+    a = json.loads(map_aat(loaded).collect()[0].data)
+    assert a["type"] == "Type"
+    assert a["_label"] == "watercolors"  # english primary
+    assert [(n["content"], n.get("language")) for n in a["identified_by"]] == [
+        ("watercolors", "en"), ("aquarelles", "fr")]  # xx dropped
+    assert a["referred_to_by"][0]["role"] == "description"
+    assert a["broader"][0]["id"] == aat + "300015617"
+    # P5: AAT never merges into a non-Type-ish base
+    assert not aat_should_merge_from({"type": "Person"}, a)
+    assert aat_should_merge_from({"type": "Language"}, a)
+
+    # AAT type guessing fallbacks
+    lang_doc = {"id": aat + "300387961", "type": "Type",
+                "_label": "Danish (language)",
+                "identified_by": [{"type": "Name", "content": "Danish"}]}
+    loaded = spark.createDataFrame(
+        [("300387961", json.dumps(lang_doc))], "identifier string, value string")
+    assert map_aat(loaded).collect()[0].rectype == "Language"
+
+    ulan_doc = {
+        "id": "http://vocab.getty.edu/ulan/500115588-agent", "type": "Person",
+        "identified_by": [
+            {"type": "Name", "content": "Turner, J. M. W.",
+             "language": [{"_label": "en"}],
+             "classified_as": [{"id": aat + "300404670"}]},
+        ],
+        "classified_as": [
+            {"id": aat + "300189559", "_label": "male",
+             "classified_as": [{"id": aat + "300055147"}]},
+            {"id": aat + "300111159", "_label": "British",
+             "classified_as": [{"id": aat + "300379842"}]},
+            {"id": aat + "300379012", "_label": "undetermined"},  # ignored
+        ],
+        "born": {"timespan": {"begin_of_the_begin": "1775-04-23T00:00:00",
+                              "end_of_the_end": "1775-04-23T24:00:00"}},
+        "died": {"timespan": {"begin_of_the_begin": "1851-12-19T00:00:00",
+                              "end_of_the_end": "1851-12-19T00:00:00"},
+                 "took_place_at": [{"id": "http://vocab.getty.edu/tgn/7011781-place",
+                                    "_label": "London"}]},
+        "carried_out": [{
+            "classified_as": [{"id": aat + "300393177"}],
+            "timespan": {"begin_of_the_begin": "1790",
+                         "end_of_the_end": "1851"}}],
+    }
+    loaded = spark.createDataFrame(
+        [("500115588-agent", json.dumps(ulan_doc))],
+        "identifier string, value string")
+    rows = map_ulan(loaded).collect()
+    assert rows[0].identifier == "500115588"  # -agent stripped
+    u = json.loads(rows[0].data)
+    roles = {c.get("role") for c in u["classified_as"]}
+    assert roles == {"gender", "nationality"}  # undetermined ignored
+    # 24:00:00 fixed; end-side midnight promoted
+    assert u["born"]["timespan"]["end_of_the_end"] == "1775-04-23T23:59:59"
+    assert u["died"]["timespan"]["end_of_the_end"] == "1851-12-19T23:59:59"
+    assert u["died"]["took_place_at"][0]["id"] == (
+        "http://vocab.getty.edu/tgn/7011781")  # -place stripped
+    assert u["carried_out"][0]["timespan"]["begin_of_the_begin"] == (
+        "1790-01-01T00:00:00")
+
+    tgn_doc = {
+        "id": "http://vocab.getty.edu/tgn/7011781", "type": "Place",
+        "identified_by": [
+            {"type": "Name", "content": "London",
+             "language": [{"_label": "en"}],
+             "classified_as": [{"id": aat + "300404670"}]},
+            {"type": "crm:E47_Spatial_Coordinates",
+             "value": "[-0.1262, 51.5002]"},
+        ],
+        "classified_as": [{"id": aat + "300008389", "_label": "inhabited place"}],
+        "part_of": [
+            {"id": "http://vocab.getty.edu/tgn/7002445", "_label": "England",
+             "classified_as": [{"id": aat + "300449152"}]},
+            {"id": "http://vocab.getty.edu/tgn/7008591", "_label": "Britain"},
+        ],
+    }
+    loaded = spark.createDataFrame(
+        [("7011781", json.dumps(tgn_doc))], "identifier string, value string")
+    t = json.loads(map_tgn(loaded).collect()[0].data)
+    assert t["defined_by"] == "POINT ( -0.1262 51.5002 )"
+    assert t["classified_as"][0]["id"] == aat + "300008389"
+    # the 300449152-classified parent wins part_of; others not broader
+    assert t["part_of"] == [{"id": "http://vocab.getty.edu/tgn/7002445",
+                             "type": "Place", "_label": "England"}]
+    assert "broader" not in t
