@@ -2296,3 +2296,107 @@ def test_getty_vocab_mappers(spark):
     assert t["part_of"] == [{"id": "http://vocab.getty.edu/tgn/7002445",
                              "type": "Place", "_label": "England"}]
     assert "broader" not in t
+
+
+# --------------------------------------------------------------------- yul
+def test_yul_mapper(spark):
+    from data_pipeline_spark.sources.yul import map_records, transform_doc
+
+    aat = "http://vocab.getty.edu/aat/"
+    docs = {
+        # work with ils number -> YCBA about links; multi-prop norm;
+        # marcgt swap; external representation moved to subject_of
+        "w1": {
+            "id": "https://lib.example/node/w1", "type": "LinguisticObject",
+            "identified_by": {"type": "Identifier",
+                              "content": "ils:yul:12345",
+                              "classified_as": [{"id": aat + "300435704"}]},
+            "classified_as": [{"id": "http://id.loc.gov/vocabulary/marcgt/pic"}],
+            "representation": [
+                {"id": "https://img.example/scan1.jpg", "type": "VisualItem"},
+                {"id": "https://lib.example/linked-art/node/keepme",
+                 "type": "VisualItem"},
+            ],
+        },
+        # place with parenthetical parent + gemini enrichment
+        "p1": {
+            "id": "https://lib.example/node/p1", "type": "Place",
+            "_label": "Potsdam",
+            "identified_by": [{"type": "Name", "content": "Potsdam (Germany)",
+                               "classified_as": [{"id": aat + "300404670"}]}],
+            "defined_by": "",
+        },
+        # heading / mismatch ids dropped
+        "h1": {"id": "https://lib.example/node/h1", "type": "Type"},
+        # sort-title AAT + https getty fix + attributed_by rename on names
+        "o1": {
+            "id": "https://lib.example/node/o1", "type": "HumanMadeObject",
+            "identified_by": [{
+                "type": "Name", "content": "Sorted, Title",
+                "attributed_by": [{"type": "AttributeAssignment"}],
+                "classified_as": [
+                    {"id": "https://vocab.getty.edu/aat/300451544"}],
+            }],
+        },
+    }
+    tables = dict(
+        headings_index={"https://lib.example/node/h1"},
+        ycbaobjs={"12345": ["https://coll.example/obj/77"]},
+        ycbaexhs={"12345": ["https://coll.example/exh/88"]},
+        wiki_recon={"https://lib.example/node/w1":
+                    "http://www.wikidata.org/entity/Q555"},
+        parenthetical_places={"Germany": "https://kg.example/de"},
+        gemini_place_data={"p1": {"wd": "Q1711", "wp": "https://wiki.example/p",
+                                  "desc": "A city."}},
+    )
+    loaded = spark.createDataFrame(
+        [(k, json.dumps(v)) for k, v in docs.items()],
+        "identifier string, value string",
+    )
+    rows = {r.identifier: json.loads(r.data)
+            for r in map_records(loaded, **tables).collect()}
+    assert set(rows) == {"w1", "p1", "o1"}  # heading dropped
+
+    w = rows["w1"]
+    assert {a["id"] for a in w["about"]} == {
+        "https://coll.example/obj/77", "https://coll.example/exh/88"}
+    assert isinstance(w["identified_by"], list)  # multi-prop normalized
+    assert w["equivalent"][0]["id"] == "http://www.wikidata.org/entity/Q555"
+    assert w["classified_as"][0]["id"] == aat + "300264388"  # marcgt/pic
+    # the ils:yul accession makes it a Collection Item
+    assert w["classified_as"][-1]["id"] == aat + "300404024"
+    # external scan moved to subject_of; linked-art node kept in place
+    assert [r["id"] for r in w["representation"]] == [
+        "https://lib.example/linked-art/node/keepme"]
+    rep = [s for s in w["subject_of"]
+           if s.get("_label") == "Representation/Reference"]
+    assert rep[0]["digitally_carried_by"][0]["access_point"][0]["id"] == (
+        "https://img.example/scan1.jpg")
+
+    p = rows["p1"]
+    assert p["part_of"] == [{"id": "https://kg.example/de", "type": "Place",
+                             "_label": "Germany"}]
+    assert "defined_by" not in p  # empty removed
+    assert any(e["id"] == "http://www.wikidata.org/entity/Q1711"
+               for e in p["equivalent"])
+    assert any("(AI generated)" in r.get("content", "")
+               for r in p["referred_to_by"])
+    assert any(
+        s.get("digitally_carried_by", [{}])[0]
+        .get("access_point", [{}])[0].get("id") == "https://wiki.example/p"
+        for s in p["subject_of"])
+
+    o = rows["o1"]
+    nm = o["identified_by"][0]
+    assert nm["classified_as"][0]["id"] == aat + "300456575"  # sort swap
+    assert "assigned_by" in nm and "attributed_by" not in nm
+
+    # object_work_mismatch rewrites nested node ids during the walk
+    doc = {"id": "x:top", "type": "HumanMadeObject",
+           "produced_by": {"type": "Production",
+                           "carried_out_by": [{"id": "x:stupid",
+                                               "type": "Group"}]}}
+    got = transform_doc(doc, object_work_mismatch={
+        "x:stupid": ["x:real", "Person"]})
+    assert got["produced_by"]["carried_out_by"][0] == {
+        "id": "x:real", "type": "Person"}
