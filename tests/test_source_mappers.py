@@ -2400,3 +2400,73 @@ def test_yul_mapper(spark):
         "x:stupid": ["x:real", "Person"]})
     assert got["produced_by"]["carried_out_by"][0] == {
         "id": "x:real", "type": "Person"}
+
+
+# ---------------------------------------------------------------- pleiades
+def test_pleiades_mappers(spark):
+    from data_pipeline_spark.sources.pleiades import map_concepts, map_places
+
+    place = {
+        "uri": "https://pleiades.stoa.org/places/579885",
+        "title": "Athenae",
+        "names": [
+            {"attested": "Athenai", "language": "grc"},  # unmapped -> untagged
+            {"attested": "Athen", "language": "deu"},    # F15 3->2
+            {"attested": ""},                            # empty skipped
+        ],
+        "description": "The ancient city of Athens.",
+        "placeTypeURIs": ["https://pleiades.stoa.org/vocabularies/place-types/settlement"],
+        "geometry": {"type": "Point", "coordinates": [23.72, 37.97]},
+        "connections": [
+            {"connectionType": "part_of_regional",
+             "connectsTo": "https://pleiades.stoa.org/places/1", "title": "Attica"},
+            {"connectionType": "related", "connectsTo": "x:ignored"},
+        ],
+        "references": [
+            {"accessURI": "https://www.wikidata.org/wiki/Q1524"},
+            {"accessURI": "https://other.example/athens"},
+        ],
+    }
+    bboxed = {
+        "uri": "https://pleiades.stoa.org/places/2", "title": "Region",
+        "bbox": [20.0, 35.0, 25.0, 40.0],
+    }
+    loaded = spark.createDataFrame(
+        [("579885", json.dumps(place)), ("2", json.dumps(bboxed)),
+         ("bad", "not json")],
+        "identifier string, value string",
+    )
+    rows = {r.identifier: r for r in map_places(loaded).collect()}
+    assert set(rows) == {"579885", "2"}
+
+    a = json.loads(rows["579885"].data)
+    assert a["_label"] == "Athenae"
+    assert [(n["content"], n.get("language")) for n in a["identified_by"]] == [
+        ("Athenae", "en"), ("Athenai", None), ("Athen", "de")]
+    assert a["defined_by"] == "POINT (23.72 37.97)"
+    assert a["classified_as"][0]["id"].endswith("settlement")
+    assert a["part_of"] == [{"id": "https://pleiades.stoa.org/places/1",
+                             "type": "Place", "_label": "Attica"}]
+    assert a["equivalent"] == [{"id": "https://www.wikidata.org/wiki/Q1524",
+                                "type": "Place"}]
+    b = json.loads(rows["2"].data)
+    assert b["defined_by"] == ("POLYGON ((20.0 35.0, 25.0 35.0, 25.0 40.0,"
+                               " 20.0 40.0, 20.0 35.0))")
+
+    ttl = (
+        "<https://pleiades.stoa.org/vocabularies/place-types/settlement>\n"
+        '    skos:prefLabel "settlement"@en ;\n'
+        '    skos:scopeNote "A permanent inhabited place."@en ;\n'
+        "    owl:sameAs <http://vocab.getty.edu/aat/300008347>,\n"
+        "        <https://pleiades.stoa.org/vocabularies/place-types/settlement> ;\n"
+        "    .\n"
+    )
+    sections = spark.createDataFrame([(ttl,)], "value string")
+    c = map_concepts(sections).collect()[0]
+    assert c.identifier == "place-types/settlement"
+    doc = json.loads(c.data)
+    assert doc["_label"] == "settlement"
+    assert doc["identified_by"][0]["language"] == "en"
+    # self-reference skipped, external kept
+    assert doc["equivalent"] == [{"id": "http://vocab.getty.edu/aat/300008347",
+                                  "type": "Type"}]
