@@ -823,3 +823,320 @@ def u09_wof_place_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("parent"),
         doc.getField("defined_by").alias("wkt"),
     )
+
+
+@query(
+    "u10_viaf_cluster_gate",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS identifier,
+           CASE c_custkey % 4
+             WHEN 0 THEN 'Person' WHEN 1 THEN 'Group' ELSE 'Place'
+           END AS rectype,
+           CASE c_custkey % 4
+             WHEN 0 THEN 'Author ' || c_custkey
+             WHEN 1 THEN 'Press ' || c_custkey
+             ELSE 'Town ' || c_custkey
+           END AS label,
+           CASE c_custkey % 4 WHEN 0 THEN 2 ELSE 1 END AS n_names,
+           CASE c_custkey % 4
+             WHEN 0 THEN 'http://id.loc.gov/authorities/names/n' || c_custkey
+             WHEN 1 THEN 'http://d-nb.info/gnd/' || c_custkey
+           END AS equiv0,
+           CASE c_custkey % 4
+             WHEN 0 THEN '1900-01-01T00:00:00'
+           END AS born_begin,
+           CASE c_custkey % 4
+             WHEN 1 THEN '1880-01-01T00:00:00'
+           END AS active_end
+    FROM customer WHERE c_custkey % 4 <> 3
+    """,
+    survey="U1,F1,F5,F15",
+)
+def u10_viaf_cluster_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VIAF cluster mapper (reference sources/authorities/oclc/
+    mapper.py:1-295) through the driver gate, one path per rotation: a
+    Personal cluster with the LC-sourced primary election, a WKP-only
+    heading skipped, spaced LC pair-equivalents normalized, and lived
+    dates; a Corporate cluster with a GND @nsid equivalent and a
+    flourished Active span ending at the death-parse BEGIN; a
+    Geographic cluster; and a UniformTitleWork cluster dropped."""
+    from ..sources.viaf import map_records
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    m = k % 4
+
+    def cluster(body):
+        return F.concat(
+            F.lit('<VIAFCluster xmlns="http://viaf.org/viaf/terms#">'),
+            body, F.lit("</VIAFCluster>"),
+        )
+
+    person = cluster(F.concat(
+        F.lit("<nameType>Personal</nameType><mainHeadings>"
+              "<data><text>Wiki Only</text><sources><s>WKP</s></sources></data>"
+              "<data><text>Author "), ks,
+        F.lit("</text><sources><s>LC</s></sources></data>"
+              "<data><text>Alt Author</text><sources><s>NDL</s></sources></data>"
+              "</mainHeadings><sources>"
+              '<source nsid="x">LC|n  '), ks,
+        F.lit("</source></sources>"
+              "<birthDate>1900</birthDate><deathDate>1960</deathDate>"
+              "<dateType>lived</dateType>"),
+    ))
+    group = cluster(F.concat(
+        F.lit("<nameType>Corporate</nameType><mainHeadings><data><text>Press "),
+        ks,
+        F.lit('</text><sources><s>BNF</s></sources></data></mainHeadings>'
+              '<sources><source nsid="http://d-nb.info/gnd/'), ks,
+        F.lit('">DNB|'), ks,
+        F.lit("</source></sources>"
+              "<birthDate>1800</birthDate><deathDate>1880</deathDate>"
+              "<dateType>flourished</dateType>"),
+    ))
+    place = cluster(F.concat(
+        F.lit("<nameType>Geographic</nameType><mainHeadings><data><text>Town "),
+        ks,
+        F.lit("</text><sources><s>LC</s></sources></data></mainHeadings>"),
+    ))
+    title = cluster(F.lit("<nameType>UniformTitleWork</nameType>"))
+    xml = (
+        F.when(m == 0, person).when(m == 1, group).when(m == 2, place)
+        .otherwise(title)
+    )
+    loaded = c.select(
+        F.struct(
+            ks.alias("identifier"),
+            F.lit(None).cast("string").alias("record_time"),
+            F.struct(xml.alias("xml")).alias("doc"),
+        ).alias("doc")
+    )
+    envs = map_records(loaded)
+    doc = F.from_json(
+        "data",
+        "struct<_label: string,"
+        " identified_by: array<struct<content: string>>,"
+        " equivalent: array<struct<id: string>>,"
+        " born: struct<timespan: struct<begin_of_the_begin: string>>,"
+        " carried_out: struct<timespan: struct<end_of_the_end: string>>>",
+    )
+    return envs.select(
+        "identifier", "rectype",
+        doc.getField("_label").alias("label"),
+        F.size(doc.getField("identified_by")).alias("n_names"),
+        F.try_element_at(doc.getField("equivalent"), F.lit(1)).getField("id")
+        .alias("equiv0"),
+        doc.getField("born").getField("timespan").getField("begin_of_the_begin")
+        .alias("born_begin"),
+        doc.getField("carried_out").getField("timespan").getField("end_of_the_end")
+        .alias("active_end"),
+    )
+
+
+@query(
+    "u11_dnb_entity_gate",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS identifier,
+           CASE c_custkey % 4
+             WHEN 0 THEN 'Person' WHEN 1 THEN 'Group' ELSE 'Place'
+           END AS rectype,
+           'Ent ' || c_custkey AS label,
+           CASE c_custkey % 4
+             WHEN 0 THEN 3 ELSE 1
+           END AS n_names,
+           CASE c_custkey % 4
+             WHEN 0 THEN '19' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0')
+           END AS died_display,
+           CASE c_custkey % 4
+             WHEN 1 THEN '1900-01-01T00:00:00'
+           END AS formed_begin,
+           CASE c_custkey % 4 WHEN 2 THEN 'POINT ( 8.68 50.11 )' END AS wkt,
+           CASE c_custkey % 4
+             WHEN 0 THEN 'https://kg.example/same' || c_custkey
+           END AS equiv0
+    FROM customer WHERE c_custkey % 4 <> 3 AND c_custkey % 100 >= 50
+    """,
+    survey="U1,F1,F15",
+)
+def u11_dnb_entity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DNB/GND entity-graph mapper (reference sources/libraries/dnb/
+    mapper.py) through the driver gate: a person with pref/variant/
+    pseudonym names, a sameAs equivalent, and a 2-digit death year
+    completed with the birth century (keys restricted to k%100 >= 50 so
+    the completed year always follows the 1900 birth); an organization
+    with an establishment year; a place with a GeoJSON point; an
+    unroutable @type dropped."""
+    import json as _json
+
+    from ..sources.dnb import map_records
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    m = k % 4
+    dd2 = F.lpad((k % 100).cast("string"), 2, "0")
+
+    person = F.concat(
+        F.lit('{"@id":"https://d-nb.info/gnd/'), ks,
+        F.lit('","@type":"person","preferredName":"Ent '), ks,
+        F.lit('","variantName":["V '), ks,
+        F.lit('"],"pseudonym":[{"preferredName":"P '), ks,
+        F.lit('"}],"sameAs":[{"@id":"https://kg.example/same'), ks,
+        F.lit('"}],"dateOfBirth":"1900","dateOfDeath":"'), dd2, F.lit('"}'),
+    )
+    group = F.concat(
+        F.lit('{"@id":"https://d-nb.info/gnd/'), ks,
+        F.lit('","@type":"organization","preferredName":"Ent '), ks,
+        F.lit('","dateOfEstablishment":"1900"}'),
+    )
+    place = F.concat(
+        F.lit('{"@id":"https://d-nb.info/gnd/'), ks,
+        F.lit('","@type":"place","preferredName":"Ent '), ks,
+        F.lit('","location":{"geometry":{"type":"Point",'
+              '"coordinates":[8.68,50.11]}}}'),
+    )
+    other = F.lit(_json.dumps({"@id": "https://d-nb.info/gnd/x",
+                               "@type": "work"}))
+    value = (
+        F.when(m == 0, person).when(m == 1, group).when(m == 2, place)
+        .otherwise(other)
+    )
+    loaded = (
+        c.filter(k % 100 >= 50)
+        .select(
+            ks.alias("identifier"),
+            F.lit(None).cast("string").alias("record_time"),
+            value.alias("value"),
+        )
+    )
+    envs = map_records(loaded)
+    doc = F.from_json(
+        "data",
+        "struct<_label: string, defined_by: string,"
+        " identified_by: array<struct<content: string>>,"
+        " equivalent: array<struct<id: string>>,"
+        " died: struct<display: string>,"
+        " formed_by: struct<timespan: struct<begin_of_the_begin: string>>>",
+    )
+    return envs.select(
+        "identifier", "rectype",
+        doc.getField("_label").alias("label"),
+        F.size(doc.getField("identified_by")).alias("n_names"),
+        doc.getField("died").getField("display").alias("died_display"),
+        doc.getField("formed_by").getField("timespan")
+        .getField("begin_of_the_begin").alias("formed_begin"),
+        doc.getField("defined_by").alias("wkt"),
+        F.try_element_at(doc.getField("equivalent"), F.lit(1)).getField("id")
+        .alias("equiv0"),
+    )
+
+
+@query(
+    "u13_snac_constellation_gate",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS identifier,
+           CASE WHEN c_custkey % 3 = 1 THEN 'Group' ELSE 'Person' END AS rectype,
+           CASE WHEN c_custkey % 3 <> 2 THEN 'Primary ' || c_custkey
+           END AS primary_name,
+           CASE c_custkey % 3
+             WHEN 0 THEN '1850-01-01T00:00:00'
+           END AS born_begin,
+           CASE c_custkey % 3
+             WHEN 1 THEN '1900-12-31T23:59:59'
+           END AS dissolved_end,
+           CASE c_custkey % 3
+             WHEN 0 THEN 'https://archive.example/ark:/99/t' || c_custkey
+           END AS equiv0
+    FROM customer
+    """,
+    survey="U1,F1",
+)
+def u13_snac_constellation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SNAC constellation mapper (reference sources/archives/snac/
+    mapper.py) through the driver gate: a person whose score-99 entry
+    beats an earlier lower-scored name, with a mayBeSameAs equivalent
+    and a birth date; a corporateBody with a Disestablishment; and a
+    record with no name entries keeping its envelope with no names,
+    exactly as the reference emits it."""
+    from ..sources.snac import map_records
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    m = k % 3
+
+    person = F.concat(
+        F.lit('{"ark":"https://archive.example/ark:/99/c'), ks,
+        F.lit('","entityType":{"term":"person"},"nameEntries":['
+              '{"original":"Alt '), ks,
+        F.lit('","preferenceScore":"50"},{"original":"Primary '), ks,
+        F.lit('","preferenceScore":"99"}],"relations":[{"type":'
+              '{"term":"mayBeSameAs"},"targetArkID":'
+              '"https://archive.example/ark:/99/t'), ks,
+        F.lit('"}],"dates":[{"fromType":{"term":"Birth"},'
+              '"fromDate":"1850"}]}'),
+    )
+    group = F.concat(
+        F.lit('{"ark":"https://archive.example/ark:/99/c'), ks,
+        F.lit('","entityType":{"term":"corporateBody"},"nameEntries":['
+              '{"original":"Primary '), ks,
+        F.lit('"}],"dates":[{"toType":{"term":"Disestablishment"},'
+              '"toDate":"1900"}]}'),
+    )
+    empty = F.concat(
+        F.lit('{"ark":"https://archive.example/ark:/99/c'), ks,
+        F.lit('","entityType":{"term":"person"}}'),
+    )
+    value = F.when(m == 0, person).when(m == 1, group).otherwise(empty)
+    loaded = c.select(
+        F.struct(
+            ks.alias("identifier"),
+            F.lit(None).cast("string").alias("record_time"),
+            value.alias("raw"),
+        ).alias("doc")
+    )
+    # snac's loader parses jsonl; feed the mapper's expected shape directly
+    from ..sources.snac import RAW_SCHEMA
+
+    parsed = loaded.select(
+        F.col("doc").getField("identifier").alias("identifier"),
+        F.col("doc").getField("record_time").alias("record_time"),
+        F.from_json(F.col("doc").getField("raw"),
+                    RAW_SCHEMA.split(" doc ")[-1].strip()).alias("docbody"),
+    )
+    shaped = parsed.select(
+        F.struct(
+            F.col("identifier"), F.col("record_time"),
+            F.col("docbody").alias("doc"),
+        ).alias("doc")
+    )
+    envs = map_records(shaped)
+    doc = F.from_json(
+        "data",
+        "struct<identified_by: array<struct<content: string,"
+        " classified_as: array<struct<id: string>>>>,"
+        " equivalent: array<struct<id: string>>,"
+        " born: struct<timespan: struct<begin_of_the_begin: string>>,"
+        " dissolved_by: struct<timespan: struct<end_of_the_end: string>>>",
+    )
+    primary = F.try_element_at(
+        F.filter(
+            doc.getField("identified_by"),
+            lambda n: F.exists(
+                n.getField("classified_as"),
+                lambda cc: cc.getField("id").endswith("primaryName"),
+            ),
+        ),
+        F.lit(1),
+    ).getField("content")
+    return envs.select(
+        "identifier", "rectype",
+        primary.alias("primary_name"),
+        doc.getField("born").getField("timespan").getField("begin_of_the_begin")
+        .alias("born_begin"),
+        doc.getField("dissolved_by").getField("timespan")
+        .getField("end_of_the_end").alias("dissolved_end"),
+        F.try_element_at(doc.getField("equivalent"), F.lit(1)).getField("id")
+        .alias("equiv0"),
+    )
