@@ -1140,3 +1140,109 @@ def u13_snac_constellation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(doc.getField("equivalent"), F.lit(1)).getField("id")
         .alias("equiv0"),
     )
+
+
+@query(
+    "u12_fast_marc_gate",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS identifier,
+           CASE c_custkey % 4
+             WHEN 0 THEN 'Person' WHEN 1 THEN 'Place' ELSE 'Period'
+           END AS rectype,
+           CASE c_custkey % 4
+             WHEN 0 THEN 'Person ' || c_custkey
+             WHEN 1 THEN 'Town ' || c_custkey
+             ELSE 'Era ' || c_custkey
+           END AS primary_name,
+           CASE c_custkey % 4
+             WHEN 0 THEN '1812-01-01T00:00:00'
+             WHEN 2 THEN '1800-01-01T00:00:00'
+           END AS ts_begin,
+           CASE c_custkey % 4
+             WHEN 0 THEN 'http://id.loc.gov/authorities/subjects/n' || c_custkey
+             WHEN 1 THEN 'http://id.worldcat.org/fast/' || c_custkey
+           END AS equiv0
+    FROM customer WHERE c_custkey % 4 <> 3
+    """,
+    survey="U1,F1",
+)
+def u12_fast_marc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FAST MARC-XML mapper (reference sources/authorities/oclc ..
+    fast/mapper.py) through the driver gate: a 100-tagged Person with a
+    date-range fallback and a (DLC) equivalent; a 151-tagged Place with
+    an (OCoLC)fst equivalent; a 148-tagged Period with a range
+    timespan; and a record with no routing tag dropped."""
+    from ..sources.fast import map_records
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    m = k % 4
+
+    def marc(body):
+        return F.concat(
+            F.lit('<record xmlns="http://www.loc.gov/MARC21/slim">'),
+            body, F.lit("</record>"),
+        )
+
+    def df(tag, subs):
+        parts = [F.lit(f'<datafield tag="{tag}">')]
+        for code, frags in subs:
+            parts.append(F.lit(f'<subfield code="{code}">'))
+            parts.extend(frags)
+            parts.append(F.lit("</subfield>"))
+        parts.append(F.lit("</datafield>"))
+        return F.concat(*parts)
+
+    person = marc(F.concat(
+        df("100", [("a", [F.lit("Person "), ks, F.lit(",")]),
+                   ("d", [F.lit("1812-1870")])]),
+        df("700", [("0", [F.lit("(DLC)n  "), ks])]),
+    ))
+    place = marc(F.concat(
+        df("151", [("a", [F.lit("Town "), ks])]),
+        df("751", [("0", [F.lit("(OCoLC)fst"), ks])]),
+    ))
+    period = marc(F.concat(
+        df("448", [("a", [F.lit("Era "), ks])]),
+        df("148", [("a", [F.lit("1800-1899")])]),
+    ))
+    nothing = marc(df("999", [("a", [F.lit("x")])]))
+    xml = (
+        F.when(m == 0, person).when(m == 1, place).when(m == 2, period)
+        .otherwise(nothing)
+    )
+    loaded = c.select(
+        ks.alias("identifier"),
+        F.lit(None).cast("string").alias("record_time"),
+        xml.alias("value"),
+    )
+    envs = map_records(loaded)
+    doc = F.from_json(
+        "data",
+        "struct<identified_by: array<struct<content: string,"
+        " classified_as: array<struct<id: string>>>>,"
+        " equivalent: array<struct<id: string>>,"
+        " born: struct<timespan: struct<begin_of_the_begin: string>>,"
+        " timespan: struct<begin_of_the_begin: string>>",
+    )
+    primary = F.try_element_at(
+        F.filter(
+            doc.getField("identified_by"),
+            lambda n: F.exists(
+                n.getField("classified_as"),
+                lambda cc: cc.getField("id").endswith("primaryName"),
+            ),
+        ),
+        F.lit(1),
+    ).getField("content")
+    return envs.select(
+        "identifier", "rectype",
+        primary.alias("primary_name"),
+        F.coalesce(
+            doc.getField("born").getField("timespan").getField("begin_of_the_begin"),
+            doc.getField("timespan").getField("begin_of_the_begin"),
+        ).alias("ts_begin"),
+        F.try_element_at(doc.getField("equivalent"), F.lit(1)).getField("id")
+        .alias("equiv0"),
+    )

@@ -217,3 +217,15 @@ def test_d19_contamination_broadcasts_benchmark_side(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_xml_mapper_gates_parse_jvm_side(spark):
+    """The from_xml source mappers (geonames, VIAF) must keep their XML
+    parse inside the JVM: the only Python in their gate plans is the F1
+    pandas_udf date tail — no row-at-a-time BatchEvalPython anywhere,
+    and no Python at all for geonames (it has no date path)."""
+    plan = _plan(spark, "u07_geonames_place_gate")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan  # fully JVM-side
+    plan = _plan(spark, "u10_viaf_cluster_gate")
+    assert "BatchEvalPython" not in plan  # Arrow-batched F1 tail only
