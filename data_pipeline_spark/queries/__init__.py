@@ -56,6 +56,8 @@ GATE_PIN = [
     # r5: sentence-split class pinned engine-identical (\x0b no longer a
     # separator) — the r4 row no longer vouches for the current split
     "d20_paragraph_dedup",
+    # r5: same pinning applied to the n-gram token split
+    "d19_benchmark_contamination",
 ]
 
 GATE_WINDOW_SIZE = 50

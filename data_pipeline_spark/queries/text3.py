@@ -111,14 +111,17 @@ N_GRAM = 8
 _BENCH_MOD = 29  # ~3% of docs form the benchmark set
 _CONTAM_MOD = 31  # planted-overlap docs (the guaranteed positives)
 _PLANT = "the quick brown fox jumps over the lazy benchmark dog"
+# engine-identical token separator (Java \s matches \x0B, RE2's does
+# not) — same pinning as the d20 sentence split below
+_WS_SPLIT = r"[ \t\n\f\r]+"
 
 
 def word_ngrams(text: F.Column, n: int = N_GRAM) -> F.Column:
-    """Distinct word n-grams of a document (same tokenization as the
-    shingle tier: lower, split on whitespace).  The index sequence is
-    guarded BEFORE construction: sequence(1, k) with k < 1 descends
-    instead of returning empty."""
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    """Distinct word n-grams of a document (lower, split on the pinned
+    whitespace class — the shingle tier's tokenization up to the \\x0B
+    nuance).  The index sequence is guarded BEFORE construction:
+    sequence(1, k) with k < 1 descends instead of returning empty."""
+    toks = F.split(F.lower(F.trim(text)), _WS_SPLIT)
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
@@ -140,7 +143,7 @@ def word_ngrams(text: F.Column, n: int = N_GRAM) -> F.Column:
         SELECT doc_id, unnest(list_distinct(list_transform(
                    range(1, len(toks) - {N_GRAM - 2}),
                    i -> array_to_string(toks[i:i+{N_GRAM - 1}], ' ')))) AS gram
-        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ')), '{_WS_SPLIT}') AS toks
               FROM planted)
         WHERE len(toks) >= {N_GRAM}
     ),

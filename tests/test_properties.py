@@ -157,3 +157,45 @@ def test_d20_paragraph_dedup_matches_oracle_on_pathological_corpora(
         assert ok, msg
     finally:
         con.close()
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_d19_contamination_matches_oracle_on_pathological_corpora(
+    spark, tmp_path_factory, data
+):
+    """Same harness as the d20 test for the n-gram contamination join:
+    the pinned whitespace class and trim(x, ' ') must agree across
+    engines on NBSP/VT/Unicode corpora."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_spark.queries import QUERIES
+
+    from .oracle_harness import compare
+
+    word = st.text(alphabet=_D20_ALPHABET.replace(".", "") + "cd", min_size=1,
+                   max_size=6)
+    doc = st.lists(word, max_size=12).map(" ".join)
+    docs = data.draw(st.lists(doc, min_size=1, max_size=10))
+    docs = docs + [docs[data.draw(st.integers(0, len(docs) - 1))]]
+
+    sf = tmp_path_factory.mktemp("d19prop")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }),
+        str(sf / "documents.parquet"),
+    )
+    q = QUERIES["d19_benchmark_contamination"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    try:
+        ok, msg = compare(q.spark_fn(spark, str(sf)), con, q.oracle)
+        assert ok, msg
+    finally:
+        con.close()
