@@ -1246,3 +1246,88 @@ def u12_fast_marc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(doc.getField("equivalent"), F.lit(1)).getField("id")
         .alias("equiv0"),
     )
+
+
+@query(
+    "u14_dnb_close_match_join",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS identifier,
+           CASE c_custkey % 3
+             WHEN 0 THEN 'https://kg.example/same' || c_custkey
+             WHEN 1 THEN 'https://lcsh.example/sh' || c_custkey
+           END AS equiv0,
+           CASE c_custkey % 3
+             WHEN 0 THEN 'https://lcsh.example/sh' || c_custkey
+             WHEN 1 THEN 'https://lcsh.example/sh' || c_custkey
+           END AS close0,
+           CASE c_custkey % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS n_equiv
+    FROM customer
+    """,
+    survey="U1,K-join",
+)
+def u14_dnb_close_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The macs closeMatch enrichment as a JOIN (reference dnb/mapper.py
+    preloads macs.nt into a driver dict; sources/dnb.py joins a parsed
+    NT relation against the envelopes so only matched records re-enter
+    Python).  Rotations: a record with an existing equivalent gains the
+    closeMatch after it; a record with none gains its first; a record
+    absent from the table passes through untouched on the no-Python
+    side of the join."""
+    from ..sources.dnb import enrich_close_matches, load_macs
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    m = k % 3
+
+    data = F.when(
+        m == 0,
+        F.concat(
+            F.lit('{"id":"https://d-nb.info/gnd/'), ks,
+            F.lit('","type":"Person","equivalent":[{"id":'
+                  '"https://kg.example/same'), ks,
+            F.lit('","type":"Person"}]}'),
+        ),
+    ).otherwise(
+        F.concat(F.lit('{"id":"https://d-nb.info/gnd/'), ks,
+                 F.lit('","type":"Person"}'))
+    )
+    envelopes = c.select(
+        F.lit("dnb").alias("source"),
+        ks.alias("identifier"),
+        F.lit("Person").alias("rectype"),
+        F.lit("2026-01-01T00:00:00").alias("record_time"),
+        F.lit("create").alias("change"),
+        data.alias("data"),
+    )
+    # the NT relation, synthesized through the same line parser the file
+    # path uses: rows only for m in (0, 1)
+    nt = c.filter(m != 2).select(
+        F.concat(
+            F.lit("<https://d-nb.info/gnd/"), ks,
+            F.lit("> <http://www.w3.org/2004/02/skos/core#closeMatch> "
+                  "<https://lcsh.example/sh"), ks, F.lit("> ."),
+        ).alias("value")
+    )
+    import tempfile
+
+    # load_macs is a text-scan; write the synthesized lines where it can
+    # scan them (one-time per call, tiny)
+    path = tempfile.mkdtemp() + "/macs_nt"
+    nt.write.mode("overwrite").text(path)
+    macs = load_macs(spark, path)
+    enriched = enrich_close_matches(envelopes, macs)
+    doc = F.from_json("data", "struct<equivalent: array<struct<id: string>>>")
+    eqs = F.coalesce(
+        doc.getField("equivalent"),
+        F.array().cast("array<struct<id: string>>"),
+    )
+    return enriched.select(
+        "identifier",
+        F.try_element_at(eqs, F.lit(1)).getField("id").alias("equiv0"),
+        F.try_element_at(
+            F.filter(eqs, lambda e: e.getField("id").startswith("https://lcsh")),
+            F.lit(1),
+        ).getField("id").alias("close0"),
+        F.size(eqs).alias("n_equiv"),
+    )
