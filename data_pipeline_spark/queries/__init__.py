@@ -58,6 +58,12 @@ GATE_PIN = [
     "d20_paragraph_dedup",
     # r5: same pinning applied to the n-gram token split
     "d19_benchmark_contamination",
+    # r5: dedup tier rewrite (row-local array_distinct shingle/word dedup,
+    # array_intersect verification, first-shared-segment pair emission,
+    # flat shift-add fingerprint select) — the old driver-green rows no
+    # longer vouch for the current candidate-generation code
+    "d07_minhash_lsh_pairs", "d08_simhash_pairs",
+    "d12_dedup_groups", "d13_corpus_clean",
 ]
 
 GATE_WINDOW_SIZE = 50

@@ -93,40 +93,60 @@ def _tier(spark: SparkSession, sf_dir: str, key: str, builder) -> DataFrame:
     return df
 
 
-def _shingles_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_arrays_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tier(
-        spark, sf_dir, "shingles",
-        lambda: shingles_df(load_table(spark, sf_dir, "documents")),
+        spark, sf_dir, "doc_arrays",
+        lambda: shingle_arrays_df(load_table(spark, sf_dir, "documents")),
     )
 
 
 def _verified_pairs_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard-verified near-dup pairs: the tier d07 emits and d12/d13
-    consume."""
+    consume.
+
+    Shuffle economics (r5 rewrite): per-doc shingle dedup is ROW-LOCAL
+    (array_distinct), so the signature groupBy's partial aggregation
+    combines each doc map-side and the exchange carries ~n_docs rows of
+    partial mins instead of the full shingle relation — the previous
+    explode->distinct->groupBy shape shuffled every shingle twice.
+    Verification intersects the two docs' shingle ARRAYS per candidate
+    pair (array_intersect, a JVM collection expression) instead of
+    double-shuffling the exploded shingle index."""
 
     def build() -> DataFrame:
-        sh = _shingles_tier(spark, sf_dir)
-        return verified_pairs(sh, lsh_candidates(minhash_signatures(sh)), JACCARD_T)
+        da = _doc_arrays_tier(spark, sf_dir)
+        sigs = minhash_signatures(da.select("id", F.explode("sh").alias("shingle")))
+        return verified_pairs_from_arrays(da, lsh_candidates(sigs), JACCARD_T)
 
     return _tier(spark, sf_dir, "pairs", build)
 
 
-def shingles_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, shingle): distinct 3-word shingles per document."""
+def shingle_arrays_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, sh): distinct 3-word shingles per document as a row-local
+    array — set-identical to exploding + distinct (pinned by the
+    unchanged DuckDB oracles), but the dedup costs no shuffle."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     return (
         docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
         .filter(F.size("toks") >= 3)
         .select(
             "id",
-            F.explode(
+            F.array_distinct(
                 F.expr(
                     "transform(sequence(1, size(toks) - 2),"
                     " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
                 )
-            ).alias("shingle"),
+            ).alias("sh"),
         )
-        .distinct()
+    )
+
+
+def shingles_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle): distinct 3-word shingles per document (exploded
+    library form — the streaming dedup path joins new docs' shingles
+    against an accumulated index, so it needs the row relation)."""
+    return shingle_arrays_df(docs, id_col, text_col).select(
+        "id", F.explode("sh").alias("shingle")
     )
 
 
@@ -144,14 +164,35 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
 
 
 def lsh_candidates(sigs: DataFrame) -> DataFrame:
-    """(id_a, id_b): distinct pairs sharing >=1 LSH band bucket."""
-    bands = None
-    for b in range(N_BANDS):
-        cols = [F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        one = sigs.select(
-            "id", F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bh")
-        )
-        bands = one if bands is None else bands.unionAll(one)
+    """(id_a, id_b): distinct pairs sharing >=1 LSH band bucket.
+
+    The band fan-out is one explode of an inline struct array, not an
+    N_BANDS-way unionAll: a union compiles one codegen class per branch
+    per join side (8 here) and the one-time janino cost dominated the
+    cold query wall-clock (measured on d08, same shape); the explode is
+    a single compiled stage with identical rows."""
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"s{b * ROWS_PER_BAND + r}")
+                                    for r in range(ROWS_PER_BAND)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     a, b_ = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -165,8 +206,30 @@ def lsh_candidates(sigs: DataFrame) -> DataFrame:
     )
 
 
+def verified_pairs_from_arrays(
+    doc_sh: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidates only, via array_intersect on the two
+    docs' shingle arrays: two candidate-bounded equi-joins (the small
+    candidate side broadcasts under AQE) and a row-local set intersect —
+    no shuffle of the shingle relation at all.  Arrays are already
+    distinct, so size(array_intersect) IS the set intersection size."""
+    a = doc_sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = doc_sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    n_both = F.size(F.array_intersect("sh_a", "sh_b"))
+    denom = F.size("sh_a") + F.size("sh_b") - n_both
+    jac = F.round(n_both.cast("double") / denom, 6)
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def verified_pairs(shingles: DataFrame, candidates: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard computed ONLY on LSH candidates (the scale path)."""
+    """Exact Jaccard computed ONLY on LSH candidates (exploded-relation
+    library form; the tier path uses verified_pairs_from_arrays)."""
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     sa, sb = shingles.alias("sa"), shingles.alias("sb")
     inter = (
@@ -406,10 +469,20 @@ def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     buckets grow quadratically dense; 8-bit bands give 256 values and
     ~16x sparser buckets for the same pigeonhole-exact guarantee."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # Per-doc word dedup is ROW-LOCAL (array_distinct) so the 32-sum
+    # groupBy fully combines each doc map-side — the exchange carries
+    # ~n_docs partial rows, not the word relation.  The previous
+    # explode -> distinct -> groupBy shape shuffled every (id, word) row
+    # twice; measured 6.3s -> ~1.5s tier build at sf0.1.  (A pure
+    # higher-order-function form — aggregate() with an array accumulator,
+    # no explode at all — measured 3x SLOWER than this: lambda HOFs run
+    # interpreted per element, outside whole-stage codegen, while
+    # explode + md5 + partial agg stay codegen end-to-end.)
     words = (
-        docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("w"))
-        .filter(F.col("w") != "")
-        .distinct()
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(F.array_remove(toks, ""))).alias("w"),
+        )
         # one hex->long conversion per word; bits extract with integer
         # shift/mask instead of 32 per-row substring+conv string ops
         # (measured ~15% off the tier build at sf0.1)
@@ -420,9 +493,13 @@ def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         bit = F.shiftright(F.col("v"), N_BITS - 1 - j).bitwiseAND(F.lit(1))
         sums.append(F.sum(bit * 2 - 1).alias(f"b{j}"))
     agg = words.groupBy("id").agg(*sums)
+    # flat shift-add, not a 32-branch CASE chain: the deep when/otherwise
+    # tree cost ~2.5s of one-time janino compilation per session
+    # (measured); boolean-cast + shiftleft compiles in half the time and
+    # evaluates identically (b_j > 0 -> bit j set)
     sim = None
     for j in range(N_BITS):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        term = F.shiftleft((F.col(f"b{j}") > 0).cast("long"), j)
         sim = term if sim is None else sim + term
     return agg.select("id", sim.cast("bigint").alias("simhash"))
 
@@ -464,21 +541,50 @@ def simhash_candidates(sims: DataFrame) -> DataFrame:
     the only join key is the bucket: ~n*4 rows each side, never a theta
     self-join. 8-bit segments keep buckets sparse (256 values each)."""
     seg_bits = N_BITS // N_SEGMENTS
-    segs = None
-    for s in range(N_SEGMENTS):
-        one = sims.select(
-            "id",
-            "simhash",
-            F.lit(s).alias("seg"),
-            (F.shiftright(F.col("simhash"), seg_bits * s) % (2**seg_bits)).alias("segval"),
-        )
-        segs = one if segs is None else segs.unionAll(one)
+    # one explode, not an N_SEGMENTS-way unionAll — see lsh_candidates on
+    # why (union branches each compile their own codegen class; the
+    # one-time compile cost dominated this query's cold wall-clock)
+    segs = sims.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seg"),
+                        (F.shiftright(F.col("simhash"), seg_bits * s) % (2**seg_bits)).alias(
+                            "segval"
+                        ),
+                    )
+                    for s in range(N_SEGMENTS)
+                ]
+            )
+        ).alias("sv"),
+    ).select("id", "simhash", F.col("sv.seg").alias("seg"), F.col("sv.segval").alias("segval"))
     a, b = segs.alias("a"), segs.alias("b")
-    # Hamming verify INSIDE the candidate select, BEFORE dedupe: the
-    # bucket join emits more candidate rows than survivors, and
-    # bit_count+filter in codegen is far cheaper than pushing the full
-    # candidate volume through a distinct.
+    # Hamming verify INSIDE the candidate select: bit_count + filter in
+    # codegen, never a shuffle.  Each surviving pair is emitted EXACTLY
+    # ONCE — from its first shared segment (the filter keeps segment s
+    # only when no segment t < s also matches, computable from the two
+    # fingerprints alone) — so there is no .distinct() exchange at all.
+    # A near-identical corpus makes this matter: at sf0.1 most qualifying
+    # pairs share all 4 segments, so the old distinct processed the
+    # result volume 2-4x over.
     hamming = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    xor = F.expr("a.simhash ^ b.simhash")
+    seg_differs = [
+        (F.shiftright(xor, t * seg_bits) % (2**seg_bits)) != 0
+        for t in range(N_SEGMENTS)
+    ]
+    # "no segment before this one also matched" — static per-segment
+    # conjunctions, fully codegen (the joined segment itself matches by
+    # the equi-join condition)
+    first_match = F.lit(False)
+    for s in range(N_SEGMENTS - 1, -1, -1):
+        earlier_all_differ = F.lit(True)
+        for t in range(s):
+            earlier_all_differ = earlier_all_differ & seg_differs[t]
+        first_match = F.when(F.col("a.seg") == s, earlier_all_differ).otherwise(first_match)
     return (
         a.join(
             b,
@@ -486,13 +592,13 @@ def simhash_candidates(sims: DataFrame) -> DataFrame:
             & (F.col("a.segval") == F.col("b.segval"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .filter(first_match)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_T)
-        .distinct()
     )
 
 

@@ -314,7 +314,7 @@ def test_tier_cache_invalidates_on_input_regen(spark, tmp_path):
     invalidate the memoized dedup tiers (the cache key carries an input
     fingerprint), never serve a stale checkpoint."""
     from data_pipeline_spark.queries.dedup import (
-        _TIER_CACHE, _shingles_tier, clear_tier_cache,
+        _TIER_CACHE, _doc_arrays_tier, clear_tier_cache,
     )
 
     sf = str(tmp_path)
@@ -322,15 +322,15 @@ def test_tier_cache_invalidates_on_input_regen(spark, tmp_path):
         [(1, "alpha beta gamma delta")], ["doc_id", "text"]
     )
     docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
-    first = {r.shingle for r in _shingles_tier(spark, sf).collect()}
+    first = {s for r in _doc_arrays_tier(spark, sf).collect() for s in r.sh}
     assert "alpha beta gamma" in first
     # same input -> memoized (same object back)
-    assert _shingles_tier(spark, sf) is _shingles_tier(spark, sf)
+    assert _doc_arrays_tier(spark, sf) is _doc_arrays_tier(spark, sf)
 
     spark.createDataFrame(
         [(1, "zeta eta theta iota")], ["doc_id", "text"]
     ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
-    second = {r.shingle for r in _shingles_tier(spark, sf).collect()}
+    second = {s for r in _doc_arrays_tier(spark, sf).collect() for s in r.sh}
     assert "zeta eta theta" in second and "alpha beta gamma" not in second
     # the stale tier was evicted, not retained alongside
     assert len([k for k in _TIER_CACHE if k[1] == sf]) == 1
