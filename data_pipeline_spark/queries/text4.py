@@ -1,0 +1,370 @@
+"""Corpus curation operators, part 2: Gopher-style quality rules,
+per-domain document caps, hashed-linear quality scoring, deterministic
+corpus shuffling, and mixture-budget sampling (the d-family extensions
+round 5 adds).
+
+None of these exist in the reference (its text handling is names and
+labels, not corpus hygiene); all five are standard stages in a
+large-scale LLM training-data build and all five stay JVM-side:
+
+- **d21 Gopher quality rules**: the published Gopher/MassiveText
+  repetition-free document filters — word-count bounds, mean word
+  length bounds, alphabetic-word fraction, symbol-to-word ratio,
+  stopword presence — computed in ONE projection over the tokenized
+  text (higher-order array functions, no explode, no shuffle).  At
+  100 TB this is a pure scan: every rule is a per-row expression.
+- **d22 per-domain cap**: keep at most K documents per domain (the
+  dedup-adjacent curation step that stops a single crawl domain from
+  dominating the corpus).  Scale shape: a broadcast of the (bounded)
+  over-cap domain list routes ONLY over-cap domains through the
+  row_number window — under-cap domains (the overwhelming majority of
+  a web crawl) never enter the window shuffle.
+- **d23 hashed-linear score**: a fastText-shaped linear text classifier
+  over hashed bag-of-words features.  Real deployments broadcast a
+  trained weight table; here the weight of a token is derived from its
+  md5 (a deterministic stand-in with the same plan shape) so the
+  operator is oracle-checkable.  Integer arithmetic end-to-end — the
+  fold is exact, so the score is engine-identical by construction.
+- **d24 corpus shuffle**: RNG-free global permutation into training
+  shards — md5 routing at the scan, rank windows partitioned per shard.
+- **d25 mixture sampling**: per-source token-budget prefix sampling in
+  deterministic md5 order (the hit-the-mixture-proportions step); one
+  cumsum window partitioned by source.
+
+The d21 plants (numeric tokens on doc_id%7, ``#`` symbols on
+doc_id%11) make the alpha/symbol rules non-vacuous on the synthetic
+corpus, which carries only lowercase words organically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from .registry import query
+from .text3 import _WS_SPLIT
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+def _tokens(text: F.Column) -> F.Column:
+    """Lowercased whitespace tokens on the pinned separator class
+    (Java ``\\s`` matches \\x0B where RE2's does not — same pinning as
+    the d19/d20 splits)."""
+    return F.split(F.lower(F.trim(text)), _WS_SPLIT)
+
+
+@query(
+    "d21_gopher_quality",
+    oracle=rf"""
+    WITH planted AS (
+        SELECT doc_id,
+               text
+                 || CASE WHEN doc_id % 7 = 0 THEN ' 404 500' ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0 THEN ' # # #' ELSE '' END AS text
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\f\r]+') AS t
+        FROM planted
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_words,
+               CAST(len(array_to_string(t, '')) AS DOUBLE) / len(t) AS mean_word_len,
+               CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+                   / len(t) AS alpha_frac,
+               CAST(len(list_filter(t, w -> w = '#' OR w = '...')) AS DOUBLE)
+                   / len(t) AS symbol_ratio,
+               CAST(len(list_filter(t, w -> w IN ({_STOP_SQL}))) AS BIGINT)
+                   AS stopword_hits
+        FROM toks
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio,
+           stopword_hits,
+           CASE WHEN n_words BETWEEN 50 AND 100000
+                 AND mean_word_len BETWEEN 3 AND 10
+                 AND alpha_frac >= 0.8
+                 AND symbol_ratio <= 0.1
+                 AND stopword_hits >= 2
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM m
+    """,
+    survey="dedup-gopher-quality",
+)
+def d21_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText document-quality rules in one scan: word-count
+    bounds [50, 100000], mean word length [3, 10], >=80% of words
+    containing an alphabetic character, symbol-to-word ratio <= 0.1
+    (``#``/ellipsis), and >=2 stopword hits.  Every metric is a
+    higher-order array expression over one tokenization — no explode, no
+    shuffle, whole-stage codegen; the verdict is the conjunction.  The
+    ratio columns are raw IEEE divisions of exact integers, identical
+    across engines (same contract as d04).  Plants (numeric tokens on
+    doc_id%7, symbol tokens on doc_id%11) exercise the alpha and symbol
+    rules, which the all-lowercase synthetic corpus never would."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(k % 7 == 0, F.lit(" 404 500")).otherwise(F.lit("")),
+            F.when(k % 11 == 0, F.lit(" # # #")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    t = _tokens(F.col("text"))
+    n = F.size(t)
+    n_words = n.cast("bigint")
+    mean_wl = F.length(F.concat_ws("", t)).cast("double") / n
+    alpha = F.size(F.filter(t, lambda w: w.rlike("[a-z]"))).cast("double") / n
+    symbol = (
+        F.size(F.filter(t, lambda w: (w == "#") | (w == "..."))).cast("double") / n
+    )
+    stops = F.size(
+        F.filter(t, lambda w: w.isin(*_STOPWORDS))
+    ).cast("bigint")
+    m = planted.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha.alias("alpha_frac"),
+        symbol.alias("symbol_ratio"),
+        stops.alias("stopword_hits"),
+    )
+    passes = (
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("alpha_frac") >= 0.8)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("stopword_hits") >= 2)
+    )
+    return m.withColumn(
+        "verdict", F.when(passes, F.lit("keep")).otherwise(F.lit("drop"))
+    )
+
+
+_DOMAIN_CAP = 18
+
+
+@query(
+    "d22_domain_cap",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (PARTITION BY source
+                                       ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS cnt
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN cnt > {_DOMAIN_CAP} THEN rn END AS rnk,
+           (cnt <= {_DOMAIN_CAP} OR rn <= {_DOMAIN_CAP}) AS kept
+    FROM ranked
+    """,
+    survey="dedup-domain-cap",
+)
+def d22_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep at most K={_DOMAIN_CAP} documents
+    per source domain, ranked by (n_chars DESC, doc_id) — the curation
+    step that stops one crawl domain dominating the corpus.
+
+    Scale shape: a first groupBy counts documents per domain; the
+    over-cap domain list (a tiny fraction of a web crawl's domain set)
+    broadcasts, and ONLY over-cap domains go through the row_number
+    window — under-cap domains (the long tail, most of the data) are
+    passed through kept=true without entering the window shuffle.  rnk
+    is NULL for pass-through domains, which is what lets the plan skip
+    ranking them."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    over = counts.filter(F.col("cnt") > _DOMAIN_CAP).select("source")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    capped = (
+        docs.join(F.broadcast(over), "source")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .select(
+            "doc_id", "source", "rnk",
+            (F.col("rnk") <= _DOMAIN_CAP).alias("kept"),
+        )
+    )
+    passthrough = (
+        docs.join(F.broadcast(over), "source", "left_anti")
+        .select(
+            "doc_id", "source",
+            F.lit(None).cast("bigint").alias("rnk"),
+            F.lit(True).alias("kept"),
+        )
+    )
+    return capped.unionByName(passthrough)
+
+
+@query(
+    "d23_hashed_linear_score",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\f\r]+') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(t,
+               w -> CAST(CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT) AS BIGINT)
+                    - 2147483648)) AS BIGINT) AS score,
+           CASE WHEN list_sum(list_transform(t,
+               w -> CAST(CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT) AS BIGINT)
+                    - 2147483648)) >= 0 THEN 'keep' ELSE 'drop' END AS verdict
+    FROM toks
+    """,
+    survey="dedup-hashed-linear",
+)
+def d23_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped linear quality classifier over hashed
+    bag-of-words features: each token hashes to a signed 32-bit weight,
+    the document score is the exact integer sum, and the verdict is its
+    sign.  A production deployment broadcasts a trained weight table
+    keyed by feature hash; the plan shape is identical — per-row fold
+    over the token array, one scan, no shuffle, no Python.  Here the
+    weight IS the hash (md5 first 8 hex digits, centered), which makes
+    the operator a deterministic cross-engine oracle while exercising
+    the same fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    weight = lambda w: (  # noqa: E731
+        F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+        - F.lit(2147483648).cast("long")
+    )
+    score = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, w: acc + weight(w)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_words"),
+        score.alias("score"),
+        F.when(score >= 0, F.lit("keep")).otherwise(F.lit("drop")).alias("verdict"),
+    )
+
+
+_N_SHARDS = 8
+_SHUF_SALT = "shuffle-v1:"
+
+
+@query(
+    "d24_corpus_shuffle_shards",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               md5('{_SHUF_SALT}' || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    ),
+    sharded AS (
+        SELECT doc_id, k,
+               CAST(CAST(('0x' || substr(k, 1, 4)) AS UINTEGER)
+                    % {_N_SHARDS} AS INTEGER) AS shard
+        FROM keyed
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                AS BIGINT) AS pos
+    FROM sharded
+    """,
+    survey="dedup-corpus-shuffle",
+)
+def d24_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle into training shards — the
+    'shuffle the data before training' step, RNG-free so it is
+    reproducible and incremental-safe.  Each document's permutation key
+    is md5(salt || doc_id); the first 16 bits route it to one of
+    N={_N_SHARDS} shards and pos is its rank within the shard in key
+    order.  Scale shape: the shard route is a scan-side expression
+    (balanced ~binomially across shards), and the rank window partitions
+    BY SHARD, so the sort parallelizes per shard instead of funneling
+    the corpus through a single global row_number partition.  A training
+    job then reads shards in index order to get the permuted stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.lit(_SHUF_SALT), F.col("doc_id").cast("string")))
+    sharded = docs.select(
+        "doc_id", k.alias("k"),
+        (F.conv(F.substring(k, 1, 4), 16, 10).cast("int") % _N_SHARDS)
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return sharded.select(
+        "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
+    )
+
+
+_MIX_BUDGET_BASE = 2000
+_MIX_SALT = "mix-v1:"
+
+
+@query(
+    "d25_mixture_budget_sample",
+    oracle=rf"""
+    WITH sized AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(lower(trim(text, ' ')),
+                                              '[ \t\n\f\r]+')) AS BIGINT) AS n_words,
+               md5('{_MIX_SALT}' || CAST(doc_id AS VARCHAR)) AS k,
+               {_MIX_BUDGET_BASE}
+                 + 1000 * (CAST(('0x' || substr(md5(source), 1, 4)) AS UINTEGER) % 3)
+                 AS budget
+        FROM documents
+    ),
+    run AS (
+        SELECT doc_id, source, n_words, budget,
+               SUM(n_words) OVER (PARTITION BY source ORDER BY k, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum_words
+        FROM sized
+    )
+    SELECT doc_id, source, n_words, CAST(cum_words AS BIGINT) AS cum_words,
+           (cum_words <= budget) AS kept
+    FROM run
+    """,
+    survey="dedup-mixture-sample",
+)
+def d25_mixture_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling to a per-source token budget: each source
+    (mixture component) keeps documents — in deterministic md5 order, so
+    the sample is RNG-free and reproducible — until its cumulative word
+    count exceeds the component's budget.  This is the 'hit the target
+    mixture proportions' step of a training-data build.  The budget here
+    derives from md5(source) (a deterministic stand-in for a config
+    table, which would broadcast).  Scale shape: one window partitioned
+    by source computes the running total; each component sorts
+    independently, and the under-budget prefix is a per-row filter on
+    the cumsum — no driver state, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(_tokens(F.col("text"))).cast("bigint")
+    k = F.md5(F.concat(F.lit(_MIX_SALT), F.col("doc_id").cast("string")))
+    budget = (
+        F.lit(_MIX_BUDGET_BASE)
+        + F.lit(1000)
+        * (F.conv(F.substring(F.md5(F.col("source")), 1, 4), 16, 10)
+           .cast("long") % 3)
+    )
+    sized = docs.select(
+        "doc_id", "source", n_words.alias("n_words"), k.alias("k"),
+        budget.alias("budget"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sized.select(
+        "doc_id", "source", "n_words",
+        F.sum("n_words").over(w).cast("bigint").alias("cum_words"),
+        (F.sum("n_words").over(w) <= F.col("budget")).alias("kept"),
+    )

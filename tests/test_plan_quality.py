@@ -229,3 +229,31 @@ def test_xml_mapper_gates_parse_jvm_side(spark):
     assert "ArrowEvalPython" not in plan  # fully JVM-side
     plan = _plan(spark, "u10_viaf_cluster_gate")
     assert "BatchEvalPython" not in plan  # Arrow-batched F1 tail only
+
+
+def test_d21_d23_are_single_scan_no_shuffle(spark):
+    """The Gopher rules (d21) and the hashed-linear scorer (d23) are
+    per-row projections: one FileScan, no aggregation/join shuffle, no
+    Python (the only Exchange allowed is the registry's deterministic
+    output sort — rangepartitioning, not hashpartitioning)."""
+    for name in ("d21_gopher_quality", "d23_hashed_linear_score"):
+        plan = _plan(spark, name)
+        assert "hashpartitioning" not in plan, name
+        assert "HashAggregate" not in plan, name
+        assert "Join" not in plan, name
+        assert plan.count("FileScan") == 1, name
+        assert "Python" not in plan, name
+
+
+def test_d22_windows_only_overcap_domains(spark):
+    """d22's row_number window must sit behind the broadcast routing
+    join (only over-cap domains are ranked); the under-cap branch is an
+    anti-join pass-through with no Window and no sort."""
+    plan = _plan(spark, "d22_domain_cap")
+    assert plan.count("Window") == 1
+    # the routing joins (semi for capped, anti for pass-through) both
+    # broadcast the tiny over-cap domain list
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    anti = plan.split("LeftAnti", 1)
+    assert len(anti) == 2 and "Window" not in anti[1]
