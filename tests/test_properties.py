@@ -199,3 +199,50 @@ def test_d19_contamination_matches_oracle_on_pathological_corpora(
         assert ok, msg
     finally:
         con.close()
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_d21_d23_match_oracle_on_pathological_corpora(
+    spark, tmp_path_factory, data
+):
+    """The round-5 curation scans share d19/d20's pinned tokenization
+    (explicit whitespace class, trim(x, ' ')); d21 adds ratio divisions
+    and rule thresholds, d23 an md5-derived integer fold.  Both must
+    agree with DuckDB on NBSP/VT/Unicode/empty corpora."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_spark.queries import QUERIES
+
+    from .oracle_harness import compare
+
+    word = st.text(alphabet=_D20_ALPHABET.replace(".", "") + "cd#", min_size=1,
+                   max_size=6)
+    doc = st.one_of(
+        st.just(""),
+        st.just("   "),
+        st.lists(word, max_size=12).map(" ".join),
+    )
+    docs = data.draw(st.lists(doc, min_size=1, max_size=10))
+
+    sf = tmp_path_factory.mktemp("d21prop")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }),
+        str(sf / "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    try:
+        for name in ("d21_gopher_quality", "d23_hashed_linear_score"):
+            q = QUERIES[name]
+            ok, msg = compare(q.spark_fn(spark, str(sf)), con, q.oracle)
+            assert ok, f"{name}: {msg}"
+    finally:
+        con.close()
