@@ -57,7 +57,8 @@ GATE_PIN = [
     # r5: sentence-split class pinned engine-identical (\x0b no longer a
     # separator) — the r4 row no longer vouches for the current split
     "d20_paragraph_dedup",
-    # r5: same pinning applied to the n-gram token split
+    # r5: same pinning applied to the n-gram token split; plus the gram
+    # stage rewrite (spread_scan + subscript gram assembly)
     "d19_benchmark_contamination",
     # r5: dedup tier rewrite (row-local array_distinct shingle/word dedup,
     # array_intersect verification, first-shared-segment pair emission,

@@ -116,18 +116,40 @@ _PLANT = "the quick brown fox jumps over the lazy benchmark dog"
 _WS_SPLIT = r"[ \t\n\f\r]+"
 
 
-def word_ngrams(text: F.Column, n: int = N_GRAM) -> F.Column:
-    """Distinct word n-grams of a document (lower, split on the pinned
-    whitespace class — the shingle tier's tokenization up to the \\x0B
-    nuance).  The index sequence is guarded BEFORE construction:
-    sequence(1, k) with k < 1 descends instead of returning empty."""
-    toks = F.split(F.lower(F.trim(text)), _WS_SPLIT)
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
+def word_ngrams_expr(n: int = N_GRAM) -> F.Column:
+    """Distinct word n-grams over a column named ``toks`` (the pinned
+    tokenization — build it with the _WS_SPLIT split first).  The grams
+    are assembled by n direct subscripts per index instead of a per-index
+    slice() allocation: transform() lambdas evaluate interpreted, outside
+    codegen, so the slice copy was the hot allocation of the whole d19
+    plan (measured 1.6x on the gram stage).  The index sequence is
+    guarded BEFORE construction: sequence(1, k) with k < 1 DESCENDS
+    instead of returning empty."""
+    refs = ", ".join(f"toks[i+{j - 1}]" for j in range(n))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        F.expr(
+            f"transform(CASE WHEN size(toks) >= {n}"
+            f" THEN sequence(1, size(toks) - {n - 1}) ELSE array() END,"
+            f" i -> concat_ws(' ', {refs}))"
+        )
     )
+
+
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Raise parallelism before an explode amplification when the scan
+    produced fewer splits than cores (a small corpus arrives as one
+    parquet file -> ONE task does the whole fan-out; measured 7.2s -> 0.7s
+    on d19's gram stage at sf0.1).  No-op when the scan already has
+    >= defaultParallelism input files — the 100TB case, thousands of
+    them — so at scale this adds no shuffle.  The file count comes from
+    inputFiles() (pure scan metadata): df.rdd.getNumPartitions() would
+    EXECUTE the plan up front under AQE."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    n_files = len(df.inputFiles())
+    if n_files == 0 or n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 @query(
@@ -173,8 +195,14 @@ def d19_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(plant, F.concat(F.col("text"), F.lit(" " + _PLANT)))
         .otherwise(F.col("text")).alias("text"),
     )
-    grams = planted.select(
-        "doc_id", F.explode(word_ngrams(F.col("text"))).alias("gram")
+    toked = spread_scan(
+        planted.select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), _WS_SPLIT).alias("toks"),
+        )
+    )
+    grams = toked.select(
+        "doc_id", F.explode(word_ngrams_expr()).alias("gram")
     ).select("doc_id", F.md5("gram").alias("gh"))
     bench = grams.filter(k % _BENCH_MOD == 0).select("gh").distinct()
     return (
