@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from .registry import query
 
 # Java-regex / RE2 parity verified for all three (same counts, same spans)
@@ -135,21 +135,6 @@ def word_ngrams_expr(n: int = N_GRAM) -> F.Column:
     )
 
 
-def spread_scan(df: DataFrame) -> DataFrame:
-    """Raise parallelism before an explode amplification when the scan
-    produced fewer splits than cores (a small corpus arrives as one
-    parquet file -> ONE task does the whole fan-out; measured 7.2s -> 0.7s
-    on d19's gram stage at sf0.1).  No-op when the scan already has
-    >= defaultParallelism input files — the 100TB case, thousands of
-    them — so at scale this adds no shuffle.  The file count comes from
-    inputFiles() (pure scan metadata): df.rdd.getNumPartitions() would
-    EXECUTE the plan up front under AQE."""
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    n_files = len(df.inputFiles())
-    if n_files == 0 or n_files >= target:
-        return df
-    return df.repartition(target)
 
 
 @query(
