@@ -137,6 +137,24 @@ def word_ngrams_expr(n: int = N_GRAM) -> F.Column:
 
 
 
+def doc_gram_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, gh): md5 of every distinct word 8-gram per document —
+    the relation both the d19 batch check and the streaming curation
+    probe join on.  Joining on the hash (not raw gram text) keeps the
+    big side's shuffle rows fixed-width."""
+    toked = spread_scan(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.lower(F.trim(F.col(text_col))), _WS_SPLIT).alias("toks"),
+        )
+    )
+    return toked.select(
+        "doc_id", F.explode(word_ngrams_expr()).alias("gram")
+    ).select("doc_id", F.md5("gram").alias("gh"))
+
+
 @query(
     "d19_benchmark_contamination",
     oracle=f"""
@@ -180,15 +198,7 @@ def d19_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(plant, F.concat(F.col("text"), F.lit(" " + _PLANT)))
         .otherwise(F.col("text")).alias("text"),
     )
-    toked = spread_scan(
-        planted.select(
-            "doc_id",
-            F.split(F.lower(F.trim(F.col("text"))), _WS_SPLIT).alias("toks"),
-        )
-    )
-    grams = toked.select(
-        "doc_id", F.explode(word_ngrams_expr()).alias("gram")
-    ).select("doc_id", F.md5("gram").alias("gh"))
+    grams = doc_gram_hashes(planted)
     bench = grams.filter(k % _BENCH_MOD == 0).select("gh").distinct()
     return (
         grams.filter(k % _BENCH_MOD != 0)

@@ -57,6 +57,33 @@ def _tokens(text: F.Column) -> F.Column:
     return F.split(F.lower(F.trim(text)), _WS_SPLIT)
 
 
+def gopher_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the Gopher/MassiveText quality metrics + verdict to ``df``
+    (library form — the d21 query and the streaming curation stage both
+    run exactly this).  All per-row expressions: stream-safe, no shuffle."""
+    t = _tokens(F.col(text_col))
+    n = F.size(t)
+    m = df.withColumns({
+        "n_words": n.cast("bigint"),
+        "mean_word_len": F.length(F.concat_ws("", t)).cast("double") / n,
+        "alpha_frac": F.size(F.filter(t, lambda w: w.rlike("[a-z]"))).cast("double") / n,
+        "symbol_ratio": F.size(
+            F.filter(t, lambda w: (w == "#") | (w == "..."))
+        ).cast("double") / n,
+        "stopword_hits": F.size(F.filter(t, lambda w: w.isin(*_STOPWORDS))).cast("bigint"),
+    })
+    passes = (
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("alpha_frac") >= 0.8)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("stopword_hits") >= 2)
+    )
+    return m.withColumn(
+        "verdict", F.when(passes, F.lit("keep")).otherwise(F.lit("drop"))
+    )
+
+
 @query(
     "d21_gopher_quality",
     oracle=rf"""
@@ -117,35 +144,7 @@ def d21_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(k % 11 == 0, F.lit(" # # #")).otherwise(F.lit("")),
         ).alias("text"),
     )
-    t = _tokens(F.col("text"))
-    n = F.size(t)
-    n_words = n.cast("bigint")
-    mean_wl = F.length(F.concat_ws("", t)).cast("double") / n
-    alpha = F.size(F.filter(t, lambda w: w.rlike("[a-z]"))).cast("double") / n
-    symbol = (
-        F.size(F.filter(t, lambda w: (w == "#") | (w == "..."))).cast("double") / n
-    )
-    stops = F.size(
-        F.filter(t, lambda w: w.isin(*_STOPWORDS))
-    ).cast("bigint")
-    m = planted.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        alpha.alias("alpha_frac"),
-        symbol.alias("symbol_ratio"),
-        stops.alias("stopword_hits"),
-    )
-    passes = (
-        F.col("n_words").between(50, 100000)
-        & F.col("mean_word_len").between(3, 10)
-        & (F.col("alpha_frac") >= 0.8)
-        & (F.col("symbol_ratio") <= 0.1)
-        & (F.col("stopword_hits") >= 2)
-    )
-    return m.withColumn(
-        "verdict", F.when(passes, F.lit("keep")).otherwise(F.lit("drop"))
-    )
+    return gopher_metrics(planted).drop("text")
 
 
 _DOMAIN_CAP = 18

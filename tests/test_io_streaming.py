@@ -512,3 +512,47 @@ def test_kv_store_build_sorted_runs_and_class_index(spark, tmp_path):
     # native writer is environment-gated, never half-writes
     with pytest.raises(NotImplementedError, match="lmdb"):
         write_lmdb_store(out, str(tmp_path / "store.lmdb"))
+
+
+def test_stream_curation_quality_pii_contamination(spark, tmp_path):
+    """Streamed docs get the batch curation checks per micro-batch:
+    Gopher verdict, PII scrub, contamination vs a persisted benchmark
+    index — one curated row per doc, kept = quality AND clean."""
+    from data_pipeline_spark.streaming.curation_stream import (
+        index_benchmark,
+        stream_curate,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and then the "
+            "patient grey owl watches from a tall oak tree while many "
+            "other small animals of the quiet forest come and go in the "
+            "long warm afternoon with a calm and steady wind blowing "
+            "softly over the hills and valleys of this green land")
+    bench_text = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                  "kappa lambda mu nu xi")
+    bench = spark.createDataFrame(
+        [(900, bench_text)], "doc_id bigint, text string"
+    )
+    index_dir = str(tmp_path / "bench_index")
+    index_benchmark(bench, index_dir)
+
+    feed = tmp_path / "curatefeed"
+    feed.mkdir()
+    with open(feed / "b1.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": good}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "too short"}) + "\n")
+        f.write(json.dumps({"doc_id": 3, "text": good + " mail me at someone@mail.example.org"}) + "\n")
+        f.write(json.dumps({"doc_id": 4, "text": good + " " + bench_text}) + "\n")
+    out_dir = str(tmp_path / "curated")
+    q = stream_curate(spark, str(feed), index_dir, out_dir,
+                      checkpoint=str(tmp_path / "ckpt_curate"))
+    q.awaitTermination(120)
+    rows = {r.doc_id: r for r in spark.read.parquet(out_dir).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].kept and rows[1].verdict == "keep"
+    assert rows[2].verdict == "drop" and not rows[2].kept
+    assert rows[3].n_emails == 1
+    assert "someone@mail.example.org" not in rows[3].scrubbed_text
+    assert "<EMAIL>" in rows[3].scrubbed_text
+    assert rows[4].n_contaminated > 0 and not rows[4].kept
+    assert rows[1].n_contaminated == 0
