@@ -60,6 +60,9 @@ GATE_PIN = [
     # r5: same pinning applied to the n-gram token split; plus the gram
     # stage rewrite (spread_scan + subscript gram assembly)
     "d19_benchmark_contamination",
+    # r5: v03 upgraded from rows-only to a full scheme oracle — its old
+    # green rows vouch for a weaker check, so re-gate under the oracle
+    "v03_ann_lsh",
     # r5: dedup tier rewrite (row-local array_distinct shingle/word dedup,
     # array_intersect verification, first-shared-segment pair emission,
     # flat shift-add fingerprint select) — the old driver-green rows no

@@ -160,12 +160,87 @@ def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_frames(media, every_ms=500, frame_bytes=64)
 
 
-@query("v03_ann_lsh", oracle=None, survey="similarity-ann-lsh")
+_V03_DIM, _V03_PLANES, _V03_TABLES, _V03_K = 64, 4, 3, 5
+
+
+def _v03_oracle() -> str:
+    """DuckDB twin of the v03 sign-LSH ANN, generated from the SAME
+    md5-derived hyperplanes baked in as SQL literals (the d09 pattern:
+    the gate pins the SCHEME — deterministic buckets, multiprobe,
+    exact-cosine re-rank, total-order top-k — not a dataset recall
+    property).  Everything here is exact given the plane literals, so
+    the two engines cannot drift."""
+    from ..operators.similarity import _plane
+
+    def plane_lit(j: int, t: int) -> str:
+        comps = ",".join(
+            "1" if c > 0 else "-1" for c in _plane(j, _V03_DIM, t)
+        )
+        return f"[{comps}]::DOUBLE[]"
+
+    sig_selects = []
+    for t in range(_V03_TABLES):
+        bits = [
+            f"CASE WHEN list_dot_product(emb, {plane_lit(j, t)}) >= 0"
+            " THEN '1' ELSE '0' END"
+            for j in range(_V03_PLANES)
+        ]
+        sig_selects.append(
+            f"SELECT vec_id, {t} AS t, concat({', '.join(bits)}) AS sig FROM vecs"
+        )
+    sigs_sql = "\nUNION ALL\n".join(sig_selects)
+
+    flips = ["sig"]
+    for j in range(1, _V03_PLANES + 1):
+        flips.append(
+            f"concat(substr(sig, 1, {j - 1}), "
+            f"CASE substr(sig, {j}, 1) WHEN '1' THEN '0' ELSE '1' END, "
+            f"substr(sig, {j + 1}, {_V03_PLANES - j}))"
+        )
+
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    sigs AS (
+        {sigs_sql}
+    ),
+    probes AS (
+        SELECT vec_id, t, unnest([{", ".join(flips)}]) AS sig
+        FROM sigs WHERE vec_id < 10
+    ),
+    cands AS (
+        SELECT DISTINCT p.vec_id AS query_id, s.vec_id AS neighbor_id
+        FROM probes p JOIN sigs s
+          ON p.t = s.t AND p.sig = s.sig AND p.vec_id <> s.vec_id
+    ),
+    pairs AS (
+        SELECT c.query_id, c.neighbor_id,
+               ROUND(list_dot_product(a.emb, b.emb)
+                     / (sqrt(list_dot_product(a.emb, a.emb))
+                        * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos_sim
+        FROM cands c
+        JOIN vecs a ON a.vec_id = c.query_id
+        JOIN vecs b ON b.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM pairs
+    ) WHERE rn <= {_V03_K}
+    """
+
+
+@query("v03_ann_lsh", oracle=_v03_oracle(), survey="similarity-ann-lsh")
 def v03_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH ANN top-5 (rows-only check: approximate results have no
-    SQL oracle; recall vs brute force is asserted in
-    tests/test_operators.py — 0.88 on worst-case random embeddings).
-    Deterministic: hyperplanes derive from md5, no RNG."""
+    """Sign-LSH ANN top-5, hash-verified: the oracle replicates the full
+    deterministic scheme (md5-derived planes -> sign signatures per
+    table -> Hamming-1 multiprobe -> exact-cosine re-rank, vec_id
+    tiebreaks) in DuckDB from shared plane literals, so the approximate
+    index is exactly reproducible across engines.  Recall vs brute force
+    is asserted separately in tests/test_operators.py (0.88 worst-case
+    random embeddings)."""
     from ..operators.similarity import knn_lsh
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -175,7 +250,7 @@ def v03_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb"))
-    return knn_lsh(queries_df, corpus, dim=64, k=5, n_planes=4, n_tables=3)
+    return knn_lsh(queries_df, corpus, dim=_V03_DIM, k=_V03_K, n_planes=_V03_PLANES, n_tables=_V03_TABLES)
 
 
 @query("v04_ann_ivf", oracle=None, survey="similarity-ann-ivf")
