@@ -30,6 +30,10 @@ large-scale LLM training-data build and all five stay JVM-side:
 - **d25 mixture sampling**: per-source token-budget prefix sampling in
   deterministic md5 order (the hit-the-mixture-proportions step); one
   cumsum window partitioned by source.
+- **d26 curation pipeline**: the full pass composed end-to-end
+  (quality -> scrub -> exact-dup keeper -> domain cap -> shard route),
+  gating the stages' INTERACTION under one oracle — three shuffles at
+  any corpus size.
 
 The d21 plants (numeric tokens on doc_id%7, ``#`` symbols on
 doc_id%11) make the alpha/symbol rules non-vacuous on the synthetic
@@ -44,7 +48,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from .registry import query
-from .text3 import _WS_SPLIT
+from .text3 import _WS_SPLIT, EMAIL_RE, IPV4_RE, PHONE_RE
 
 _STOPWORDS = ("the", "a", "of", "to", "and", "in")
 _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
@@ -366,4 +370,131 @@ def d25_mixture_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_words",
         F.sum("n_words").over(w).cast("bigint").alias("cum_words"),
         (F.sum("n_words").over(w) <= F.col("budget")).alias("kept"),
+    )
+
+
+@query(
+    "d26_curation_pipeline",
+    oracle=rf"""
+    WITH planted AS (
+        SELECT doc_id, source,
+               CASE doc_id % 3
+                 WHEN 0 THEN text || ' contact user' || doc_id || '@mail.example.org'
+                 WHEN 1 THEN text || ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE text || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+               END AS text
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source, text,
+               CAST(len(t) AS BIGINT) AS n_words,
+               CAST(len(array_to_string(t, '')) AS DOUBLE) / len(t) AS mean_word_len,
+               CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+                   / len(t) AS alpha_frac,
+               CAST(len(list_filter(t, w -> w IN ({_STOP_SQL}))) AS BIGINT) AS stop_hits
+        FROM (SELECT *, regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\f\r]+') AS t
+              FROM planted)
+    ),
+    quality AS (
+        SELECT doc_id, source, text, n_words FROM scored
+        WHERE n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+          AND alpha_frac >= 0.8 AND stop_hits >= 2
+    ),
+    scrubbed AS (
+        SELECT doc_id, source, n_words,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PHONE_RE}', '<PHONE>', 'g'),
+                   '{IPV4_RE}', '<IP>', 'g') AS clean
+        FROM quality
+    ),
+    deduped AS (
+        SELECT doc_id, source, n_words, md5(clean) AS scrub_md5 FROM (
+            SELECT *, row_number() OVER (PARTITION BY md5(clean)
+                                         ORDER BY doc_id) AS dup_rn
+            FROM scrubbed
+        ) WHERE dup_rn = 1
+    ),
+    capped AS (
+        SELECT doc_id, source, n_words, scrub_md5 FROM (
+            SELECT *, row_number() OVER (PARTITION BY source
+                                         ORDER BY n_words DESC, doc_id) AS cap_rn
+            FROM deduped
+        ) WHERE cap_rn <= {_DOMAIN_CAP}
+    )
+    SELECT doc_id, source, n_words, scrub_md5,
+           CAST(CAST(('0x' || substr(md5('{_SHUF_SALT}' || CAST(doc_id AS VARCHAR)), 1, 4))
+                AS UINTEGER) % {_N_SHARDS} AS INTEGER) AS shard
+    FROM capped
+    """,
+    survey="dedup-curation-pipeline",
+)
+def d26_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pass as ONE composition — what a corpus build
+    actually runs: Gopher quality gate -> PII scrub -> exact-dup removal
+    (md5 keeper election) -> per-domain cap -> shard routing.  Each stage
+    is the declared operator's own construction (d21/d18/d01/d22/d24
+    schemes), so this query gates their interaction: a doc survives only
+    if it passes quality on the PLANTED text, its SCRUBBED text is the
+    first of its duplicate class, and it ranks inside its domain's cap.
+
+    Scale shape: one scan feeds a scan-side quality filter + scrub, then
+    two windows (dup class, domain) — both partitioned by high-cardinality
+    keys — and a scan-side shard route.  Nothing quadratic, no driver
+    state; the whole pipeline is three shuffles at any corpus size."""
+    from .text3 import scrub_pii
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    planted = docs.select(
+        "doc_id", "source",
+        F.when(k % 3 == 0,
+               F.concat(F.col("text"), F.lit(" contact user"),
+                        k.cast("string"), F.lit("@mail.example.org")))
+        .when(k % 3 == 1,
+              F.concat(F.col("text"), F.lit(" call 555-123-"),
+                       F.lpad((k % 10000).cast("string"), 4, "0")))
+        .otherwise(F.concat(F.col("text"), F.lit(" host 10.0."),
+                            (k % 256).cast("string"), F.lit(".7")))
+        .alias("text"),
+    )
+    t = _tokens(F.col("text"))
+    n = F.size(t)
+    quality = planted.select(
+        "doc_id", "source", "text", n.cast("bigint").alias("n_words"),
+        (F.length(F.concat_ws("", t)).cast("double") / n).alias("mwl"),
+        (F.size(F.filter(t, lambda w: w.rlike("[a-z]"))).cast("double") / n)
+        .alias("af"),
+        F.size(F.filter(t, lambda w: w.isin(*_STOPWORDS))).cast("bigint")
+        .alias("sh"),
+    ).filter(
+        F.col("n_words").between(50, 100000)
+        & F.col("mwl").between(3, 10)
+        & (F.col("af") >= 0.8)
+        & (F.col("sh") >= 2)
+    )
+    scrubbed = quality.select(
+        "doc_id", "source", "n_words",
+        F.md5(scrub_pii(F.col("text"))).alias("scrub_md5"),
+    )
+    w_dup = Window.partitionBy("scrub_md5").orderBy("doc_id")
+    deduped = (
+        scrubbed.withColumn("dup_rn", F.row_number().over(w_dup))
+        .filter(F.col("dup_rn") == 1)
+    )
+    w_cap = Window.partitionBy("source").orderBy(
+        F.col("n_words").desc(), F.col("doc_id")
+    )
+    capped = (
+        deduped.withColumn("cap_rn", F.row_number().over(w_cap))
+        .filter(F.col("cap_rn") <= _DOMAIN_CAP)
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_SHUF_SALT), k.cast("string"))), 1, 4
+            ), 16, 10,
+        ).cast("int") % _N_SHARDS
+    )
+    return capped.select(
+        "doc_id", "source", "n_words", "scrub_md5", shard.alias("shard")
     )
