@@ -246,3 +246,51 @@ def test_d21_d23_match_oracle_on_pathological_corpora(
             assert ok, f"{name}: {msg}"
     finally:
         con.close()
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_window_curation_ops_match_oracle_on_ties(
+    spark, tmp_path_factory, data
+):
+    """d22/d24/d25 rank and cumsum behind windows — ties are where
+    cross-engine determinism bugs hide, so the generated corpora force
+    them: few sources, constant-length texts, duplicate n_chars."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_spark.queries import QUERIES
+
+    from .oracle_harness import compare
+
+    n = data.draw(st.integers(4, 30))
+    n_sources = data.draw(st.integers(1, 3))
+    # constant or near-constant text length -> n_chars/n_words tie storms
+    word = data.draw(st.sampled_from(["aa", "bb"]))
+    texts = [
+        " ".join([word] * data.draw(st.integers(1, 3))) for _ in range(n)
+    ]
+    sf = tmp_path_factory.mktemp("d22prop")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array([f"s{i % n_sources}" for i in range(n)], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        str(sf / "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    try:
+        for name in ("d22_domain_cap", "d24_corpus_shuffle_shards",
+                     "d25_mixture_budget_sample"):
+            q = QUERIES[name]
+            ok, msg = compare(q.spark_fn(spark, str(sf)), con, q.oracle)
+            assert ok, f"{name}: {msg}"
+    finally:
+        con.close()
