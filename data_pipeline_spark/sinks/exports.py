@@ -110,3 +110,24 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)  # managed table under spark.sql.warehouse.dir
     )
+
+
+def write_training_shards(curated: DataFrame, path: str) -> None:
+    """Write a curated corpus as training shards: one directory per
+    shard (``shard=N/``), rows stored in permutation order (``pos``)
+    inside each shard — the layout a training job consumes by reading
+    shard directories in index order (see d24/d26: shard and pos are
+    the deterministic md5 routing + per-shard rank).
+
+    Scale shape: repartition BY the shard column (each shard's rows
+    converge to one task) + sortWithinPartitions(pos), so every shard
+    directory holds one ordered file regardless of input partitioning.
+    Shard count is the parallelism knob — at 100TB use thousands of
+    shards, each a few GB."""
+    (
+        curated.repartition("shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -556,3 +556,26 @@ def test_stream_curation_quality_pii_contamination(spark, tmp_path):
     assert "<EMAIL>" in rows[3].scrubbed_text
     assert rows[4].n_contaminated > 0 and not rows[4].kept
     assert rows[1].n_contaminated == 0
+
+
+def test_write_training_shards_ordered_layout(spark, tmp_path):
+    """Shard directories hold rows in permutation order: reading one
+    shard back in file order yields strictly increasing pos."""
+    from data_pipeline_spark.queries import QUERIES
+    from data_pipeline_spark.sinks.exports import write_training_shards
+
+    curated = QUERIES["d24_corpus_shuffle_shards"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(curated, out)
+    total = 0
+    import glob
+    shard_dirs = sorted(glob.glob(out + "/shard=*"))
+    assert len(shard_dirs) == 8
+    for d in shard_dirs:
+        rows = spark.read.parquet(d).collect()  # single ordered file
+        poss = [r.pos for r in rows]
+        assert poss == sorted(poss) and poss[0] == 1
+        total += len(rows)
+    assert total == curated.count()
