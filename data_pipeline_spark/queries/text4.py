@@ -498,3 +498,103 @@ def d26_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select(
         "doc_id", "source", "n_words", "scrub_md5", shard.alias("shard")
     )
+
+
+_PREV_MOD = 4  # doc_id % 4 == 0 plays the previously-ingested corpus
+_SHARED_MOD = 23  # planted shared-boilerplate docs (guaranteed prev dups)
+_BATCHDUP_MOD = 29  # planted new-only duplicates (guaranteed batch dups)
+
+
+@query(
+    "d27_incremental_dedup",
+    oracle=rf"""
+    WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {_SHARED_MOD} = 0
+                    THEN 'shared boilerplate page ' || CAST(doc_id % 3 AS VARCHAR)
+                    WHEN doc_id % {_BATCHDUP_MOD} = 0 AND doc_id % {_PREV_MOD} != 0
+                    THEN 'batch duplicate page'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text, ' ')), '[ \t\n\f\r]+', ' ', 'g'))
+                   AS fingerprint,
+               (doc_id % {_PREV_MOD} = 0) AS is_prev
+        FROM planted
+    ),
+    prev AS (SELECT DISTINCT fingerprint FROM fp WHERE is_prev),
+    novel AS (
+        SELECT f.doc_id, f.fingerprint,
+               (p.fingerprint IS NOT NULL) AS seen_before,
+               row_number() OVER (PARTITION BY f.fingerprint
+                                  ORDER BY f.doc_id) AS rn
+        FROM fp f LEFT JOIN prev p ON f.fingerprint = p.fingerprint
+        WHERE NOT f.is_prev
+    )
+    SELECT doc_id, fingerprint,
+           (NOT seen_before AND rn = 1) AS admitted,
+           CASE WHEN seen_before THEN 'in_prev_build'
+                WHEN rn > 1 THEN 'dup_in_batch'
+                ELSE 'novel' END AS reason
+    FROM novel
+    """,
+    survey="dedup-incremental",
+)
+def d27_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-build dedup — the each-crawl-vs-all-previous
+    check every continuously-ingested corpus runs: a new batch admits a
+    document only if its content fingerprint (d02's normalized md5) is
+    absent from the previous build's fingerprint index AND it is the
+    first of its duplicate class within the batch.  doc_id % 4 == 0
+    plays the previous corpus; every rejection carries its reason.  A
+    planted shared-boilerplate text on doc_id % 23 == 0 (rotating over 3
+    variants, spanning prev and new docs) guarantees in_prev_build
+    rejections, and a constant text planted ONLY on new docs
+    (doc_id % 29 == 0, not prev) guarantees dup_in_batch ones — the
+    synthetic corpus has no organic exact duplicates.
+
+    Scale shape: the previous-build index is a fingerprint-only table
+    (16 bytes/doc — far smaller than the corpus) joined on the hash; the
+    in-batch election is one window on the fingerprint.  Admitted docs'
+    fingerprints then append to the index for the next build (the sink
+    side of R5's seen-dedupe, here as the corpus-level operator)."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            k % _SHARED_MOD == 0,
+            F.concat(F.lit("shared boilerplate page "), (k % 3).cast("string")),
+        )
+        .when(
+            (k % _BATCHDUP_MOD == 0) & (k % _PREV_MOD != 0),
+            F.lit("batch duplicate page"),
+        )
+        .otherwise(F.col("text")).alias("text"),
+    )
+    fp = planted.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS_SPLIT, " ")
+        ).alias("fingerprint"),
+        (F.col("doc_id") % _PREV_MOD == 0).alias("is_prev"),
+    )
+    prev = fp.filter("is_prev").select("fingerprint").distinct()
+    new = fp.filter(~F.col("is_prev"))
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    novel = (
+        new.join(
+            prev.withColumn("seen", F.lit(True)), "fingerprint", "left"
+        )
+        .withColumn("seen_before", F.coalesce("seen", F.lit(False)))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return novel.select(
+        "doc_id", "fingerprint",
+        (~F.col("seen_before") & (F.col("rn") == 1)).alias("admitted"),
+        F.when(F.col("seen_before"), F.lit("in_prev_build"))
+        .when(F.col("rn") > 1, F.lit("dup_in_batch"))
+        .otherwise(F.lit("novel")).alias("reason"),
+    )
