@@ -598,3 +598,98 @@ def d27_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("rn") > 1, F.lit("dup_in_batch"))
         .otherwise(F.lit("novel")).alias("reason"),
     )
+
+
+def _gram_col(n: int) -> F.Column:
+    """Overlapping word n-grams of the ``toks`` array column (0-based
+    gets; callers filter size(toks) >= n so the sequence never descends)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size("toks") - n),
+        lambda i: F.concat_ws(
+            " ", *[F.get(F.col("toks"), i + j) for j in range(n)]
+        ),
+    )
+
+
+@query(
+    "d28_top_ngram_fractions",
+    oracle=rf"""
+    WITH toked AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\f\r]+') AS toks,
+               CAST(len(regexp_replace(lower(trim(text, ' ')), '[ \t\n\f\r]+', ' ', 'g'))
+                    AS BIGINT) AS norm_len
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, norm_len, n, unnest(gs) AS gram FROM (
+            SELECT doc_id, norm_len, 2 AS n,
+                   list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS gs
+            FROM toked WHERE len(toks) >= 2
+            UNION ALL
+            SELECT doc_id, norm_len, 3,
+                   list_transform(range(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            FROM toked WHERE len(toks) >= 3
+            UNION ALL
+            SELECT doc_id, norm_len, 4,
+                   list_transform(range(1, len(toks) - 2),
+                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+            FROM toked WHERE len(toks) >= 4
+        )
+    ),
+    counted AS (
+        SELECT doc_id, norm_len, n, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM grams GROUP BY ALL
+    )
+    SELECT doc_id, n, gram AS top_gram, cnt AS top_count,
+           CAST(cnt * len(gram) AS DOUBLE) / norm_len AS char_frac
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                     ORDER BY cnt DESC, gram) AS rn
+        FROM counted
+    ) WHERE rn = 1
+    """,
+    survey="quality-top-ngram",
+)
+def d28_top_ngram_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining Gopher repetition signals: for n in (2, 3, 4), the
+    fraction of the document's normalized characters covered by
+    occurrences of its MOST COMMON word n-gram (long form: one row per
+    (doc, n); ties broken to the lexically smallest gram).  Together
+    with d15's duplicate-3-gram fraction this completes the published
+    repetition ruleset.
+
+    Scale shape: three tagged gram explodes union into ONE
+    (doc, n, gram) count — partial aggregation combines per doc
+    map-side — and one (doc, n)-partitioned top-1 window; same
+    two-shuffle shape as a16 at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS_SPLIT, " ")
+    toked = docs.select(
+        "doc_id",
+        _tokens(F.col("text")).alias("toks"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )
+    rels = [
+        toked.filter(F.size("toks") >= n).select(
+            "doc_id", "norm_len", F.lit(n).alias("n"),
+            F.explode(_gram_col(n)).alias("gram"),
+        )
+        for n in (2, 3, 4)
+    ]
+    grams = rels[0].unionByName(rels[1]).unionByName(rels[2])
+    counted = grams.groupBy("doc_id", "norm_len", "n", "gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("doc_id", "n").orderBy(F.col("cnt").desc(), "gram")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", "n", F.col("gram").alias("top_gram"),
+            F.col("cnt").alias("top_count"),
+            ((F.col("cnt") * F.length("gram")).cast("double") / F.col("norm_len"))
+            .alias("char_frac"),
+        )
+    )
