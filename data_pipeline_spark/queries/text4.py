@@ -693,3 +693,131 @@ def d28_top_ngram_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("char_frac"),
         )
     )
+
+
+_CHUNK, _OVERLAP = 32, 8  # tokens per chunk / overlap (stride 24)
+
+
+@query(
+    "d29_doc_chunking",
+    oracle=rf"""
+    WITH toked AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\f\r]+') AS toks
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_toks,
+               generate_subscripts(starts, 1) - 1 AS chunk_idx,
+               unnest(starts) AS start_tok
+        FROM (SELECT doc_id, toks,
+                     list_transform(
+                         range(1, greatest(1,
+                             CAST(ceil(CAST(greatest(len(toks) - {_OVERLAP}, 1) AS DOUBLE)
+                                       / {_CHUNK - _OVERLAP}) AS BIGINT)) + 1),
+                         i -> (i - 1) * {_CHUNK - _OVERLAP} + 1) AS starts
+              FROM toked)
+    )
+    SELECT c.doc_id,
+           CAST(c.chunk_idx AS INT) AS chunk_idx,
+           CAST(c.start_tok AS BIGINT) AS start_tok,
+           CAST(len(t.toks[c.start_tok:c.start_tok + {_CHUNK - 1}]) AS BIGINT)
+               AS chunk_toks,
+           md5(array_to_string(t.toks[c.start_tok:c.start_tok + {_CHUNK - 1}], ' '))
+               AS chunk_md5
+    FROM chunks c JOIN toked t USING (doc_id)
+    """,
+    survey="dedup-chunking",
+)
+def d29_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap — the split-long-documents
+    step of a pretraining/RAG pipeline: each document becomes ceil((n -
+    overlap) / stride) chunks of {_CHUNK} tokens at stride {_CHUNK} -
+    {_OVERLAP}, the last chunk ragged.  Emits (chunk_idx, start, size,
+    md5 of the joined chunk) per chunk so downstream chunk-level dedup
+    can run on the hashes.  Row-local: the start list is a per-row
+    transform and the chunk slice/hash is computed in the explode
+    projection — a pure scan with a fan-out, no shuffle, no state."""
+    docs = load_table(spark, sf_dir, "documents")
+    stride = _CHUNK - _OVERLAP
+    toked = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil(
+            F.greatest(F.size("toks") - _OVERLAP, F.lit(1)).cast("double")
+            / stride
+        ).cast("long"),
+    )
+    starts = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: (i - 1) * stride + 1,
+    )
+    chunked = toked.select(
+        "doc_id", "toks",
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    )
+    piece = F.slice(F.col("toks"), F.col("start_tok"), _CHUNK)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.size(piece).cast("bigint").alias("chunk_toks"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )
+
+
+_N_KEYWORDS = 3
+
+
+@query(
+    "d30_rare_keywords",
+    oracle=rf"""
+    WITH dtok AS (
+        SELECT DISTINCT doc_id, unnest(
+            regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\f\r]+')) AS tok
+        FROM documents
+    ),
+    dfreq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dtok GROUP BY tok
+    )
+    SELECT doc_id, CAST(rn AS INT) AS rank, tok AS keyword, df
+    FROM (
+        SELECT d.doc_id, d.tok, f.df,
+               row_number() OVER (PARTITION BY d.doc_id
+                                  ORDER BY f.df, d.tok) AS rn
+        FROM dtok d JOIN dfreq f USING (tok)
+    ) WHERE rn <= {_N_KEYWORDS}
+    """,
+    survey="quality-keywords",
+)
+def d30_rare_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rare-keyword extraction: the {_N_KEYWORDS} tokens of
+    each document with the LOWEST corpus document frequency (integer df,
+    token tiebreak) — the IDF end of TF-IDF without the float log, so
+    the ranking is exact on both engines.  Standard use: routing,
+    clustering features, index terms.
+
+    Scale shape: per-doc token dedup is row-local (array_distinct before
+    the explode), the document-frequency table is vocabulary-sized —
+    orders of magnitude smaller than the corpus — and the final top-k
+    is a per-doc window.  Two aggregations + one hash join on the token,
+    all partially aggregated map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    dtok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok"),
+    )
+    dfreq = dtok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    return (
+        dtok.join(dfreq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _N_KEYWORDS)
+        .select(
+            "doc_id", F.col("rn").cast("int").alias("rank"),
+            F.col("tok").alias("keyword"), "df",
+        )
+    )
