@@ -34,6 +34,14 @@ large-scale LLM training-data build and all five stay JVM-side:
   (quality -> scrub -> exact-dup keeper -> domain cap -> shard route),
   gating the stages' INTERACTION under one oracle — three shuffles at
   any corpus size.
+- **d27 incremental dedup**: each-crawl-vs-all-previous admission
+  against a fingerprint-only index of the prior builds.
+- **d28 top-n-gram coverage**: the remaining Gopher repetition signals
+  (top-2/3/4-gram character fractions).
+- **d29 chunking**: fixed-size token chunks with overlap + per-chunk
+  hashes; a pure scan fan-out.
+- **d30 rare keywords**: per-doc lowest-df keyword extraction —
+  integer-exact IDF ranking.
 
 The d21 plants (numeric tokens on doc_id%7, ``#`` symbols on
 doc_id%11) make the alpha/symbol rules non-vacuous on the synthetic

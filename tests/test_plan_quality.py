@@ -257,3 +257,29 @@ def test_d22_windows_only_overcap_domains(spark):
     assert "BroadcastHashJoin" in plan
     anti = plan.split("LeftAnti", 1)
     assert len(anti) == 2 and "Window" not in anti[1]
+
+
+def test_d29_chunking_is_scan_only(spark):
+    """Chunking is a per-row fan-out: no aggregate, no join, one scan."""
+    plan = _plan(spark, "d29_doc_chunking")
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_d27_prev_index_join_meets_on_fingerprint(spark):
+    """The incremental-dedup admission must meet the previous-build
+    index on the fingerprint hash with the bounded index side broadcast
+    — text is consumed by the scan-side md5 projection and never
+    shuffles (the exchange above the join carries fingerprint/doc_id
+    only)."""
+    plan = _plan(spark, "d27_incremental_dedup")
+    assert "BroadcastHashJoin [fingerprint" in plan
+    assert "SortMergeJoin" not in plan
+    # the only hash exchanges are on the fingerprint (dup-class window),
+    # never on raw text
+    import re
+
+    for part in re.findall(r"hashpartitioning\(([^,]+)", plan):
+        assert part.startswith("fingerprint"), part
