@@ -1331,3 +1331,267 @@ def u14_dnb_close_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).getField("id").alias("close0"),
         F.size(eqs).alias("n_equiv"),
     )
+
+
+@query(
+    "u15_bnf_entity_gate",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS identifier,
+           CASE c_custkey % 4
+             WHEN 0 THEN 'Person' WHEN 1 THEN 'Place'
+             WHEN 2 THEN 'Group' ELSE 'Type'
+           END AS rectype,
+           CASE c_custkey % 4
+             WHEN 0 THEN 'Author ' || c_custkey
+             WHEN 1 THEN 'Town ' || c_custkey
+             WHEN 2 THEN 'Press ' || c_custkey
+             ELSE 'Concept ' || c_custkey
+           END AS label,
+           CASE c_custkey % 4 WHEN 1 THEN NULL ELSE 'fr' END AS lang0,
+           CASE c_custkey % 4 WHEN 0 THEN 2 ELSE 1 END AS n_names,
+           CASE c_custkey % 4
+             WHEN 0 THEN 'http://viaf.org/viaf/' || c_custkey
+           END AS equiv0,
+           CASE c_custkey % 4
+             WHEN 0 THEN '1900-01-01T00:00:00'
+           END AS born_begin,
+           CASE c_custkey % 4
+             WHEN 0 THEN '1960-12-31T23:59:59'
+           END AS died_end,
+           CASE c_custkey % 4
+             WHEN 2 THEN '1800-01-01T00:00:00'
+           END AS formed_begin,
+           CASE c_custkey % 4 WHEN 0 THEN 'male' END AS class_label,
+           CASE c_custkey % 4
+             WHEN 2 THEN 'https://kg.example/group-parents'
+           END AS broader0,
+           CASE c_custkey % 4
+             WHEN 1 THEN 'POINT ( 2.3 48.8 )'
+           END AS wkt,
+           CASE c_custkey % 4
+             WHEN 3 THEN 'Mouvement ' || c_custkey || '.'
+           END AS note0
+    FROM customer
+    """,
+    survey="U1,F1,F16,F23",
+)
+def u15_bnf_entity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BnF RDF/XML mapper (reference sources/libraries/bnf/
+    mapper.py:16-300) through the driver gate, one path per rotation: a
+    Person with the full common block (fr pref/alt labels, exactMatch
+    before closeMatch), //foaf:gender classification and bio birth/death
+    through F1; a Place whose concept node is MISSING (common skipped,
+    rdfs:label fallback name untagged) with a geo POINT; a Group with a
+    broader ref (non-Place -> broader, not part_of) and an
+    integer-datatyped firstYear next to a string-datatyped lastYear the
+    integer filter must drop; and a plain Concept with a scopeNote."""
+    from ..sources.bnf import map_records as bnf_map
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    m = k % 4
+    ark = "https://data.bnf.fr/ark:/12148/"
+
+    def rdf(body):
+        return F.concat(
+            F.lit('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'),
+            body, F.lit("</rdf:RDF>"),
+        )
+
+    base = F.concat(F.lit(ark), ks)
+    person = rdf(F.concat(
+        F.lit('<rdf:Description rdf:about="'), base, F.lit('">'
+              "<skos:prefLabel>Author "), ks,
+        F.lit("</skos:prefLabel><skos:altLabel>A. "), ks,
+        F.lit('</skos:altLabel><skos:exactMatch rdf:resource="http://viaf.org/viaf/'),
+        ks,
+        F.lit('"/><skos:closeMatch rdf:resource="https://kg.example/p"/>'
+              "</rdf:Description>"
+              '<rdf:Description rdf:about="'), base, F.lit('#about">'
+              '<rdf:type rdf:resource="http://xmlns.com/foaf/0.1/Person"/>'
+              "<foaf:gender>male</foaf:gender>"
+              "<bio:birth>1900</bio:birth><bio:death>1960</bio:death>"
+              "</rdf:Description>"),
+    ))
+    place = rdf(F.concat(
+        F.lit('<rdf:Description rdf:about="'), base, F.lit('#about">'
+              '<rdf:type rdf:resource='
+              '"http://www.w3.org/2003/01/geo/wgs84_pos#SpatialThing"/>'
+              "<rdfs:label>Town "), ks,
+        F.lit("</rdfs:label><geo:lat>48.8</geo:lat><geo:long>2.3</geo:long>"
+              "</rdf:Description>"),
+    ))
+    group = rdf(F.concat(
+        F.lit('<rdf:Description rdf:about="'), base, F.lit('">'
+              "<skos:prefLabel>Press "), ks,
+        F.lit('</skos:prefLabel>'
+              '<skos:broader rdf:resource="https://kg.example/group-parents"/>'
+              "</rdf:Description>"
+              '<rdf:Description rdf:about="'), base, F.lit('#about">'
+              '<rdf:type rdf:resource="http://xmlns.com/foaf/0.1/Organization"/>'
+              '<bnf-onto:firstYear rdf:datatype='
+              '"http://www.w3.org/2001/XMLSchema#integer">1800</bnf-onto:firstYear>'
+              '<bnf-onto:lastYear rdf:datatype='
+              '"http://www.w3.org/2001/XMLSchema#string">1880</bnf-onto:lastYear>'
+              "</rdf:Description>"),
+    ))
+    concept = rdf(F.concat(
+        F.lit('<rdf:Description rdf:about="'), base, F.lit('">'
+              "<skos:prefLabel>Concept "), ks,
+        F.lit("</skos:prefLabel><skos:scopeNote>Mouvement "), ks,
+        F.lit(".</skos:scopeNote></rdf:Description>"
+              '<rdf:Description rdf:about="'), base, F.lit('#about">'
+              '<rdf:type rdf:resource='
+              '"http://www.w3.org/2004/02/skos/core#Concept"/>'
+              "</rdf:Description>"),
+    ))
+    xml = (
+        F.when(m == 0, person).when(m == 1, place).when(m == 2, group)
+        .otherwise(concept)
+    )
+    loaded = c.select(
+        F.struct(
+            ks.alias("identifier"),
+            F.lit(None).cast("string").alias("record_time"),
+            F.struct(xml.alias("xml")).alias("doc"),
+        ).alias("doc")
+    )
+    envs = bnf_map(loaded)
+    doc = F.from_json(
+        "data",
+        "struct<_label: string,"
+        " identified_by: array<struct<content: string, language: string>>,"
+        " equivalent: array<struct<id: string>>,"
+        " broader: array<struct<id: string>>,"
+        " classified_as: array<struct<_label: string>>,"
+        " referred_to_by: array<struct<content: string>>,"
+        " born: struct<timespan: struct<begin_of_the_begin: string>>,"
+        " died: struct<timespan: struct<end_of_the_end: string>>,"
+        " formed_by: struct<timespan: struct<begin_of_the_begin: string>>,"
+        " defined_by: string>",
+    )
+    name0 = F.try_element_at(doc.getField("identified_by"), F.lit(1))
+    return envs.select(
+        "identifier", "rectype",
+        name0.getField("content").alias("label"),
+        name0.getField("language").alias("lang0"),
+        F.size(doc.getField("identified_by")).alias("n_names"),
+        F.try_element_at(doc.getField("equivalent"), F.lit(1)).getField("id")
+        .alias("equiv0"),
+        doc.getField("born").getField("timespan").getField("begin_of_the_begin")
+        .alias("born_begin"),
+        doc.getField("died").getField("timespan").getField("end_of_the_end")
+        .alias("died_end"),
+        doc.getField("formed_by").getField("timespan")
+        .getField("begin_of_the_begin").alias("formed_begin"),
+        F.try_element_at(doc.getField("classified_as"), F.lit(1))
+        .getField("_label").alias("class_label"),
+        F.try_element_at(doc.getField("broader"), F.lit(1)).getField("id")
+        .alias("broader0"),
+        doc.getField("defined_by").alias("wkt"),
+        F.try_element_at(doc.getField("referred_to_by"), F.lit(1))
+        .getField("content").alias("note0"),
+    )
+
+
+@query(
+    "u16_getty_aat_gate",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS identifier,
+           CASE c_custkey % 4 WHEN 1 THEN 'Language' ELSE 'Type' END AS rectype,
+           CASE c_custkey % 4
+             WHEN 0 THEN 'Water ' || c_custkey
+             WHEN 1 THEN 'Lang ' || c_custkey
+             ELSE 'Plain ' || c_custkey
+           END AS label,
+           CASE c_custkey % 4 WHEN 0 THEN 2 ELSE 1 END AS n_names,
+           CASE c_custkey % 4 WHEN 0 THEN 'en' WHEN 2 THEN 'en' END AS name0_lang,
+           CASE c_custkey % 4
+             WHEN 0 THEN 'description' WHEN 2 THEN 'note'
+           END AS note0_role,
+           CASE c_custkey % 4
+             WHEN 0 THEN 'http://vocab.getty.edu/aat/300015617'
+           END AS broader0
+    FROM customer WHERE c_custkey % 4 <> 3
+    """,
+    survey="U1,P5,F23",
+)
+def u16_getty_aat_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Getty AAT vocabulary mapper (reference sources/authorities/
+    getty/mapper.py:1-559) through the driver gate, one path per
+    rotation: a full Type record (Descriptor-coded English primary
+    elected as label, AlternateDescriptor French alternate, an
+    unmapped-language name DROPPED, a brief-text-coded description
+    statement, part_of -> broader); a record typed Language purely by
+    the '(language)' label suffix fallback; a record whose statement
+    code is unknown (plain 'note' role); and a nameless record the
+    mapper must drop entirely (do_common returns False)."""
+    from ..sources.getty_vocab import map_aat
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    m = k % 4
+    aat = "http://vocab.getty.edu/aat/"
+
+    full = F.concat(
+        F.lit('{"id":"' + aat), ks, F.lit('","type":"Type","_label":"thing '),
+        ks,
+        F.lit('","identified_by":['
+              '{"type":"Name","content":"Water '), ks,
+        F.lit('","language":[{"_label":"en"}],'
+              '"classified_as":[{"id":"' + aat + '300404670"}]},'
+              '{"type":"Name","content":"Aqua '), ks,
+        F.lit('","language":[{"_label":"fr"}],'
+              '"classified_as":[{"id":'
+              '"http://vocab.getty.edu/term/type/AlternateDescriptor"}]},'
+              '{"type":"Name","content":"Drop '), ks,
+        F.lit('","language":[{"_label":"xx"}]}],'
+              '"referred_to_by":[{"content":"Paint note '), ks,
+        F.lit('.","language":[{"_label":"en"}],'
+              '"classified_as":[{"id":"' + aat + '300435416"}]}],'
+              '"part_of":[{"id":"' + aat + '300015617","_label":"paintings"}]}'),
+    )
+    lang = F.concat(
+        F.lit('{"id":"' + aat), ks, F.lit('","type":"Type","_label":"Lang '),
+        ks,
+        F.lit(' (language)","identified_by":['
+              '{"type":"Name","content":"Lang '), ks, F.lit('"}]}'),
+    )
+    plain = F.concat(
+        F.lit('{"id":"' + aat), ks, F.lit('","type":"Type","_label":"x",'
+              '"identified_by":[{"type":"Name","content":"Plain '), ks,
+        F.lit('","language":[{"_label":"en"}],"classified_as":'
+              '[{"id":"http://vocab.getty.edu/term/type/Descriptor"}]}],'
+              '"referred_to_by":[{"content":"Misc '), ks,
+        F.lit('.","classified_as":[{"id":"' + aat + '300999999"}]}]}'),
+    )
+    nameless = F.concat(
+        F.lit('{"id":"' + aat), ks,
+        F.lit('","type":"Type","_label":"ghost","identified_by":[]}'),
+    )
+    value = (
+        F.when(m == 0, full).when(m == 1, lang).when(m == 2, plain)
+        .otherwise(nameless)
+    )
+    loaded = c.select(ks.alias("identifier"), value.alias("value"))
+    envs = map_aat(loaded)
+    doc = F.from_json(
+        "data",
+        "struct<_label: string,"
+        " identified_by: array<struct<content: string, language: string>>,"
+        " referred_to_by: array<struct<role: string>>,"
+        " broader: array<struct<id: string>>>",
+    )
+    name0 = F.try_element_at(doc.getField("identified_by"), F.lit(1))
+    return envs.select(
+        "identifier", "rectype",
+        doc.getField("_label").alias("label"),
+        F.size(doc.getField("identified_by")).alias("n_names"),
+        name0.getField("language").alias("name0_lang"),
+        F.try_element_at(doc.getField("referred_to_by"), F.lit(1))
+        .getField("role").alias("note0_role"),
+        F.try_element_at(doc.getField("broader"), F.lit(1)).getField("id")
+        .alias("broader0"),
+    )
