@@ -42,6 +42,11 @@ from . import enrich_gate  # noqa: F401, E402
 # (r4: p04/j11/d18/d19/d20) drop out once their driver row lands and
 # their code stops changing — that keeps the pool wide enough that every
 # never-checked query plus any new declarations fit in the 50.
+# r6 NOTE: the one-round r5 pins (u05, d06, d19, d20, d07/d08/d12/d13,
+# v03) drop out once their r5 driver rows land and their code stops
+# changing — only the composite family gates (g01/g02) and the golden
+# reconcile/merge gates are permanent.  Budget pins so every
+# never-checked query plus new declarations fit in the 50.
 GATE_PIN = [
     "g01_scalar_functions_gate", "g02_geometry_gate",
     "a01_merge_fold", "j06_reconcile_min_equivs", "j03_constraint_veto",
