@@ -1595,3 +1595,149 @@ def u16_getty_aat_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(doc.getField("broader"), F.lit(1)).getField("id")
         .alias("broader0"),
     )
+
+
+@query(
+    "u17_getty_ulan_gate",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS identifier,
+           CASE c_custkey % 4 WHEN 2 THEN 'Group' ELSE 'Person' END AS rectype,
+           CASE c_custkey % 4
+             WHEN 0 THEN 'Artist ' || c_custkey
+             WHEN 1 THEN 'Elder ' || c_custkey
+             ELSE 'Guild ' || c_custkey
+           END AS label,
+           CASE c_custkey % 4 WHEN 0 THEN 3 ELSE 0 END AS n_classes,
+           CASE c_custkey % 4 WHEN 0 THEN 'gender' END AS class0_role,
+           CASE c_custkey % 4 WHEN 0 THEN 'nationality' END AS class1_role,
+           CASE c_custkey % 4
+             WHEN 0 THEN 'http://vocab.getty.edu/aat/300386154'
+           END AS class2_id,
+           CASE c_custkey % 4
+             WHEN 0 THEN '1800-01-01T00:00:00'
+           END AS born_begin,
+           CASE c_custkey % 4
+             WHEN 0 THEN '1800-01-01T23:59:59'
+           END AS born_end,
+           CASE c_custkey % 4
+             WHEN 0 THEN '1860-12-19T23:59:59'
+           END AS died_end,
+           CASE c_custkey % 4
+             WHEN 2 THEN '1635-01-01T00:00:00'
+           END AS formed_begin,
+           CASE c_custkey % 4
+             WHEN 0 THEN '1820-01-01T00:00:00'
+           END AS active_begin,
+           CASE c_custkey % 4
+             WHEN 0 THEN 'http://vocab.getty.edu/tgn/7011781'
+           END AS active_place
+    FROM customer WHERE c_custkey % 4 <> 3
+    """,
+    survey="U1,F1,F5",
+)
+def u17_getty_ulan_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Getty ULAN agent mapper through the driver gate, one path per
+    rotation: a Person with metatype-flagged classifications (gender and
+    nationality roles resolved through the nested flag, an undetermined
+    value dropped, one direct-accept class), a 24:00:00 birth bound
+    fixed and a death midnight promoted, and an Active carried_out whose
+    took_place_at loses its '-place' suffix; a Person whose 200-year
+    lifespan the F5 sanity check clears (born/died both popped); a
+    Group routed to formed_by with a short-year timespan through F1; and
+    a non-agent record the mapper must drop.  The '-agent' identifier
+    suffix is stripped on every path."""
+    from ..sources.getty_vocab import map_ulan
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    m = k % 4
+    aat = "http://vocab.getty.edu/aat/"
+    ulan = "http://vocab.getty.edu/ulan/"
+
+    person = F.concat(
+        F.lit('{"id":"' + ulan), ks, F.lit('-agent","type":"Person",'
+              '"identified_by":[{"type":"Name","content":"Artist '), ks,
+        F.lit('","language":[{"_label":"en"}],"classified_as":'
+              '[{"id":"' + aat + '300404670"}]}],'
+              '"classified_as":['
+              '{"id":"' + aat + '300189559","_label":"male",'
+              '"classified_as":[{"id":"' + aat + '300055147"}]},'
+              '{"id":"' + aat + '300111159","_label":"British",'
+              '"classified_as":[{"id":"' + aat + '300379842"}]},'
+              '{"id":"' + aat + '300379012","_label":"undetermined"},'
+              '{"id":"' + aat + '300386154","_label":"artist"}],'
+              '"born":{"timespan":{"begin_of_the_begin":"1800-01-01T00:00:00",'
+              '"end_of_the_end":"1800-01-01T24:00:00"}},'
+              '"died":{"timespan":{"begin_of_the_begin":"1860-12-19T00:00:00",'
+              '"end_of_the_end":"1860-12-19T00:00:00"}},'
+              '"carried_out":[{"classified_as":[{"id":"' + aat + '300393177"}],'
+              '"timespan":{"begin_of_the_begin":"1820"},'
+              '"took_place_at":[{"id":"http://vocab.getty.edu/tgn/7011781-place",'
+              '"_label":"London"}]}]}'),
+    )
+    elder = F.concat(
+        F.lit('{"id":"' + ulan), ks, F.lit('-agent","type":"Person",'
+              '"identified_by":[{"type":"Name","content":"Elder '), ks,
+        F.lit('","language":[{"_label":"en"}],"classified_as":'
+              '[{"id":"' + aat + '300404670"}]}],'
+              '"born":{"timespan":{"begin_of_the_begin":"1700-01-01T00:00:00"}},'
+              '"died":{"timespan":{"end_of_the_end":"1900-06-01T00:00:00"}}}'),
+    )
+    guild = F.concat(
+        F.lit('{"id":"' + ulan), ks, F.lit('-agent","type":"Group",'
+              '"identified_by":[{"type":"Name","content":"Guild '), ks,
+        F.lit('","language":[{"_label":"en"}],"classified_as":'
+              '[{"id":"' + aat + '300404670"}]}],'
+              '"formed_by":{"timespan":{"begin_of_the_begin":"1635"}}}'),
+    )
+    thing = F.concat(
+        F.lit('{"id":"' + ulan), ks,
+        F.lit('-agent","type":"Type","identified_by":'
+              '[{"type":"Name","content":"x"}]}'),
+    )
+    value = (
+        F.when(m == 0, person).when(m == 1, elder).when(m == 2, guild)
+        .otherwise(thing)
+    )
+    loaded = c.select(
+        F.concat(ks, F.lit("-agent")).alias("identifier"), value.alias("value")
+    )
+    envs = map_ulan(loaded)
+    doc = F.from_json(
+        "data",
+        "struct<_label: string,"
+        " classified_as: array<struct<id: string, role: string>>,"
+        " born: struct<timespan: struct<begin_of_the_begin: string,"
+        "   end_of_the_end: string>>,"
+        " died: struct<timespan: struct<end_of_the_end: string>>,"
+        " formed_by: struct<timespan: struct<begin_of_the_begin: string>>,"
+        " carried_out: array<struct<"
+        "   timespan: struct<begin_of_the_begin: string>,"
+        "   took_place_at: array<struct<id: string>>>>>",
+    )
+    classes = F.coalesce(
+        doc.getField("classified_as"),
+        F.array().cast("array<struct<id: string, role: string>>"),
+    )
+    act0 = F.try_element_at(doc.getField("carried_out"), F.lit(1))
+    return envs.select(
+        "identifier", "rectype",
+        doc.getField("_label").alias("label"),
+        F.size(classes).alias("n_classes"),
+        F.try_element_at(classes, F.lit(1)).getField("role").alias("class0_role"),
+        F.try_element_at(classes, F.lit(2)).getField("role").alias("class1_role"),
+        F.try_element_at(classes, F.lit(3)).getField("id").alias("class2_id"),
+        doc.getField("born").getField("timespan").getField("begin_of_the_begin")
+        .alias("born_begin"),
+        doc.getField("born").getField("timespan").getField("end_of_the_end")
+        .alias("born_end"),
+        doc.getField("died").getField("timespan").getField("end_of_the_end")
+        .alias("died_end"),
+        doc.getField("formed_by").getField("timespan")
+        .getField("begin_of_the_begin").alias("formed_begin"),
+        act0.getField("timespan").getField("begin_of_the_begin")
+        .alias("active_begin"),
+        F.try_element_at(act0.getField("took_place_at"), F.lit(1))
+        .getField("id").alias("active_place"),
+    )
