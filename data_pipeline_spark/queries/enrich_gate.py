@@ -1741,3 +1741,101 @@ def u17_getty_ulan_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(act0.getField("took_place_at"), F.lit(1))
         .getField("id").alias("active_place"),
     )
+
+
+@query(
+    "u18_getty_tgn_gate",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS identifier,
+           'Place' AS rectype,
+           CASE c_custkey % 3
+             WHEN 0 THEN 'City ' || c_custkey
+             ELSE 'Region ' || c_custkey
+           END AS label,
+           CASE c_custkey % 3 WHEN 0 THEN 1 ELSE 0 END AS n_classes,
+           CASE c_custkey % 3
+             WHEN 0 THEN 'http://vocab.getty.edu/aat/300008372'
+           END AS class0_id,
+           CASE c_custkey % 3
+             WHEN 0 THEN 'http://vocab.getty.edu/tgn/7008038'
+           END AS part0_id,
+           CASE c_custkey % 3 WHEN 0 THEN 'Francia' END AS part0_label,
+           CASE c_custkey % 3
+             WHEN 1 THEN 'http://vocab.getty.edu/tgn/1000003'
+           END AS broader0_id,
+           CASE c_custkey % 3
+             WHEN 0 THEN 'POINT ( 2.35 48.85 )'
+           END AS wkt
+    FROM customer WHERE c_custkey % 3 <> 2
+    """,
+    survey="U1,F16",
+)
+def u18_getty_tgn_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Getty TGN place mapper through the driver gate, completing
+    the vocabulary trio (AAT u16, ULAN u17): a Place with an accepted
+    place-type classification (an unaccepted one dropped), spatial
+    coordinates folded into a POINT, and the ONE broader entry flagged
+    as preferred parent (aat 300449152) elected into part_of over a
+    plain sibling; a Place with no preferred flag whose broader entries
+    all land in broader; and a nameless record the mapper must drop."""
+    from ..sources.getty_vocab import map_tgn
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    m = k % 3
+    aat = "http://vocab.getty.edu/aat/"
+    tgn = "http://vocab.getty.edu/tgn/"
+
+    city = F.concat(
+        F.lit('{"id":"' + tgn), ks, F.lit('","type":"Place",'
+              '"identified_by":[{"type":"Name","content":"City '), ks,
+        F.lit('","language":[{"_label":"en"}],"classified_as":'
+              '[{"id":"' + aat + '300404670"}]},'
+              '{"type":"crm:E47_Spatial_Coordinates","value":"[2.35, 48.85]"}],'
+              '"classified_as":['
+              '{"id":"' + aat + '300008372","_label":"inhabited places"},'
+              '{"id":"' + aat + '300111159","_label":"not a place type"}],'
+              '"part_of":['
+              '{"id":"' + tgn + '1000003","_label":"Europe"},'
+              '{"id":"' + tgn + '7008038","_label":"Francia","classified_as":'
+              '[{"id":"' + aat + '300449152"}]}]}'),
+    )
+    region = F.concat(
+        F.lit('{"id":"' + tgn), ks, F.lit('","type":"Place",'
+              '"identified_by":[{"type":"Name","content":"Region '), ks,
+        F.lit('","language":[{"_label":"en"}],"classified_as":'
+              '[{"id":"' + aat + '300404670"}]}],'
+              '"part_of":[{"id":"' + tgn + '1000003","_label":"Europe"}],'
+              '"broader":[{"id":"' + tgn + '7029392","_label":"Other"}]}'),
+    )
+    ghost = F.concat(
+        F.lit('{"id":"' + tgn), ks, F.lit('","type":"Place","identified_by":[]}'),
+    )
+    value = F.when(m == 0, city).when(m == 1, region).otherwise(ghost)
+    loaded = c.select(ks.alias("identifier"), value.alias("value"))
+    envs = map_tgn(loaded)
+    doc = F.from_json(
+        "data",
+        "struct<_label: string,"
+        " classified_as: array<struct<id: string>>,"
+        " part_of: array<struct<id: string, _label: string>>,"
+        " broader: array<struct<id: string>>,"
+        " defined_by: string>",
+    )
+    classes = F.coalesce(
+        doc.getField("classified_as"),
+        F.array().cast("array<struct<id: string>>"),
+    )
+    part0 = F.try_element_at(doc.getField("part_of"), F.lit(1))
+    return envs.select(
+        "identifier", "rectype",
+        doc.getField("_label").alias("label"),
+        F.size(classes).alias("n_classes"),
+        F.try_element_at(classes, F.lit(1)).getField("id").alias("class0_id"),
+        part0.getField("id").alias("part0_id"),
+        part0.getField("_label").alias("part0_label"),
+        F.try_element_at(doc.getField("broader"), F.lit(1)).getField("id")
+        .alias("broader0_id"),
+        doc.getField("defined_by").alias("wkt"),
+    )
