@@ -294,3 +294,50 @@ def test_window_curation_ops_match_oracle_on_ties(
             assert ok, f"{name}: {msg}"
     finally:
         con.close()
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_d29_chunking_invariants(spark, tmp_path_factory, data):
+    """Chunk geometry invariants on arbitrary corpora: starts advance by
+    the stride, consecutive chunks overlap by exactly OVERLAP tokens
+    (except the ragged tail), every token is covered, and chunk_toks
+    matches the slice the hash was taken over."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_spark.queries import QUERIES
+    from data_pipeline_spark.queries.text4 import _CHUNK, _OVERLAP
+
+    n = data.draw(st.integers(1, 6))
+    texts = [
+        " ".join(f"w{j}" for j in range(data.draw(st.integers(1, 120))))
+        for _ in range(n)
+    ]
+    sf = tmp_path_factory.mktemp("d29prop")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }),
+        str(sf / "documents.parquet"),
+    )
+    rows = QUERIES["d29_doc_chunking"].spark_fn(spark, str(sf)).collect()
+    stride = _CHUNK - _OVERLAP
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(n))
+    for doc_id, chunks in by_doc.items():
+        n_toks = len(texts[doc_id].split())
+        chunks.sort(key=lambda r: r.chunk_idx)
+        for i, r in enumerate(chunks):
+            assert r.chunk_idx == i
+            assert r.start_tok == i * stride + 1
+            assert r.chunk_toks == min(_CHUNK, n_toks - i * stride)
+        last = chunks[-1]
+        # full coverage: the last chunk reaches the final token
+        assert last.start_tok + last.chunk_toks - 1 == n_toks
+        # and no unnecessary extra chunk was emitted
+        if len(chunks) > 1:
+            assert chunks[-2].start_tok + _CHUNK - 1 < n_toks
