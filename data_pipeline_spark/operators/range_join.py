@@ -71,3 +71,57 @@ def range_join(
         )
         .drop("_bin")
     )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_seconds: int,
+    keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Interval-OVERLAP join: every (left, right) pair whose half-open
+    intervals intersect (``ls < re AND rs < le``) — the two-sided sibling
+    of range_join's point-in-interval.
+
+    Scale shape: both sides explode to the fixed-width epoch bins their
+    interval touches and meet on the bin — an equi-join whose candidates
+    are bounded by bin co-residency, never a theta join.  A pair sharing
+    several bins is emitted ONCE: only from the FIRST shared bin, which
+    is max(first_bin_left, first_bin_right) — the d08 first-shared-
+    segment trick, so no dedupe exchange.  ``keys`` are equi-join columns
+    carried alongside the bin (e.g. a grouping dimension), so candidates
+    co-reside per (key, bin).  Pick ``bin_seconds`` near the typical
+    interval length: shorter bins multiply the fan-out, longer bins
+    admit more false candidates for the residual predicate.
+    """
+
+    def bins(s: str, e: str, lo_alias: str) -> tuple[Column, Column]:
+        lo = F.floor(F.unix_timestamp(F.col(s)) / bin_seconds)
+        # half-open end: an interval ending exactly on a bin edge does
+        # not touch that bin
+        hi = F.floor(
+            (F.unix_timestamp(F.col(e)) - F.lit(1)) / bin_seconds
+        )
+        return lo.alias(lo_alias), F.sequence(lo, F.greatest(lo, hi))
+
+    llo, lbins = bins(left_start, left_end, "_llo")
+    rlo, rbins = bins(right_start, right_end, "_rlo")
+    lx = left.filter(F.col(left_end) > F.col(left_start)).select(
+        "*", llo, F.explode(lbins).alias("_bin")
+    )
+    rx = right.filter(F.col(right_end) > F.col(right_start)).select(
+        "*", rlo, F.explode(rbins).alias("_bin")
+    )
+    return (
+        lx.join(rx, ["_bin", *keys])
+        .filter(F.col("_bin") == F.greatest(F.col("_llo"), F.col("_rlo")))
+        .filter(
+            (F.col(left_start) < F.col(right_end))
+            & (F.col(right_start) < F.col(left_end))
+        )
+        .drop("_bin", "_llo", "_rlo")
+    )

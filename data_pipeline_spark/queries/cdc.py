@@ -298,3 +298,63 @@ def k01_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merge_upsert(existing, updates, "key")
+
+
+@query(
+    "rj02_overlapping_order_windows",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, n_name, o_orderdate
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT a.n_name, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM o a JOIN o b
+      ON a.n_name = b.n_name AND a.o_orderkey < b.o_orderkey
+     AND a.o_orderdate < b.o_orderdate + INTERVAL 7 DAY
+     AND b.o_orderdate < a.o_orderdate + INTERVAL 7 DAY
+    GROUP BY a.n_name
+    """,
+    survey="range-join-overlap",
+)
+def rj02_overlapping_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join through the bin-bucketed operator: pairs of
+    orders from the same nation whose 7-day fulfilment windows
+    intersect, counted per nation.  The oracle is the literal theta
+    self-join; the Spark side runs operators/range_join.overlap_join —
+    both sides explode to week bins keyed by (nation, bin), pairs meet
+    on the equi-key, each pair emits once from its first shared bin, and
+    the exact overlap predicate filters the residue.  At scale the
+    candidate volume is bounded by per-(nation, week) co-residency, and
+    the shuffle key carries the grouping dimension, so no theta join and
+    no dedupe exchange exist anywhere in the plan."""
+    from ..operators.range_join import overlap_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    o = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "o_orderkey", "n_name",
+            F.col("o_orderdate").cast("timestamp").alias("w_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS"))
+            .cast("timestamp").alias("w_end"),
+        )
+    )
+    a = o.select(
+        F.col("o_orderkey").alias("a_key"), "n_name",
+        F.col("w_start").alias("a_start"), F.col("w_end").alias("a_end"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("b_key"), "n_name",
+        F.col("w_start").alias("b_start"), F.col("w_end").alias("b_end"),
+    )
+    pairs = overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end",
+        bin_seconds=7 * 86400, keys=("n_name",),
+    ).filter(F.col("a_key") < F.col("b_key"))
+    return pairs.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )

@@ -283,3 +283,19 @@ def test_d27_prev_index_join_meets_on_fingerprint(spark):
 
     for part in re.findall(r"hashpartitioning\(([^,]+)", plan):
         assert part.startswith("fingerprint"), part
+
+
+def test_rj02_overlap_join_is_bin_equijoin(spark):
+    """The interval-overlap join must meet on (bin, nation) — a raw
+    two-sided BETWEEN shows up as BroadcastNestedLoopJoin/Cartesian —
+    and must have no distinct exchange (first-shared-bin emission)."""
+    import re
+
+    plan = _plan(spark, "rj02_overlapping_order_windows")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    join_keys = re.findall(
+        r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)(?:\([^)]*\))? (\[[^\]]*\])",
+        plan,
+    )
+    assert any("_bin" in k and "n_name" in k for k in join_keys), join_keys
