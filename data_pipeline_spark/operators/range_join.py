@@ -97,15 +97,21 @@ def overlap_join(
     co-reside per (key, bin).  Pick ``bin_seconds`` near the typical
     interval length: shorter bins multiply the fan-out, longer bins
     admit more false candidates for the residual predicate.
+
+    Self-joins: rename the columns of at least one side first (as rj02
+    does) — both inputs' columns survive into the residual filter, so
+    shared names throw AMBIGUOUS_REFERENCE at analysis time.
     """
 
     def bins(s: str, e: str, lo_alias: str) -> tuple[Column, Column]:
-        lo = F.floor(F.unix_timestamp(F.col(s)) / bin_seconds)
-        # half-open end: an interval ending exactly on a bin edge does
-        # not touch that bin
-        hi = F.floor(
-            (F.unix_timestamp(F.col(e)) - F.lit(1)) / bin_seconds
-        )
+        # fractional-second safe: timestamps cast to double epoch
+        # seconds (unix_timestamp would truncate, silently unbinning an
+        # interval whose sub-second tail crosses a bin edge)
+        lo = F.floor(F.col(s).cast("double") / bin_seconds)
+        # half-open end: an interval ending EXACTLY on a bin edge does
+        # not touch that bin -> ceil(e/bin) - 1 (== floor for interior
+        # ends, edge-exclusive on the boundary)
+        hi = F.ceil(F.col(e).cast("double") / bin_seconds) - 1
         return lo.alias(lo_alias), F.sequence(lo, F.greatest(lo, hi))
 
     llo, lbins = bins(left_start, left_end, "_llo")

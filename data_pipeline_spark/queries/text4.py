@@ -399,6 +399,8 @@ def d25_mixture_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(len(array_to_string(t, '')) AS DOUBLE) / len(t) AS mean_word_len,
                CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
                    / len(t) AS alpha_frac,
+               CAST(len(list_filter(t, w -> w = '#' OR w = '...')) AS DOUBLE)
+                   / len(t) AS symbol_ratio,
                CAST(len(list_filter(t, w -> w IN ({_STOP_SQL}))) AS BIGINT) AS stop_hits
         FROM (SELECT *, regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\f\r]+') AS t
               FROM planted)
@@ -406,7 +408,7 @@ def d25_mixture_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality AS (
         SELECT doc_id, source, text, n_words FROM scored
         WHERE n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
-          AND alpha_frac >= 0.8 AND stop_hits >= 2
+          AND alpha_frac >= 0.8 AND symbol_ratio <= 0.1 AND stop_hits >= 2
     ),
     scrubbed AS (
         SELECT doc_id, source, n_words,
@@ -465,20 +467,14 @@ def d26_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                             (k % 256).cast("string"), F.lit(".7")))
         .alias("text"),
     )
-    t = _tokens(F.col("text"))
-    n = F.size(t)
-    quality = planted.select(
-        "doc_id", "source", "text", n.cast("bigint").alias("n_words"),
-        (F.length(F.concat_ws("", t)).cast("double") / n).alias("mwl"),
-        (F.size(F.filter(t, lambda w: w.rlike("[a-z]"))).cast("double") / n)
-        .alias("af"),
-        F.size(F.filter(t, lambda w: w.isin(*_STOPWORDS))).cast("bigint")
-        .alias("sh"),
-    ).filter(
-        F.col("n_words").between(50, 100000)
-        & F.col("mwl").between(3, 10)
-        & (F.col("af") >= 0.8)
-        & (F.col("sh") >= 2)
+    # the quality gate IS gopher_metrics — the d21 construction applied
+    # verbatim, so the pipeline and the standalone operator cannot drift
+    # (a review caught an earlier inline copy silently missing the
+    # symbol_ratio rule)
+    quality = (
+        gopher_metrics(planted)
+        .filter(F.col("verdict") == "keep")
+        .select("doc_id", "source", "text", "n_words")
     )
     scrubbed = quality.select(
         "doc_id", "source", "n_words",
@@ -679,14 +675,31 @@ def d28_top_ngram_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tokens(F.col("text")).alias("toks"),
         F.length(norm).cast("bigint").alias("norm_len"),
     )
-    rels = [
-        toked.filter(F.size("toks") >= n).select(
-            "doc_id", "norm_len", F.lit(n).alias("n"),
-            F.explode(_gram_col(n)).alias("gram"),
-        )
-        for n in (2, 3, 4)
-    ]
-    grams = rels[0].unionByName(rels[1]).unionByName(rels[2])
+
+    # ONE scan for all three gram widths: each width's grams tag
+    # themselves with n inside a struct array, the arrays concatenate
+    # row-locally, and a single explode yields the (doc, n, gram)
+    # relation — a three-branch union would re-scan the corpus per
+    # branch (only exchanges are reused across union arms, not scans)
+    def tagged(n: int) -> F.Column:
+        return F.when(
+            F.size("toks") >= n,
+            F.transform(
+                _gram_col(n),
+                lambda g: F.struct(
+                    F.lit(n).cast("int").alias("n"), g.alias("gram")
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n: int, gram: string>>"))
+
+    grams = toked.select(
+        "doc_id", "norm_len",
+        F.explode(F.concat(tagged(2), tagged(3), tagged(4))).alias("x"),
+    ).select(
+        "doc_id", "norm_len",
+        F.col("x").getField("n").alias("n"),
+        F.col("x").getField("gram").alias("gram"),
+    )
     counted = grams.groupBy("doc_id", "norm_len", "n", "gram").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )

@@ -44,12 +44,13 @@ def index_benchmark(bench_docs: DataFrame, index_dir: str) -> None:
 
 
 def curate_batch(
-    spark: SparkSession, batch: DataFrame, index_dir: str
+    spark: SparkSession, batch: DataFrame, bench: DataFrame
 ) -> DataFrame:
     """One micro-batch: quality metrics + verdict, PII counts + scrubbed
-    text, contamination gram-hit count vs the persisted benchmark index.
-    Pure function of (batch, index) — the test and the stream share it."""
-    bench = spark.read.parquet(os.path.join(index_dir, "bench_grams"))
+    text, contamination gram-hit count vs the benchmark gram set.  Pure
+    function of (batch, bench) — the test and the stream share it; the
+    stream loads ``bench`` ONCE (it is static for the stream's lifetime)
+    rather than re-reading parquet per micro-batch."""
     contam = (
         doc_gram_hashes(batch)
         .join(F.broadcast(bench), "gh")
@@ -94,10 +95,14 @@ def stream_curate(
         spark.readStream.schema("doc_id bigint, text string")
         .json(feed_dir)
     )
+    bench = spark.read.parquet(os.path.join(index_dir, "bench_grams"))
 
-    def _process(batch: DataFrame, _epoch: int) -> None:
-        curate_batch(spark, batch, index_dir).write.mode("append").parquet(
-            out_dir
+    def _process(batch: DataFrame, epoch: int) -> None:
+        # epoch-keyed overwrite: foreachBatch is at-least-once, so a
+        # retried micro-batch REPLACES its own partition instead of
+        # appending duplicate rows
+        curate_batch(spark, batch, bench).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={epoch}")
         )
 
     return (

@@ -394,3 +394,76 @@ def test_d16_packing_invariants(spark):
         # id on the floor grid — allowed; density is a dataset property)
         ids = sorted(p.pack_id for p in mine)
         assert ids[0] == 0 and len(set(ids)) == len(ids)
+
+
+def test_overlap_join_fractional_and_boundary_semantics(spark):
+    """overlap_join edge cases a review surfaced: sub-second interval
+    tails must still bin-collide (unix_timestamp truncation used to drop
+    them), and half-open intervals touching only at a shared endpoint
+    must NOT pair."""
+    import datetime as dt
+
+    from data_pipeline_spark.operators.range_join import overlap_join
+
+    t = lambda *a: dt.datetime(2024, 1, 1, *a)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, t(10, 0, 0), t(10, 0, 1, 500000)),   # frac tail crosses bin
+            (3, t(11, 0, 0), t(11, 0, 10)),          # ends exactly at b start
+        ],
+        "a_id int, a_start timestamp, a_end timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (2, t(10, 0, 1, 200000), t(10, 0, 2)),   # overlaps 1 by 0.3s
+            (4, t(11, 0, 10), t(11, 0, 20)),         # abuts 3: no overlap
+        ],
+        "b_id int, b_start timestamp, b_end timestamp",
+    )
+    got = {
+        (r.a_id, r.b_id)
+        for r in overlap_join(
+            left, right, "a_start", "a_end", "b_start", "b_end",
+            bin_seconds=1,
+        ).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_overlap_join_matches_theta_join(spark):
+    """Randomized intervals: the bin-bucketed operator must equal the
+    literal theta join exactly, each pair once."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.range_join import overlap_join
+
+    base = spark.range(60).select(
+        F.col("id").alias("a_id"),
+        F.timestamp_seconds(1700000000 + (F.col("id") * 977) % 5000)
+        .alias("a_start"),
+    ).withColumn(
+        "a_end", F.timestamp_seconds(
+            F.unix_timestamp("a_start") + 60 + (F.col("a_id") * 37) % 900)
+    )
+    other = base.select(
+        F.col("a_id").alias("b_id"), F.col("a_start").alias("b_start"),
+        F.col("a_end").alias("b_end"),
+    )
+    got = {
+        (r.a_id, r.b_id)
+        for r in overlap_join(
+            base, other, "a_start", "a_end", "b_start", "b_end",
+            bin_seconds=600,
+        ).filter(F.col("a_id") < F.col("b_id")).collect()
+    }
+    expect = {
+        (r.a_id, r.b_id)
+        for r in base.crossJoin(other)
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.col("a_start") < F.col("b_end"))
+            & (F.col("b_start") < F.col("a_end"))
+        )
+        .collect()
+    }
+    assert got == expect and len(expect) > 10
