@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from .registry import query
+from .text3 import _WS_SPLIT
 
 N_SIGS = 8  # min-hash permutations
 N_BANDS = 4  # bands of 2 rows each
@@ -125,7 +126,7 @@ def shingle_arrays_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     """(id, sh): distinct 3-word shingles per document as a row-local
     array — set-identical to exploding + distinct (pinned by the
     unchanged DuckDB oracles), but the dedup costs no shuffle."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), _WS_SPLIT)
     return (
         docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
         .filter(F.size("toks") >= 3)
@@ -144,9 +145,18 @@ def shingle_arrays_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
 def shingles_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, shingle): distinct 3-word shingles per document (exploded
     library form — the streaming dedup path joins new docs' shingles
-    against an accumulated index, so it needs the row relation)."""
-    return shingle_arrays_df(docs, id_col, text_col).select(
-        "id", F.explode("sh").alias("shingle")
+    against an accumulated index, so it needs the row relation).
+
+    The global distinct is REQUIRED here even though shingle arrays are
+    already row-locally deduped: an at-least-once feed can deliver the
+    same doc_id twice in one batch, and the streaming consumer's
+    count-based Jaccard (and its persisted index) would silently break
+    on duplicated (id, shingle) rows (caught by review after the r5 tier
+    rewrite dropped it)."""
+    return (
+        shingle_arrays_df(docs, id_col, text_col)
+        .select("id", F.explode("sh").alias("shingle"))
+        .distinct()
     )
 
 
@@ -163,15 +173,18 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     return shingles.groupBy("id").agg(*mins)
 
 
-def lsh_candidates(sigs: DataFrame) -> DataFrame:
-    """(id_a, id_b): distinct pairs sharing >=1 LSH band bucket.
+def bands_df(sigs: DataFrame) -> DataFrame:
+    """(id, band, bh): the LSH band keys of a signature relation — the
+    ONE construction both the batch candidate join and the streaming
+    index (streaming/dedup_stream.py) must share, so their bucket keys
+    cannot drift.
 
     The band fan-out is one explode of an inline struct array, not an
     N_BANDS-way unionAll: a union compiles one codegen class per branch
     per join side (8 here) and the one-time janino cost dominated the
     cold query wall-clock (measured on d08, same shape); the explode is
     a single compiled stage with identical rows."""
-    bands = sigs.select(
+    return sigs.select(
         "id",
         F.explode(
             F.array(
@@ -193,6 +206,11 @@ def lsh_candidates(sigs: DataFrame) -> DataFrame:
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def lsh_candidates(sigs: DataFrame) -> DataFrame:
+    """(id_a, id_b): distinct pairs sharing >=1 LSH band bucket."""
+    bands = bands_df(sigs)
     a, b_ = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -227,31 +245,6 @@ def verified_pairs_from_arrays(
     )
 
 
-def verified_pairs(shingles: DataFrame, candidates: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard computed ONLY on LSH candidates (exploded-relation
-    library form; the tier path uses verified_pairs_from_arrays)."""
-    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    sa, sb = shingles.alias("sa"), shingles.alias("sb")
-    inter = (
-        candidates.join(sa, F.col("id_a") == F.col("sa.id"))
-        .join(
-            sb,
-            (F.col("id_b") == F.col("sb.id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_both"))
-    )
-    na, nb = sizes.alias("na"), sizes.alias("nb")
-    jac = F.col("n_both").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("n_both"))
-    return (
-        inter.join(na, F.col("id_a") == F.col("na.id"))
-        .join(nb, F.col("id_b") == F.col("nb.id"))
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
-
-
 # ---------------------------------------------------------------------------
 # oracle SQL generators (same constructions in DuckDB dialect)
 # ---------------------------------------------------------------------------
@@ -262,7 +255,7 @@ _SHINGLES_SQL = """
                    unnest(list_transform(range(1, len(toks) - 1),
                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
             FROM (SELECT doc_id,
-                         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                         regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\f\r]+') AS toks
                   FROM documents)
             WHERE len(toks) >= 3
         )
@@ -411,8 +404,8 @@ CORPUS_CLEAN_ORACLE = f"""
     quality AS (
         SELECT doc_id FROM (
           SELECT doc_id,
-                 len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-                 len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 len(regexp_split_to_array(trim(text, ' '), '[ \t\n\f\r]+')) AS n_tokens,
+                 len(list_filter(regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\f\r]+'),
                                  t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop
           FROM documents
         ) WHERE n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5
@@ -434,8 +427,8 @@ def d13_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
 
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    low_toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(F.trim(F.col("text")), _WS_SPLIT)
+    low_toks = F.split(F.lower(F.trim(F.col("text"))), _WS_SPLIT)
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(low_toks, lambda t: t.isin("the", "a", "of", "and")))
     quality = docs.filter(
@@ -468,7 +461,7 @@ def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     16-bit hash leaves only 16 values per 4-bit band, so candidate
     buckets grow quadratically dense; 8-bit bands give 256 values and
     ~16x sparser buckets for the same pigeonhole-exact guarantee."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), _WS_SPLIT)
     # Per-doc word dedup is ROW-LOCAL (array_distinct) so the 32-sum
     # groupBy fully combines each doc map-side — the exchange carries
     # ~n_docs partial rows, not the word relation.  The previous
@@ -512,7 +505,7 @@ def _simhash_sql() -> str:
     return f"""
     words AS (
         SELECT DISTINCT doc_id AS id, w FROM (
-            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\f\r]+')) AS w
             FROM documents) WHERE w <> ''
     ),
     hashed AS (SELECT id, substr(md5(w), 1, {N_BITS // 4}) AS h FROM words),

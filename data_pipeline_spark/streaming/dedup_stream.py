@@ -23,22 +23,10 @@ from pyspark.sql import functions as F
 
 from ..queries.dedup import (
     JACCARD_T,
-    N_BANDS,
-    ROWS_PER_BAND,
+    bands_df as _bands,  # ONE band construction batch + streaming share
     minhash_signatures,
     shingles_df,
 )
-
-
-def _bands(sigs: DataFrame) -> DataFrame:
-    out = None
-    for b in range(N_BANDS):
-        cols = [F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        one = sigs.select(
-            "id", F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bh")
-        )
-        out = one if out is None else out.unionAll(one)
-    return out
 
 
 def index_corpus(docs: DataFrame, index_dir: str) -> None:

@@ -341,3 +341,49 @@ def test_d29_chunking_invariants(spark, tmp_path_factory, data):
         # and no unnecessary extra chunk was emitted
         if len(chunks) > 1:
             assert chunks[-2].start_tok + _CHUNK - 1 < n_toks
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_d07_minhash_matches_oracle_on_pathological_corpora(
+    spark, tmp_path_factory, data
+):
+    """The dedup family's tokenization is now the pinned whitespace
+    class + trim(x, ' ') (review finding: it was `\\s+`/bare trim, which
+    diverges between engines on VT/NBSP text); generative corpora with
+    those characters pin the parity through the full MinHash pipeline."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_spark.queries import QUERIES
+    from data_pipeline_spark.queries.dedup import clear_tier_cache
+
+    from .oracle_harness import compare
+
+    word = st.text(alphabet=_D20_ALPHABET.replace(".", "") + "cd", min_size=1,
+                   max_size=5)
+    doc = st.lists(word, min_size=3, max_size=10).map(" ".join)
+    docs = data.draw(st.lists(doc, min_size=2, max_size=8))
+    docs = docs + [docs[data.draw(st.integers(0, len(docs) - 1))]]  # a dup
+
+    sf = tmp_path_factory.mktemp("d07prop")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }),
+        str(sf / "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    clear_tier_cache()
+    try:
+        q = QUERIES["d07_minhash_lsh_pairs"]
+        ok, msg = compare(q.spark_fn(spark, str(sf)), con, q.oracle)
+        assert ok, msg
+    finally:
+        clear_tier_cache()
+        con.close()
