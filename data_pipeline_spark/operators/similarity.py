@@ -84,8 +84,14 @@ def ivf_centroids(corpus: DataFrame, k: int = 16, iters: int = 2) -> DataFrame:
     """IVF coarse quantizer: k centroids via deterministic k-means —
     seeds are the k lexically-first vectors (no RNG), then ``iters`` Lloyd
     steps as DataFrame joins (assign = broadcast-argmin, update = groupBy
-    mean). Returns (cluster_id, cemb). Deterministic end to end, so the
-    index is reproducible across builds."""
+    mean). Returns (cluster_id, cemb). Deterministic CROSS-ENGINE, not
+    just cross-run: per-dimension coordinate sums accumulate in DECIMAL
+    (order-independent — a double sum's value depends on reduction order,
+    so two engines, or two shuffles, can disagree in the last ulp and
+    legally flip an assignment at a boundary), and each mean is ROUNDed
+    to 9 digits before it re-enters the assignment — the centroid relation
+    is therefore an exact decimal artifact both Spark and the DuckDB
+    oracle (queries/vector._v04_oracle) reproduce bit-identically."""
     # cluster ids are used as deterministic tiebreaks downstream, so the
     # numbering must be reproducible: order by the seed's own neighbor_id
     # (a window over lit(1) after coalesce(1) has no guaranteed order)
@@ -102,11 +108,21 @@ def ivf_centroids(corpus: DataFrame, k: int = 16, iters: int = 2) -> DataFrame:
     for _ in range(iters):
         assigned = _assign(corpus, cents)
         # mean per (cluster, dimension): posexplode -> groupBy -> rebuild,
-        # the layout that scales (never a whole cluster in one row)
+        # the layout that scales (never a whole cluster in one row);
+        # decimal accumulation + fixed-scale rounding per the determinism
+        # contract above
         per_dim = (
             assigned.select("cluster_id", F.posexplode("nemb").alias("d", "v"))
             .groupBy("cluster_id", "d")
-            .agg(F.avg("v").alias("mean_v"))
+            .agg(
+                F.round(
+                    (
+                        F.sum(F.col("v").cast("decimal(30,15)")).cast("double")
+                        / F.count(F.lit(1))
+                    ),
+                    9,
+                ).alias("mean_v")
+            )
         )
         cents = (
             per_dim.groupBy("cluster_id")
@@ -125,9 +141,13 @@ def ivf_centroids(corpus: DataFrame, k: int = 16, iters: int = 2) -> DataFrame:
 
 def _assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: broadcast centroids, argmin by cosine
-    with deterministic (cluster_id) tiebreak."""
+    with deterministic (cluster_id) tiebreak.  round(sim, 6) before the
+    ranking: coarser grids make a cross-engine disagreement (the true
+    value landing within float noise of a rounding boundary) LESS likely,
+    and exact ties — which the grid makes more common — resolve by
+    cluster_id identically everywhere."""
     scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
-        "sim", F.round(cosine("nemb", "cemb"), 9)
+        "sim", F.round(cosine("nemb", "cemb"), 6)
     )
     w = W.partitionBy("neighbor_id").orderBy(F.desc("sim"), "cluster_id")
     return (
@@ -151,7 +171,7 @@ def knn_ivf(
     cents = ivf_centroids(corpus, n_clusters)
     indexed = _assign(corpus, cents)
     qscored = queries.crossJoin(F.broadcast(cents)).withColumn(
-        "sim", F.round(cosine("qemb", "cemb"), 9)
+        "sim", F.round(cosine("qemb", "cemb"), 6)
     )
     wq = W.partitionBy("query_id").orderBy(F.desc("sim"), "cluster_id")
     probes = (
@@ -159,6 +179,8 @@ def knn_ivf(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "qemb", "cluster_id")
     )
+    # clusters partition the corpus, so (query, neighbor) appears at most
+    # once across probes — no dedup exchange needed before the top-k
     pairs = (
         indexed.join(F.broadcast(probes), "cluster_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -166,8 +188,7 @@ def knn_ivf(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
-        pairs.dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("rn", F.row_number().over(w))
+        pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim")
     )

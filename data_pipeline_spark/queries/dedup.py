@@ -209,9 +209,35 @@ def bands_df(sigs: DataFrame) -> DataFrame:
 
 
 def lsh_candidates(sigs: DataFrame) -> DataFrame:
-    """(id_a, id_b): distinct pairs sharing >=1 LSH band bucket."""
-    bands = bands_df(sigs)
+    """(id_a, id_b): pairs sharing >=1 LSH band bucket, each emitted
+    EXACTLY ONCE — from its first shared band — so there is no
+    ``.distinct()`` exchange after the band join (the r5 shape shuffled
+    the candidate volume a second time; on a near-identical corpus most
+    qualifying pairs share all 4 bands, so that distinct processed the
+    result 2-4x over).  Same trick as simhash_candidates: each side
+    carries its full band-hash array (4 x 32 hex chars), and the join
+    keeps band s only when every band t < s differs between the two docs
+    — static per-band conjunctions, fully codegen.  Emission set is
+    identical to the distinct form (pinned by the unchanged oracle)."""
+    bh = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            )
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sigs.select(
+        "id", F.array(*bh).alias("bhs"), F.posexplode(F.array(*bh)).alias("band", "bh")
+    )
     a, b_ = bands.alias("a"), bands.alias("b")
+    differs = [F.col("a.bhs")[t] != F.col("b.bhs")[t] for t in range(N_BANDS)]
+    first_match = F.lit(False)
+    for s in range(N_BANDS - 1, -1, -1):
+        earlier_all_differ = F.lit(True)
+        for t in range(s):
+            earlier_all_differ = earlier_all_differ & differs[t]
+        first_match = F.when(F.col("a.band") == s, earlier_all_differ).otherwise(first_match)
     return (
         a.join(
             b_,
@@ -219,8 +245,8 @@ def lsh_candidates(sigs: DataFrame) -> DataFrame:
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .filter(first_match)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
 
 

@@ -253,10 +253,98 @@ def v03_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_lsh(queries_df, corpus, dim=_V03_DIM, k=_V03_K, n_planes=_V03_PLANES, n_tables=_V03_TABLES)
 
 
-@query("v04_ann_ivf", oracle=None, survey="similarity-ann-ivf")
+_V04_CLUSTERS, _V04_NPROBE, _V04_K, _V04_ITERS = 16, 6, 5, 2
+
+
+def _v04_oracle() -> str:
+    """DuckDB twin of the v04 IVF ANN — the ENTIRE deterministic k-means
+    replayed in SQL.  What makes this possible cross-engine (the r5
+    verdict's one `weak` item): operators/similarity.ivf_centroids
+    accumulates per-dimension coordinate sums in DECIMAL(30,15)
+    (order-independent, unlike a double sum) and ROUNDs each mean to 9
+    digits before it re-enters the assignment, so the centroid relation
+    is an exact decimal artifact; every ranking rounds to 6 digits with
+    cluster_id / neighbor_id tiebreaks.  Seeds are the 16
+    lexically-first vectors — no RNG anywhere."""
+    cos = (
+        "ROUND(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+
+    def assign(cents: str) -> str:
+        return f"""(
+        SELECT neighbor_id, nemb, cluster_id FROM (
+            SELECT v.vec_id AS neighbor_id, v.emb AS nemb, c.cluster_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {cos.format(a='v.emb', b='c.cemb')} DESC,
+                                c.cluster_id) AS rn
+            FROM vecs v CROSS JOIN {cents} c
+        ) WHERE rn = 1
+    )"""
+
+    def means(assigned: str) -> str:
+        return f"""(
+        SELECT cluster_id, list(mean_v ORDER BY d) AS cemb FROM (
+            SELECT cluster_id, d,
+                   ROUND(CAST(SUM(CAST(nemb[d + 1] AS DECIMAL(30,15))) AS DOUBLE)
+                         / COUNT(*), 9) AS mean_v
+            FROM {assigned} CROSS JOIN range(0, {_V03_DIM}) AS t(d)
+            GROUP BY cluster_id, d
+        ) GROUP BY cluster_id
+    )"""
+
+    steps = []
+    prev = "cents0"
+    for i in range(1, _V04_ITERS + 1):
+        steps.append(f"assign{i} AS {assign(prev)}")
+        steps.append(f"cents{i} AS {means(f'assign{i}')}")
+        prev = f"cents{i}"
+    lloyd = ",\n    ".join(steps)
+
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    cents0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, emb AS cemb
+        FROM (SELECT vec_id, emb FROM vecs ORDER BY vec_id LIMIT {_V04_CLUSTERS})
+    ),
+    {lloyd},
+    indexed AS {assign(prev)},
+    probes AS (
+        SELECT query_id, qemb, cluster_id FROM (
+            SELECT v.vec_id AS query_id, v.emb AS qemb, c.cluster_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {cos.format(a='v.emb', b='c.cemb')} DESC,
+                                c.cluster_id) AS rn
+            FROM vecs v CROSS JOIN {prev} c
+            WHERE v.vec_id < 10
+        ) WHERE rn <= {_V04_NPROBE}
+    ),
+    pairs AS (
+        SELECT p.query_id, i.neighbor_id,
+               {cos.format(a='p.qemb', b='i.nemb')} AS cos_sim
+        FROM probes p JOIN indexed i USING (cluster_id)
+        WHERE p.query_id <> i.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM pairs
+    ) WHERE rn <= {_V04_K}
+    """
+
+
+@query("v04_ann_ivf", oracle=_v04_oracle(), survey="similarity-ann-ivf")
 def v04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-5 (rows-only; recall 0.89 asserted in tests). The
-    coarse quantizer is deterministic k-means — reproducible index."""
+    """IVF ANN top-5, hash-verified: deterministic k-means coarse
+    quantizer (decimal-accumulated rounded means — see _v04_oracle) with
+    the full 2-iteration Lloyd loop replayed in DuckDB.  Recall vs brute
+    force is asserted separately in tests/test_operators.py."""
     from ..operators.similarity import knn_ivf
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -266,7 +354,9 @@ def v04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb"))
-    return knn_ivf(queries_df, corpus, k=5, n_clusters=16, nprobe=6)
+    return knn_ivf(
+        queries_df, corpus, k=_V04_K, n_clusters=_V04_CLUSTERS, nprobe=_V04_NPROBE
+    )
 
 
 @query(

@@ -74,10 +74,32 @@ def test_d09_embedding_bucketed_no_cross_selfjoin(spark):
 
 def test_d07_minhash_band_join_only(spark):
     """d07's only joins are (band, band_hash) candidate generation and the
-    candidate-bounded verification — never a shingle-index theta self-join."""
-    plan = _plan(spark, "d07_minhash_lsh_pairs")
+    candidate-bounded verification — never a shingle-index theta self-join —
+    and candidate pairs are emitted once (first-shared-band), so no
+    distinct exchange keyed on the pair may appear.  Built from the
+    builders directly (the declared query returns the checkpointed tier,
+    whose plan is just a scan)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.catalog import load_table
+    from data_pipeline_spark.queries.dedup import (
+        JACCARD_T,
+        lsh_candidates,
+        minhash_signatures,
+        shingle_arrays_df,
+        verified_pairs_from_arrays,
+    )
+
+    da = shingle_arrays_df(load_table(spark, SF, "documents"))
+    sigs = minhash_signatures(da.select("id", F.explode("sh").alias("shingle")))
+    df = verified_pairs_from_arrays(da, lsh_candidates(sigs), JACCARD_T)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    pair_dedup = re.findall(r"HashAggregate\(keys=\[id_a[^\]]*id_b", plan)
+    assert not pair_dedup, pair_dedup
 
 
 def test_dsl_planner_is_memoized_and_cached(spark):
