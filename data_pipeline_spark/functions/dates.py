@@ -90,6 +90,128 @@ def _interval(y0, mo0=None, d0=None, h0=None, mi0=None, s0=None):
     return (_iso(*b), _iso(*e), epoch_seconds(*b), epoch_seconds(*e))
 
 
+# ---------------------------------------------------------------------------
+# Hebrew-calendar tail (F1): the reference treats parsed years > 4500 as
+# Hebrew-calendar dates (4500 AM ~= 740 CE) and converts them to Gregorian
+# via pyluach (`mapper_utils.py:200-208`, applied at `:429-431,489`).
+# pyluach is not in this environment, so the small fixed-point arithmetic
+# (standard molad/dechiyot computation, as in Calendrical Calculations and
+# hebcal) is vendored here.  Month numbering follows pyluach/biblical
+# convention — 1=Nissan..6=Elul, 7=Tishrei..12=Adar (13=Adar II in leap
+# years) — with the year incrementing at Tishrei, so months 7..13 of year
+# y fall BEFORE months 1..6 of the same y chronologically.
+# ---------------------------------------------------------------------------
+
+
+def _hebrew_leap(y: int) -> bool:
+    return (7 * y + 1) % 19 < 7
+
+
+def _hebrew_elapsed_days(y: int) -> int:
+    """Days from the Hebrew epoch to Tishrei 1 of year y, including the
+    molad-zaken and weekday postponement rules (dechiyot)."""
+    months = 235 * ((y - 1) // 19) + 12 * ((y - 1) % 19) + (7 * ((y - 1) % 19) + 1) // 19
+    parts = 204 + 793 * (months % 1080)
+    hours = 5 + 12 * months + 793 * (months // 1080) + parts // 1080
+    day = 1 + 29 * months + hours // 24
+    parts = 1080 * (hours % 24) + parts % 1080
+    if (
+        parts >= 19440
+        or (day % 7 == 2 and parts >= 9924 and not _hebrew_leap(y))
+        or (day % 7 == 1 and parts >= 16789 and _hebrew_leap(y - 1))
+    ):
+        day += 1
+    if day % 7 in (0, 3, 5):
+        day += 1
+    return day
+
+
+def _hebrew_month_lengths(y: int) -> list[tuple[int, int]]:
+    """[(pyluach_month_no, n_days)] in CHRONOLOGICAL (Tishrei-first)
+    order for Hebrew year y."""
+    year_days = _hebrew_elapsed_days(y + 1) - _hebrew_elapsed_days(y)
+    long_cheshvan = year_days % 10 == 5
+    short_kislev = year_days % 10 == 3
+    out = [
+        (7, 30),  # Tishrei
+        (8, 30 if long_cheshvan else 29),  # Cheshvan
+        (9, 29 if short_kislev else 30),  # Kislev
+        (10, 29),  # Teves
+        (11, 30),  # Shevat
+    ]
+    if _hebrew_leap(y):
+        out += [(12, 30), (13, 29)]  # Adar I, Adar II
+    else:
+        out += [(12, 29)]  # Adar
+    out += [(1, 30), (2, 29), (3, 30), (4, 29), (5, 30), (6, 29)]
+    return out
+
+
+# our day number (days since 0001-01-01 proleptic Gregorian = RD - 1) of
+# the day before Tishrei 1, AM 1 — i.e. days = _HEBREW_EPOCH_DAYS +
+# elapsed + offset-in-year.  Verified against known conversions in
+# tests/test_functions.py (Tishrei 1 5730 = 1969-09-13, etc.).
+_HEBREW_EPOCH_DAYS = -1373429
+
+
+def _gregorian_from_days(n: int) -> tuple[int, int, int]:
+    """Inverse of the day count used by epoch_seconds: day n (0 =
+    0001-01-01) -> proleptic-Gregorian (y, m, d)."""
+    y = (400 * n) // 146097 + 1
+    while _days_before_year(y + 1) <= n:
+        y += 1
+    rem = n - _days_before_year(y)
+    m = 1
+    while rem >= _days_in_month(y, m):
+        rem -= _days_in_month(y, m)
+        m += 1
+    return y, m, rem + 1
+
+
+def hebrew_to_gregorian(y: int, m: int, d: int) -> tuple[int, int, int] | None:
+    """Hebrew (y, m, d) in pyluach month numbering -> proleptic-Gregorian
+    (y, m, d); None if the Hebrew date is invalid (month out of range for
+    the year, or day past the month's length)."""
+    lengths = _hebrew_month_lengths(y)
+    offset = 0
+    for month_no, n_days in lengths:
+        if month_no == m:
+            if not 1 <= d <= n_days:
+                return None
+            return _gregorian_from_days(
+                _HEBREW_EPOCH_DAYS + _hebrew_elapsed_days(y) + offset + d - 1
+            )
+        offset += n_days
+    return None  # month 13 in a non-leap year
+
+
+def _hebrew_interval(y: int, mo: int | None, d: int | None):
+    """Widen a Hebrew-calendar date to a Gregorian [begin, end] interval
+    at the given precision, widening WITHIN the Hebrew calendar: a bare
+    year spans [Tishrei 1, Elul 29] (the reference widens in Gregorian
+    month numbers first and then converts, which raises on day-31 Adar —
+    we define the in-calendar semantics instead and return None only for
+    genuinely invalid dates)."""
+    lengths = _hebrew_month_lengths(y)
+    if mo is None:
+        b = hebrew_to_gregorian(y, 7, 1)  # Tishrei 1
+        e = hebrew_to_gregorian(y, 6, 29)  # Elul 29
+    else:
+        n_days = dict(lengths).get(mo)
+        if n_days is None:
+            return None
+        b = hebrew_to_gregorian(y, mo, d if d is not None else 1)
+        e = hebrew_to_gregorian(y, mo, d if d is not None else n_days)
+    if b is None or e is None:
+        return None
+    return (
+        _iso(*b, 0, 0, 0),
+        _iso(*e, 23, 59, 59),
+        epoch_seconds(*b),
+        epoch_seconds(*e, 23, 59, 59),
+    )
+
+
 _ISO_RE = re.compile(
     r"^(-?\d{1,6})(?:-(\d{1,2})(?:-(\d{1,2})(?:[t ](\d{1,2}):(\d{2})(?::(\d{2}))?)?)?)?$"
 )
@@ -136,6 +258,12 @@ def parse_datetime(text):
             return None
         parts = [int(g) if g is not None else None for g in m.groups()[1:]]
         mo, d, h, mi, s = parts
+        if y > 4500:
+            # most likely Hebrew calendar; 4500 AM ~= 740 CE
+            # (mapper_utils.py:200-208, applied at :429-431,489)
+            if mo is not None and not 1 <= mo <= 13:
+                return None
+            return _hebrew_interval(y, mo, d)
         if mo is not None and not 1 <= mo <= 12:
             return None
         if d is not None and not 1 <= d <= _days_in_month(y, mo):

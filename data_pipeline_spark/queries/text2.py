@@ -567,6 +567,13 @@ _F01_CASES = [
     ("1888-1912", "1888-01-01T00:00:00", "1912-12-31T23:59:59", -2587680000, -1798761601),
     ("19??", "1900-01-01T00:00:00", "1999-12-31T23:59:59", -2208988800, 946684799),
     ("-0450", "-0450-01-01T00:00:00", "-0450-12-31T23:59:59", -76367836800, -76336300801),
+    # Hebrew-calendar tail (years > 4500, mapper_utils.py:200-208): day
+    # precision (Sivan 15 5730), bare year (Tishrei 1..Elul 29) and month
+    # precision (Tishrei 5785) — golden values verified against known
+    # conversions (Rosh Hashanah/Passover anchors, tests/test_functions.py)
+    ("5730-03-15", "1970-06-19T00:00:00", "1970-06-19T23:59:59", 14601600, 14687999),
+    ("5730", "1969-09-13T00:00:00", "1970-09-30T23:59:59", -9504000, 23587199),
+    ("5785-07", "2024-10-03T00:00:00", "2024-11-01T23:59:59", 1727913600, 1730505599),
     ("junk date", None, None, None, None),
 ]
 

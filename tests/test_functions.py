@@ -76,6 +76,14 @@ CASES = {
     "1903?": ("1903-01-01T00:00:00", "1903-12-31T23:59:59"),
     "1900-1910": ("1900-01-01T00:00:00", "1910-12-31T23:59:59"),
     "1900/1910": ("1900-01-01T00:00:00", "1910-12-31T23:59:59"),
+    # Hebrew-calendar tail: years > 4500 (mapper_utils.py:200-208);
+    # anchors — 5730 = Rosh Hashanah 1969-09-13, Passover (Nissan 15)
+    # 1970-04-21; Sivan 15 is 50+9 days after Passover
+    "5730-03-15": ("1970-06-19T00:00:00", "1970-06-19T23:59:59"),
+    "5730-01-15": ("1970-04-21T00:00:00", "1970-04-21T23:59:59"),
+    "5730-07-01": ("1969-09-13T00:00:00", "1969-09-13T23:59:59"),
+    "5730": ("1969-09-13T00:00:00", "1970-09-30T23:59:59"),
+    "5785-07": ("2024-10-03T00:00:00", "2024-11-01T23:59:59"),
 }
 
 
@@ -90,7 +98,12 @@ def test_parse_datetime(text):
     year = int(b.split("-0" if b.startswith("-") else "-", 1)[0] or b[:5])
 
 
-@pytest.mark.parametrize("text", [None, "", "unknown", "not a date", "13.13.1984", "99999999"])
+@pytest.mark.parametrize(
+    "text",
+    [None, "", "unknown", "not a date", "13.13.1984", "99999999",
+     # invalid Hebrew dates: Adar II in a non-leap year, day 30 of Iyar
+     "5731-13-01", "5730-02-30"],
+)
 def test_parse_datetime_rejects(text):
     assert parse_datetime(text) is None
 

@@ -61,10 +61,12 @@ def test_epoch_seconds_year_monotonic_incl_bce(y):
     )
 
 
-@given(st.integers(min_value=-4999, max_value=9999))
+@given(st.integers(min_value=-4999, max_value=4500))
 @settings(max_examples=200, deadline=None)
 def test_parse_iso_year_interval_consistency(y):
-    """ISO year strings parse to [Jan 1, Dec 31] with matching seconds."""
+    """ISO year strings parse to [Jan 1, Dec 31] with matching seconds.
+    Capped at 4500: greater years are Hebrew-calendar dates (F1 tail,
+    properties below)."""
     iso = f"{'-' if y < 0 else ''}{abs(y):04d}"
     r = parse_datetime(iso)
     if y == 0:
@@ -73,6 +75,43 @@ def test_parse_iso_year_interval_consistency(y):
     b, e, bs, es = r
     assert bs == epoch_seconds(y, 1, 1)
     assert es == epoch_seconds(y, 12, 31, 23, 59, 59)
+
+
+@given(st.integers(min_value=4501, max_value=6500))
+@settings(max_examples=100, deadline=None)
+def test_hebrew_year_lengths_valid(y):
+    """Vendored Hebrew arithmetic: every year length is one of the six
+    halachically possible values, and the parsed bare-year interval spans
+    exactly that many days."""
+    from data_pipeline_spark.functions.dates import _hebrew_elapsed_days
+
+    n = _hebrew_elapsed_days(y + 1) - _hebrew_elapsed_days(y)
+    assert n in (353, 354, 355, 383, 384, 385)
+    b, e, bs, es = parse_datetime(str(y))
+    assert es - bs == n * 86400 - 1
+
+
+@given(
+    st.integers(min_value=4501, max_value=6500),
+    st.integers(min_value=1, max_value=13),
+    st.integers(min_value=1, max_value=29),
+)
+@settings(max_examples=200, deadline=None)
+def test_hebrew_dates_map_to_consecutive_gregorian_days(y, m, d):
+    """Round-trip vs epoch seconds: a valid Hebrew date parses with
+    begin_sec == epoch_seconds of its Gregorian conversion, and the next
+    Hebrew day within the month is exactly one Gregorian day later."""
+    from data_pipeline_spark.functions.dates import hebrew_to_gregorian
+
+    g = hebrew_to_gregorian(y, m, d)
+    if g is None:
+        assert parse_datetime(f"{y}-{m:02d}-{d:02d}") is None
+        return
+    r = parse_datetime(f"{y}-{m:02d}-{d:02d}")
+    assert r is not None and r[2] == epoch_seconds(*g)
+    g2 = hebrew_to_gregorian(y, m, d + 1)
+    if g2 is not None:
+        assert epoch_seconds(*g2) - epoch_seconds(*g) == 86400
 
 
 # ------------------------------------------------------------- geometry
