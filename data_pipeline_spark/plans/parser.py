@@ -5,13 +5,22 @@ query_token_rules.py — tokens BOOL/LPAREN/RPAREN/COMMA/WORD/COLON/QUOTE/COMP
 — re-implemented from scratch as a regex lexer + recursive descent):
 
     expr  := BOOL '(' expr (',' expr)* ')'          BOOL in {AND, OR, NOT}
+           | 'ANDNOT' '(' expr ',' expr ')'         positive NOT negative
+           | 'BOOST' '(' expr ',' expr ')'          baseline, boosted (ranking)
+           | 'NEAR' '(' expr (',' expr)* [',' number] ')'   word proximity
            | ['^'] WORD '(' expr (',' expr)* ')'    relationship traversal
            | WORD COMP value                        leaf field comparison
     value := '"' chars '"' | number | word
     COMP  := = | != | > | >= | < | <= | ~     (~ = tokenized word match, Q4)
 
 Relationship children are an implicit AND. `^rel` is the inverse traversal
-(Q6: documents pointed TO by matches).
+(Q6: documents pointed TO by matches).  ANDNOT/BOOST/NEAR are the
+remaining boolean tokens of the reference grammar (`ml_lexer.py:328`,
+cts `andNotQuery`/`boostQuery`/`nearQuery`, cts.py:30-60,131): ANDNOT is
+binary difference, BOOST keeps the baseline's membership and only
+affects ranking (SearchPlanner.search_scored), NEAR takes word-query
+leaves plus an optional trailing token distance (default 10, the cts
+default).
 """
 
 from __future__ import annotations
@@ -34,6 +43,8 @@ _TOKEN_RE = re.compile(
 )
 
 BOOL_OPS = {"AND", "OR", "NOT"}
+BINARY_OPS = {"ANDNOT", "BOOST"}
+NEAR_DEFAULT_DISTANCE = 10
 
 
 @dataclass
@@ -45,8 +56,14 @@ class Leaf:
 
 @dataclass
 class Bool:
-    op: str  # AND | OR | NOT
+    op: str  # AND | OR | NOT | ANDNOT | BOOST
     children: list
+
+
+@dataclass
+class Near:
+    children: list  # word-query leaves
+    distance: int
 
 
 @dataclass
@@ -100,6 +117,18 @@ class _Parser:
             if val == "NOT" and len(children) != 1:
                 raise ValueError("NOT takes exactly one argument")
             return Bool(val, children)
+        if val in BINARY_OPS:
+            self.eat("word")
+            children = self._parse_args()
+            if len(children) != 2:
+                raise ValueError(f"{val} takes exactly two arguments")
+            return Bool(val, children)
+        if val == "NEAR":
+            self.eat("word")
+            children, distance = self._parse_near_args()
+            if len(children) < 2:
+                raise ValueError("NEAR takes at least two word queries")
+            return Near(children, distance)
         nxt_kind, _ = self.peek(1)
         if nxt_kind == "lparen":
             name = self.eat("word")
@@ -119,6 +148,21 @@ class _Parser:
             children.append(self.parse_expr())
         self.eat("rparen")
         return children
+
+    def _parse_near_args(self) -> tuple[list, int]:
+        """NEAR's argument list: word queries, optionally ending in a bare
+        number — the token distance (cts.nearQuery's second argument)."""
+        self.eat("lparen")
+        children = [self.parse_expr()]
+        distance = NEAR_DEFAULT_DISTANCE
+        while self.peek()[0] == "comma":
+            self.eat("comma")
+            if self.peek()[0] == "number" and self.peek(1)[0] == "rparen":
+                distance = int(float(self.eat("number")))
+                break
+            children.append(self.parse_expr())
+        self.eat("rparen")
+        return children, distance
 
     def _parse_leaf(self) -> Leaf:
         field = self.eat("word")
@@ -151,6 +195,8 @@ def parse_json(clause: dict):
     clauses. Shapes:
 
         {"AND": [c1, c2, ...]} / {"OR": [...]} / {"NOT": [c]}
+        {"ANDNOT": [pos, neg]} / {"BOOST": [base, boost]}
+        {"NEAR": [w1, w2, ...], "_distance": 3}
         {"field": value}                       -> equality leaf
         {"field": value, "_comp": ">="}        -> comparison leaf
         {"rel": {subclause}}                   -> relationship traversal
@@ -164,11 +210,18 @@ def parse_json(clause: dict):
         raise ValueError(f"clause needs exactly one operator key, got {keys}")
     key = keys[0]
     val = clause[key]
-    if key in BOOL_OPS:
+    if key in BOOL_OPS or key in BINARY_OPS:
         children = [parse_json(c) for c in (val if isinstance(val, list) else [val])]
         if key == "NOT" and len(children) != 1:
             raise ValueError("NOT takes exactly one clause")
+        if key in BINARY_OPS and len(children) != 2:
+            raise ValueError(f"{key} takes exactly two clauses")
         return Bool(key, children)
+    if key == "NEAR":
+        children = [parse_json(c) for c in (val if isinstance(val, list) else [val])]
+        if len(children) < 2:
+            raise ValueError("NEAR takes at least two word queries")
+        return Near(children, int(clause.get("_distance", NEAR_DEFAULT_DISTANCE)))
     if isinstance(val, dict):
         inverse = key.startswith("^")
         return Rel(key.lstrip("^"), inverse, parse_json(val))

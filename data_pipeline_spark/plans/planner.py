@@ -21,7 +21,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .parser import Bool, Leaf, Rel, parse
+from .parser import Bool, Leaf, Near, Rel, parse
 
 _OPS = {
     "=": lambda c, v: c == v,
@@ -68,7 +68,14 @@ class SearchPlanner:
         """Q3's BOOST: rank the primary query's matches by whether they
         also satisfy the boost query (cts boostQuery semantics — boost
         affects order, never membership). Returns (id, score) with
-        score = 1 + 1 per satisfied boost, deterministically ordered."""
+        score = 1 + 1 per satisfied boost, deterministically ordered.
+
+        A top-level BOOST(base, boosted) in the query string itself (the
+        string-grammar surface, ml_lexer.py:328) splits into its two legs
+        here — equivalent to passing them separately."""
+        ast = parse(query) if isinstance(query, str) else query
+        if boost is None and isinstance(ast, Bool) and ast.op == "BOOST":
+            query, boost = ast.children
         ids = self.plan(query)
         if boost is None:
             return ids.withColumn("score", F.lit(1))
@@ -112,6 +119,50 @@ class SearchPlanner:
             .distinct()
         )
 
+    def _near_condition(self, node: Near):
+        """cts nearQuery (cts.py:131) over a field column: every
+        consecutive pair of word queries must co-occur within
+        ``node.distance`` tokens.  Row-local: token positions via a
+        two-arg transform + filter, proximity via nested exists — no
+        explode, no join, so NEAR composes into any plan as a plain
+        filter (the d11 declared query is the exploded-join twin for the
+        documents table).  Children must be word-query leaves (`~`) on
+        the same field."""
+        leaves = node.children
+        for c in leaves:
+            if not isinstance(c, Leaf) or c.op != "~":
+                raise ValueError("NEAR children must be word queries (field~word)")
+        fields = {self.field_map.get(c.field, c.field) for c in leaves}
+        if len(fields) != 1:
+            raise ValueError(f"NEAR children must target one field, got {fields}")
+        toks = F.split(F.lower(F.col(fields.pop())), r"\W+")
+
+        def positions(word: str):
+            return F.filter(
+                F.transform(
+                    toks,
+                    lambda t, i: F.when(t == F.lit(str(word).lower()), i).otherwise(
+                        F.lit(None)
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+
+        cond = F.lit(True)
+        for a, b in zip(leaves, leaves[1:]):
+            pa, pb = positions(a.value), positions(b.value)
+
+            def pair_cond(pa, pb):
+                return F.exists(
+                    pa,
+                    lambda x: F.exists(
+                        pb, lambda y: F.abs(x - y) <= F.lit(node.distance)
+                    ),
+                )
+
+            cond = cond & pair_cond(pa, pb)
+        return cond
+
     # -- recursive plan builder ------------------------------------------
     def _plan(self, node) -> DataFrame:
         if isinstance(node, Leaf):
@@ -128,7 +179,18 @@ class SearchPlanner:
             if node.op == "NOT":
                 matched = self._plan(node.children[0])
                 return self.entities.select("id").join(matched, "id", "left_anti")
+            if node.op == "ANDNOT":
+                # cts andNotQuery(positive, negative): set difference as a
+                # direct anti-join — no universe scan, unlike AND(x, NOT(y))
+                pos, neg = node.children
+                return self._plan(pos).join(self._plan(neg), "id", "left_anti")
+            if node.op == "BOOST":
+                # cts boostQuery: membership is the BASELINE's alone — the
+                # boost leg only affects ranking (search_scored)
+                return self._plan(node.children[0])
             raise ValueError(f"unknown bool op {node.op}")
+        if isinstance(node, Near):
+            return self.entities.filter(self._near_condition(node)).select("id")
         if isinstance(node, Rel):
             sub = self._plan(node.child)
             e = self.edges.filter(F.col("predicate") == node.predicate)

@@ -220,3 +220,45 @@ def dsl_q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     return planner.plan(
         'AND(type=part, ^contains(AND(type=order, placed_by(in_nation(name="NATION_7")))))'
     )
+
+
+@query(
+    "dsl_q11_near_andnot_boost",
+    oracle=r"""
+    WITH toks AS (
+        SELECT p_partkey,
+               regexp_split_to_array(lower(p_name), '\W+') AS t
+        FROM part
+    ),
+    pos AS (
+        SELECT p_partkey,
+               list_filter(list_transform(range(1, len(t) + 1),
+                   i -> CASE WHEN t[i] = 'small' THEN i ELSE NULL END),
+                   x -> x IS NOT NULL) AS ps,
+               list_filter(list_transform(range(1, len(t) + 1),
+                   i -> CASE WHEN t[i] = 'bolt' THEN i ELSE NULL END),
+                   x -> x IS NOT NULL) AS pb,
+               list_contains(t, 'small') AS has_small,
+               list_contains(t, 'gizmo') AS has_gizmo
+        FROM toks
+    )
+    SELECT 'part:' || p_partkey AS id,
+           CASE WHEN has_gizmo THEN 2 ELSE 1 END AS score
+    FROM pos
+    WHERE has_small
+      AND NOT len(list_filter(ps,
+              x -> len(list_filter(pb, y -> abs(x - y) <= 1)) > 0)) > 0
+    """,
+    survey="Q3",
+)
+def dsl_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining string-grammar boolean tokens (ml_lexer.py:328, cts
+    andNotQuery/boostQuery/nearQuery) in ONE query parsed from the string
+    surface: parts whose name word-matches 'small' ANDNOT 'small' NEAR
+    'bolt' (distance 1), BOOSTed (+1 score, membership unchanged) when
+    the name also contains 'gizmo'."""
+    planner = build_planner(spark, sf_dir)
+    return planner.search_scored(
+        "BOOST(ANDNOT(AND(type=part, name~small),"
+        " NEAR(name~small, name~bolt, 1)), AND(type=part, name~gizmo))"
+    )

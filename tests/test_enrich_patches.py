@@ -256,6 +256,40 @@ def test_parse_json_comp_and_inverse():
     assert rel.child == Leaf("number", ">", 9500)
 
 
+def test_parse_near_andnot_boost_tokens():
+    """The remaining reference grammar tokens (ml_lexer.py:328): string
+    and JSON surfaces produce the same AST; arity and the optional
+    trailing NEAR distance are enforced."""
+    import pytest
+
+    from data_pipeline_spark.plans.parser import Near
+
+    s = parse('BOOST(ANDNOT(name~small, NEAR(name~small, name~bolt, 1)), name~gizmo)')
+    assert isinstance(s, Bool) and s.op == "BOOST" and len(s.children) == 2
+    an = s.children[0]
+    assert isinstance(an, Bool) and an.op == "ANDNOT"
+    near = an.children[1]
+    assert isinstance(near, Near) and near.distance == 1
+    assert near.children == [Leaf("name", "~", "small"), Leaf("name", "~", "bolt")]
+    # default distance = 10 (the cts default) when no trailing number
+    assert parse("NEAR(name~a, name~b)").distance == 10
+    j = parse_json(
+        {"BOOST": [
+            {"ANDNOT": [{"name": "small", "_comp": "~"},
+                        {"NEAR": [{"name": "small", "_comp": "~"},
+                                  {"name": "bolt", "_comp": "~"}], "_distance": 1}]},
+            {"name": "gizmo", "_comp": "~"},
+        ]}
+    )
+    assert j == s
+    with pytest.raises(ValueError):
+        parse("ANDNOT(name~a)")
+    with pytest.raises(ValueError):
+        parse("NEAR(name~a)")
+    with pytest.raises(ValueError):
+        parse("BOOST(name~a, name~b, name~c)")
+
+
 # ------------------------------------------------------------- registry
 def _double_mapper(df):
     return df.withColumn("v", F.col("v") * 2)
