@@ -1,14 +1,25 @@
 """Record validation stage (SURVEY §1.4): schema enforcement + rule checks
 emitting an ``errors ARRAY<STRING>`` column.
 
-The reference optionally validates each record against per-class JSON
-Schemas at acquire time and warns-but-continues
+The reference validates each record against per-class Linked Art 1.0 JSON
+Schemas (Draft 2020-12) at acquire time and warns-but-continues
 (process/validator.py:10-80, process/base/acquirer.py:58-86 in
 /root/reference). Spark restatement: `from_json` already enforces the
-structural schema (mistyped fields parse to NULL); this stage adds the
-semantic rules as column expressions — no jsonschema library, no Python
-loop, errors ride alongside the record so downstream stages can filter or
-route to a quarantine sink without losing data.
+structural field types (mistyped fields parse to NULL); this module adds
+
+- the semantic rules (parseability, id, class membership, name/equivalent
+  shape) as column expressions, and
+- the LOAD-BEARING SUBSET of the per-class schemas as config-driven
+  structural rules (``CLASS_SCHEMA`` / ``SCHEMA_RULES``): the schema
+  aliasing table (validator.py:22-52 — Period/Activity validate as event,
+  Material/Currency/Language/MeasurementUnit as concept), per-schema
+  required properties, and the additionalProperties check with the
+  reference's underscore exemption (validator.py:14-17,79-84 —
+  `_`-prefixed local extension properties always pass).
+
+No jsonschema library, no Python loop: every check is a column
+expression, errors ride alongside the record so downstream stages can
+filter or route to a quarantine sink without losing data.
 """
 
 from __future__ import annotations
@@ -18,29 +29,129 @@ from pyspark.sql import functions as F
 
 from .envelope import with_doc
 
-OK_RECORD_TYPES = (
-    "HumanMadeObject", "Type", "Material", "Language", "Currency",
-    "MeasurementUnit", "Person", "Group", "Set", "Place", "VisualItem",
-    "LinguisticObject", "DigitalObject", "Activity", "Event", "Period",
+# class -> schema name (the reference's schema_map, validator.py:22-52)
+CLASS_SCHEMA = {
+    "DigitalObject": "digital",
+    "Group": "group",
+    "VisualItem": "image",
+    "HumanMadeObject": "object",
+    "Person": "person",
+    "Place": "place",
+    "Set": "set",
+    "LinguisticObject": "text",
+    "Type": "concept",
+    "Event": "event",
+    "Period": "event",
+    "Activity": "event",
+    "Material": "concept",
+    "Currency": "concept",
+    "Language": "concept",
+    "MeasurementUnit": "concept",
+}
+
+OK_RECORD_TYPES = tuple(CLASS_SCHEMA)
+
+# properties every class schema allows (Linked Art core.json)
+CORE_PROPERTIES = (
+    "@context", "id", "type", "_label", "identified_by", "classified_as",
+    "referred_to_by", "equivalent", "representation", "member_of",
+    "subject_of", "attributed_by", "dimension", "part_of",
 )
 
+# per-schema structural rules: required top-level properties beyond
+# id/type (checked separately) and the class-specific allowed properties
+# on top of CORE_PROPERTIES.  Config-driven — callers can pass an
+# extended/replacement dict to validate_records.
+SCHEMA_RULES: dict[str, dict[str, tuple[str, ...]]] = {
+    "person": {
+        "required": ("_label",),
+        "allowed": ("born", "died", "carried_out", "residence", "contact_point"),
+    },
+    "group": {
+        "required": ("_label",),
+        "allowed": ("formed_by", "dissolved_by", "carried_out", "residence"),
+    },
+    "object": {
+        "required": ("_label",),
+        "allowed": (
+            "produced_by", "destroyed_by", "encountered_by", "made_of",
+            "current_owner", "current_location", "current_keeper", "shows",
+            "carries", "used_for", "number_of_parts",
+        ),
+    },
+    "place": {
+        "required": ("_label",),
+        "allowed": ("defined_by", "approximated_by"),
+    },
+    "digital": {
+        "required": ("_label",),
+        "allowed": (
+            "format", "access_point", "conforms_to", "digitally_carries",
+            "digitally_shows", "used_for", "created_by",
+        ),
+    },
+    "image": {
+        "required": ("_label",),
+        "allowed": ("about", "represents", "digitally_shown_by", "shown_by",
+                    "created_by"),
+    },
+    "set": {
+        "required": ("_label",),
+        "allowed": ("about", "created_by", "members_exemplified_by", "used_for"),
+    },
+    "text": {
+        "required": ("_label",),
+        "allowed": ("about", "language", "content", "created_by",
+                    "carried_by", "digitally_carried_by", "used_for"),
+    },
+    "concept": {
+        "required": ("_label",),
+        "allowed": ("broader", "created_by"),
+    },
+    "event": {
+        "required": ("_label",),
+        "allowed": (
+            "timespan", "took_place_at", "carried_out_by", "caused_by",
+            "used_specific_object", "influenced_by", "part",
+        ),
+    },
+}
 
-def _rule(cond: Column, message: str) -> Column:
-    return F.when(cond, F.lit(message))
+
+def _rule(cond: Column, message) -> Column:
+    return F.when(cond, message if isinstance(message, Column) else F.lit(message))
 
 
-def validate_records(records: DataFrame) -> DataFrame:
+def _schema_col() -> Column:
+    expr = F.lit(None).cast("string")
+    for cls, schema in CLASS_SCHEMA.items():
+        expr = F.when(F.col("doc.type") == cls, F.lit(schema)).otherwise(expr)
+    return expr
+
+
+def validate_records(
+    records: DataFrame,
+    schema_rules: dict[str, dict[str, tuple[str, ...]]] | None = None,
+) -> DataFrame:
     """Attach ``errors: array<string>`` (empty = valid).
 
-    Rules (the checks the reference's schemas + acquirer actually gate on):
+    Semantic rules (the checks the reference's acquirer gates on):
     parseable document, id present, known class, type agrees with the
-    envelope's rectype, names have content, equivalents carry ids."""
+    envelope's rectype, names have content, equivalents carry ids.
+
+    Structural rules (per-class, config-driven via ``schema_rules``,
+    default SCHEMA_RULES): required top-level properties per schema and
+    the additionalProperties check with the underscore exemption.  Both
+    probe the raw JSON string, so they need the ``data`` column — records
+    handed over as pre-parsed docs only get the semantic rules."""
+    rules = SCHEMA_RULES if schema_rules is None else schema_rules
     docs = records if "doc" in records.columns else with_doc(records)
+    has_data = "data" in docs.columns
     # from_json is PERMISSIVE: malformed input yields an all-null struct,
     # NOT a null doc — so "unparseable" must probe the raw string with
     # try_parse_json (null doc still counts: null/absent data).
     unparseable = F.col("doc").isNull()
-    if "data" in docs.columns:
+    if has_data:
         unparseable = unparseable | (
             F.col("data").isNotNull() & F.try_parse_json(F.col("data")).isNull()
         )
@@ -72,6 +183,45 @@ def validate_records(records: DataFrame) -> DataFrame:
             "equivalent without id",
         ),
     ]
+    if has_data:
+        schema = _schema_col()
+        # required properties per schema (beyond id, checked above)
+        for name, rule in sorted(rules.items()):
+            for prop in rule.get("required", ()):
+                checks.append(
+                    _rule(
+                        (schema == name)
+                        & ~unparseable
+                        & F.get_json_object(F.col("data"), f"$.{prop}").isNull(),
+                        f"missing required property: {prop}",
+                    )
+                )
+        # additionalProperties with the underscore exemption: top-level
+        # keys outside (core + per-class allowed), `_`-prefixed keys pass
+        allowed = F.lit(None).cast("array<string>")
+        for name, rule in sorted(rules.items()):
+            props = sorted(set(CORE_PROPERTIES) | set(rule.get("allowed", ())))
+            allowed = F.when(
+                schema == name, F.array(*[F.lit(p) for p in props])
+            ).otherwise(allowed)
+        keys = F.json_object_keys(F.col("data"))
+        unexpected = F.array_sort(
+            F.filter(
+                F.coalesce(keys, F.array()),
+                lambda k2: ~k2.startswith("_") & ~F.array_contains(allowed, k2),
+            )
+        )
+        checks.append(
+            _rule(
+                schema.isNotNull()
+                & F.col("data").isNotNull()
+                & ~unparseable
+                & (F.size(unexpected) > 0),
+                F.concat(
+                    F.lit("unexpected properties: "), F.array_join(unexpected, ", ")
+                ),
+            )
+        )
     errors = F.filter(F.array(*checks), lambda x: x.isNotNull())
     return docs.withColumn("errors", errors)
 

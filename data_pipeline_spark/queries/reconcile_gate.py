@@ -348,55 +348,74 @@ def p05_merge_veto(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p02_validation_rules",
     oracle="""
     SELECT CAST(c_custkey AS VARCHAR) AS identifier,
-           CAST(CASE c_custkey % 6 WHEN 0 THEN 0 WHEN 5 THEN 2 ELSE 1 END AS INT)
+           CAST(CASE c_custkey % 8 WHEN 0 THEN 0 WHEN 5 THEN 3 ELSE 1 END AS INT)
              AS n_errors,
-           CASE c_custkey % 6
+           CASE c_custkey % 8
              WHEN 0 THEN ''
              WHEN 1 THEN 'unparseable document'
              WHEN 2 THEN 'missing id'
              WHEN 3 THEN 'unknown record type'
              WHEN 4 THEN 'type/rectype mismatch'
-             ELSE 'equivalent without id|name without content'
+             WHEN 5 THEN 'equivalent without id|missing required property: _label|name without content'
+             WHEN 6 THEN 'unexpected properties: favorite_color, shoe_size'
+             ELSE 'missing required property: _label'
            END AS errs
     FROM customer
     """,
     survey="P2",
 )
 def p02_validation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2 semantic validation through the driver gate: records rotate
-    through the rule families by k%6 — valid, unparseable JSON, missing
-    id, unknown class, type/rectype mismatch, and a double fault (name
-    without content + equivalent without id).  Errors ride alongside the
-    record (warn-and-continue, process/validator.py:10-80); emitted
-    sorted-joined for engine-portable rendering."""
+    """P2 validation through the driver gate: records rotate through the
+    rule families by k%8 — valid (incl. a `_`-prefixed extension property
+    that the underscore exemption must pass), unparseable JSON, missing
+    id, unknown class, type/rectype mismatch, a triple fault (name
+    without content + equivalent without id + missing _label), unexpected
+    properties (the per-class additionalProperties check, two offenders
+    name-sorted into one message), and a concept-class record (Material,
+    aliased to the concept schema) missing its required _label.  Errors
+    ride alongside the record (warn-and-continue,
+    process/validator.py:10-80); emitted sorted-joined for
+    engine-portable rendering."""
     from ..pipeline.validate import validate_records
 
     c = load_table(spark, sf_dir, "customer")
     k = F.col("c_custkey")
     ks = k.cast("string")
-    m = k % 6
+    m = k % 8
     data = (
         F.when(
             m == 0,
             F.concat(
                 F.lit('{"id":"u'), ks,
-                F.lit('","type":"Person","identified_by":[{"type":"Name","content":"A"}],"equivalent":[{"id":"e"}]}'),
+                F.lit('","type":"Person","_label":"A","identified_by":[{"type":"Name","content":"A"}],"equivalent":[{"id":"e"}],"_content_html":"<b>x</b>"}'),
             ),
         )
         .when(m == 1, F.lit("{oops"))
-        .when(m == 2, F.lit('{"type":"Person"}'))
+        .when(m == 2, F.lit('{"type":"Person","_label":"A"}'))
         .when(m == 3, F.concat(F.lit('{"id":"u'), ks, F.lit('","type":"Banana"}')))
-        .when(m == 4, F.concat(F.lit('{"id":"u'), ks, F.lit('","type":"Person"}')))
-        .otherwise(
+        .when(m == 4, F.concat(F.lit('{"id":"u'), ks, F.lit('","type":"Person","_label":"A"}')))
+        .when(
+            m == 5,
             F.concat(
                 F.lit('{"id":"u'), ks,
                 F.lit('","type":"Person","identified_by":[{"type":"Name"}],"equivalent":[{}]}'),
-            )
+            ),
+        )
+        .when(
+            m == 6,
+            F.concat(
+                F.lit('{"id":"u'), ks,
+                F.lit('","type":"Person","_label":"A","shoe_size":44,"favorite_color":"teal"}'),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit('{"id":"u'), ks, F.lit('","type":"Material","broader":[{"id":"b"}]}'))
         )
     )
     rectype = (
         F.when(m == 3, F.lit(None).cast("string"))
         .when(m == 4, F.lit("Group"))
+        .when(m == 7, F.lit("Material"))
         .otherwise(F.lit("Person"))
     )
     records = c.select(

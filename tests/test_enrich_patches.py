@@ -313,20 +313,31 @@ def test_validate_records(spark):
     from data_pipeline_spark.pipeline.validate import split_valid, validate_records
 
     rows = [
+        # `_extras` proves the underscore exemption (validator.py:14-17)
         ("srcA", "ok", "Person",
-         json.dumps({"id": "uri:ok", "type": "Person",
+         json.dumps({"id": "uri:ok", "type": "Person", "_label": "Fine",
+                     "_extras": {"x": 1},
                      "identified_by": [{"type": "Name", "content": "Fine"}]})),
         ("srcA", "badtype", "Person",
          json.dumps({"id": "uri:bt", "type": "Martian"})),
         ("srcA", "mismatch", "Group",
-         json.dumps({"id": "uri:mm", "type": "Person"})),
-        ("srcA", "noid", "Person", json.dumps({"type": "Person"})),
+         json.dumps({"id": "uri:mm", "type": "Person", "_label": "M"})),
+        ("srcA", "noid", "Person",
+         json.dumps({"type": "Person", "_label": "N"})),
         ("srcA", "noname", "Person",
-         json.dumps({"id": "uri:nn", "type": "Person",
+         json.dumps({"id": "uri:nn", "type": "Person", "_label": "NN",
                      "identified_by": [{"type": "Name"}]})),
         # from_json is PERMISSIVE (all-null struct, not null doc) — the
         # unparseable rule must probe the raw string, not just doc
         ("srcA", "garbled", "Person", "{oops"),
+        # per-class structural rules: required property, and the
+        # additionalProperties check (class-specific allowances apply —
+        # `born` is person-schema-only)
+        ("srcA", "nolabel", "Material",
+         json.dumps({"id": "uri:nl", "type": "Material", "broader": []})),
+        ("srcA", "extraprops", "Person",
+         json.dumps({"id": "uri:ep", "type": "Person", "_label": "E",
+                     "born": {}, "shoe_size": 44, "favorite_color": "teal"})),
     ]
     records = spark.createDataFrame(
         rows, "source string, identifier string, rectype string, data string"
@@ -338,8 +349,10 @@ def test_validate_records(spark):
     assert errs["noid"] == ["missing id"]
     assert errs["noname"] == ["name without content"]
     assert errs["garbled"] == ["unparseable document"]
+    assert errs["nolabel"] == ["missing required property: _label"]
+    assert errs["extraprops"] == ["unexpected properties: favorite_color, shoe_size"]
     valid, quarantine = split_valid(records)
-    assert valid.count() == 1 and quarantine.count() == 5
+    assert valid.count() == 1 and quarantine.count() == 7
 
 
 def test_repair_timespans(spark):
