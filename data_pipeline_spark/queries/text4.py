@@ -180,7 +180,7 @@ _DOMAIN_CAP = 18
     survey="dedup-domain-cap",
 )
 def d22_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-domain document cap: keep at most K={_DOMAIN_CAP} documents
+    """Per-domain document cap: keep at most K=_DOMAIN_CAP (18) documents
     per source domain, ranked by (n_chars DESC, doc_id) — the curation
     step that stops one crawl domain dominating the corpus.
 
@@ -754,8 +754,8 @@ _CHUNK, _OVERLAP = 32, 8  # tokens per chunk / overlap (stride 24)
 def d29_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size token chunking with overlap — the split-long-documents
     step of a pretraining/RAG pipeline: each document becomes ceil((n -
-    overlap) / stride) chunks of {_CHUNK} tokens at stride {_CHUNK} -
-    {_OVERLAP}, the last chunk ragged.  Emits (chunk_idx, start, size,
+    overlap) / stride) chunks of _CHUNK (32) tokens at stride _CHUNK -
+    _OVERLAP (24), the last chunk ragged.  Emits (chunk_idx, start, size,
     md5 of the joined chunk) per chunk so downstream chunk-level dedup
     can run on the hashes.  Row-local: the start list is a per-row
     transform and the chunk slice/hash is computed in the explode
@@ -813,7 +813,7 @@ _N_KEYWORDS = 3
     survey="quality-keywords",
 )
 def d30_rare_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document rare-keyword extraction: the {_N_KEYWORDS} tokens of
+    """Per-document rare-keyword extraction: the _N_KEYWORDS (3) tokens of
     each document with the LOWEST corpus document frequency (integer df,
     token tiebreak) — the IDF end of TF-IDF without the float log, so
     the ranking is exact on both engines.  Standard use: routing,

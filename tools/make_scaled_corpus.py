@@ -17,6 +17,7 @@ The output is bench-compatible: SPARK_GRAFT_SF_DIR=OUT_DIR python bench.py
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -37,6 +38,7 @@ SINGLE = ["region", "nation"]
 
 
 def main(src: str, out: str, n: int) -> None:
+    os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"CREATE TABLE reps AS SELECT range AS r FROM range({n})")
     for t in SINGLE:
