@@ -42,9 +42,9 @@ from . import enrich_gate  # noqa: F401, E402
 # (r4: p04/j11/d18/d19/d20) drop out once their driver row lands and
 # their code stops changing — that keeps the pool wide enough that every
 # never-checked query plus any new declarations fit in the 50.
-# r6 NOTE: the one-round r5 pins (u05, d06, d19, d20, d07/d08/d12/d13,
-# v03) drop out once their r5 driver rows land and their code stops
-# changing — only the composite family gates (g01/g02) and the golden
+# r6: the one-round r5 pins (u05, d06, d19, d20, v03, d08) dropped —
+# their r5 driver rows landed and their code is unchanged this round.
+# Only the composite family gates (g01/g02) and the golden
 # reconcile/merge gates are permanent.  Budget pins so every
 # never-checked query plus new declarations fit in the 50.
 GATE_PIN = [
@@ -52,28 +52,16 @@ GATE_PIN = [
     "a01_merge_fold", "j06_reconcile_min_equivs", "j03_constraint_veto",
     "j08_reidentify", "p05_merge_veto", "p02_validation_rules",
     "j12_metatype_join", "f23_guess_type",
-    # r5: elect_primary_names changed (LLM names exempt from the acronym
-    # demotion) — u05's r4 row no longer vouches for the current code
-    "u05_llm_person_names",
-    # r5: the >MAX_DOCS guard added in r4 was never driver-checked under a
-    # pin (ADVICE r4 #1); pin one round so the green row covers the
-    # guarded code path explicitly
-    "d06_ngram_jaccard_pairs",
-    # r5: sentence-split class pinned engine-identical (\x0b no longer a
-    # separator) — the r4 row no longer vouches for the current split
-    "d20_paragraph_dedup",
-    # r5: same pinning applied to the n-gram token split; plus the gram
-    # stage rewrite (spread_scan + subscript gram assembly)
-    "d19_benchmark_contamination",
-    # r5: v03 upgraded from rows-only to a full scheme oracle — its old
-    # green rows vouch for a weaker check, so re-gate under the oracle
-    "v03_ann_lsh",
-    # r5: dedup tier rewrite (row-local array_distinct shingle/word dedup,
-    # array_intersect verification, first-shared-segment pair emission,
-    # flat shift-add fingerprint select) — the old driver-green rows no
-    # longer vouch for the current candidate-generation code
-    "d07_minhash_lsh_pairs", "d08_simhash_pairs",
-    "d12_dedup_groups", "d13_corpus_clean",
+    # r6: make_datetime grew the Hebrew-calendar tail and f01's golden
+    # rotation three new cases — the r5 row no longer vouches
+    "f01_make_datetime",
+    # r6: v04 upgraded from rows-only to the full deterministic-k-means
+    # oracle — its old rows-only green rows vouch for a weaker check
+    "v04_ann_ivf",
+    # r6: lsh_candidates rewritten (first-shared-band emission, no
+    # distinct) — the r5 rows no longer vouch for the current candidate
+    # generation, nor for its d12/d13 consumers
+    "d07_minhash_lsh_pairs", "d12_dedup_groups", "d13_corpus_clean",
 ]
 
 GATE_WINDOW_SIZE = 50
