@@ -62,6 +62,9 @@ GATE_PIN = [
     # distinct) — the r5 rows no longer vouch for the current candidate
     # generation, nor for its d12/d13 consumers
     "d07_minhash_lsh_pairs", "d12_dedup_groups", "d13_corpus_clean",
+    # r6: d09 restructured onto materialized embedding/signature tiers
+    # (the deferred r5 perf target) — re-gate the restructured plan
+    "d09_embedding_neardup",
 ]
 
 GATE_WINDOW_SIZE = 50
