@@ -50,6 +50,66 @@ def d10_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_TOP_MERGES = 20
+
+
+@query(
+    "d31_bpe_merge_scores",
+    oracle=f"""
+    WITH words AS (
+        SELECT w, COUNT(*) AS freq FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS w
+            FROM documents
+        ) WHERE len(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+        FROM words, unnest(range(1, len(w))) AS t(i)
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS score
+    FROM pairs GROUP BY pair
+    ORDER BY score DESC, pair LIMIT {_BPE_TOP_MERGES}
+    """,
+    survey="token-count,vocab-induction,W7",
+)
+def d31_bpe_merge_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge-scoring round — the corpus-level step of vocabulary
+    induction: adjacent-character pair frequencies over the
+    pre-tokenized corpus (d10's split), top merges by score with a
+    deterministic (score DESC, pair) total order.
+
+    Scale shape — the reason BPE training is feasible at 100TB: pair
+    counting runs on the WORD-FREQUENCY relation, not the token stream.
+    The corpus collapses to (word, freq) in one map-side-combined
+    groupBy (Zipfian text combines brutally well), then the pair
+    explode fans out over the vocabulary — millions of rows — rather
+    than the trillions of corpus tokens.  Iterated BPE applies the won
+    merge to the vocab relation and repeats; each round touches only
+    vocab-sized data."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), 0)
+    words = (
+        docs.select(F.explode(toks).alias("w"))
+        .filter(F.length("w") >= 2)  # single-symbol tokens have no pairs
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # sequence(1, length-1) is safe: length >= 2 filtered above (a
+    # shorter w would make sequence() DESCEND, not return empty)
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("score"))
+        .orderBy(F.desc("score"), "pair")
+        .limit(_BPE_TOP_MERGES)
+    )
+
+
 @query(
     "r07_sessionization",
     oracle="""

@@ -321,3 +321,12 @@ def test_rj02_overlap_join_is_bin_equijoin(spark):
         plan,
     )
     assert any("_bin" in k and "n_name" in k for k in join_keys), join_keys
+
+
+def test_d31_bpe_scoring_partial_aggs_and_topk(spark):
+    """BPE merge scoring must partial-aggregate both tiers (word counts,
+    pair scores) and finish with per-partition top-k, never a full sort —
+    the shape that keeps vocab induction vocab-bounded at 100TB."""
+    plan = _plan(spark, "d31_bpe_merge_scores")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 4  # two partial+final pairs
