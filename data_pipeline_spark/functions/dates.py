@@ -247,6 +247,10 @@ def parse_datetime(text):
         m = _NUM68_RE.match(t)
         y, mo = int(m.group(1)), int(m.group(2))
         d = int(m.group(3)) if m.group(3) else None
+        if y > 4500:
+            if not 1 <= mo <= 13:
+                return None
+            return _hebrew_interval(y, mo, d)
         if 1 <= mo <= 12 and (d is None or 1 <= d <= _days_in_month(y, mo)):
             return _interval(y, mo, d)
         return None
@@ -260,8 +264,15 @@ def parse_datetime(text):
         mo, d, h, mi, s = parts
         if y > 4500:
             # most likely Hebrew calendar; 4500 AM ~= 740 CE
-            # (mapper_utils.py:200-208, applied at :429-431,489)
+            # (mapper_utils.py:200-208, applied at :429-431,489).  Time
+            # components must still be VALID, but the interval stays at
+            # day precision — the reference resets the converted date to
+            # midnight (to_pydate().isoformat() + 'T00:00:00')
             if mo is not None and not 1 <= mo <= 13:
+                return None
+            if (h is not None and h > 23) or (mi is not None and mi > 59) or (
+                s is not None and s > 59
+            ):
                 return None
             return _hebrew_interval(y, mo, d)
         if mo is not None and not 1 <= mo <= 12:
@@ -300,7 +311,9 @@ def parse_datetime(text):
         scale = 10 ** len(mask)
         y0 = int(head) * scale
         y1 = y0 + scale - 1
-        b, e = _interval(y0), _interval(y1)
+        b, e = _year_span_interval(y0), _year_span_interval(y1)
+        if b is None or e is None:
+            return None
         return (b[0], e[1], b[2], e[3])
 
     m = _GERMAN_RE.match(t)  # "13.07.1984" / "13.07.v100" (v = BCE)
@@ -309,6 +322,8 @@ def parse_datetime(text):
         y = int(m.group(4))
         if m.group(3):
             y = 1 - y
+        if y > 4500:
+            return _hebrew_interval(y, mo, d) if 1 <= mo <= 13 else None
         if 1 <= mo <= 12 and 1 <= d <= _days_in_month(y, mo):
             return _interval(y, mo, d)
         return None
@@ -317,11 +332,25 @@ def parse_datetime(text):
     if m:
         y0, y1 = int(m.group(1)), int(m.group(2))
         if y0 <= y1:
-            b, e = _interval(y0), _interval(y1)
+            b, e = _year_span_interval(y0), _year_span_interval(y1)
+            if b is None or e is None:
+                return None
             return (b[0], e[1], b[2], e[3])
         return None
 
     return None
+
+
+def _year_span_interval(y: int):
+    """Full-year interval for range/mask endpoints, calendar-consistent
+    with the ISO branch: years > 4500 span the HEBREW year (Tishrei 1 ..
+    Elul 29), everything else the Gregorian year.  A range straddling
+    the 4500 boundary mixes calendars deliberately — each endpoint
+    follows its own year's interpretation, matching what the two bare
+    years would parse to individually."""
+    if y > 4500:
+        return _hebrew_interval(y, None, None)
+    return _interval(y)
 
 
 TIMESPAN_SCHEMA = (

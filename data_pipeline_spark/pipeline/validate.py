@@ -185,14 +185,20 @@ def validate_records(
     ]
     if has_data:
         schema = _schema_col()
-        # required properties per schema (beyond id, checked above)
+        keys = F.json_object_keys(F.col("data"))
+        data_ok = F.col("data").isNotNull() & ~unparseable
+        # required properties per schema (beyond id, checked above) —
+        # PRESENCE semantics via the key list, like JSON Schema
+        # `required`: a present-but-null property passes here (its type
+        # is the type checks' business), where get_json_object would
+        # conflate null-valued with absent
         for name, rule in sorted(rules.items()):
             for prop in rule.get("required", ()):
                 checks.append(
                     _rule(
                         (schema == name)
-                        & ~unparseable
-                        & F.get_json_object(F.col("data"), f"$.{prop}").isNull(),
+                        & data_ok
+                        & ~F.array_contains(F.coalesce(keys, F.array()), prop),
                         f"missing required property: {prop}",
                     )
                 )
@@ -204,7 +210,6 @@ def validate_records(
             allowed = F.when(
                 schema == name, F.array(*[F.lit(p) for p in props])
             ).otherwise(allowed)
-        keys = F.json_object_keys(F.col("data"))
         unexpected = F.array_sort(
             F.filter(
                 F.coalesce(keys, F.array()),
@@ -214,8 +219,7 @@ def validate_records(
         checks.append(
             _rule(
                 schema.isNotNull()
-                & F.col("data").isNotNull()
-                & ~unparseable
+                & data_ok
                 & (F.size(unexpected) > 0),
                 F.concat(
                     F.lit("unexpected properties: "), F.array_join(unexpected, ", ")

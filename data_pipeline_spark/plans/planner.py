@@ -75,8 +75,8 @@ class SearchPlanner:
         here — equivalent to passing them separately."""
         ast = parse(query) if isinstance(query, str) else query
         if boost is None and isinstance(ast, Bool) and ast.op == "BOOST":
-            query, boost = ast.children
-        ids = self.plan(query)
+            ast, boost = ast.children
+        ids = self.plan(ast)
         if boost is None:
             return ids.withColumn("score", F.lit(1))
         boosted = self.plan(boost).withColumn("_b", F.lit(1))

@@ -176,11 +176,26 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     return shingles.groupBy("id").agg(*mins)
 
 
+def band_hash_cols() -> list:
+    """The N_BANDS band-hash expressions over a signature relation's
+    s0..s{N_SIGS-1} columns — THE bucket-key construction, shared by
+    bands_df (streaming index), lsh_candidates (batch join) and any
+    future consumer, so the keys cannot drift."""
+    return [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            )
+        )
+        for b in range(N_BANDS)
+    ]
+
+
 def bands_df(sigs: DataFrame) -> DataFrame:
-    """(id, band, bh): the LSH band keys of a signature relation — the
-    ONE construction both the batch candidate join and the streaming
-    index (streaming/dedup_stream.py) must share, so their bucket keys
-    cannot drift.
+    """(id, band, bh): the LSH band keys of a signature relation — built
+    from band_hash_cols, the ONE bucket-key construction both the batch
+    candidate join and the streaming index (streaming/dedup_stream.py)
+    share, so their keys cannot drift.
 
     The band fan-out is one explode of an inline struct array, not an
     N_BANDS-way unionAll: a union compiles one codegen class per branch
@@ -192,19 +207,8 @@ def bands_df(sigs: DataFrame) -> DataFrame:
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"s{b * ROWS_PER_BAND + r}")
-                                    for r in range(ROWS_PER_BAND)
-                                ],
-                            )
-                        ).alias("bh"),
-                    )
-                    for b in range(N_BANDS)
+                    F.struct(F.lit(b).alias("band"), bh.alias("bh"))
+                    for b, bh in enumerate(band_hash_cols())
                 ]
             )
         ).alias("bb"),
@@ -222,14 +226,7 @@ def lsh_candidates(sigs: DataFrame) -> DataFrame:
     keeps band s only when every band t < s differs between the two docs
     — static per-band conjunctions, fully codegen.  Emission set is
     identical to the distinct form (pinned by the unchanged oracle)."""
-    bh = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-            )
-        )
-        for b in range(N_BANDS)
-    ]
+    bh = band_hash_cols()
     bands = sigs.select(
         "id", F.array(*bh).alias("bhs"), F.posexplode(F.array(*bh)).alias("band", "bh")
     )

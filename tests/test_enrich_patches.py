@@ -338,6 +338,10 @@ def test_validate_records(spark):
         ("srcA", "extraprops", "Person",
          json.dumps({"id": "uri:ep", "type": "Person", "_label": "E",
                      "born": {}, "shoe_size": 44, "favorite_color": "teal"})),
+        # required = PRESENCE (JSON Schema semantics): a present-but-null
+        # _label is the type checks' business, not a missing property
+        ("srcA", "nulllabel", "Place",
+         json.dumps({"id": "uri:0l", "type": "Place", "_label": None})),
     ]
     records = spark.createDataFrame(
         rows, "source string, identifier string, rectype string, data string"
@@ -351,8 +355,9 @@ def test_validate_records(spark):
     assert errs["garbled"] == ["unparseable document"]
     assert errs["nolabel"] == ["missing required property: _label"]
     assert errs["extraprops"] == ["unexpected properties: favorite_color, shoe_size"]
+    assert errs["nulllabel"] == []
     valid, quarantine = split_valid(records)
-    assert valid.count() == 1 and quarantine.count() == 7
+    assert valid.count() == 2 and quarantine.count() == 7
 
 
 def test_repair_timespans(spark):

@@ -84,6 +84,15 @@ CASES = {
     "5730-07-01": ("1969-09-13T00:00:00", "1969-09-13T23:59:59"),
     "5730": ("1969-09-13T00:00:00", "1970-09-30T23:59:59"),
     "5785-07": ("2024-10-03T00:00:00", "2024-11-01T23:59:59"),
+    # the Hebrew reinterpretation reaches EVERY surface form, not just
+    # ISO: ranges, masks, German day-first, bare numerics; time-of-day
+    # is validated but the interval stays day-precision (the reference
+    # resets converted dates to midnight)
+    "5730-5735": ("1969-09-13T00:00:00", "1975-09-05T23:59:59"),
+    "57??": ("1939-09-14T00:00:00", "2039-09-18T23:59:59"),
+    "13.07.5730": ("1969-09-25T00:00:00", "1969-09-25T23:59:59"),
+    "57300315": ("1970-06-19T00:00:00", "1970-06-19T23:59:59"),
+    "5730-03-15t12:30": ("1970-06-19T00:00:00", "1970-06-19T23:59:59"),
 }
 
 
@@ -101,8 +110,9 @@ def test_parse_datetime(text):
 @pytest.mark.parametrize(
     "text",
     [None, "", "unknown", "not a date", "13.13.1984", "99999999",
-     # invalid Hebrew dates: Adar II in a non-leap year, day 30 of Iyar
-     "5731-13-01", "5730-02-30"],
+     # invalid Hebrew dates: Adar II in a non-leap year, day 30 of Iyar,
+     # and an out-of-range time on a valid Hebrew day
+     "5731-13-01", "5730-02-30", "5730-03-15t99:99"],
 )
 def test_parse_datetime_rejects(text):
     assert parse_datetime(text) is None
