@@ -640,6 +640,38 @@ def d08_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidates(sims)
 
 
+SIMHASH_GROUPS_ORACLE = f"""
+    WITH {_simhash_sql()}
+    SELECT id AS doc_id,
+           MIN(id) OVER (PARTITION BY simhash) AS keeper_doc_id
+    FROM sims
+"""
+
+
+@query(
+    "d32_simhash_groups", oracle=SIMHASH_GROUPS_ORACLE, survey="dedup-simhash,dedup-groups"
+)
+def d32_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-fingerprint SimHash grouping: every document keyed to the
+    min doc_id of its 32-bit fingerprint class — the LINEAR-OUTPUT dedup
+    action for the dense-corpus regime the 30x scaling run exposed
+    (SCALE.md round 6): when near-dup classes are large, the d08 pairs
+    relation is O(class^2) BY NATURE, while this grouping stays one
+    window over one shuffle at any density.  Exact-simhash match is the
+    word-order-robust middle ground between d02's exact text fingerprint
+    and d08's Hamming<=3 pairs.  Shares d08's fingerprint tier."""
+    sims = _tier(
+        spark, sf_dir, "simhash",
+        lambda: simhash_df(load_table(spark, sf_dir, "documents")),
+    )
+    from pyspark.sql import Window as W
+
+    return sims.select(
+        F.col("id").alias("doc_id"),
+        F.min("id").over(W.partitionBy("simhash")).alias("keeper_doc_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
