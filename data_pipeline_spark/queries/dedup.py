@@ -473,6 +473,67 @@ def d13_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EST_T = 0.5  # signature-agreement threshold for the estimate tier
+
+_EST_AGREE = " + ".join(
+    f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(N_SIGS)
+)
+
+MINHASH_ESTIMATE_ORACLE = f"""
+    WITH {_SHINGLES_SQL},
+    {_sig_sql()},
+    {_bands_sql()},
+    cands AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(({_EST_AGREE}) AS DOUBLE) / {N_SIGS} AS est_jaccard
+    FROM cands c
+    JOIN sigs a ON c.id_a = a.id
+    JOIN sigs b ON c.id_b = b.id
+    WHERE CAST(({_EST_AGREE}) AS DOUBLE) / {N_SIGS} >= {EST_T}
+"""
+
+
+@query(
+    "d33_minhash_estimate_pairs",
+    oracle=MINHASH_ESTIMATE_ORACLE,
+    survey="dedup-minhash-lsh",
+)
+def d33_minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash pairs with ESTIMATED Jaccard — the verify-free tier for
+    the regime the 30x scaling run exposed (SCALE.md round 6): d07's
+    exact verification must carry each candidate's shingle ARRAYS
+    (KBs/doc) through a shuffle, so at dense near-dup multiplicity the
+    verify exchange dominates.  Here similarity is the signature
+    agreement fraction — the estimator MinHash signatures exist for —
+    so the candidate join carries 8 fixed 8-hex values (64 bytes) per
+    side regardless of document size.  Standard 100TB practice: run
+    this tier first, exact-verify (d07) only borderline pairs.
+    Deterministic end-to-end (md5 signatures), hash-oracled."""
+    da = _doc_arrays_tier(spark, sf_dir)
+    sigs = _tier(
+        spark, sf_dir, "minhash_sigs",
+        lambda: minhash_signatures(da.select("id", F.explode("sh").alias("shingle"))),
+    )
+    cands = lsh_candidates(sigs)
+    a = sigs.select(F.col("id").alias("id_a"), *[F.col(f"s{i}").alias(f"sa{i}") for i in range(N_SIGS)])
+    b = sigs.select(F.col("id").alias("id_b"), *[F.col(f"s{i}").alias(f"sb{i}") for i in range(N_SIGS)])
+    agree = None
+    for i in range(N_SIGS):
+        term = (F.col(f"sa{i}") == F.col(f"sb{i}")).cast("int")
+        agree = term if agree is None else agree + term
+    est = agree.cast("double") / N_SIGS
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= EST_T)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (32-bit, word-level)
 # ---------------------------------------------------------------------------
