@@ -426,3 +426,40 @@ def test_d07_minhash_matches_oracle_on_pathological_corpora(
     finally:
         clear_tier_cache()
         con.close()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_near_condition_matches_python_reference(spark, data):
+    """The planner's row-local NEAR filter (token positions via
+    transform + nested exists) must agree with a naive Python
+    implementation on arbitrary word soups, including repeated words,
+    absent words, and distance edge cases."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.plans.parser import Leaf, Near
+    from data_pipeline_spark.plans.planner import SearchPlanner
+
+    vocab = ["aa", "bb", "cc", "aa1"]
+    sentence = st.lists(st.sampled_from(vocab), min_size=0, max_size=8).map(" ".join)
+    names = data.draw(st.lists(sentence, min_size=1, max_size=12))
+    w1, w2 = data.draw(st.sampled_from(vocab)), data.draw(st.sampled_from(vocab))
+    dist = data.draw(st.integers(min_value=0, max_value=3))
+
+    def py_near(text: str) -> bool:
+        toks = _re.split(r"\W+", text.lower())
+        p1 = [i for i, t in enumerate(toks) if t == w1]
+        p2 = [i for i, t in enumerate(toks) if t == w2]
+        return any(abs(a - b) <= dist for a in p1 for b in p2)
+
+    entities = spark.createDataFrame(
+        [(str(i), n) for i, n in enumerate(names)], ["id", "name"]
+    )
+    edges = spark.createDataFrame([], "subject string, predicate string, object string")
+    planner = SearchPlanner(entities, edges)
+    node = Near([Leaf("name", "~", w1), Leaf("name", "~", w2)], dist)
+    got = {r.id for r in entities.filter(planner._near_condition(node)).collect()}
+    want = {str(i) for i, n in enumerate(names) if py_near(n)}
+    assert got == want, (names, w1, w2, dist, got, want)
