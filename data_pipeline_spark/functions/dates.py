@@ -262,17 +262,20 @@ def parse_datetime(text):
             return None
         parts = [int(g) if g is not None else None for g in m.groups()[1:]]
         mo, d, h, mi, s = parts
+        # time-of-day must be in range for EITHER calendar — epoch_seconds
+        # would silently normalize 25:61 into the next day while the ISO
+        # string kept the bogus digits
+        if (h is not None and h > 23) or (mi is not None and mi > 59) or (
+            s is not None and s > 59
+        ):
+            return None
         if y > 4500:
             # most likely Hebrew calendar; 4500 AM ~= 740 CE
-            # (mapper_utils.py:200-208, applied at :429-431,489).  Time
-            # components must still be VALID, but the interval stays at
-            # day precision — the reference resets the converted date to
+            # (mapper_utils.py:200-208, applied at :429-431,489).  Valid
+            # time components are accepted but the interval stays at day
+            # precision — the reference resets the converted date to
             # midnight (to_pydate().isoformat() + 'T00:00:00')
             if mo is not None and not 1 <= mo <= 13:
-                return None
-            if (h is not None and h > 23) or (mi is not None and mi > 59) or (
-                s is not None and s > 59
-            ):
                 return None
             return _hebrew_interval(y, mo, d)
         if mo is not None and not 1 <= mo <= 12:
@@ -311,7 +314,7 @@ def parse_datetime(text):
         scale = 10 ** len(mask)
         y0 = int(head) * scale
         y1 = y0 + scale - 1
-        b, e = _year_span_interval(y0), _year_span_interval(y1)
+        b, e = _year_span_interval(y0, y0 > 4500), _year_span_interval(y1, y0 > 4500)
         if b is None or e is None:
             return None
         return (b[0], e[1], b[2], e[3])
@@ -332,7 +335,7 @@ def parse_datetime(text):
     if m:
         y0, y1 = int(m.group(1)), int(m.group(2))
         if y0 <= y1:
-            b, e = _year_span_interval(y0), _year_span_interval(y1)
+            b, e = _year_span_interval(y0, y0 > 4500), _year_span_interval(y1, y0 > 4500)
             if b is None or e is None:
                 return None
             return (b[0], e[1], b[2], e[3])
@@ -341,14 +344,14 @@ def parse_datetime(text):
     return None
 
 
-def _year_span_interval(y: int):
-    """Full-year interval for range/mask endpoints, calendar-consistent
-    with the ISO branch: years > 4500 span the HEBREW year (Tishrei 1 ..
-    Elul 29), everything else the Gregorian year.  A range straddling
-    the 4500 boundary mixes calendars deliberately — each endpoint
-    follows its own year's interpretation, matching what the two bare
-    years would parse to individually."""
-    if y > 4500:
+def _year_span_interval(y: int, hebrew: bool):
+    """Full-year interval for a range/mask endpoint.  The CALENDAR is
+    decided once per expression, from the span's START year (> 4500 ->
+    Hebrew, Tishrei 1 .. Elul 29; else Gregorian): a span like
+    "45??" (4500..4599) or "4400-4600" must not mix calendars
+    per-endpoint — a Hebrew 4599 is ~839 CE, which would put the end
+    BEFORE the Gregorian begin and emit an inverted interval."""
+    if hebrew:
         return _hebrew_interval(y, None, None)
     return _interval(y)
 

@@ -104,6 +104,18 @@ def _doc_arrays_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_sigs_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc signature relation — ONE tier shared by the exact
+    pairs family (d07/d12/d13) and the estimate tier (d33), so the
+    shingle-explode + groupBy-min (the dominant md5 cost) runs once per
+    session however the tiers compose."""
+    def build() -> DataFrame:
+        da = _doc_arrays_tier(spark, sf_dir)
+        return minhash_signatures(da.select("id", F.explode("sh").alias("shingle")))
+
+    return _tier(spark, sf_dir, "minhash_sigs", build)
+
+
 def _verified_pairs_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard-verified near-dup pairs: the tier d07 emits and d12/d13
     consume.
@@ -119,7 +131,7 @@ def _verified_pairs_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         da = _doc_arrays_tier(spark, sf_dir)
-        sigs = minhash_signatures(da.select("id", F.explode("sh").alias("shingle")))
+        sigs = _minhash_sigs_tier(spark, sf_dir)
         return verified_pairs_from_arrays(da, lsh_candidates(sigs), JACCARD_T)
 
     return _tier(spark, sf_dir, "pairs", build)
@@ -513,11 +525,7 @@ def d33_minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     side regardless of document size.  Standard 100TB practice: run
     this tier first, exact-verify (d07) only borderline pairs.
     Deterministic end-to-end (md5 signatures), hash-oracled."""
-    da = _doc_arrays_tier(spark, sf_dir)
-    sigs = _tier(
-        spark, sf_dir, "minhash_sigs",
-        lambda: minhash_signatures(da.select("id", F.explode("sh").alias("shingle"))),
-    )
+    sigs = _minhash_sigs_tier(spark, sf_dir)
     cands = lsh_candidates(sigs)
     a = sigs.select(F.col("id").alias("id_a"), *[F.col(f"s{i}").alias(f"sa{i}") for i in range(N_SIGS)])
     b = sigs.select(F.col("id").alias("id_b"), *[F.col(f"s{i}").alias(f"sb{i}") for i in range(N_SIGS)])

@@ -463,3 +463,19 @@ def test_near_condition_matches_python_reference(spark, data):
     got = {r.id for r in entities.filter(planner._near_condition(node)).collect()}
     want = {str(i) for i, n in enumerate(names) if py_near(n)}
     assert got == want, (names, w1, w2, dist, got, want)
+
+
+@given(
+    st.integers(min_value=1000, max_value=9998),
+    st.integers(min_value=0, max_value=200),
+)
+@settings(max_examples=200, deadline=None)
+def test_year_ranges_are_ordered_across_calendar_boundary(y0, span):
+    """Ranges and masks never emit inverted intervals, even straddling
+    the 4500 Hebrew boundary: the calendar is decided once per span from
+    its start year."""
+    y1 = min(y0 + span, 9999)
+    r = parse_datetime(f"{y0}-{y1}")
+    assert r is not None
+    b, e, bs, es = r
+    assert bs <= es, (y0, y1, r)
