@@ -709,6 +709,148 @@ def d08_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidates(sims)
 
 
+# ---------------------------------------------------------------------------
+# SimHash, 64-bit — the production fingerprint width (SCALE.md round 6:
+# 8-bit segments over a 32-bit hash concentrated 55% of a template corpus
+# into one bucket; 16-bit segments over 64 bits re-sparsify)
+# ---------------------------------------------------------------------------
+N_BITS64 = 64
+SEG64 = 4  # 16-bit segments; Hamming <= 3 => >= 1 equal (pigeonhole)
+
+
+def simhash64_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash): 64-bit word-level SimHash — same construction as
+    simhash_df but over the first 16 md5 hex chars, assembled from two
+    32-bit conv() words (a single 16-hex conv overflows BIGINT's signed
+    range and nulls out).  Bit 63's shift-add term is Long.MIN — the
+    fingerprint is the two's-complement 64-bit value, identical in
+    DuckDB (bit_count/xor verified two's-complement there)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), _WS_SPLIT)
+    h = F.md5(F.col("w"))
+    words = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(F.array_remove(toks, ""))).alias("w"),
+        )
+        .select(
+            "id",
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("v0"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("v1"),
+        )
+    )
+    sums = []
+    for j in range(N_BITS64):
+        word = F.col("v0") if j < 32 else F.col("v1")
+        bit = F.shiftright(word, 31 - j % 32).bitwiseAND(F.lit(1))
+        sums.append(F.sum(bit * 2 - 1).alias(f"b{j}"))
+    agg = words.groupBy("id").agg(*sums)
+    sim = None
+    for j in range(N_BITS64):
+        term = F.shiftleft((F.col(f"b{j}") > 0).cast("long"), j)
+        sim = term if sim is None else sim + term
+    return agg.select("id", sim.cast("bigint").alias("simhash"))
+
+
+def _simhash64_sql() -> str:
+    digit = lambda j: f"(strpos('0123456789abcdef', substr(h, {j // 4 + 1}, 1)) - 1)"
+    bit = lambda j: f"(CAST(floor({digit(j)} / {2 ** (3 - j % 4)}) AS BIGINT) % 2)"
+    sums = ", ".join(f"SUM({bit(j)} * 2 - 1) AS b{j}" for j in range(N_BITS64))
+    terms = [
+        f"CASE WHEN b{j} > 0 THEN {2**j if j < 63 else '(-9223372036854775807 - 1)'} ELSE 0 END"
+        for j in range(N_BITS64)
+    ]
+    val = " + ".join(terms)
+    return f"""
+    words AS (
+        SELECT DISTINCT doc_id AS id, w FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\f\r]+')) AS w
+            FROM documents) WHERE w <> ''
+    ),
+    hashed AS (SELECT id, substr(md5(w), 1, {N_BITS64 // 4}) AS h FROM words),
+    agg AS (SELECT id, {sums} FROM hashed GROUP BY id),
+    sims AS (SELECT id, CAST({val} AS BIGINT) AS simhash FROM agg)
+    """
+
+
+SIMHASH64_ORACLE = f"""
+    WITH {_simhash64_sql()}
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sims a JOIN sims b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_T}
+"""
+
+
+def simhash64_candidates(sims: DataFrame) -> DataFrame:
+    """simhash_candidates for 64-bit fingerprints: 16-bit segment
+    banding (pigeonhole-exact for Hamming <= 3), first-shared-segment
+    single emission.  Segment values extract with shiftrightunsigned +
+    mask — plain shiftright/% would sign-extend fingerprints with bit 63
+    set into negative segment values."""
+    seg_bits = N_BITS64 // SEG64
+    mask = F.lit((1 << seg_bits) - 1)
+    segs = sims.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seg"),
+                        F.shiftrightunsigned(F.col("simhash"), seg_bits * s)
+                        .bitwiseAND(mask)
+                        .alias("segval"),
+                    )
+                    for s in range(SEG64)
+                ]
+            )
+        ).alias("sv"),
+    ).select("id", "simhash", F.col("sv.seg").alias("seg"), F.col("sv.segval").alias("segval"))
+    a, b = segs.alias("a"), segs.alias("b")
+    hamming = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    xor = F.expr("a.simhash ^ b.simhash")
+    seg_differs = [
+        F.shiftrightunsigned(xor, t * seg_bits).bitwiseAND(mask) != 0
+        for t in range(SEG64)
+    ]
+    first_match = F.lit(False)
+    for s in range(SEG64 - 1, -1, -1):
+        earlier_all_differ = F.lit(True)
+        for t in range(s):
+            earlier_all_differ = earlier_all_differ & seg_differs[t]
+        first_match = F.when(F.col("a.seg") == s, earlier_all_differ).otherwise(first_match)
+    return (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.segval") == F.col("b.segval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(first_match)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_T)
+    )
+
+
+@query("d34_simhash64_pairs", oracle=SIMHASH64_ORACLE, survey="dedup-simhash")
+def d34_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs, Hamming <= 3 — the production
+    fingerprint width: 16-bit segments give 65,536 values per band, so
+    the template-corpus concentration that piled 55% of 32-bit
+    fingerprints into one 8-bit segment bucket (SCALE.md round 6)
+    re-sparsifies, and Hamming<=3 classes shrink to genuine near-dups.
+    Same pigeonhole-exact banding + single-emission shape as d08."""
+    sims = _tier(
+        spark, sf_dir, "simhash64",
+        lambda: simhash64_df(load_table(spark, sf_dir, "documents")),
+    )
+    return simhash64_candidates(sims)
+
+
 SIMHASH_GROUPS_ORACLE = f"""
     WITH {_simhash_sql()}
     SELECT id AS doc_id,
