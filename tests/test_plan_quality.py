@@ -330,3 +330,16 @@ def test_d31_bpe_scoring_partial_aggs_and_topk(spark):
     plan = _plan(spark, "d31_bpe_merge_scores")
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 4  # two partial+final pairs
+
+
+def test_d34_simhash64_banded_no_theta_selfjoin(spark):
+    """d34's 64-bit pair generation must stay the segment-banded
+    equi-join (no Cartesian/NestedLoop) with no pair-keyed distinct —
+    same contract as d08, at the production fingerprint width."""
+    import re
+
+    plan = _plan(spark, "d34_simhash64_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pair_dedup = re.findall(r"HashAggregate\(keys=\[id_a[^\]]*id_b", plan)
+    assert not pair_dedup, pair_dedup
