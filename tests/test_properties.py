@@ -479,3 +479,51 @@ def test_year_ranges_are_ordered_across_calendar_boundary(y0, span):
     assert r is not None
     b, e, bs, es = r
     assert bs <= es, (y0, y1, r)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_d33_d34_match_oracle_on_pathological_corpora(
+    spark, tmp_path_factory, data
+):
+    """Same harness as the d07 pathological test for the two new dedup
+    tiers: the signature-agreement estimate (d33) and the 64-bit
+    fingerprint (d34) — VT/NBSP/Unicode corpora with a forced duplicate
+    pin the full cross-engine pipeline, including the two's-complement
+    64-bit assembly and the first-shared-band single emission."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_spark.queries import QUERIES
+    from data_pipeline_spark.queries.dedup import clear_tier_cache
+
+    from .oracle_harness import compare
+
+    word = st.text(alphabet=_D20_ALPHABET.replace(".", "") + "cd", min_size=1,
+                   max_size=5)
+    doc = st.lists(word, min_size=3, max_size=10).map(" ".join)
+    docs = data.draw(st.lists(doc, min_size=2, max_size=8))
+    docs = docs + [docs[data.draw(st.integers(0, len(docs) - 1))]]  # a dup
+
+    sf = tmp_path_factory.mktemp("d3334prop")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }),
+        str(sf / "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    clear_tier_cache()
+    try:
+        for name in ("d33_minhash_estimate_pairs", "d34_simhash64_pairs"):
+            q = QUERIES[name]
+            ok, msg = compare(q.spark_fn(spark, str(sf)), con, q.oracle)
+            assert ok, (name, msg)
+    finally:
+        clear_tier_cache()
+        con.close()
