@@ -586,3 +586,46 @@ def test_write_training_shards_ordered_layout(spark, tmp_path):
         assert poss == sorted(poss) and poss[0] == 1
         total += len(poss)
     assert total == curated.count()
+
+
+def test_stream_similarity_against_indexed_corpus(spark, tmp_path):
+    """Embedding near-dup matching of streamed vectors against the
+    persisted sign-LSH index; later batches see earlier batches'
+    vectors (index append).  Same planes as the batch path, so buckets
+    cannot drift."""
+    from data_pipeline_spark.streaming.similarity_stream import (
+        index_corpus,
+        stream_similarity,
+    )
+
+    a = [1.0] * 64
+    b = [1.0 if i % 2 == 0 else -1.0 for i in range(64)]       # cos(a,b)=0
+    c = [1.0 if i % 4 < 2 else -1.0 for i in range(64)]        # orth to a,b
+    corpus = spark.createDataFrame(
+        [(1, a), (2, b)], "id bigint, emb array<double>"
+    )
+    index_dir = str(tmp_path / "ann_index")
+    index_corpus(corpus, index_dir)
+
+    feed = tmp_path / "vecfeed"
+    feed.mkdir()
+    near_a = [0.5] + a[1:]
+    with open(feed / "batch1.jsonl", "w") as f:
+        f.write(json.dumps({"vec_id": 10, "embedding": near_a}) + "\n")
+        f.write(json.dumps({"vec_id": 11, "embedding": c}) + "\n")
+    matches_dir = str(tmp_path / "ann_matches")
+    q = stream_similarity(spark, str(feed), index_dir, matches_dir,
+                          checkpoint=str(tmp_path / "ckpt_ann"))
+    q.awaitTermination(120)
+    got = {(r.new_id, r.corpus_id) for r in spark.read.parquet(matches_dir).collect()}
+    assert (10, 1) in got
+    assert all(n != 11 for n, _ in got)
+    # the streamed vectors joined the index: a later near-copy of 10 matches it
+    near_a2 = a[:1] + [0.5] + a[2:]
+    with open(feed / "batch2.jsonl", "w") as f:
+        f.write(json.dumps({"vec_id": 20, "embedding": near_a2}) + "\n")
+    q2 = stream_similarity(spark, str(feed), index_dir, matches_dir,
+                           checkpoint=str(tmp_path / "ckpt_ann"))
+    q2.awaitTermination(120)
+    got2 = {(r.new_id, r.corpus_id) for r in spark.read.parquet(matches_dir).collect()}
+    assert (20, 10) in got2 and (20, 1) in got2
