@@ -65,6 +65,9 @@ GATE_PIN = [
     # r6: d09 restructured onto materialized embedding/signature tiers
     # (the deferred r5 perf target) — re-gate the restructured plan
     "d09_embedding_neardup",
+    # r6: _BPE_PATTERN repinned from \s to the explicit whitespace class
+    # (Java/RE2 \x0b divergence) — d10's old rows no longer vouch
+    "d10_bpe_token_counts",
 ]
 
 GATE_WINDOW_SIZE = 50

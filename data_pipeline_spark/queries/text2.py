@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from .registry import query, sql_dsum
 
-_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+# Whitespace is the PINNED explicit class, not \s: Java's \s includes
+# \x0b where RE2's (DuckDB) does not, so a \x0b in text silently
+# diverges the two engines (the d20 family's review finding).  Under the
+# repo convention \x0b is NOT whitespace (it falls into the negated
+# class -> one punctuation token, identically in both engines).
+_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]"
 
 
 @query(

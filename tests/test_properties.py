@@ -527,3 +527,45 @@ def test_d33_d34_match_oracle_on_pathological_corpora(
     finally:
         clear_tier_cache()
         con.close()
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_d10_d31_bpe_tokenization_matches_oracle_on_pathological_corpora(
+    spark, tmp_path_factory, data
+):
+    """The BPE pre-tokenizer's whitespace is the pinned explicit class
+    (\\s diverges between Java and RE2 on \\x0b): VT/NBSP/Unicode
+    corpora pin d10's per-class counts and d31's merge scoring across
+    engines."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_spark.queries import QUERIES
+
+    from .oracle_harness import compare
+
+    word = st.text(alphabet=_D20_ALPHABET + "c7!", min_size=1, max_size=6)
+    doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+    docs = data.draw(st.lists(doc, min_size=1, max_size=10))
+
+    sf = tmp_path_factory.mktemp("bpeprop")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }),
+        str(sf / "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    try:
+        for name in ("d10_bpe_token_counts", "d31_bpe_merge_scores"):
+            q = QUERIES[name]
+            ok, msg = compare(q.spark_fn(spark, str(sf)), con, q.oracle)
+            assert ok, (name, msg)
+    finally:
+        con.close()
