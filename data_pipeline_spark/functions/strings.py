@@ -21,7 +21,9 @@ def clean_name(col: Column) -> Column:
     """F8: strip zero-width/bidi controls, collapse whitespace, lower, trim
     — the canonical reconcile name key."""
     no_ctrl = F.regexp_replace(col, _CTRL_CLASS, "")
-    one_space = F.regexp_replace(no_ctrl, r"\s+", " ")
+    # pinned explicit whitespace class (repo convention: \x0b is NOT
+    # whitespace; Java \s would include it where RE2's does not)
+    one_space = F.regexp_replace(no_ctrl, r"[ \t\n\f\r]+", " ")
     return F.lower(F.trim(one_space))
 
 
@@ -156,4 +158,5 @@ def strip_html(col: Column) -> Column:
     lt = F.regexp_replace(amp, r"&lt;", "<")
     gt = F.regexp_replace(lt, r"&gt;", ">")
     nbsp = F.regexp_replace(gt, r"&nbsp;", " ")
-    return F.trim(F.regexp_replace(nbsp, r"\s+", " "))
+    # pinned explicit whitespace class — pairs with the f14 oracle
+    return F.trim(F.regexp_replace(nbsp, r"[ \t\n\f\r]+", " "))

@@ -68,6 +68,13 @@ GATE_PIN = [
     # r6: _BPE_PATTERN repinned from \s to the explicit whitespace class
     # (Java/RE2 \x0b divergence) — d10's old rows no longer vouch
     "d10_bpe_token_counts",
+    # r6: the same explicit-class pinning swept the whole text family
+    # (both engine sides were still \s-based, diverging on \x0b) — every
+    # query whose tokenizer line changed re-gates this round
+    "d02_fingerprint", "d03_token_stats", "d04_quality_score",
+    "d05_lang_id", "d06_ngram_jaccard_pairs", "a16_top5_words",
+    "d14_winnowing_fingerprints", "d15_repetition_ratio",
+    "d11_near_query", "d16_sequence_packing", "f14_strip_html",
 ]
 
 GATE_WINDOW_SIZE = 50

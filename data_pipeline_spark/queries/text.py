@@ -69,7 +69,7 @@ def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d02_fingerprint",
     oracle="""
     SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+           md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS fingerprint
     FROM documents
     """,
     survey="fingerprint",
@@ -80,7 +80,7 @@ def d02_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.md5(F.regexp_replace(_norm_text(), r"\s+", " ")).alias("fingerprint"),
+        F.md5(F.regexp_replace(_norm_text(), r"[ \t\n\f\r]+", " ")).alias("fingerprint"),
     )
 
 
@@ -88,7 +88,7 @@ def d02_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d03_token_stats",
     oracle="""
     SELECT doc_id,
-           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           len(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+')) AS n_tokens,
            length(text) AS n_chars_computed,
            n_chars
     FROM documents
@@ -101,7 +101,7 @@ def d03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.size(F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+")).alias("n_tokens"),
         F.length("text").alias("n_chars_computed"),
         "n_chars",
     )
@@ -118,8 +118,8 @@ def d03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 'keep' ELSE 'drop' END AS verdict
     FROM (
       SELECT doc_id, text,
-             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+             len(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+')) AS n_tokens,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\f\\r]+'),
                              t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop
       FROM documents
     )
@@ -131,8 +131,8 @@ def d04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep/drop verdict. Ratios are single-division doubles on identical
     operands → bit-exact across engines."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    low_toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+")
+    low_toks = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\f\r]+")
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(low_toks, lambda t: t.isin("the", "a", "of", "and")))
     stop_ratio = n_stop.cast("double") / n_tokens
@@ -150,7 +150,7 @@ def d04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lang_score_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
     return (
-        f"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+        f"len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\f\\r]+'),"
         f" t -> t IN ({words})))"
     )
 
@@ -177,7 +177,7 @@ def d05_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts with a deterministic priority tiebreak (encode score*10+prio,
     take GREATEST, decode). Pure integer arithmetic → engine-exact."""
     docs = load_table(spark, sf_dir, "documents")
-    low_toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    low_toks = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\f\r]+")
     prio = {"en": 4, "es": 3, "de": 2, "fr": 1, "zh": 0}
     encoded = [
         (F.size(F.filter(low_toks, lambda t: t.isin(*_LANG_MARKERS[lang]))) * 10 + p)
@@ -199,7 +199,7 @@ def d05_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT word, n FROM (
         SELECT word, COUNT(*) AS n
-        FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+        FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\f\\r]+')) AS word
               FROM documents)
         WHERE word <> ''
         GROUP BY word
@@ -212,7 +212,7 @@ def a16_top5_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesis): explode(split) + count + ordered limit with tiebreak."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
+        docs.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\f\r]+")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -230,7 +230,7 @@ def a16_top5_words(spark: SparkSession, sf_dir: str) -> DataFrame:
                    unnest(list_transform(range(1, len(toks) - 1),
                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
             FROM (SELECT doc_id,
-                         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                         regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\f\\r]+') AS toks
                   FROM documents)
             WHERE len(toks) >= 3
         )
@@ -270,7 +270,7 @@ def d06_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(>{max_docs} docs); use d07_minhash_lsh_pairs for large "
             f"corpora, or raise SPARK_GRAFT_D06_MAX_DOCS explicitly."
         )
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\f\r]+")
     with_toks = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
     shingles = (
         with_toks.select(
@@ -529,7 +529,7 @@ def f08_clean_names(spark: SparkSession, sf_dir: str) -> DataFrame:
                md5(toks[gen.i] || ' ' || toks[gen.i + 1] || ' ' || toks[gen.i + 2]) AS h,
                len(toks) - 2 AS n_grams
         FROM (SELECT doc_id,
-                     regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                     regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\f\\r]+') AS toks
               FROM documents),
              LATERAL unnest(range(1, len(toks) - 1)) AS gen(i)
         WHERE len(toks) >= 3
@@ -555,7 +555,7 @@ def d14_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     index is a bounded fraction of the corpus. One scan, one window,
     one distinct; all md5/substr inside codegen."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\f\r]+")
     grams = (
         docs.select(F.col("doc_id"), toks.alias("toks"))
         .filter(F.size("toks") >= 3)
@@ -588,7 +588,7 @@ def d14_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(range(1, len(toks) - 1),
                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
         FROM (SELECT doc_id,
-                     regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                     regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\f\\r]+') AS toks
               FROM documents)
         WHERE len(toks) >= 3
     )
@@ -609,7 +609,7 @@ def d15_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     final double division is a single correctly-rounded op, identical
     bits in Spark and DuckDB (the repo's float determinism contract)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\f\r]+")
     g = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
     # sequence(0, size-3) never descends here: the filter guarantees
     # size-3 >= 0 (the sequence-descends gotcha needs no guard)

@@ -218,7 +218,7 @@ def a22_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d11_near_query",
     oracle=r"""
     WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r]+') AS t
         FROM documents
     ),
     pa AS (SELECT doc_id, unnest(list_transform(range(1, len(t)+1),
@@ -241,7 +241,7 @@ def d11_near_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("p", "w"),
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\f\r]+")).alias("p", "w"),
     )
     pa = toks.filter(F.col("w") == "spark").select("doc_id", F.col("p").alias("pa"))
     pb = toks.filter(F.col("w") == "query").select("doc_id", F.col("p").alias("pb"))
@@ -758,7 +758,7 @@ def f09_name_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
                regexp_replace('<p>Doc ' || doc_id || ' &amp; <b>more</b>&nbsp;text</p>',
                               '<[^>]*>', ' ', 'g'),
                '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '),
-             '\\s+', ' ', 'g')) AS clean
+             '[ \\t\\n\\f\\r]+', ' ', 'g')) AS clean
     FROM documents
     """,
     survey="F14",
@@ -1012,7 +1012,7 @@ PACK_BUDGET = 2048  # tokens per training sequence
     WITH toks AS (
         SELECT doc_id,
                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
-               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+               len(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+')) AS n_tok
         FROM documents
     ),
     packed AS (
@@ -1040,7 +1040,7 @@ def d16_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     most one document, never underfill by more than the last doc.  Output
     is per-pack (n_docs, n_tokens) — the pack manifest a trainer reads."""
     docs = load_table(spark, sf_dir, "documents")
-    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+")).cast("long")
     toks = docs.select(
         "doc_id",
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
