@@ -91,7 +91,15 @@ def ivf_centroids(corpus: DataFrame, k: int = 16, iters: int = 2) -> DataFrame:
     legally flip an assignment at a boundary), and each mean is ROUNDed
     to 9 digits before it re-enters the assignment — the centroid relation
     is therefore an exact decimal artifact both Spark and the DuckDB
-    oracle (queries/vector._v04_oracle) reproduce bit-identically."""
+    oracle (queries/vector._v04_oracle) reproduce bit-identically.
+
+    Known tie caveat: the double->DECIMAL(30,15) cast rounds HALF_UP in
+    both engines, but a double that is an EXACT tie at scale 15 (a
+    dyadic like 2^-16) depends on both engines agreeing on the tie
+    direction.  The generated corpora never land on such ties (gate- and
+    test-pinned); adversarially constructed inputs could in principle
+    diverge there — if that ever matters, pre-round inputs to a coarser
+    fixed scale before the cast so no representable double is a tie."""
     # cluster ids are used as deterministic tiebreaks downstream, so the
     # numbering must be reproducible: order by the seed's own neighbor_id
     # (a window over lit(1) after coalesce(1) has no guaranteed order)

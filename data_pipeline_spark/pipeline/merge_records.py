@@ -162,10 +162,11 @@ def _consent(hooks, kind: str, base_doc: dict, cand_doc: dict,
         import inspect
 
         arity = len(inspect.signature(fn).parameters)
-        try:
+        # cache on the hook only when it can carry attributes (a builtin
+        # or C-implemented callable has no writable __dict__; those just
+        # pay the signature inspection per call)
+        if getattr(fn, "__dict__", None) is not None:
             fn._p5_arity = arity
-        except (AttributeError, TypeError):
-            pass
     if arity >= 4:
         return bool(fn(base_doc, cand_doc, base_src, cand_src))
     return bool(fn(base_doc, cand_doc))

@@ -158,7 +158,14 @@ class _Parser:
         while self.peek()[0] == "comma":
             self.eat("comma")
             if self.peek()[0] == "number" and self.peek(1)[0] == "rparen":
-                distance = int(float(self.eat("number")))
+                tok = self.eat("number")
+                # cts.nearQuery distances are whole token counts — reject
+                # rather than silently truncate NEAR(a, b, 1.9) to 1
+                if not re.fullmatch(r"\d+", tok):
+                    raise ValueError(
+                        f"NEAR distance must be a non-negative integer, got {tok!r}"
+                    )
+                distance = int(tok)
                 break
             children.append(self.parse_expr())
         self.eat("rparen")

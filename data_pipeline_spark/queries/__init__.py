@@ -42,42 +42,31 @@ from . import enrich_gate  # noqa: F401, E402
 # (r4: p04/j11/d18/d19/d20) drop out once their driver row lands and
 # their code stops changing — that keeps the pool wide enough that every
 # never-checked query plus any new declarations fit in the 50.
-# r6: the one-round r5 pins (u05, d06, d19, d20, v03, d08) dropped —
-# their r5 driver rows landed and their code is unchanged this round.
-# Only the composite family gates (g01/g02) and the golden
-# reconcile/merge gates are permanent.  Budget pins so every
+# r7: all 17 one-round r6 pins dropped (f01, v04, d07, d09, d10, d12,
+# d13 and the tokenizer-sweep text family) — their r6 driver rows landed
+# (CORRECTNESS_r06.json committed at round start) and their code is
+# unchanged this round.  Only the composite family gates (g01/g02) and
+# the golden reconcile/merge gates are permanent.  Budget pins so every
 # never-checked query plus new declarations fit in the 50.
 GATE_PIN = [
     "g01_scalar_functions_gate", "g02_geometry_gate",
     "a01_merge_fold", "j06_reconcile_min_equivs", "j03_constraint_veto",
     "j08_reidentify", "p05_merge_veto", "p02_validation_rules",
     "j12_metatype_join", "f23_guess_type",
-    # r6: make_datetime grew the Hebrew-calendar tail and f01's golden
-    # rotation three new cases — the r5 row no longer vouches
-    "f01_make_datetime",
-    # r6: v04 upgraded from rows-only to the full deterministic-k-means
-    # oracle — its old rows-only green rows vouch for a weaker check
-    "v04_ann_ivf",
-    # r6: lsh_candidates rewritten (first-shared-band emission, no
-    # distinct) — the r5 rows no longer vouch for the current candidate
-    # generation, nor for its d12/d13 consumers
-    "d07_minhash_lsh_pairs", "d12_dedup_groups", "d13_corpus_clean",
-    # r6: d09 restructured onto materialized embedding/signature tiers
-    # (the deferred r5 perf target) — re-gate the restructured plan
-    "d09_embedding_neardup",
-    # r6: _BPE_PATTERN repinned from \s to the explicit whitespace class
-    # (Java/RE2 \x0b divergence) — d10's old rows no longer vouch
-    "d10_bpe_token_counts",
-    # r6: the same explicit-class pinning swept the whole text family
-    # (both engine sides were still \s-based, diverging on \x0b) — every
-    # query whose tokenizer line changed re-gates this round
-    "d02_fingerprint", "d03_token_stats", "d04_quality_score",
-    "d05_lang_id", "d06_ngram_jaccard_pairs", "a16_top5_words",
-    "d14_winnowing_fingerprints", "d15_repetition_ratio",
-    "d11_near_query", "d16_sequence_packing", "f14_strip_html",
+    # r7: the DSL string parser grew NEAR-distance validation (reject
+    # non-integer distances, plans/parser.py) — dsl_q11 exercises the
+    # NEAR parse path, so its r6 row no longer vouches verbatim
+    "dsl_q11_near_andnot_boost",
 ]
 
 GATE_WINDOW_SIZE = 50
+
+# Reserved window slots for the STALEST committed greens (VERDICT r6 #4):
+# an old green row vouches only for the code as it was then — drift risk
+# compounds with row age (the \x0b tokenizer bug sat exactly there), so
+# every round re-proves at least this many of the oldest-green queries
+# even when pins + new declarations could fill the window.
+AGE_SLOTS = 5
 
 
 def driver_green_history() -> dict[str, int]:
@@ -140,17 +129,31 @@ def driver_green_history() -> dict[str, int]:
     return hist
 
 
-def compute_gate_window(names: list[str], history: dict[str, int]) -> list[str]:
-    """Pinned gates first, then every other query ordered by
-    (latest driver-green round, declaration index) — never-checked
-    queries (round -1, incl. anything newly declared) fill the window
-    before anything already proven.  Deterministic given the committed
-    history files, so the driver and local tests agree on the window."""
+def compute_gate_window(
+    names: list[str], history: dict[str, int], age_slots: int = AGE_SLOTS
+) -> list[str]:
+    """Pinned gates first, then never-checked queries (anything newly
+    declared) in declaration order, then the remaining slots by
+    (latest driver-green round, declaration index) — stalest greens
+    re-front.  ``age_slots`` of the window are RESERVED for the stalest
+    greens even when never-checked declarations alone could fill it, so
+    age-based re-proof happens every round, not only on quiet ones.
+    Deterministic given the committed history files, so the driver and
+    local tests agree on the window."""
     decl = {n: i for i, n in enumerate(names)}
     pinned = [n for n in GATE_PIN if n in decl]
     pool = [n for n in names if n not in set(pinned)]
-    pool.sort(key=lambda n: (history.get(n, -1), decl[n]))
-    return (pinned + pool)[:GATE_WINDOW_SIZE]
+    never = sorted((n for n in pool if n not in history), key=lambda n: decl[n])
+    greens = sorted(
+        (n for n in pool if n in history), key=lambda n: (history[n], decl[n])
+    )
+    never_budget = max(0, GATE_WINDOW_SIZE - len(pinned) - age_slots)
+    window = pinned + never[:never_budget] + greens[:age_slots]
+    for n in never[never_budget:] + greens[age_slots:]:
+        if len(window) >= GATE_WINDOW_SIZE:
+            break
+        window.append(n)
+    return window[:GATE_WINDOW_SIZE]
 
 
 _missing = [n for n in GATE_PIN if n not in QUERIES]

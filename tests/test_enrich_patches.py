@@ -288,6 +288,9 @@ def test_parse_near_andnot_boost_tokens():
         parse("NEAR(name~a)")
     with pytest.raises(ValueError):
         parse("BOOST(name~a, name~b, name~c)")
+    # a fractional distance is rejected, not silently truncated to 1
+    with pytest.raises(ValueError, match="non-negative integer"):
+        parse("NEAR(name~a, name~b, 1.9)")
 
 
 # ------------------------------------------------------------- registry

@@ -12,6 +12,7 @@ from __future__ import annotations
 import pytest
 
 from data_pipeline_spark.queries import (
+    AGE_SLOTS,
     GATE_PIN,
     GATE_WINDOW_SIZE,
     QUERIES,
@@ -40,17 +41,36 @@ def test_window_is_the_first_entries_and_contains_pins():
 
 
 def test_window_prioritizes_never_driver_checked():
-    """No already-green non-pin query may occupy a slot while a
-    never-checked query sits outside the window."""
+    """No already-green non-pin query beyond the AGE_SLOTS reservation
+    may occupy a slot while a never-checked query sits outside the
+    window (the reservation deliberately re-proves the stalest greens
+    every round — see AGE_SLOTS)."""
     names = list(QUERIES.keys())
     window = set(names[:GATE_WINDOW_SIZE])
     hist = driver_green_history()
     unchecked_outside = [n for n in names if n not in hist and n not in window]
     green_inside = [n for n in window if n in hist and n not in set(GATE_PIN)]
-    assert not (unchecked_outside and green_inside), (
+    assert not (unchecked_outside and len(green_inside) > AGE_SLOTS), (
         f"window wastes slots on already-proven {green_inside} while "
         f"{unchecked_outside} have no driver evidence"
     )
+
+
+def test_age_slots_reserved_under_declaration_flood():
+    """Even when never-checked declarations alone could fill the window,
+    AGE_SLOTS of the stalest greens still make it in — the age term
+    VERDICT r6 #4 asked for (drift risk compounds with row age)."""
+    names = list(GATE_PIN) + [f"g{i:03d}" for i in range(20)] + [
+        f"n{i:03d}" for i in range(60)
+    ]
+    hist = {f"g{i:03d}": 1 + (i % 3) for i in range(20)}  # greens, rounds 1-3
+    window = compute_gate_window(names, hist)
+    assert len(window) == GATE_WINDOW_SIZE
+    greens_in = [n for n in window if n in hist]
+    assert len(greens_in) == AGE_SLOTS
+    # and they are the STALEST greens (round 1 first, declaration order)
+    stalest = sorted(hist, key=lambda n: (hist[n], n))[:AGE_SLOTS]
+    assert sorted(greens_in) == sorted(stalest)
 
 
 def test_cumulative_driver_coverage_spans_every_family():
