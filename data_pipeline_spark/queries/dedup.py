@@ -1087,3 +1087,231 @@ def d09_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round(cosine_expr("qemb", "nemb"), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= COS_T)
     )
+
+
+# ---------------------------------------------------------------------------
+# Tiered verification + the production corpus-clean composition
+# (SCALE.md round 6: exact verification's cost at density is the
+# candidate-with-shingle-array intermediate crossing an exchange; the
+# signature-agreement estimate is 3.6x cheaper at 30x with the same
+# yield.  The production path layers them: estimate first, exact verify
+# ONLY the borderline band.)
+# ---------------------------------------------------------------------------
+EST_ACCEPT = 0.875  # >= 7 of 8 signatures agree: accept on the estimate alone
+EST_REJECT = 0.375  # <= 2 of 8 agree: reject without touching shingle arrays
+
+
+def tiered_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, sim, method): near-dup pairs through the LAYERED
+    verify — signature-agreement estimate on every LSH candidate (fixed
+    64-byte payload per side), exact array-intersect Jaccard ONLY for
+    the borderline band EST_REJECT <= est < EST_ACCEPT.  Document-sized
+    shingle arrays cross the verify exchange for borderline candidates
+    alone; clear accepts and clear rejects never touch them — at 30x
+    density that is the difference between d33's 39.9 s and d07's
+    143.3 s (SCALE.md round 6), with the borderline re-check recovering
+    exact-verify precision where the 8-signature estimate is noisy."""
+    est_df = _estimate_pairs_tier(spark, sf_dir)
+    accepted = est_df.filter(F.col("est_jaccard") >= EST_ACCEPT).select(
+        "id_a", "id_b",
+        F.col("est_jaccard").alias("sim"),
+        F.lit("estimate").alias("method"),
+    )
+    border = est_df.filter(
+        (F.col("est_jaccard") >= EST_REJECT) & (F.col("est_jaccard") < EST_ACCEPT)
+    ).select("id_a", "id_b")
+    da = _doc_arrays_tier(spark, sf_dir)
+    exact = verified_pairs_from_arrays(da, border, JACCARD_T).select(
+        "id_a", "id_b",
+        F.col("jaccard").alias("sim"),
+        F.lit("exact").alias("method"),
+    )
+    return accepted.unionByName(exact)
+
+
+def _estimate_pairs_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, est_jaccard) for every LSH candidate — the relation
+    both the accept branch and the borderline branch of the tiered
+    verify read, so it materializes once (in production: the candidate
+    table a verify job writes and downstream stages filter)."""
+
+    def build() -> DataFrame:
+        sigs = _minhash_sigs_tier(spark, sf_dir)
+        cands = lsh_candidates(sigs)
+        a = sigs.select(
+            F.col("id").alias("id_a"),
+            *[F.col(f"s{i}").alias(f"sa{i}") for i in range(N_SIGS)],
+        )
+        b = sigs.select(
+            F.col("id").alias("id_b"),
+            *[F.col(f"s{i}").alias(f"sb{i}") for i in range(N_SIGS)],
+        )
+        agree = None
+        for i in range(N_SIGS):
+            term = (F.col(f"sa{i}") == F.col(f"sb{i}")).cast("int")
+            agree = term if agree is None else agree + term
+        return (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a", "id_b", (agree.cast("double") / N_SIGS).alias("est_jaccard")
+            )
+        )
+
+    return _tier(spark, sf_dir, "est_pairs", build)
+
+
+_TIERED_SQL = f"""
+    est AS (
+        SELECT c.id_a, c.id_b,
+               CAST(({_EST_AGREE}) AS DOUBLE) / {N_SIGS} AS est_jaccard
+        FROM cands c
+        JOIN sigs a ON c.id_a = a.id
+        JOIN sigs b ON c.id_b = b.id
+    ),
+    accepted AS (
+        SELECT id_a, id_b, est_jaccard AS sim, 'estimate' AS method
+        FROM est WHERE est_jaccard >= {EST_ACCEPT}
+    ),
+    border AS (
+        SELECT id_a, id_b FROM est
+        WHERE est_jaccard >= {EST_REJECT} AND est_jaccard < {EST_ACCEPT}
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM shingles GROUP BY id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_both
+        FROM border c
+        JOIN shingles sa ON c.id_a = sa.id
+        JOIN shingles sb ON c.id_b = sb.id AND sa.shingle = sb.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    exact AS (
+        SELECT id_a, id_b,
+               ROUND(CAST(n_both AS DOUBLE) / (na.n + nb.n - n_both), 6) AS sim,
+               'exact' AS method
+        FROM inter JOIN sizes na ON id_a = na.id
+                   JOIN sizes nb ON id_b = nb.id
+        WHERE ROUND(CAST(n_both AS DOUBLE) / (na.n + nb.n - n_both), 6) >= {JACCARD_T}
+    ),
+    tier_pairs AS (
+        SELECT * FROM accepted UNION ALL SELECT * FROM exact
+    )
+"""
+
+TIERED_PAIRS_ORACLE = f"""
+    WITH {_SHINGLES_SQL},
+    {_sig_sql()},
+    {_bands_sql()},
+    cands AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+    ),
+    {_TIERED_SQL}
+    SELECT id_a, id_b, sim, method FROM tier_pairs
+"""
+
+
+@query(
+    "d35_tiered_pairs", oracle=TIERED_PAIRS_ORACLE, survey="dedup-minhash-lsh"
+)
+def d35_tiered_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layered verify as a declared relation (see
+    tiered_verified_pairs): estimate-accept at >= EST_ACCEPT (7 of 8
+    signatures), exact-verify only the borderline band, reject below
+    EST_REJECT (2 of 8) with no array work at all.  Every branch is
+    deterministic (md5 signatures, array_intersect Jaccard), so the
+    whole tier hash-oracles."""
+    return tiered_verified_pairs(spark, sf_dir)
+
+
+CORPUS_CLEAN_TIERED_ORACLE = f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_sig_sql()},
+    {_bands_sql()},
+    cands AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+    ),
+    {_TIERED_SQL},
+    {_simhash64_sql()},
+    sim_pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM sims a JOIN sims b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_T}
+    ),
+    all_pairs AS (
+        SELECT id_a, id_b FROM tier_pairs
+        UNION
+        SELECT id_a, id_b FROM sim_pairs
+    ),
+    sym AS (SELECT id_a AS s, id_b AS d FROM all_pairs
+            UNION SELECT id_b, id_a FROM all_pairs),
+    walk(node, label) AS (
+        SELECT s, s FROM sym
+        UNION
+        SELECT e.d, w.label FROM walk w JOIN sym e ON w.node = e.s
+        WHERE w.label < e.d
+    ),
+    groups AS (SELECT node AS doc_id, MIN(label) AS keeper FROM walk GROUP BY node),
+    quality AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 len(regexp_split_to_array(trim(text, ' '), '[ \t\n\f\r]+')) AS n_tokens,
+                 len(list_filter(regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\f\r]+'),
+                                 t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop
+          FROM documents
+        ) WHERE n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5
+    )
+    SELECT q.doc_id FROM quality q
+    LEFT JOIN groups g ON q.doc_id = g.doc_id
+    WHERE g.doc_id IS NULL OR g.keeper = q.doc_id
+"""
+
+
+@query(
+    "d36_corpus_clean_tiered",
+    oracle=CORPUS_CLEAN_TIERED_ORACLE,
+    survey="dedup-groups,dedup-simhash,dedup-minhash-lsh,quality-score",
+)
+def d36_corpus_clean_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION corpus-clean composition, rewired onto the round-6
+    scale tiers (the r6 verdict's top item): near-dup edges come from
+    (a) the tiered MinHash verify (d35 — estimate-accept, borderline
+    exact only) and (b) 64-bit SimHash Hamming<=3 pairs (d34 — verify is
+    a bit_count on two fixed 8-byte fingerprints, never an array), their
+    union feeds one connected-components pass, and the quality gate +
+    keeper election are unchanged from d13.  Output is LINEAR in docs
+    (kept doc_ids) however dense the dup families are — the pairs
+    relations are intermediates here, never the product.  d13 remains
+    the exact-verified correctness twin; this is what runs at 100 TB
+    (measured at 30x in SCALE.md round 7)."""
+    from ..pipeline.closure import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    toks = F.split(F.trim(F.col("text")), _WS_SPLIT)
+    low_toks = F.split(F.lower(F.trim(F.col("text"))), _WS_SPLIT)
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(low_toks, lambda t: t.isin("the", "a", "of", "and")))
+    quality = docs.filter(
+        (n_tokens >= 20) & ((n_stop.cast("double") / n_tokens) < 0.5)
+    ).select("doc_id")
+
+    tier_pairs = tiered_verified_pairs(spark, sf_dir).select("id_a", "id_b")
+    sims64 = _tier(
+        spark, sf_dir, "simhash64",
+        lambda: simhash64_df(load_table(spark, sf_dir, "documents")),
+    )
+    sim_pairs = simhash64_candidates(sims64).select("id_a", "id_b")
+    edges = tier_pairs.unionByName(sim_pairs)
+
+    groups = connected_components(edges, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("keeper")
+    )
+    return (
+        quality.join(groups, "doc_id", "left")
+        .filter(F.col("keeper").isNull() | (F.col("keeper") == F.col("doc_id")))
+        .select("doc_id")
+    )

@@ -343,3 +343,30 @@ def test_d34_simhash64_banded_no_theta_selfjoin(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     pair_dedup = re.findall(r"HashAggregate\(keys=\[id_a[^\]]*id_b", plan)
     assert not pair_dedup, pair_dedup
+
+
+def test_d35_tiered_pairs_border_only_touches_arrays(spark):
+    """The layered verify's contract: shingle ARRAYS may enter the plan
+    only on the exact-verify branch (the borderline band), never on the
+    estimate-accept branch — and the candidate generation stays the
+    banded equi-join with no theta self-join anywhere."""
+    import re
+
+    plan = _plan(spark, "d35_tiered_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the shingle-array tier feeds exactly the two sides of the
+    # borderline exact-verify join — the estimate branch never reads it
+    sh_scans = re.findall(r"Scan ExistingRDD\[id#\d+L?,\s*sh#\d+\]", plan)
+    assert len(sh_scans) == 2, sh_scans
+    assert "array_intersect" in plan
+
+
+def test_d36_tiered_clean_no_theta_and_linear_output(spark):
+    """The production corpus-clean composition must contain no theta
+    self-join at any stage (minhash band join, simhash64 segment join,
+    CC rounds, quality gate) — pairs are intermediates, output is the
+    kept doc_id relation."""
+    plan = _plan(spark, "d36_corpus_clean_tiered")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
