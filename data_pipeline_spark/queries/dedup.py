@@ -912,14 +912,12 @@ EMB_PLANES = 5  # per-table signature bits
 EMB_TABLES = 8  # independent plane sets
 
 
-def _emb_lsh_oracle() -> str:
-    """DuckDB twin of the d09 scale path, generated from the SAME
-    deterministic md5-derived hyperplanes (operators/similarity._plane)
-    baked in as SQL literals — the two sides cannot drift, and the gate
-    pins the operator's SEMANTICS (sign-LSH candidates + exact-cosine
-    verify) rather than a dataset-dependent recall property of the test
-    corpus (an exact-all-pairs oracle asserts recall == 1.0, which a
-    testdata regeneration could break without any code bug)."""
+def _emb_sig_select_sql(src: str) -> str:
+    """The per-table sign-LSH signature selects over relation ``src``,
+    with the deterministic md5-derived hyperplanes
+    (operators/similarity._plane) baked in as SQL literals — shared by
+    the d09 and v05 oracles so the plane scheme cannot drift between
+    them."""
     from ..operators.similarity import _plane
 
     sig_selects = []
@@ -934,10 +932,14 @@ def _emb_lsh_oracle() -> str:
                 "THEN '1' ELSE '0' END"
             )
         sig_selects.append(
-            f"SELECT vec_id, {t} AS t, concat({', '.join(bits)}) AS sig FROM vecs"
+            f"SELECT vec_id, {t} AS t, concat({', '.join(bits)}) AS sig FROM {src}"
         )
-    sigs_sql = "\nUNION ALL\n".join(sig_selects)
+    return "\nUNION ALL\n".join(sig_selects)
 
+
+def _emb_flips_sql() -> list[str]:
+    """The Hamming-1 multiprobe signature set (the signature itself plus
+    each single-bit flip) as SQL expressions over a ``sig`` column."""
     flips = ["sig"]
     for j in range(1, EMB_PLANES + 1):
         flips.append(
@@ -945,6 +947,19 @@ def _emb_lsh_oracle() -> str:
             f"CASE substr(sig, {j}, 1) WHEN '1' THEN '0' ELSE '1' END, "
             f"substr(sig, {j + 1}, {EMB_PLANES - j}))"
         )
+    return flips
+
+
+def _emb_lsh_oracle() -> str:
+    """DuckDB twin of the d09 scale path, generated from the SAME
+    deterministic md5-derived hyperplanes (operators/similarity._plane)
+    baked in as SQL literals — the two sides cannot drift, and the gate
+    pins the operator's SEMANTICS (sign-LSH candidates + exact-cosine
+    verify) rather than a dataset-dependent recall property of the test
+    corpus (an exact-all-pairs oracle asserts recall == 1.0, which a
+    testdata regeneration could break without any code bug)."""
+    sigs_sql = _emb_sig_select_sql("vecs")
+    flips = _emb_flips_sql()
 
     return f"""
     WITH vecs AS (
@@ -1314,4 +1329,79 @@ def d36_corpus_clean_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.join(groups, "doc_id", "left")
         .filter(F.col("keeper").isNull() | (F.col("keeper") == F.col("doc_id")))
         .select("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-similarity batch twin gate (the continuous ANN probe's
+# expressions, driver-verified — VERDICT r6 #5)
+# ---------------------------------------------------------------------------
+_V05_MOD = 4  # vec_id % 4 == 0 plays the arriving micro-batch
+
+
+def _v05_oracle() -> str:
+    """DuckDB twin of the streaming similarity probe: the corpus splits
+    into an arriving batch (vec_id % _V05_MOD == 0) and the persisted
+    index (the rest); the batch's signatures multiprobe the index at
+    Hamming<=1 and candidates exact-cosine verify — the DIRECTED form of
+    the d09 scheme, from the same plane literals."""
+    flips = _emb_flips_sql()
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    newv AS (SELECT * FROM vecs WHERE vec_id % {_V05_MOD} = 0),
+    idxv AS (SELECT * FROM vecs WHERE vec_id % {_V05_MOD} <> 0),
+    new_sigs AS (
+        {_emb_sig_select_sql("newv")}
+    ),
+    idx_sigs AS (
+        {_emb_sig_select_sql("idxv")}
+    ),
+    probes AS (
+        SELECT vec_id, t, unnest([{", ".join(flips)}]) AS sig FROM new_sigs
+    ),
+    cands AS (
+        SELECT DISTINCT p.vec_id AS new_id, s.vec_id AS corpus_id
+        FROM probes p JOIN idx_sigs s
+          ON p.t = s.t AND p.sig = s.sig AND p.vec_id <> s.vec_id
+    )
+    SELECT c.new_id, c.corpus_id,
+           ROUND(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos_sim
+    FROM cands c
+    JOIN newv a ON a.vec_id = c.new_id
+    JOIN idxv b ON b.vec_id = c.corpus_id
+    WHERE ROUND(list_dot_product(a.emb, b.emb)
+                / (sqrt(list_dot_product(a.emb, a.emb))
+                   * sqrt(list_dot_product(b.emb, b.emb))), 6) >= {COS_T}
+"""
+
+
+@query(
+    "v05_stream_similarity_gate",
+    oracle=_v05_oracle(),
+    survey="similarity-ann-lsh,dedup-embedding,R5",
+)
+def v05_stream_similarity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming embedding-similarity probe's batch-equivalent path,
+    as a declared gate (the d27 pattern: a deterministic split plays the
+    two sides): vec_id % 4 == 0 is the arriving micro-batch, the rest
+    the persisted index, and the match runs through THE SAME
+    probe_matches expressions streaming/similarity_stream.py executes
+    per micro-batch (directed Hamming-1 multiprobe + exact-cosine
+    verify) — so the continuous ANN probe is driver-hash-verified
+    through its batch twin, like the rest of the streaming family."""
+    from ..streaming.similarity_stream import probe_matches
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    newv = emb.filter(F.col("id") % _V05_MOD == 0)
+    idxv = emb.filter(F.col("id") % _V05_MOD != 0)
+    return probe_matches(
+        newv, embedding_signatures(newv), embedding_signatures(idxv), idxv
     )

@@ -11,7 +11,13 @@ see it. All heavy work is the existing batch builders inside
 batch and streaming dedup CANNOT diverge.
 
 At scale the index tables are bucketed by (band, bh) and (id): each probe
-is a co-located join, and the append is an ordinary partitioned write.
+is a co-located join, and the fold is an ordinary partitioned write.
+
+At-least-once idempotency: Structured Streaming may RETRY a micro-batch
+after a partial failure, so nothing here may blindly append — every
+index fold and matches write goes to a batch-keyed partition directory
+(``batch=b<id>`` / ``batch_id=<id>``) with overwrite; a retried batch
+replaces its own directory instead of duplicating index rows.
 """
 
 from __future__ import annotations
@@ -29,25 +35,45 @@ from ..queries.dedup import (
 )
 
 
+def _tier_dir(index_dir: str, tier: str, key: str) -> str:
+    """Batch-keyed partition directory of an index tier (keys are
+    non-numeric strings — 'base', 'b3' — so partition-type inference is
+    stable across any batch mix)."""
+    return os.path.join(index_dir, tier, f"batch={key}")
+
+
 def index_corpus(docs: DataFrame, index_dir: str) -> None:
     """Build the persisted LSH index (bands + shingles) for a corpus."""
     sh = shingles_df(docs)
     _bands(minhash_signatures(sh)).write.mode("overwrite").parquet(
-        os.path.join(index_dir, "bands")
+        _tier_dir(index_dir, "bands", "base")
     )
-    sh.write.mode("overwrite").parquet(os.path.join(index_dir, "shingles"))
+    sh.write.mode("overwrite").parquet(_tier_dir(index_dir, "shingles", "base"))
 
 
 def match_batch(
-    spark: SparkSession, batch: DataFrame, index_dir: str, append: bool = True
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    append: bool = True,
+    batch_key: str | None = None,
 ) -> DataFrame:
     """One micro-batch: probe the index, verify candidates exactly, then
-    (optionally) append the batch to the index. Returns matches
-    (new_id, corpus_id, jaccard)."""
+    (optionally) fold the batch into the index under its own
+    ``batch=<batch_key>`` partition with overwrite (idempotent under
+    at-least-once retry). Returns matches (new_id, corpus_id, jaccard)."""
     new_sh = shingles_df(batch)
     new_bands = _bands(minhash_signatures(new_sh))
     idx_bands = spark.read.parquet(os.path.join(index_dir, "bands"))
     idx_sh = spark.read.parquet(os.path.join(index_dir, "shingles"))
+    if batch_key is not None:
+        # a RETRIED batch must not probe its own partial fold from the
+        # failed attempt — excluding the batch's own partition (pruned
+        # at the scan) makes the retry reproduce the first run exactly
+        idx_bands = idx_bands.filter(F.col("batch") != batch_key)
+        idx_sh = idx_sh.filter(F.col("batch") != batch_key)
+    idx_bands = idx_bands.select("id", "band", "bh")
+    idx_sh = idx_sh.select("id", "shingle")
 
     cands = (
         new_bands.alias("n")
@@ -80,8 +106,17 @@ def match_batch(
     )
     result = matches.localCheckpoint()  # materialize BEFORE the index grows
     if append:
-        new_bands.write.mode("append").parquet(os.path.join(index_dir, "bands"))
-        new_sh.write.mode("append").parquet(os.path.join(index_dir, "shingles"))
+        if batch_key is None:
+            raise ValueError(
+                "append=True requires batch_key: index folds must be "
+                "batch-keyed to stay idempotent under streaming retries"
+            )
+        new_bands.write.mode("overwrite").parquet(
+            _tier_dir(index_dir, "bands", batch_key)
+        )
+        new_sh.write.mode("overwrite").parquet(
+            _tier_dir(index_dir, "shingles", batch_key)
+        )
     return result
 
 
@@ -94,12 +129,13 @@ def stream_dedup(
 ):
     """Structured-Streaming wrapper: each micro-batch of documents
     (doc_id bigint, text string) is matched and folded into the index;
-    matches append to ``matches_dir``."""
+    matches land in a ``batch_id=<id>`` partition of ``matches_dir``
+    with overwrite (idempotent under micro-batch retry)."""
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        out = match_batch(spark, batch, index_dir)
-        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            matches_dir
+        out = match_batch(spark, batch, index_dir, batch_key=f"b{batch_id}")
+        out.write.mode("overwrite").parquet(
+            os.path.join(matches_dir, f"batch_id={batch_id}")
         )
 
     feed = spark.readStream.schema("doc_id bigint, text string").json(feed_path)

@@ -8,11 +8,23 @@ THE SAME deterministic md5-derived planes as the batch path
 (queries.dedup.embedding_signatures — batch and streaming buckets cannot
 drift), probes the PERSISTED signature index with Hamming-1 multiprobe,
 exact-cosine-verifies the candidates, emits (new vector, corpus
-neighbor, cos_sim >= threshold), and appends its own signatures +
-vectors to the index so later batches see it.
+neighbor, cos_sim >= threshold), and folds its own signatures + vectors
+into the index so later batches see it.  The probe construction is the
+pure functions ``probe_candidates``/``probe_matches``, which the
+declared batch gate (queries/dedup.py v05_stream_similarity_gate)
+hash-oracles against DuckDB — the streaming path's expressions are
+driver-verified through their batch twin.
+
+At-least-once idempotency: Structured Streaming may RETRY a micro-batch
+after a partial failure, so nothing here may blindly append.  Every
+index fold and every matches write goes to a batch-keyed partition
+directory (``batch=b<id>`` / ``batch_id=<id>``) with overwrite — a
+retried batch overwrites its own directory instead of duplicating rows.
+Readers use plain ``spark.read.parquet(dir)``: the key directories are
+ordinary partition columns.
 
 At scale the index tables are partitioned by (t, sig) and (id): each
-probe is a partition-pruned read, and the append is an ordinary
+probe is a partition-pruned read, and the fold is an ordinary
 partitioned write.  All heavy work is the existing batch builders inside
 ``foreachBatch`` — the streaming layer only sequences micro-batches.
 """
@@ -32,29 +44,28 @@ from ..queries.dedup import (
 from ..queries.vector import cosine_expr
 
 
+def _tier_dir(index_dir: str, tier: str, key: str) -> str:
+    """Batch-keyed partition directory of an index tier.  Keys are
+    always non-numeric strings ('base', 'b3') so partition-type
+    inference is stable across any batch mix."""
+    return os.path.join(index_dir, tier, f"batch={key}")
+
+
 def index_corpus(emb: DataFrame, index_dir: str) -> None:
     """Build the persisted sign-LSH index (signatures + vectors) for a
     corpus.  ``emb`` is (id, emb array<double>)."""
     embedding_signatures(emb).write.mode("overwrite").parquet(
-        os.path.join(index_dir, "sigs")
+        _tier_dir(index_dir, "sigs", "base")
     )
-    emb.write.mode("overwrite").parquet(os.path.join(index_dir, "vecs"))
+    emb.write.mode("overwrite").parquet(_tier_dir(index_dir, "vecs", "base"))
 
 
-def match_batch(
-    spark: SparkSession,
-    batch: DataFrame,
-    index_dir: str,
-    append: bool = True,
-    threshold: float = COS_T,
-) -> DataFrame:
-    """One micro-batch: probe the index with Hamming-1 multiprobe,
-    exact-cosine verify, then (optionally) append the batch to the
-    index.  Returns matches (new_id, corpus_id, cos_sim)."""
-    new_sigs = embedding_signatures(batch)
-    idx_sigs = spark.read.parquet(os.path.join(index_dir, "sigs"))
-    idx_vecs = spark.read.parquet(os.path.join(index_dir, "vecs"))
-
+def probe_candidates(new_sigs: DataFrame, idx_sigs: DataFrame) -> DataFrame:
+    """(new_id, corpus_id): directed Hamming-1 multiprobe of the index —
+    the probe side carries 1+EMB_PLANES signatures per (vector, table),
+    the index side one, and the only join is the (t, sig) equi-join.
+    The same construction as the batch candidates_from_signatures, but
+    directed (new vs corpus), which is what a continuous feed needs."""
     flips = F.array(
         F.col("sig"),
         *[
@@ -67,7 +78,7 @@ def match_batch(
         ],
     )
     probe = new_sigs.select("id", "t", F.explode(flips).alias("sig"))
-    cands = (
+    return (
         probe.alias("n")
         .join(
             idx_sigs.alias("i"),
@@ -77,9 +88,23 @@ def match_batch(
         .filter(F.col("new_id") != F.col("corpus_id"))
         .distinct()
     )
-    a = batch.select(F.col("id").alias("new_id"), F.col("emb").alias("qemb"))
+
+
+def probe_matches(
+    new_vecs: DataFrame,
+    new_sigs: DataFrame,
+    idx_sigs: DataFrame,
+    idx_vecs: DataFrame,
+    threshold: float = COS_T,
+) -> DataFrame:
+    """(new_id, corpus_id, cos_sim): the full probe — multiprobe
+    candidates, then exact-cosine verify against the indexed vectors.
+    Pure function of its four relations; both the streaming micro-batch
+    and the declared v05 gate run exactly this."""
+    cands = probe_candidates(new_sigs, idx_sigs)
+    a = new_vecs.select(F.col("id").alias("new_id"), F.col("emb").alias("qemb"))
     b = idx_vecs.select(F.col("id").alias("corpus_id"), F.col("emb").alias("nemb"))
-    matches = (
+    return (
         cands.join(a, "new_id")
         .join(b, "corpus_id")
         .select(
@@ -88,10 +113,43 @@ def match_batch(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
-    result = matches.localCheckpoint()  # materialize BEFORE the index grows
+
+
+def match_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    append: bool = True,
+    threshold: float = COS_T,
+    batch_key: str | None = None,
+) -> DataFrame:
+    """One micro-batch: probe the index (probe_matches), then
+    (optionally) fold the batch into the index under its own
+    ``batch=<batch_key>`` partition with overwrite — a retried batch
+    replaces its directory, so the fold is idempotent under
+    at-least-once delivery.  Returns matches (new_id, corpus_id,
+    cos_sim)."""
+    new_sigs = embedding_signatures(batch)
+    idx_sigs = spark.read.parquet(os.path.join(index_dir, "sigs"))
+    idx_vecs = spark.read.parquet(os.path.join(index_dir, "vecs"))
+    if batch_key is not None:
+        # a RETRIED batch must not probe its own partial fold from the
+        # failed attempt — excluding the batch's own partition (pruned
+        # at the scan) makes the retry reproduce the first run exactly
+        idx_sigs = idx_sigs.filter(F.col("batch") != batch_key)
+        idx_vecs = idx_vecs.filter(F.col("batch") != batch_key)
+    idx_sigs = idx_sigs.select("id", "t", "sig")
+    idx_vecs = idx_vecs.select("id", "emb")
+    # materialize BEFORE the index grows (the plan reads the index dirs)
+    result = probe_matches(batch, new_sigs, idx_sigs, idx_vecs, threshold).localCheckpoint()
     if append:
-        new_sigs.write.mode("append").parquet(os.path.join(index_dir, "sigs"))
-        batch.write.mode("append").parquet(os.path.join(index_dir, "vecs"))
+        if batch_key is None:
+            raise ValueError(
+                "append=True requires batch_key: index folds must be "
+                "batch-keyed to stay idempotent under streaming retries"
+            )
+        new_sigs.write.mode("overwrite").parquet(_tier_dir(index_dir, "sigs", batch_key))
+        batch.write.mode("overwrite").parquet(_tier_dir(index_dir, "vecs", batch_key))
     return result
 
 
@@ -104,16 +162,19 @@ def stream_similarity(
 ):
     """Structured-Streaming wrapper: each micro-batch of vectors
     (vec_id bigint, embedding array<double>) is matched against — and
-    folded into — the index; matches append to ``matches_dir``."""
+    folded into — the index; matches land in a ``batch_id=<id>``
+    partition of ``matches_dir`` with overwrite (idempotent under
+    micro-batch retry; read the whole directory as ordinary
+    partitioned parquet)."""
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         emb = batch.select(
             F.col("vec_id").alias("id"),
             F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
         )
-        out = match_batch(spark, emb, index_dir)
-        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            matches_dir
+        out = match_batch(spark, emb, index_dir, batch_key=f"b{batch_id}")
+        out.write.mode("overwrite").parquet(
+            os.path.join(matches_dir, f"batch_id={batch_id}")
         )
 
     feed = spark.readStream.schema("vec_id bigint, embedding array<double>").json(

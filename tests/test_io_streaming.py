@@ -629,3 +629,46 @@ def test_stream_similarity_against_indexed_corpus(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = {(r.new_id, r.corpus_id) for r in spark.read.parquet(matches_dir).collect()}
     assert (20, 10) in got2 and (20, 1) in got2
+
+
+def test_similarity_batch_fold_idempotent_under_retry(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a micro-batch with the
+    same batch key must (a) leave the index without duplicate rows —
+    the fold overwrites its own partition — and (b) reproduce the FIRST
+    run's matches exactly, because the probe excludes the batch's own
+    partial fold (two near-identical vectors in one batch must not
+    match each other on the retry)."""
+    import os
+
+    import pytest
+
+    from data_pipeline_spark.streaming.similarity_stream import (
+        index_corpus,
+        match_batch,
+    )
+
+    a = [1.0] * 64
+    corpus = spark.createDataFrame([(1, a)], "id bigint, emb array<double>")
+    index_dir = str(tmp_path / "idx")
+    index_corpus(corpus, index_dir)
+
+    # two near-copies of `a` arriving in ONE batch: a clean run matches
+    # each to corpus id 1 but never to each other (intra-batch pairs are
+    # the NEXT batch's problem once the fold lands)
+    batch = spark.createDataFrame(
+        [(10, [0.5] + a[1:]), (11, a[:1] + [0.5] + a[2:])],
+        "id bigint, emb array<double>",
+    )
+    m1 = sorted(map(tuple, match_batch(spark, batch, index_dir, batch_key="b0").collect()))
+    m2 = sorted(map(tuple, match_batch(spark, batch, index_dir, batch_key="b0").collect()))
+    assert m1 == m2
+    assert {(n, c) for n, c, _ in m1} == {(10, 1), (11, 1)}
+
+    sigs = spark.read.parquet(os.path.join(index_dir, "sigs"))
+    assert sigs.filter("id = 10").count() == 8  # EMB_TABLES rows, not 16
+    vecs = spark.read.parquet(os.path.join(index_dir, "vecs"))
+    assert vecs.filter("id = 10").count() == 1
+
+    # un-keyed appends are refused outright — they cannot be idempotent
+    with pytest.raises(ValueError, match="batch_key"):
+        match_batch(spark, batch, index_dir)
