@@ -82,6 +82,7 @@ def overlap_join(
     right_end: str,
     bin_seconds: int,
     keys: tuple[str, ...] = (),
+    max_bins: int | None = None,
 ) -> DataFrame:
     """Interval-OVERLAP join: every (left, right) pair whose half-open
     intervals intersect (``ls < re AND rs < le``) — the two-sided sibling
@@ -98,10 +99,75 @@ def overlap_join(
     interval length: shorter bins multiply the fan-out, longer bins
     admit more false candidates for the residual predicate.
 
+    ``max_bins`` is the long-interval cap for HEAVY-TAILED length
+    distributions (SCALE.md round 7): an interval touching more than
+    ``max_bins`` bins would explode into that many rows — a single
+    year-long outlier at minute bins is ~526k rows in one task's
+    lineage.  With the cap set, over-long intervals leave the bin path
+    entirely and meet the other side through a broadcast join instead
+    (long outliers are FEW under the heavy-tail assumption — that is
+    what makes them broadcastable).  The pair space partitions exactly:
+    short x short through bins, long-left x all-right and short-left x
+    long-right through the broadcast — disjoint and complete, results
+    identical (property-tested).  None (default) keeps the pure bin
+    path for bounded-length intervals like rj02's fixed 7-day windows.
+
     Self-joins: rename the columns of at least one side first (as rj02
     does) — both inputs' columns survive into the residual filter, so
     shared names throw AMBIGUOUS_REFERENCE at analysis time.
     """
+    lf = left.filter(F.col(left_end) > F.col(left_start))
+    rf = right.filter(F.col(right_end) > F.col(right_start))
+    overlap = (F.col(left_start) < F.col(right_end)) & (
+        F.col(right_start) < F.col(left_end)
+    )
+
+    def nbins(s: str, e: str) -> Column:
+        lo = F.floor(F.col(s).cast("double") / bin_seconds)
+        hi = F.ceil(F.col(e).cast("double") / bin_seconds) - 1
+        return F.greatest(hi, lo) - lo + 1
+
+    if max_bins is None:
+        return _binned_overlap(
+            lf, rf, left_start, left_end, right_start, right_end, bin_seconds, keys
+        ).filter(overlap)
+
+    l_long = nbins(left_start, left_end) > max_bins
+    r_long = nbins(right_start, right_end) > max_bins
+
+    def bcast(small: DataFrame, big: DataFrame) -> DataFrame:
+        # keys equi-join (column-merging, same shape as the bin path's
+        # name-list join) with the broadcast-bounded small side; the
+        # overlap predicate is the residual.  With no keys this is a
+        # broadcast nested-loop — bounded by the few-outliers premise.
+        if keys:
+            j = big.join(F.broadcast(small), list(keys))
+        else:
+            j = big.join(F.broadcast(small), F.lit(True))
+        return j.filter(overlap)
+
+    short = _binned_overlap(
+        lf.filter(~l_long), rf.filter(~r_long),
+        left_start, left_end, right_start, right_end, bin_seconds, keys,
+    ).filter(overlap)
+    long_left = bcast(lf.filter(l_long), rf)              # long-L x all-R
+    long_right = bcast(rf.filter(r_long), lf.filter(~l_long))  # short-L x long-R
+    return short.unionByName(long_left).unionByName(long_right)
+
+
+def _binned_overlap(
+    lf: DataFrame,
+    rf: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_seconds: int,
+    keys: tuple[str, ...],
+) -> DataFrame:
+    """The bin-bucketed candidate join (callers apply the exact overlap
+    residual): explode to epoch bins, meet on (bin, keys), emit each
+    pair once from its first shared bin."""
 
     def bins(s: str, e: str, lo_alias: str) -> tuple[Column, Column]:
         # fractional-second safe: timestamps cast to double epoch
@@ -116,18 +182,10 @@ def overlap_join(
 
     llo, lbins = bins(left_start, left_end, "_llo")
     rlo, rbins = bins(right_start, right_end, "_rlo")
-    lx = left.filter(F.col(left_end) > F.col(left_start)).select(
-        "*", llo, F.explode(lbins).alias("_bin")
-    )
-    rx = right.filter(F.col(right_end) > F.col(right_start)).select(
-        "*", rlo, F.explode(rbins).alias("_bin")
-    )
+    lx = lf.select("*", llo, F.explode(lbins).alias("_bin"))
+    rx = rf.select("*", rlo, F.explode(rbins).alias("_bin"))
     return (
         lx.join(rx, ["_bin", *keys])
         .filter(F.col("_bin") == F.greatest(F.col("_llo"), F.col("_rlo")))
-        .filter(
-            (F.col(left_start) < F.col(right_end))
-            & (F.col(right_start) < F.col(left_end))
-        )
         .drop("_bin", "_llo", "_rlo")
     )

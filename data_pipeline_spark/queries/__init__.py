@@ -57,6 +57,10 @@ GATE_PIN = [
     # non-integer distances, plans/parser.py) — dsl_q11 exercises the
     # NEAR parse path, so its r6 row no longer vouches verbatim
     "dsl_q11_near_andnot_boost",
+    # r7: overlap_join restructured for the max_bins long-interval cap
+    # (operators/range_join.py) — rj02 runs through the refactored code
+    # (default path, same plan), so it re-gates
+    "rj02_overlapping_order_windows",
 ]
 
 GATE_WINDOW_SIZE = 50

@@ -467,3 +467,49 @@ def test_overlap_join_matches_theta_join(spark):
         .collect()
     }
     assert got == expect and len(expect) > 10
+
+
+def test_overlap_join_long_interval_cap_equals_uncapped(spark):
+    """Heavy-tailed interval lengths (a few giant outliers among short
+    intervals): the max_bins two-tier path — outliers leave the bin
+    explode and meet the other side via broadcast — must produce
+    EXACTLY the uncapped result, each pair once.  This is the cap/split
+    rule for the regime where one year-long interval would explode into
+    ~e5 bin rows (SCALE.md round 7)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.range_join import overlap_join
+
+    # lengths 60..960 s for most ids; ids divisible by 17 get a ~290x
+    # outlier length (pseudo-Pareto tail), all deterministic
+    base = spark.range(80).select(
+        F.col("id").alias("a_id"),
+        F.timestamp_seconds(1700000000 + (F.col("id") * 977) % 5000)
+        .alias("a_start"),
+    ).withColumn(
+        "a_end",
+        F.timestamp_seconds(
+            F.unix_timestamp("a_start")
+            + F.when(F.col("a_id") % 17 == 0, 175000)
+            .otherwise(60 + (F.col("a_id") * 37) % 900)
+        ),
+    )
+    other = base.select(
+        F.col("a_id").alias("b_id"), F.col("a_start").alias("b_start"),
+        F.col("a_end").alias("b_end"),
+    )
+
+    def run(max_bins):
+        return sorted(
+            (r.a_id, r.b_id)
+            for r in overlap_join(
+                base, other, "a_start", "a_end", "b_start", "b_end",
+                bin_seconds=600, max_bins=max_bins,
+            ).filter(F.col("a_id") < F.col("b_id")).collect()
+        )
+
+    uncapped = run(None)
+    capped = run(2)  # outliers (292 bins) AND some mid intervals re-route
+    assert capped == uncapped and len(uncapped) > 20
+    # every pair exactly once (the union of the three tiers is disjoint)
+    assert len(set(capped)) == len(capped)

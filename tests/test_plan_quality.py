@@ -323,6 +323,42 @@ def test_rj02_overlap_join_is_bin_equijoin(spark):
     assert any("_bin" in k and "n_name" in k for k in join_keys), join_keys
 
 
+def test_overlap_join_capped_long_tier_is_broadcast(spark):
+    """With max_bins set, the over-long intervals must meet the other
+    side through BROADCAST joins (they are few — that is the premise of
+    the cap), while the short tier stays the bin equi-join: two
+    broadcast sites, and no non-broadcast nested loop anywhere."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.range_join import overlap_join
+
+    base = spark.range(50).select(
+        F.col("id").alias("a_id"),
+        F.timestamp_seconds(1700000000 + (F.col("id") * 977) % 5000).alias("a_start"),
+    ).withColumn(
+        "a_end",
+        F.timestamp_seconds(
+            F.unix_timestamp("a_start")
+            + F.when(F.col("a_id") % 17 == 0, 175000).otherwise(300)
+        ),
+    )
+    other = base.select(
+        F.col("a_id").alias("b_id"), F.col("a_start").alias("b_start"),
+        F.col("a_end").alias("b_end"),
+    )
+    df = overlap_join(
+        base, other, "a_start", "a_end", "b_start", "b_end",
+        bin_seconds=600, max_bins=4,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # keyless long tiers are broadcast nested-loops over the FEW
+    # outliers; both long tiers must carry the broadcast
+    assert plan.count("BroadcastNestedLoopJoin BuildRight") + plan.count(
+        "BroadcastNestedLoopJoin BuildLeft"
+    ) == 2
+
+
 def test_d31_bpe_scoring_partial_aggs_and_topk(spark):
     """BPE merge scoring must partial-aggregate both tiers (word counts,
     pair scores) and finish with per-partition top-k, never a full sort —
