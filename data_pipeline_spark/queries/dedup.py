@@ -1251,15 +1251,15 @@ CORPUS_CLEAN_TIERED_ORACLE = f"""
     ),
     {_TIERED_SQL},
     {_simhash64_sql()},
-    sim_pairs AS (
-        SELECT a.id AS id_a, b.id AS id_b
-        FROM sims a JOIN sims b ON a.id < b.id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_T}
+    sim_edges AS (
+        SELECT keeper AS id_a, id AS id_b FROM (
+            SELECT id, MIN(id) OVER (PARTITION BY simhash) AS keeper FROM sims
+        ) WHERE id <> keeper
     ),
     all_pairs AS (
         SELECT id_a, id_b FROM tier_pairs
         UNION
-        SELECT id_a, id_b FROM sim_pairs
+        SELECT id_a, id_b FROM sim_edges
     ),
     sym AS (SELECT id_a AS s, id_b AS d FROM all_pairs
             UNION SELECT id_b, id_a FROM all_pairs),
@@ -1294,14 +1294,24 @@ def d36_corpus_clean_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION corpus-clean composition, rewired onto the round-6
     scale tiers (the r6 verdict's top item): near-dup edges come from
     (a) the tiered MinHash verify (d35 — estimate-accept, borderline
-    exact only) and (b) 64-bit SimHash Hamming<=3 pairs (d34 — verify is
-    a bit_count on two fixed 8-byte fingerprints, never an array), their
-    union feeds one connected-components pass, and the quality gate +
-    keeper election are unchanged from d13.  Output is LINEAR in docs
-    (kept doc_ids) however dense the dup families are — the pairs
-    relations are intermediates here, never the product.  d13 remains
-    the exact-verified correctness twin; this is what runs at 100 TB
-    (measured at 30x in SCALE.md round 7)."""
+    exact only) and (b) LINEAR star edges on exact 64-bit SimHash
+    fingerprint equality (each doc -> the min doc_id of its fingerprint
+    class — one window, output linear in docs).  Their union feeds one
+    connected-components pass; the quality gate + keeper election are
+    unchanged from d13.
+
+    Measured negative result that shaped (b) (SCALE.md round 7): the
+    first form of this composition unioned d34's Hamming<=3 PAIRS into
+    the CC — and measured SLOWER than the exact d13 at 30x (218.2 s vs
+    184.7 s), because the 31.4M-pair relation dominated the CC's edge
+    input: the output-quadratic the r6 run diagnosed had just moved one
+    stage downstream.  Dense fuzzy-match classes cost their pair volume
+    WHEREVER they are consumed; the composition therefore takes the
+    word-order-robust exact-fingerprint groups (linear by construction)
+    from the SimHash side and leaves genuine fuzzy near-dups to the
+    Jaccard tier, which bounds them by verified similarity.  d13 remains
+    the exact-verified correctness twin; d34's pairs relation remains
+    the declared analysis query for when pairs ARE the product."""
     from ..pipeline.closure import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1314,13 +1324,22 @@ def d36_corpus_clean_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_tokens >= 20) & ((n_stop.cast("double") / n_tokens) < 0.5)
     ).select("doc_id")
 
+    from pyspark.sql import Window as W
+
     tier_pairs = tiered_verified_pairs(spark, sf_dir).select("id_a", "id_b")
     sims64 = _tier(
         spark, sf_dir, "simhash64",
         lambda: simhash64_df(load_table(spark, sf_dir, "documents")),
     )
-    sim_pairs = simhash64_candidates(sims64).select("id_a", "id_b")
-    edges = tier_pairs.unionByName(sim_pairs)
+    sim_edges = (
+        sims64.select(
+            F.col("id").alias("id_b"),
+            F.min("id").over(W.partitionBy("simhash")).alias("id_a"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    edges = tier_pairs.unionByName(sim_edges)
 
     groups = connected_components(edges, src="id_a", dst="id_b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("keeper")
