@@ -256,21 +256,19 @@ def v03_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _V04_CLUSTERS, _V04_NPROBE, _V04_K, _V04_ITERS = 16, 6, 5, 2
 
 
-def _v04_oracle() -> str:
-    """DuckDB twin of the v04 IVF ANN — the ENTIRE deterministic k-means
-    replayed in SQL.  What makes this possible cross-engine (the r5
-    verdict's one `weak` item): operators/similarity.ivf_centroids
-    accumulates per-dimension coordinate sums in DECIMAL(30,15)
-    (order-independent, unlike a double sum) and ROUNDs each mean to 9
-    digits before it re-enters the assignment, so the centroid relation
-    is an exact decimal artifact; every ranking rounds to 6 digits with
-    cluster_id / neighbor_id tiebreaks.  Seeds are the 16
-    lexically-first vectors — no RNG anywhere."""
-    cos = (
-        "ROUND(list_dot_product({a}, {b})"
-        " / (sqrt(list_dot_product({a}, {a}))"
-        " * sqrt(list_dot_product({b}, {b}))), 6)"
-    )
+_IVF_COS = (
+    "ROUND(list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def _ivf_indexed_ctes() -> tuple[str, str]:
+    """The deterministic-k-means WITH-body shared by the v04 and d37
+    oracles: vecs -> seed centroids -> _V04_ITERS Lloyd steps ->
+    ``indexed`` (every vector with its final cluster).  Returns
+    (with_body, final_cents_name)."""
+    cos = _IVF_COS
 
     def assign(cents: str) -> str:
         return f"""(
@@ -303,7 +301,7 @@ def _v04_oracle() -> str:
         prev = f"cents{i}"
     lloyd = ",\n    ".join(steps)
 
-    return f"""
+    body = f"""
     WITH vecs AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         FROM embeddings
@@ -313,7 +311,24 @@ def _v04_oracle() -> str:
         FROM (SELECT vec_id, emb FROM vecs ORDER BY vec_id LIMIT {_V04_CLUSTERS})
     ),
     {lloyd},
-    indexed AS {assign(prev)},
+    indexed AS {assign(prev)}"""
+    return body, prev
+
+
+def _v04_oracle() -> str:
+    """DuckDB twin of the v04 IVF ANN — the ENTIRE deterministic k-means
+    replayed in SQL.  What makes this possible cross-engine (the r5
+    verdict's one `weak` item): operators/similarity.ivf_centroids
+    accumulates per-dimension coordinate sums in DECIMAL(30,15)
+    (order-independent, unlike a double sum) and ROUNDs each mean to 9
+    digits before it re-enters the assignment, so the centroid relation
+    is an exact decimal artifact; every ranking rounds to 6 digits with
+    cluster_id / neighbor_id tiebreaks.  Seeds are the 16
+    lexically-first vectors — no RNG anywhere."""
+    cos = _IVF_COS
+    body, prev = _ivf_indexed_ctes()
+
+    return f"""{body},
     probes AS (
         SELECT query_id, qemb, cluster_id FROM (
             SELECT v.vec_id AS query_id, v.emb AS qemb, c.cluster_id,
@@ -356,6 +371,82 @@ def v04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb"))
     return knn_ivf(
         queries_df, corpus, k=_V04_K, n_clusters=_V04_CLUSTERS, nprobe=_V04_NPROBE
+    )
+
+
+_D37_T = 0.6  # within-cluster semantic-duplicate cosine threshold
+
+
+def _d37_oracle() -> str:
+    """DuckDB twin of d37 — the SemDeDup shape replayed exactly: the
+    same deterministic k-means as v04 (shared _ivf_indexed_ctes, so the
+    cluster assignment cannot drift between the two oracles), then
+    within-cluster pairs and the lowest-id-survivor keep rule."""
+    body, _ = _ivf_indexed_ctes()
+    cos = _IVF_COS.format(a="a.nemb", b="b.nemb")
+    return f"""{body},
+    pairs AS (
+        SELECT a.neighbor_id AS id_a, b.neighbor_id AS id_b
+        FROM indexed a JOIN indexed b
+          ON a.cluster_id = b.cluster_id AND a.neighbor_id < b.neighbor_id
+        WHERE {cos} >= {_D37_T}
+    ),
+    removed AS (SELECT DISTINCT id_b FROM pairs)
+    SELECT i.neighbor_id AS vec_id, i.cluster_id,
+           (r.id_b IS NULL) AS kept
+    FROM indexed i LEFT JOIN removed r ON i.neighbor_id = r.id_b
+"""
+
+
+@query(
+    "d37_semantic_dedup", oracle=_d37_oracle(), survey="dedup-embedding,similarity-ann-ivf"
+)
+def d37_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — the published method, re-expressed Spark-first):
+    cluster the embedding space with the SAME deterministic k-means as
+    v04, then compare each vector ONLY against its cluster-mates and
+    drop every vector that has a lower-id semantic duplicate
+    (cos >= 0.6) in its cluster.  Output is one (vec_id, cluster_id,
+    kept) row per vector — LINEAR, the keeper-election form.
+
+    Scale shape: the quadratic comparison is confined within clusters
+    (equi-join on cluster_id — candidates bounded by cluster
+    co-residency, never a corpus-level theta join), and at 100 TB the
+    cluster count scales with the corpus (SemDeDup uses ~100k clusters
+    for LAION-scale) so cluster sizes stay bounded; the keep rule reads
+    pairs once, never materializing them as a product.  The whole
+    pipeline is the v04 decimal-deterministic artifact, so the oracle
+    replays it exactly."""
+    from ..operators.similarity import _assign, ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("nemb"),
+    )
+    cents = ivf_centroids(emb, k=_V04_CLUSTERS, iters=_V04_ITERS)
+    assigned = _assign(emb, cents).localCheckpoint()  # reused by 3 subtrees
+    a = assigned.select(
+        "cluster_id", F.col("neighbor_id").alias("id_a"), F.col("nemb").alias("ea")
+    )
+    b = assigned.select(
+        "cluster_id", F.col("neighbor_id").alias("id_b"), F.col("nemb").alias("eb")
+    )
+    removed = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine_expr("ea", "eb"), 6) >= _D37_T)
+        .select(F.col("id_b").alias("neighbor_id"))
+        .distinct()
+        .withColumn("_removed", F.lit(True))
+    )
+    return (
+        assigned.join(removed, "neighbor_id", "left")
+        .select(
+            F.col("neighbor_id").alias("vec_id"),
+            "cluster_id",
+            F.col("_removed").isNull().alias("kept"),
+        )
     )
 
 

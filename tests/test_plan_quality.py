@@ -359,6 +359,26 @@ def test_overlap_join_capped_long_tier_is_broadcast(spark):
     ) == 2
 
 
+def test_d37_semantic_dedup_confines_pairs_to_clusters(spark):
+    """SemDeDup's quadratic comparison must live INSIDE clusters: the
+    pair stage is an equi-join on cluster_id, the only nested-loop
+    joins are the broadcast-centroid assignments (bounded at k=16
+    rows), and there is no corpus-level Cartesian anywhere."""
+    import re
+
+    plan = _plan(spark, "d37_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    join_keys = re.findall(
+        r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)(?:\([^)]*\))? (\[[^\]]*\])",
+        plan,
+    )
+    assert any("cluster_id" in k for k in join_keys), join_keys
+    # nested loops appear ONLY with a broadcast build side (the k=16
+    # centroid relation); none may be unbounded
+    for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
+        assert m.group(1) in ("BuildRight", "BuildLeft")
+
+
 def test_d31_bpe_scoring_partial_aggs_and_topk(spark):
     """BPE merge scoring must partial-aggregate both tiers (word counts,
     pair scores) and finish with per-partition top-k, never a full sort —
