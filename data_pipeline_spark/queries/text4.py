@@ -842,3 +842,116 @@ def d30_rare_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tok").alias("keyword"), "df",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d38: exact duplicate-substring spans (Lee et al. 2021,
+# arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+# Better" — the exact-substring dedup method, re-expressed Spark-first:
+# the suffix-array scan becomes a positional k-gram equi-join + a
+# gaps-and-islands window, both engine-portable)
+# ---------------------------------------------------------------------------
+_SPAN_GRAM = 8  # tokens per gram; merged spans cover >= _SPAN_GRAM tokens
+
+
+@query(
+    "d38_duplicate_substring_spans",
+    oracle=f"""
+    WITH hits AS (
+        SELECT doc_id, i AS pos
+        FROM (
+            SELECT doc_id, unnest(range(1, len(toks) - {_SPAN_GRAM - 2})) AS i,
+                   toks
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(lower(trim(text, ' ')), '{_WS_SPLIT}') AS toks
+                  FROM documents)
+            WHERE len(toks) >= {_SPAN_GRAM}
+        ),
+        LATERAL (SELECT md5(array_to_string(toks[i:i+{_SPAN_GRAM - 1}], ' ')) AS gh)
+        WHERE gh IN (
+            SELECT md5(array_to_string(toks[i:i+{_SPAN_GRAM - 1}], ' ')) AS gh
+            FROM (
+                SELECT doc_id, unnest(range(1, len(toks) - {_SPAN_GRAM - 2})) AS i,
+                       toks
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(lower(trim(text, ' ')), '{_WS_SPLIT}') AS toks
+                      FROM documents)
+                WHERE len(toks) >= {_SPAN_GRAM}
+            )
+            GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+        )
+    ),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER w <= {_SPAN_GRAM} THEN 0 ELSE 1 END AS new_island
+        FROM hits
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    islands AS (
+        SELECT doc_id, pos,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {_SPAN_GRAM - 1} AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+    FROM islands
+    GROUP BY doc_id, island
+    """,
+    survey="dedup-substring",
+)
+def d38_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring spans (the Lee et al. exact-substring
+    dedup shape): every maximal token span of a document that is covered
+    by word 8-grams occurring in >= 2 distinct documents — what an
+    exact-substring memorization-removal pass cuts out, with positions.
+    Differs from d19 (grams vs an external benchmark set), d20 (whole
+    sentences) and d14 (fingerprint selection): this finds INTERNAL
+    corpus duplication at sub-sentence granularity and reports character
+    positions-in-tokens, mergeable spans included.
+
+    Scale shape: positional grams hash to fixed-width md5 keys; the
+    duplicated-gram set comes from one groupBy (count distinct docs >= 2)
+    and meets the positional relation on the hash — never raw text
+    across an exchange; span merging is one gaps-and-islands window per
+    document (two window functions over one shuffle on doc_id).  A
+    100 TB corpus runs this exactly as written with the gram tier as a
+    persisted table."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), _WS_SPLIT).alias("toks")
+    ).filter(F.size("toks") >= _SPAN_GRAM)
+    refs = ", ".join(f"toks[i+{j - 1}]" for j in range(_SPAN_GRAM))
+    grams = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_SPAN_GRAM - 1}),"
+                f" i -> concat_ws(' ', {refs}))"
+            )
+        ).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), F.md5("gram").alias("gh"))
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= _SPAN_GRAM, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + _SPAN_GRAM - 1).cast("bigint").alias("span_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"),
+    ).drop("island")
