@@ -359,6 +359,20 @@ def test_overlap_join_capped_long_tier_is_broadcast(spark):
     ) == 2
 
 
+def test_d38_span_join_meets_on_gram_hash(spark):
+    """d38's duplicated-gram set must meet the positional relation on
+    the md5 hash — raw gram text never crosses an exchange (every hash
+    exchange is on gh or on the doc_id window key) — and the span merge
+    is windows, not a self-join."""
+    import re
+
+    plan = _plan(spark, "d38_duplicate_substring_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for part in re.findall(r"hashpartitioning\((\w+)", plan):
+        assert part in ("gh", "doc_id"), part
+
+
 def test_d37_semantic_dedup_confines_pairs_to_clusters(spark):
     """SemDeDup's quadratic comparison must live INSIDE clusters: the
     pair stage is an equi-join on cluster_id, the only nested-loop

@@ -569,3 +569,46 @@ def test_d10_d31_bpe_tokenization_matches_oracle_on_pathological_corpora(
             assert ok, (name, msg)
     finally:
         con.close()
+
+
+def test_d35_tier_layering_consistent_with_d07(spark):
+    """Cross-operator consistency of the layered verify: every d35 row
+    routes per the declared thresholds (estimate-accept at >= 7/8
+    agreement, exact for the borderline band with the SAME Jaccard d07
+    computes, silence below), each pair appears once, and the tiers are
+    COMPLETE — every borderline d07 pair re-surfaces as 'exact', every
+    high-agreement candidate as 'estimate'."""
+    from data_pipeline_spark.queries import QUERIES
+    from data_pipeline_spark.queries.dedup import (
+        EST_ACCEPT,
+        EST_REJECT,
+        JACCARD_T,
+        _estimate_pairs_tier,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows35 = QUERIES["d35_tiered_pairs"].spark_fn(spark, sf).collect()
+    d07 = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in QUERIES["d07_minhash_lsh_pairs"].spark_fn(spark, sf).collect()
+    }
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in _estimate_pairs_tier(spark, sf).collect()
+    }
+    pairs35 = {(r.id_a, r.id_b): (r.sim, r.method) for r in rows35}
+    assert len(pairs35) == len(rows35)  # no pair emitted twice
+    assert pairs35, "tiered pairs must be non-trivial at sf0.001"
+    for (a, b), (sim, method) in pairs35.items():
+        e = est[(a, b)]
+        if method == "estimate":
+            assert e >= EST_ACCEPT and sim == e
+        else:
+            assert EST_REJECT <= e < EST_ACCEPT
+            assert sim >= JACCARD_T and abs(d07[(a, b)] - sim) < 1e-9
+    for (a, b), j in d07.items():
+        if EST_REJECT <= est[(a, b)] < EST_ACCEPT:
+            assert pairs35[(a, b)][1] == "exact"
+    for (a, b), e in est.items():
+        if e >= EST_ACCEPT:
+            assert pairs35[(a, b)][1] == "estimate"
