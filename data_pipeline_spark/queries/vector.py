@@ -418,36 +418,13 @@ def d37_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs once, never materializing them as a product.  The whole
     pipeline is the v04 decimal-deterministic artifact, so the oracle
     replays it exactly."""
-    from ..operators.similarity import _assign, ivf_centroids
+    from ..operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("neighbor_id"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("nemb"),
     )
-    cents = ivf_centroids(emb, k=_V04_CLUSTERS, iters=_V04_ITERS)
-    assigned = _assign(emb, cents).localCheckpoint()  # reused by 3 subtrees
-    a = assigned.select(
-        "cluster_id", F.col("neighbor_id").alias("id_a"), F.col("nemb").alias("ea")
-    )
-    b = assigned.select(
-        "cluster_id", F.col("neighbor_id").alias("id_b"), F.col("nemb").alias("eb")
-    )
-    removed = (
-        a.join(b, "cluster_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(cosine_expr("ea", "eb"), 6) >= _D37_T)
-        .select(F.col("id_b").alias("neighbor_id"))
-        .distinct()
-        .withColumn("_removed", F.lit(True))
-    )
-    return (
-        assigned.join(removed, "neighbor_id", "left")
-        .select(
-            F.col("neighbor_id").alias("vec_id"),
-            "cluster_id",
-            F.col("_removed").isNull().alias("kept"),
-        )
-    )
+    return semantic_dedup(emb, k=_V04_CLUSTERS, iters=_V04_ITERS, threshold=_D37_T)
 
 
 @query(
