@@ -23,6 +23,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _bin_bounds(s: str, e: str, bin_seconds: int) -> tuple[Column, Column]:
+    """(lo, hi) epoch-bin indices the interval [s, e) touches — the ONE
+    definition of the bin-boundary rule, used by both the long/short
+    classifier (nbins) and the candidate explode (bins), which must
+    agree or 'short' intervals could fan out past the max_bins cap.
+
+    Fractional-second safe: timestamps cast to double epoch seconds
+    (unix_timestamp would truncate, silently unbinning an interval whose
+    sub-second tail crosses a bin edge).  Half-open end: an interval
+    ending EXACTLY on a bin edge does not touch that bin ->
+    ceil(e/bin) - 1 (== floor for interior ends, edge-exclusive on the
+    boundary)."""
+    lo = F.floor(F.col(s).cast("double") / bin_seconds)
+    hi = F.ceil(F.col(e).cast("double") / bin_seconds) - 1
+    return lo, hi
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -123,8 +140,9 @@ def overlap_join(
     )
 
     def nbins(s: str, e: str) -> Column:
-        lo = F.floor(F.col(s).cast("double") / bin_seconds)
-        hi = F.ceil(F.col(e).cast("double") / bin_seconds) - 1
+        # same _bin_bounds as the explode — the long/short classifier
+        # and the actual bin fan-out cannot drift apart
+        lo, hi = _bin_bounds(s, e, bin_seconds)
         return F.greatest(hi, lo) - lo + 1
 
     if max_bins is None:
@@ -170,14 +188,7 @@ def _binned_overlap(
     pair once from its first shared bin."""
 
     def bins(s: str, e: str, lo_alias: str) -> tuple[Column, Column]:
-        # fractional-second safe: timestamps cast to double epoch
-        # seconds (unix_timestamp would truncate, silently unbinning an
-        # interval whose sub-second tail crosses a bin edge)
-        lo = F.floor(F.col(s).cast("double") / bin_seconds)
-        # half-open end: an interval ending EXACTLY on a bin edge does
-        # not touch that bin -> ceil(e/bin) - 1 (== floor for interior
-        # ends, edge-exclusive on the boundary)
-        hi = F.ceil(F.col(e).cast("double") / bin_seconds) - 1
+        lo, hi = _bin_bounds(s, e, bin_seconds)
         return lo.alias(lo_alias), F.sequence(lo, F.greatest(lo, hi))
 
     llo, lbins = bins(left_start, left_end, "_llo")

@@ -162,11 +162,14 @@ def _consent(hooks, kind: str, base_doc: dict, cand_doc: dict,
         import inspect
 
         arity = len(inspect.signature(fn).parameters)
-        # cache on the hook only when it can carry attributes (a builtin
-        # or C-implemented callable has no writable __dict__; those just
-        # pay the signature inspection per call)
-        if getattr(fn, "__dict__", None) is not None:
+        # cache on the hook only when it can carry attributes — a builtin,
+        # C-implemented callable, or BOUND METHOD has no writable attribute
+        # slot (a bound method's __dict__ reads through to __func__ but
+        # setattr on it raises); those just pay the inspection per call
+        try:
             fn._p5_arity = arity
+        except AttributeError:
+            pass
     if arity >= 4:
         return bool(fn(base_doc, cand_doc, base_src, cand_src))
     return bool(fn(base_doc, cand_doc))

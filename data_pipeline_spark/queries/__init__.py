@@ -61,6 +61,12 @@ GATE_PIN = [
     # (operators/range_join.py) — rj02 runs through the refactored code
     # (default path, same plan), so it re-gates
     "rj02_overlapping_order_windows",
+    # r7 review pass: d33 rewired onto the shared est_pairs tier, the
+    # Hamming-1 multiprobe extracted to hamming1_flips (d09 + the v05
+    # probe run through it) — same expressions, but changed code
+    # re-proves through the driver
+    "d33_minhash_estimate_pairs", "d09_embedding_neardup",
+    "v05_stream_similarity_gate",
 ]
 
 GATE_WINDOW_SIZE = 50

@@ -524,21 +524,14 @@ def d33_minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the candidate join carries 8 fixed 8-hex values (64 bytes) per
     side regardless of document size.  Standard 100TB practice: run
     this tier first, exact-verify (d07) only borderline pairs.
-    Deterministic end-to-end (md5 signatures), hash-oracled."""
-    sigs = _minhash_sigs_tier(spark, sf_dir)
-    cands = lsh_candidates(sigs)
-    a = sigs.select(F.col("id").alias("id_a"), *[F.col(f"s{i}").alias(f"sa{i}") for i in range(N_SIGS)])
-    b = sigs.select(F.col("id").alias("id_b"), *[F.col(f"s{i}").alias(f"sb{i}") for i in range(N_SIGS)])
-    agree = None
-    for i in range(N_SIGS):
-        term = (F.col(f"sa{i}") == F.col(f"sb{i}")).cast("int")
-        agree = term if agree is None else agree + term
-    est = agree.cast("double") / N_SIGS
-    return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", est.alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= EST_T)
+    Deterministic end-to-end (md5 signatures), hash-oracled.
+
+    The estimate relation itself is the shared ``est_pairs`` tier
+    (_estimate_pairs_tier) that d35's layered verify also reads — d33
+    is the tier filtered at EST_T, so the estimator has exactly one
+    definition and a session running both queries computes it once."""
+    return _estimate_pairs_tier(spark, sf_dir).filter(
+        F.col("est_jaccard") >= EST_T
     )
 
 
@@ -1014,24 +1007,33 @@ def embedding_signatures(emb: DataFrame) -> DataFrame:
     )
 
 
+def hamming1_flips(n_bits: int = EMB_PLANES, col: str = "sig"):
+    """Array column of 1 + n_bits signature strings: the original plus
+    every 1-bit flip — the Hamming<=1 multiprobe set.  ONE construction
+    shared by the batch candidates (candidates_from_signatures) and the
+    streaming probe (similarity_stream.probe_candidates) so the
+    multiprobe scheme cannot drift between the two paths the v05 gate
+    pins together."""
+    return F.array(
+        F.col(col),
+        *[
+            F.concat(
+                F.substring(F.col(col), 1, j),
+                F.when(F.substring(F.col(col), j + 1, 1) == "1", "0").otherwise("1"),
+                F.substring(F.col(col), j + 2, n_bits - j - 1),
+            )
+            for j in range(n_bits)
+        ],
+    )
+
+
 def candidates_from_signatures(sigs: DataFrame) -> DataFrame:
     """(id_a, id_b): unordered pairs colliding in >=1 sign-LSH table at
     Hamming <= 1 (multiprobe), from a (id, t, sig) signature relation —
     probe side carries 1+EMB_PLANES signatures per (vector, table),
     index side one, and the single (t, sig) equi-join replaces the old
     per-table join union — never an O(n^2) theta self-join."""
-    flips = F.array(
-        F.col("sig"),
-        *[
-            F.concat(
-                F.substring(F.col("sig"), 1, j),
-                F.when(F.substring(F.col("sig"), j + 1, 1) == "1", "0").otherwise("1"),
-                F.substring(F.col("sig"), j + 2, EMB_PLANES - j - 1),
-            )
-            for j in range(EMB_PLANES)
-        ],
-    )
-    probe = sigs.select("id", "t", F.explode(flips).alias("sig"))
+    probe = sigs.select("id", "t", F.explode(hamming1_flips()).alias("sig"))
     return (
         probe.alias("a")
         .join(

@@ -16,8 +16,10 @@ is a co-located join, and the fold is an ordinary partitioned write.
 At-least-once idempotency: Structured Streaming may RETRY a micro-batch
 after a partial failure, so nothing here may blindly append — every
 index fold and matches write goes to a batch-keyed partition directory
-(``batch=b<id>`` / ``batch_id=<id>``) with overwrite; a retried batch
-replaces its own directory instead of duplicating index rows.
+(checkpoint-scoped keys, see streaming/index_util.py) with overwrite; a
+retried batch replaces its own directory instead of duplicating index
+rows, and a stream restarted with a fresh checkpoint folds alongside the
+old run's partitions instead of over them.
 """
 
 from __future__ import annotations
@@ -33,13 +35,7 @@ from ..queries.dedup import (
     minhash_signatures,
     shingles_df,
 )
-
-
-def _tier_dir(index_dir: str, tier: str, key: str) -> str:
-    """Batch-keyed partition directory of an index tier (keys are
-    non-numeric strings — 'base', 'b3' — so partition-type inference is
-    stable across any batch mix)."""
-    return os.path.join(index_dir, tier, f"batch={key}")
+from .index_util import require_batch_layout, run_batch_key, tier_dir as _tier_dir
 
 
 def index_corpus(docs: DataFrame, index_dir: str) -> None:
@@ -70,6 +66,8 @@ def match_batch(
         # a RETRIED batch must not probe its own partial fold from the
         # failed attempt — excluding the batch's own partition (pruned
         # at the scan) makes the retry reproduce the first run exactly
+        idx_bands = require_batch_layout(idx_bands, index_dir, "bands")
+        idx_sh = require_batch_layout(idx_sh, index_dir, "shingles")
         idx_bands = idx_bands.filter(F.col("batch") != batch_key)
         idx_sh = idx_sh.filter(F.col("batch") != batch_key)
     idx_bands = idx_bands.select("id", "band", "bh")
@@ -129,13 +127,17 @@ def stream_dedup(
 ):
     """Structured-Streaming wrapper: each micro-batch of documents
     (doc_id bigint, text string) is matched and folded into the index;
-    matches land in a ``batch_id=<id>`` partition of ``matches_dir``
-    with overwrite (idempotent under micro-batch retry)."""
+    matches land in a ``batch_id=<key>`` partition of ``matches_dir``
+    with overwrite.  Keys are checkpoint-scoped (index_util.run_batch_key)
+    so a retry overwrites its own directory while a fresh-checkpoint
+    restart cannot collide with — and silently destroy — a previous
+    run's batch-0 fold."""
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        out = match_batch(spark, batch, index_dir, batch_key=f"b{batch_id}")
+        key = run_batch_key(checkpoint, batch_id)
+        out = match_batch(spark, batch, index_dir, batch_key=key)
         out.write.mode("overwrite").parquet(
-            os.path.join(matches_dir, f"batch_id={batch_id}")
+            os.path.join(matches_dir, f"batch_id={key}")
         )
 
     feed = spark.readStream.schema("doc_id bigint, text string").json(feed_path)

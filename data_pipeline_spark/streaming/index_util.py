@@ -1,0 +1,59 @@
+"""Shared batch-keyed index layout for the streaming twins
+(dedup_stream.py, similarity_stream.py).
+
+Both streams persist their index tiers as ``<index_dir>/<tier>/batch=<key>``
+partition directories and fold each micro-batch with per-partition
+overwrite — the idempotency contract under Structured Streaming's
+at-least-once delivery.  The layout rules live here ONCE because they are
+load-bearing for retry correctness in both modules: a format change
+applied to one stream but not the other would break that stream's retry
+exclusion while the other's tests stay green.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame
+
+
+def tier_dir(index_dir: str, tier: str, key: str) -> str:
+    """Batch-keyed partition directory of an index tier.  Keys are always
+    non-numeric strings ('base', '3fa2c91b-b0') so partition-type
+    inference is stable across any batch mix."""
+    return os.path.join(index_dir, tier, f"batch={key}")
+
+
+def require_batch_layout(df: DataFrame, index_dir: str, tier: str) -> DataFrame:
+    """Refuse to stream against a pre-batch-keyed (flat) index with one
+    actionable error instead of an unresolved-column AnalysisException on
+    every micro-batch: an index written by the old flat ``append`` layout
+    has no ``batch`` partition column, so the retry-exclusion filter can
+    never work against it."""
+    if "batch" not in df.columns:
+        raise ValueError(
+            f"index tier {os.path.join(index_dir, tier)!r} uses the flat "
+            "(pre-batch-keyed) layout — no 'batch' partition column. "
+            "Streaming folds are batch-keyed for retry idempotency; "
+            "rebuild the index with index_corpus() (which writes "
+            "batch=base) before streaming against it."
+        )
+    return df
+
+
+def run_batch_key(checkpoint: str, batch_id: int) -> str:
+    """Partition key for one micro-batch, scoped to the stream's
+    checkpoint: ``<8-hex md5 of the checkpoint path>-b<id>``.
+
+    Micro-batch ids are only unique WITHIN one checkpoint lineage — a
+    stream restarted with a FRESH checkpoint (a common remediation after
+    checkpoint corruption) restarts at batch 0 and, keyed on the bare id,
+    would silently OVERWRITE the previous run's ``batch=b0`` fold and
+    matches: data loss, strictly worse than the duplication the keying
+    exists to prevent.  Scoping the key to the checkpoint path keeps
+    genuine retries and checkpoint resumes (same lineage, same key)
+    idempotent, while a fresh-checkpoint run folds alongside the old
+    run's partitions instead of over them."""
+    h = hashlib.md5(os.path.abspath(checkpoint).encode("utf-8")).hexdigest()[:8]
+    return f"{h}-b{batch_id}"

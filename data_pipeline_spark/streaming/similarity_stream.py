@@ -18,10 +18,12 @@ driver-verified through their batch twin.
 At-least-once idempotency: Structured Streaming may RETRY a micro-batch
 after a partial failure, so nothing here may blindly append.  Every
 index fold and every matches write goes to a batch-keyed partition
-directory (``batch=b<id>`` / ``batch_id=<id>``) with overwrite — a
-retried batch overwrites its own directory instead of duplicating rows.
-Readers use plain ``spark.read.parquet(dir)``: the key directories are
-ordinary partition columns.
+directory (checkpoint-scoped keys, see streaming/index_util.py) with
+overwrite — a retried batch overwrites its own directory instead of
+duplicating rows, and a fresh-checkpoint restart folds alongside the old
+run's partitions instead of over them.  Readers use plain
+``spark.read.parquet(dir)``: the key directories are ordinary partition
+columns.
 
 At scale the index tables are partitioned by (t, sig) and (id): each
 probe is a partition-pruned read, and the fold is an ordinary
@@ -38,17 +40,11 @@ from pyspark.sql import functions as F
 
 from ..queries.dedup import (
     COS_T,
-    EMB_PLANES,
     embedding_signatures,  # ONE signature construction batch + streaming share
+    hamming1_flips,  # ONE multiprobe construction batch + streaming share
 )
 from ..queries.vector import cosine_expr
-
-
-def _tier_dir(index_dir: str, tier: str, key: str) -> str:
-    """Batch-keyed partition directory of an index tier.  Keys are
-    always non-numeric strings ('base', 'b3') so partition-type
-    inference is stable across any batch mix."""
-    return os.path.join(index_dir, tier, f"batch={key}")
+from .index_util import require_batch_layout, run_batch_key, tier_dir as _tier_dir
 
 
 def index_corpus(emb: DataFrame, index_dir: str) -> None:
@@ -64,20 +60,10 @@ def probe_candidates(new_sigs: DataFrame, idx_sigs: DataFrame) -> DataFrame:
     """(new_id, corpus_id): directed Hamming-1 multiprobe of the index —
     the probe side carries 1+EMB_PLANES signatures per (vector, table),
     the index side one, and the only join is the (t, sig) equi-join.
-    The same construction as the batch candidates_from_signatures, but
-    directed (new vs corpus), which is what a continuous feed needs."""
-    flips = F.array(
-        F.col("sig"),
-        *[
-            F.concat(
-                F.substring(F.col("sig"), 1, j),
-                F.when(F.substring(F.col("sig"), j + 1, 1) == "1", "0").otherwise("1"),
-                F.substring(F.col("sig"), j + 2, EMB_PLANES - j - 1),
-            )
-            for j in range(EMB_PLANES)
-        ],
-    )
-    probe = new_sigs.select("id", "t", F.explode(flips).alias("sig"))
+    The same construction (hamming1_flips) as the batch
+    candidates_from_signatures, but directed (new vs corpus), which is
+    what a continuous feed needs."""
+    probe = new_sigs.select("id", "t", F.explode(hamming1_flips()).alias("sig"))
     return (
         probe.alias("n")
         .join(
@@ -136,6 +122,8 @@ def match_batch(
         # a RETRIED batch must not probe its own partial fold from the
         # failed attempt — excluding the batch's own partition (pruned
         # at the scan) makes the retry reproduce the first run exactly
+        idx_sigs = require_batch_layout(idx_sigs, index_dir, "sigs")
+        idx_vecs = require_batch_layout(idx_vecs, index_dir, "vecs")
         idx_sigs = idx_sigs.filter(F.col("batch") != batch_key)
         idx_vecs = idx_vecs.filter(F.col("batch") != batch_key)
     idx_sigs = idx_sigs.select("id", "t", "sig")
@@ -162,19 +150,22 @@ def stream_similarity(
 ):
     """Structured-Streaming wrapper: each micro-batch of vectors
     (vec_id bigint, embedding array<double>) is matched against — and
-    folded into — the index; matches land in a ``batch_id=<id>``
-    partition of ``matches_dir`` with overwrite (idempotent under
-    micro-batch retry; read the whole directory as ordinary
-    partitioned parquet)."""
+    folded into — the index; matches land in a ``batch_id=<key>``
+    partition of ``matches_dir`` with overwrite.  Keys are
+    checkpoint-scoped (index_util.run_batch_key): a retry overwrites its
+    own directory, a fresh-checkpoint restart cannot collide with a
+    previous run's batch-0 fold.  Read the whole directory as ordinary
+    partitioned parquet."""
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         emb = batch.select(
             F.col("vec_id").alias("id"),
             F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
         )
-        out = match_batch(spark, emb, index_dir, batch_key=f"b{batch_id}")
+        key = run_batch_key(checkpoint, batch_id)
+        out = match_batch(spark, emb, index_dir, batch_key=key)
         out.write.mode("overwrite").parquet(
-            os.path.join(matches_dir, f"batch_id={batch_id}")
+            os.path.join(matches_dir, f"batch_id={key}")
         )
 
     feed = spark.readStream.schema("vec_id bigint, embedding array<double>").json(

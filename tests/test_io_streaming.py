@@ -672,3 +672,37 @@ def test_similarity_batch_fold_idempotent_under_retry(spark, tmp_path):
     # un-keyed appends are refused outright — they cannot be idempotent
     with pytest.raises(ValueError, match="batch_key"):
         match_batch(spark, batch, index_dir)
+
+
+def test_stream_index_flat_layout_and_restart_keys(spark, tmp_path):
+    """(a) Streaming against a FLAT (pre-batch-keyed) index fails with one
+    actionable error instead of an unresolved-column AnalysisException on
+    every micro-batch; (b) batch keys are checkpoint-scoped, so a stream
+    restarted with a fresh checkpoint (batch ids restart at 0) cannot
+    collide with — and silently destroy — an earlier run's batch-0 fold."""
+    import pytest
+
+    from data_pipeline_spark.queries.dedup import (
+        bands_df, minhash_signatures, shingles_df,
+    )
+    from data_pipeline_spark.streaming.dedup_stream import match_batch
+    from data_pipeline_spark.streaming.index_util import run_batch_key
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "flat_idx")
+    sh = shingles_df(docs)
+    bands_df(minhash_signatures(sh)).write.parquet(os.path.join(idx, "bands"))
+    sh.write.parquet(os.path.join(idx, "shingles"))  # flat: no batch= dirs
+    with pytest.raises(ValueError, match="flat"):
+        match_batch(spark, docs, idx, batch_key="b0")
+
+    # same checkpoint lineage -> same key (retries/resumes idempotent);
+    # different checkpoint -> different key (no cross-run overwrite)
+    assert run_batch_key("/tmp/ck1", 0) == run_batch_key("/tmp/ck1", 0)
+    assert run_batch_key("/tmp/ck1", 0) != run_batch_key("/tmp/ck2", 0)
+    assert run_batch_key("/tmp/ck1", 0) != run_batch_key("/tmp/ck1", 1)
+    # keys are non-numeric strings: partition-type inference stays string
+    assert not run_batch_key("/tmp/ck1", 3).isdigit()

@@ -213,6 +213,37 @@ def test_merge_veto_into_direction(spark):
     assert "Sint-Lucasgilde" in names
 
 
+def test_merge_veto_bound_method_hook():
+    """P5 hooks registered as BOUND METHODS (the reference registers mapper
+    instance methods, e.g. yale/ycba/mapper.py:14) must not crash the arity
+    cache: a bound method's __dict__ reads through to __func__ but setattr
+    on it raises AttributeError — _consent must skip caching, not die."""
+    from data_pipeline_spark.pipeline.merge_records import _consent
+
+    class Mapper:
+        def should_merge_from(self, base_doc, cand_doc):
+            return base_doc.get("type") != "Person"
+
+        def should_merge_into4(self, base_doc, cand_doc, base_src, cand_src):
+            return cand_src != "banned"
+
+    m = Mapper()
+    hooks = {"should_merge_from": m.should_merge_from,
+             "should_merge_into": m.should_merge_into4}
+    # 2-arg bound method: called repeatedly (cache miss each time) without error
+    for _ in range(3):
+        assert _consent(hooks, "should_merge_from", {"type": "Group"}, {})
+        assert not _consent(hooks, "should_merge_from", {"type": "Person"}, {})
+    # 4-arg bound method: source-dependent veto path also survives
+    assert not _consent(hooks, "should_merge_into", {}, {}, "a", "banned")
+    assert _consent(hooks, "should_merge_into", {}, {}, "a", "ok")
+    # plain functions still get the cache attribute
+    def f(base_doc, cand_doc):
+        return True
+    assert _consent({"should_merge_from": f}, "should_merge_from", {}, {})
+    assert f._p5_arity == 2
+
+
 def test_self_reference_removed(built):
     """pl1's self part_of is dropped (P8), the real parent kept."""
     ids = built["idmap"]
