@@ -853,11 +853,10 @@ def d30_rare_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _SPAN_GRAM = 8  # tokens per gram; merged spans cover >= _SPAN_GRAM tokens
 
-
-@query(
-    "d38_duplicate_substring_spans",
-    oracle=f"""
-    WITH hits AS (
+# Shared CTE chain: duplicated positional 8-grams -> gaps-and-islands ->
+# merged spans.  ONE SQL definition for both the d38 analysis oracle and
+# the d39 removal oracle, mirroring _dup_span_islands on the Spark side.
+_SPANS_SQL = f"""hits AS (
         SELECT doc_id, i AS pos
         FROM (
             SELECT doc_id, unnest(range(1, len(toks) - {_SPAN_GRAM - 2})) AS i,
@@ -892,13 +891,26 @@ _SPAN_GRAM = 8  # tokens per gram; merged spans cover >= _SPAN_GRAM tokens
                SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
                                      ROWS UNBOUNDED PRECEDING) AS island
         FROM flagged
-    )
+    ),
+    dup_spans AS (
+        SELECT doc_id,
+               MIN(pos) AS span_start,
+               MAX(pos) + {_SPAN_GRAM - 1} AS span_end,
+               COUNT(*) AS n_dup_grams
+        FROM islands
+        GROUP BY doc_id, island
+    )"""
+
+
+@query(
+    "d38_duplicate_substring_spans",
+    oracle=f"""
+    WITH {_SPANS_SQL}
     SELECT doc_id,
-           CAST(MIN(pos) AS BIGINT) AS span_start,
-           CAST(MAX(pos) + {_SPAN_GRAM - 1} AS BIGINT) AS span_end,
-           CAST(COUNT(*) AS BIGINT) AS n_dup_grams
-    FROM islands
-    GROUP BY doc_id, island
+           CAST(span_start AS BIGINT) AS span_start,
+           CAST(span_end AS BIGINT) AS span_end,
+           CAST(n_dup_grams AS BIGINT) AS n_dup_grams
+    FROM dup_spans
     """,
     survey="dedup-substring",
 )
@@ -919,7 +931,13 @@ def d38_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame
     document (two window functions over one shuffle on doc_id).  A
     100 TB corpus runs this exactly as written with the gram tier as a
     persisted table."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _dup_span_islands(load_table(spark, sf_dir, "documents"))
+
+
+def _dup_span_islands(docs: DataFrame) -> DataFrame:
+    """(doc_id, span_start, span_end, n_dup_grams): the merged duplicate
+    -substring span relation — ONE definition shared by d38 (the
+    analysis view) and d39 (the removal action that consumes it)."""
     toked = docs.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), _WS_SPLIT).alias("toks")
     ).filter(F.size("toks") >= _SPAN_GRAM)
@@ -955,3 +973,99 @@ def d38_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.max("pos") + _SPAN_GRAM - 1).cast("bigint").alias("span_end"),
         F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"),
     ).drop("island")
+
+
+# ---------------------------------------------------------------------------
+# d39: exact duplicate-substring REMOVAL — the production action over
+# d38's span relation (Lee et al. 2021, arXiv:2107.06499: ExactSubstr
+# dedup cuts the duplicated spans out of the training text rather than
+# dropping whole documents)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d39_substring_dedup_clean",
+    oracle=f"""
+    WITH {_SPANS_SQL},
+    toked AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text, ' ')), '{_WS_SPLIT}') AS toks
+        FROM documents
+    ),
+    tokens AS (
+        SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks
+        FROM toked
+    ),
+    kept AS (
+        SELECT t.doc_id, t.toks[t.pos] AS tok, t.pos
+        FROM tokens t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM dup_spans s
+            WHERE s.doc_id = t.doc_id
+              AND t.pos BETWEEN s.span_start AND s.span_end
+        )
+    ),
+    agg AS (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           CAST(len(d.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+    FROM toked d
+    LEFT JOIN agg a USING (doc_id)
+    """,
+    survey="dedup-substring",
+)
+def d39_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring REMOVAL (Lee et al.'s ExactSubstr dedup
+    as the production action): every document with the tokens inside
+    d38's merged duplicate spans cut out — (doc_id, clean_text,
+    n_tokens, n_removed), one row per input document, clean_text in
+    normalized token space (lowercased, single-space joined — the form
+    the tokenizer downstream consumes).  d38 is the analysis view of
+    the span relation; this is what a training-data build actually
+    ships, the same analysis/action split as d34 pairs vs d32 groups.
+
+    Scale shape: the span relation is linear-output (merged islands,
+    never pair-quadratic), and the removal adds exactly one more
+    shuffle: spans groupBy doc_id -> collect_list (bounded per doc by
+    n_tokens/{_SPAN_GRAM + 1} spans, row-local data) -> join back to the
+    token arrays -> a row-local higher-order filter.  No per-token rows
+    cross an exchange; the token relation in the oracle exists only
+    DuckDB-side.  A 100 TB corpus runs this with the span tier as a
+    persisted table."""
+    return substring_dedup_clean(load_table(spark, sf_dir, "documents"))
+
+
+def substring_dedup_clean(docs: DataFrame) -> DataFrame:
+    """Library form of d39 (callable on any (doc_id, text) relation —
+    the unit tests drive it on handcrafted corpora): cut every merged
+    duplicate span (_dup_span_islands) out of the token stream."""
+    spans_per_doc = (
+        _dup_span_islands(docs)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("span_start", "span_end")).alias("spans"))
+    )
+    toked = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), _WS_SPLIT).alias("toks")
+    )
+    j = toked.join(spans_per_doc, "doc_id", "left").withColumn(
+        "kept",
+        # coalesce(..., true): docs with no spans (null array) keep all
+        # tokens; positions are 1-based to match the span relation
+        F.expr(
+            "filter(transform(toks, (t, i) -> struct(t AS t, i + 1 AS p)), "
+            "s -> coalesce(NOT exists(spans, "
+            "sp -> s.p >= sp.span_start AND s.p <= sp.span_end), true))"
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.concat_ws(" ", F.expr("transform(kept, s -> s.t)")).alias("clean_text"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        (F.size("toks") - F.size("kept")).cast("bigint").alias("n_removed"),
+    )

@@ -513,3 +513,28 @@ def test_overlap_join_long_interval_cap_equals_uncapped(spark):
     assert capped == uncapped and len(uncapped) > 20
     # every pair exactly once (the union of the three tiers is disjoint)
     assert len(set(capped)) == len(capped)
+
+
+def test_substring_dedup_clean_semantics(spark):
+    """d39 library form on a handcrafted corpus: the shared 8-gram run is
+    cut from BOTH documents (exact-substring removal is symmetric),
+    unique text survives, sub-8-token documents pass through untouched,
+    and a fully-duplicated document comes back empty."""
+    from data_pipeline_spark.queries.text4 import substring_dedup_clean
+
+    shared = "one two three four five six seven eight"  # exactly 8 tokens
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"epsilon zeta {shared} eta theta"),
+        (3, "tiny doc"),                       # < 8 tokens: no gram, untouched
+        (4, shared),                           # fully duplicated -> empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in substring_dedup_clean(docs).collect()}
+
+    assert len(out) == 4                      # one row per input document
+    assert out[1].clean_text == "alpha beta gamma delta"
+    assert out[1].n_tokens == 12 and out[1].n_removed == 8
+    assert out[2].clean_text == "epsilon zeta eta theta"
+    assert out[3].clean_text == "tiny doc" and out[3].n_removed == 0
+    assert out[4].clean_text == "" and out[4].n_removed == 8

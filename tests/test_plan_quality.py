@@ -440,3 +440,18 @@ def test_d36_tiered_clean_no_theta_and_linear_output(spark):
     plan = _plan(spark, "d36_corpus_clean_tiered")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_d39_removal_joins_on_doc_id_only(spark):
+    """d39's removal stage must stay linear: the span relation meets the
+    token arrays on a doc_id equi-join (the per-token positions exist
+    only inside row-local higher-order functions, never as exchange
+    rows), hash exchanges only on gh or doc_id, and no Cartesian
+    anywhere."""
+    import re
+
+    plan = _plan(spark, "d39_substring_dedup_clean")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for part in re.findall(r"hashpartitioning\((\w+)", plan):
+        assert part in ("gh", "doc_id"), part
