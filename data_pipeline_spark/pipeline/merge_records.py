@@ -165,10 +165,12 @@ def _consent(hooks, kind: str, base_doc: dict, cand_doc: dict,
         # cache on the hook only when it can carry attributes — a builtin,
         # C-implemented callable, or BOUND METHOD has no writable attribute
         # slot (a bound method's __dict__ reads through to __func__ but
-        # setattr on it raises); those just pay the inspection per call
+        # setattr on it raises AttributeError; some extension/builtin
+        # types raise TypeError instead); those just pay the inspection
+        # per call
         try:
             fn._p5_arity = arity
-        except AttributeError:
+        except (AttributeError, TypeError):
             pass
     if arity >= 4:
         return bool(fn(base_doc, cand_doc, base_src, cand_src))

@@ -136,9 +136,12 @@ def stream_dedup(
     def sink(batch: DataFrame, batch_id: int) -> None:
         key = run_batch_key(checkpoint, batch_id)
         out = match_batch(spark, batch, index_dir, batch_key=key)
-        out.write.mode("overwrite").parquet(
-            os.path.join(matches_dir, f"batch_id={key}")
-        )
+        # batch_id is a STRING partition key ('<32hex>-b<N>'); consumers
+        # that filtered/ordered numerically get the numeric micro-batch
+        # id as a real data column (migration note in README §streaming)
+        out.withColumn("micro_batch_id", F.lit(batch_id).cast("bigint")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(matches_dir, f"batch_id={key}"))
 
     feed = spark.readStream.schema("doc_id bigint, text string").json(feed_path)
     return (

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 
 def tier_dir(index_dir: str, tier: str, key: str) -> str:
     """Batch-keyed partition directory of an index tier.  Keys are always
-    non-numeric strings ('base', '3fa2c91b-b0') so partition-type
+    non-numeric strings ('base', '<32-hex>-b0') so partition-type
     inference is stable across any batch mix."""
     return os.path.join(index_dir, tier, f"batch={key}")
 
@@ -44,7 +44,11 @@ def require_batch_layout(df: DataFrame, index_dir: str, tier: str) -> DataFrame:
 
 def run_batch_key(checkpoint: str, batch_id: int) -> str:
     """Partition key for one micro-batch, scoped to the stream's
-    checkpoint: ``<8-hex md5 of the checkpoint path>-b<id>``.
+    checkpoint: ``<full 32-hex md5 of the checkpoint path>-b<id>``.
+    The FULL digest, not a prefix: the key is a directory name (length
+    is free) and a truncated-digest collision between two distinct
+    checkpoint paths would recreate exactly the silent cross-run
+    batch-0 overwrite the scoping exists to prevent.
 
     Micro-batch ids are only unique WITHIN one checkpoint lineage — a
     stream restarted with a FRESH checkpoint (a common remediation after
@@ -55,5 +59,5 @@ def run_batch_key(checkpoint: str, batch_id: int) -> str:
     genuine retries and checkpoint resumes (same lineage, same key)
     idempotent, while a fresh-checkpoint run folds alongside the old
     run's partitions instead of over them."""
-    h = hashlib.md5(os.path.abspath(checkpoint).encode("utf-8")).hexdigest()[:8]
+    h = hashlib.md5(os.path.abspath(checkpoint).encode("utf-8")).hexdigest()
     return f"{h}-b{batch_id}"

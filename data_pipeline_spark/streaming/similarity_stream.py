@@ -164,9 +164,12 @@ def stream_similarity(
         )
         key = run_batch_key(checkpoint, batch_id)
         out = match_batch(spark, emb, index_dir, batch_key=key)
-        out.write.mode("overwrite").parquet(
-            os.path.join(matches_dir, f"batch_id={key}")
-        )
+        # batch_id is a STRING partition key ('<32hex>-b<N>'); consumers
+        # that filtered/ordered numerically get the numeric micro-batch
+        # id as a real data column (migration note in README §streaming)
+        out.withColumn("micro_batch_id", F.lit(batch_id).cast("bigint")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(matches_dir, f"batch_id={key}"))
 
     feed = spark.readStream.schema("vec_id bigint, embedding array<double>").json(
         feed_path

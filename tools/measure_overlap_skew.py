@@ -93,6 +93,11 @@ def main(sf_dir: str) -> None:
         )
         return n, round(time.monotonic() - t0, 1)
 
+    # interleave capped/uncapped and keep the SECOND timing of each so
+    # neither order absorbs the JVM/shuffle/file-cache warm-up alone
+    # (the r7 single-pass form biased sec_capped upward — ADVICE r7)
+    run(MAX_BINS)
+    run(None)
     n_capped, t_capped = run(MAX_BINS)
     n_uncapped, t_uncapped = run(None)
 
