@@ -65,7 +65,11 @@ def lsh_signature(vec_col: str, dim: int, n_planes: int = 8, table: int = 0) -> 
 
 
 def semantic_dedup(
-    corpus: DataFrame, k: int = 16, iters: int = 2, threshold: float = 0.6
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    threshold: float = 0.6,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space with the deterministic k-means, then drop every
@@ -74,25 +78,38 @@ def semantic_dedup(
     one row per vector — linear output.
 
     The within-cluster comparison is sum(C(n_i, 2)) over cluster sizes
-    — n^2/k when clusters are balanced; ``k`` is the production lever
-    (SemDeDup uses ~110k clusters at LAION scale so cluster sizes stay
-    constant).  Measured at 30x sf0.1 (60k vectors = 30 identical
-    copies of 2k distinct points, SCALE.md round 7): k=16 -> 261.9 s,
-    k=64 -> 191.9 s (1.36x — less than the balanced-cluster 4x because
-    k-means tracks data density and the biggest clusters dominate the
-    pair sum; both runs kept exactly the ~2,000 distinct originals).
-    The declared d37 gate pins k=16 for its oracle; callers at scale
-    pass k proportional to their corpus."""
+    — n^2/k when clusters are balanced, but ``k`` alone is NOT a
+    sufficient lever: k-means tracks data density, so the largest
+    clusters dominate the pair sum.  Measured at 30x sf0.1 (60k
+    vectors, SCALE.md round 7): k=16 -> 261.9 s, k=64 -> 191.9 s —
+    1.36x for 4x k, nowhere near the balanced-cluster 4x.
+
+    ``max_cluster_size`` is the production lever (SCALE.md round 8):
+    every cluster over the cap is hash-split into ceil(n/cap) balanced
+    sub-clusters BEFORE the pair join — row_number over (md5(id), id)
+    within the cluster, mod the split count — so no pair-join partition
+    ever exceeds the cap, a HARD bound on the per-cluster quadratic
+    (exactly sum over sub-clusters of C(<=cap, 2)).  The split is a
+    deterministic decimal-free artifact (md5 order + id tiebreak) the
+    DuckDB oracle replays verbatim.  Semantics: duplicates are only
+    detected within a sub-cluster — the standard SemDeDup recall trade
+    (their clusters are capped the same way at LAION scale); the
+    declared d40 gate pins the capped path, d37 pins the uncapped one."""
     cents = ivf_centroids(corpus, k=k, iters=iters)
     assigned = _assign(corpus, cents).localCheckpoint()  # reused by 3 subtrees
-    a = assigned.select(
-        "cluster_id", F.col("neighbor_id").alias("id_a"), F.col("nemb").alias("ea")
+    pair_keys = ["cluster_id"]
+    paired = assigned
+    if max_cluster_size is not None:
+        paired = capped_assignment(assigned, max_cluster_size)
+        pair_keys = ["cluster_id", "sub_id"]
+    a = paired.select(
+        *pair_keys, F.col("neighbor_id").alias("id_a"), F.col("nemb").alias("ea")
     )
-    b = assigned.select(
-        "cluster_id", F.col("neighbor_id").alias("id_b"), F.col("nemb").alias("eb")
+    b = paired.select(
+        *pair_keys, F.col("neighbor_id").alias("id_b"), F.col("nemb").alias("eb")
     )
     removed = (
-        a.join(b, "cluster_id")
+        a.join(b, pair_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.round(cosine("ea", "eb"), 6) >= threshold)
         .select(F.col("id_b").alias("neighbor_id"))
@@ -103,6 +120,29 @@ def semantic_dedup(
         F.col("neighbor_id").alias("vec_id"),
         "cluster_id",
         F.col("_removed").isNull().alias("kept"),
+    )
+
+
+def capped_assignment(assigned: DataFrame, max_cluster_size: int) -> DataFrame:
+    """Hash-split every over-cap cluster into ceil(n/cap) BALANCED
+    sub-clusters: + sub_id on (neighbor_id, nemb, cluster_id).  The
+    split is row_number over (md5(id), id) within the cluster, mod the
+    split count — deterministic, oracle-replayable, and EXACT: every
+    (cluster_id, sub_id) group has at most ``max_cluster_size`` rows by
+    construction (a guarantee hash-mod splitting only gives in
+    expectation).  Clusters at or under the cap get ceil(n/cap)=1 and
+    stay whole.  The per-cluster window sorts one cluster per task —
+    n log n and spill-safe even for a mega-cluster, and it runs BEFORE
+    any pair join so the quadratic stage never sees an unsplit group."""
+    sizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_n"))
+    w = W.partitionBy("cluster_id").orderBy(
+        F.md5(F.col("neighbor_id").cast("string")), "neighbor_id"
+    )
+    n_splits = F.ceil(F.col("_n").cast("double") / max_cluster_size).cast("bigint")
+    return (
+        assigned.join(F.broadcast(sizes), "cluster_id")
+        .withColumn("sub_id", (F.row_number().over(w) - 1) % n_splits)
+        .drop("_n")
     )
 
 

@@ -53,20 +53,13 @@ GATE_PIN = [
     "a01_merge_fold", "j06_reconcile_min_equivs", "j03_constraint_veto",
     "j08_reidentify", "p05_merge_veto", "p02_validation_rules",
     "j12_metatype_join", "f23_guess_type",
-    # r7: the DSL string parser grew NEAR-distance validation (reject
-    # non-integer distances, plans/parser.py) — dsl_q11 exercises the
-    # NEAR parse path, so its r6 row no longer vouches verbatim
-    "dsl_q11_near_andnot_boost",
-    # r7: overlap_join restructured for the max_bins long-interval cap
-    # (operators/range_join.py) — rj02 runs through the refactored code
-    # (default path, same plan), so it re-gates
-    "rj02_overlapping_order_windows",
-    # r7 review pass: d33 rewired onto the shared est_pairs tier, the
-    # Hamming-1 multiprobe extracted to hamming1_flips (d09 + the v05
-    # probe run through it) — same expressions, but changed code
-    # re-proves through the driver
-    "d33_minhash_estimate_pairs", "d09_embedding_neardup",
-    "v05_stream_similarity_gate",
+    # r8: the five one-round r7 pins (dsl_q11, rj02, d33, d09, v05)
+    # dropped — their r7 driver rows are committed (CORRECTNESS_r07.json
+    # at 70f48e5) and their code is unchanged this round.
+    # r8: semantic_dedup grew the max_cluster_size lever (d40's capped
+    # split, operators/similarity.py) — d37 runs through the refactored
+    # function (default path, byte-identical plan), so it re-gates
+    "d37_semantic_dedup",
 ]
 
 GATE_WINDOW_SIZE = 50

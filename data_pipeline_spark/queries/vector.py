@@ -427,6 +427,71 @@ def d37_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, k=_V04_CLUSTERS, iters=_V04_ITERS, threshold=_D37_T)
 
 
+_D40_CAP = 24  # max_cluster_size for the declared capped gate
+
+
+def _d40_oracle() -> str:
+    """DuckDB twin of d40 — d37's SemDeDup shape with the cluster-size
+    cap replayed exactly: cluster sizes -> ceil(n/cap) hash-splits by
+    row_number over (md5(id), id) within the cluster -> within-SUB-
+    cluster pairs -> lowest-id-survivor keep rule.  Shares
+    _ivf_indexed_ctes with v04/d37 so the assignment cannot drift."""
+    body, _ = _ivf_indexed_ctes()
+    cos = _IVF_COS.format(a="a.nemb", b="b.nemb")
+    return f"""{body},
+    sizes AS (SELECT cluster_id, COUNT(*) AS n FROM indexed GROUP BY cluster_id),
+    subbed AS (
+        SELECT i.neighbor_id, i.nemb, i.cluster_id,
+               (row_number() OVER (
+                    PARTITION BY i.cluster_id
+                    ORDER BY md5(CAST(i.neighbor_id AS VARCHAR)), i.neighbor_id) - 1)
+               % CAST(ceil(CAST(s.n AS DOUBLE) / {_D40_CAP}) AS BIGINT) AS sub_id
+        FROM indexed i JOIN sizes s USING (cluster_id)
+    ),
+    pairs AS (
+        SELECT a.neighbor_id AS id_a, b.neighbor_id AS id_b
+        FROM subbed a JOIN subbed b
+          ON a.cluster_id = b.cluster_id AND a.sub_id = b.sub_id
+         AND a.neighbor_id < b.neighbor_id
+        WHERE {cos} >= {_D37_T}
+    ),
+    removed AS (SELECT DISTINCT id_b FROM pairs)
+    SELECT i.neighbor_id AS vec_id, i.cluster_id,
+           (r.id_b IS NULL) AS kept
+    FROM indexed i LEFT JOIN removed r ON i.neighbor_id = r.id_b
+"""
+
+
+@query(
+    "d40_semantic_dedup_capped",
+    oracle=_d40_oracle(),
+    survey="dedup-embedding,similarity-ann-ivf",
+)
+def d40_semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d37's semantic dedup with ``max_cluster_size`` — the production
+    lever the measured k-sweep proved necessary (SCALE.md round 7:
+    k=16->k=64 bought only 1.36x because the largest clusters dominate
+    sum(C(n_i,2))).  Every cluster over the cap is hash-split into
+    balanced ceil(n/cap) sub-clusters before the pair join, so no pair
+    join input group exceeds the cap — the per-cluster quadratic is
+    HARD-bounded at sum C(cap,2), independent of how skewed k-means'
+    cluster sizes get.  The split is deterministic (row_number over
+    (md5(id), id) within the cluster, mod the split count) and
+    replayed verbatim by the oracle; the cap's recall trade (duplicate
+    detection confined to sub-clusters) is the published SemDeDup
+    configuration — their LAION clusters are size-capped the same way."""
+    from ..operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("nemb"),
+    )
+    return semantic_dedup(
+        emb, k=_V04_CLUSTERS, iters=_V04_ITERS, threshold=_D37_T,
+        max_cluster_size=_D40_CAP,
+    )
+
+
 @query(
     "v02_label_centroid_norms",
     oracle="""

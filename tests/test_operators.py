@@ -538,3 +538,57 @@ def test_substring_dedup_clean_semantics(spark):
     assert out[2].clean_text == "epsilon zeta eta theta"
     assert out[3].clean_text == "tiny doc" and out[3].n_removed == 0
     assert out[4].clean_text == "" and out[4].n_removed == 8
+
+
+def test_capped_assignment_bounds_every_pair_group(spark):
+    """d40's production lever as a hard property: after capped_assignment,
+    NO (cluster_id, sub_id) group exceeds the cap — on an adversarially
+    skewed assignment (one mega-cluster) — splits are balanced
+    (sizes differ by at most 1), every row keeps its original cluster,
+    and at-or-under-cap clusters stay whole."""
+    from data_pipeline_spark.operators.similarity import capped_assignment
+
+    rows = [(i, [float(i)], 0) for i in range(97)]       # mega-cluster, n=97
+    rows += [(100 + i, [float(i)], 1) for i in range(10)]  # under cap
+    rows += [(200 + i, [float(i)], 2) for i in range(26)]  # just over cap
+    assigned = spark.createDataFrame(
+        rows, "neighbor_id bigint, nemb array<double>, cluster_id int"
+    )
+    cap = 25
+    sub = capped_assignment(assigned, cap).collect()
+    assert len(sub) == len(rows)
+    assert {r.neighbor_id for r in sub} == {r[0] for r in rows}
+    from collections import Counter
+
+    groups = Counter((r.cluster_id, r.sub_id) for r in sub)
+    assert max(groups.values()) <= cap
+    # cluster 0: ceil(97/25)=4 balanced splits (25/24/24/24)
+    c0 = sorted(v for (c, _), v in groups.items() if c == 0)
+    assert c0 == [24, 24, 24, 25]
+    # cluster 1 stays whole; cluster 2 splits in 2 (13/13)
+    assert [v for (c, _), v in groups.items() if c == 1] == [10]
+    assert sorted(v for (c, _), v in groups.items() if c == 2) == [13, 13]
+
+
+def test_semantic_dedup_cap_semantics(spark, emb):
+    """Capped semantic dedup can only detect FEWER duplicates than the
+    uncapped run (comparisons confined to sub-clusters), so its kept set
+    is a superset; with the cap at or above the largest cluster the two
+    runs are identical."""
+    from data_pipeline_spark.operators.similarity import semantic_dedup
+
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb")
+    )
+    base = {r.vec_id: r.kept for r in semantic_dedup(corpus, k=8).collect()}
+    capped = {
+        r.vec_id: r.kept
+        for r in semantic_dedup(corpus, k=8, max_cluster_size=20).collect()
+    }
+    assert set(base) == set(capped)
+    assert all(capped[v] for v, kept in base.items() if kept)  # superset
+    huge = {
+        r.vec_id: r.kept
+        for r in semantic_dedup(corpus, k=8, max_cluster_size=10**6).collect()
+    }
+    assert huge == base

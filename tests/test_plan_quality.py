@@ -455,3 +455,24 @@ def test_d39_removal_joins_on_doc_id_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     for part in re.findall(r"hashpartitioning\((\w+)", plan):
         assert part in ("gh", "doc_id"), part
+
+
+def test_d40_capped_pairs_join_on_subcluster(spark):
+    """The capped semantic dedup's pair stage must equi-join on BOTH
+    cluster_id AND sub_id (the hard bound on the quadratic — an
+    optimizer change that drops sub_id from the join keys reopens the
+    mega-cluster pathology), the split-count side must broadcast
+    (k-row sizes relation), and no corpus-level Cartesian anywhere."""
+    import re
+
+    plan = _plan(spark, "d40_semantic_dedup_capped")
+    assert "CartesianProduct" not in plan
+    join_keys = re.findall(
+        r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)(?:\([^)]*\))? (\[[^\]]*\])",
+        plan,
+    )
+    assert any("cluster_id" in k and "sub_id" in k for k in join_keys), join_keys
+    # nested loops appear ONLY with a broadcast build side (the k=16
+    # centroid relation); none may be unbounded
+    for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
+        assert m.group(1) in ("BuildRight", "BuildLeft")
