@@ -60,6 +60,12 @@ GATE_PIN = [
     # split, operators/similarity.py) — d37 runs through the refactored
     # function (default path, byte-identical plan), so it re-gates
     "d37_semantic_dedup",
+    # r8: the d41 composition extracted shared definitions
+    # (signature_estimate_pairs, tiered_pairs_from,
+    # fingerprint_star_edges; _CLEAN_SQL with the clean_agg rename) —
+    # d33/d35/d36/d39 run through the refactored code, so they re-gate
+    "d33_minhash_estimate_pairs", "d35_tiered_pairs",
+    "d36_corpus_clean_tiered", "d39_substring_dedup_clean",
 ]
 
 GATE_WINDOW_SIZE = 50

@@ -19,7 +19,7 @@ the driver-mandated training-data-pipeline extensions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -286,7 +286,12 @@ def verified_pairs_from_arrays(
 # ---------------------------------------------------------------------------
 # oracle SQL generators (same constructions in DuckDB dialect)
 # ---------------------------------------------------------------------------
-_SHINGLES_SQL = """
+def _shingles_sql(src: str = "documents") -> str:
+    """The 3-word-shingle CTE over any (doc_id, text) relation — ``src``
+    parameterized so the d41 composed build can shingle the substring-
+    CLEANED text with the same construction the raw-document oracles
+    pin."""
+    return f"""
     shingles AS (
         SELECT DISTINCT doc_id AS id, shingle FROM (
             SELECT doc_id,
@@ -294,11 +299,14 @@ _SHINGLES_SQL = """
                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
             FROM (SELECT doc_id,
                          regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\f\r]+') AS toks
-                  FROM documents)
+                  FROM {src})
             WHERE len(toks) >= 3
         )
     )
 """
+
+
+_SHINGLES_SQL = _shingles_sql()
 
 
 def _sig_sql() -> str:
@@ -744,7 +752,7 @@ def simhash64_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return agg.select("id", sim.cast("bigint").alias("simhash"))
 
 
-def _simhash64_sql() -> str:
+def _simhash64_sql(src: str = "documents") -> str:
     digit = lambda j: f"(strpos('0123456789abcdef', substr(h, {j // 4 + 1}, 1)) - 1)"
     bit = lambda j: f"(CAST(floor({digit(j)} / {2 ** (3 - j % 4)}) AS BIGINT) % 2)"
     sums = ", ".join(f"SUM({bit(j)} * 2 - 1) AS b{j}" for j in range(N_BITS64))
@@ -757,7 +765,7 @@ def _simhash64_sql() -> str:
     words AS (
         SELECT DISTINCT doc_id AS id, w FROM (
             SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\f\r]+')) AS w
-            FROM documents) WHERE w <> ''
+            FROM {src}) WHERE w <> ''
     ),
     hashed AS (SELECT id, substr(md5(w), 1, {N_BITS64 // 4}) AS h FROM words),
     agg AS (SELECT id, {sums} FROM hashed GROUP BY id),
@@ -1128,7 +1136,17 @@ def tiered_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     density that is the difference between d33's 39.9 s and d07's
     143.3 s (SCALE.md round 6), with the borderline re-check recovering
     exact-verify precision where the 8-signature estimate is noisy."""
-    est_df = _estimate_pairs_tier(spark, sf_dir)
+    return tiered_pairs_from(
+        _doc_arrays_tier(spark, sf_dir), _estimate_pairs_tier(spark, sf_dir)
+    )
+
+
+def tiered_pairs_from(da: DataFrame, est_df: DataFrame) -> DataFrame:
+    """The layered-verify branch structure over ANY shingle-array
+    relation ``da(id, sh)`` and estimate relation ``est_df(id_a, id_b,
+    est_jaccard)`` — ONE definition shared by d35/d36 (raw documents)
+    and d41 (substring-cleaned text), so the accept/borderline/reject
+    thresholds cannot drift between the stage and the composition."""
     accepted = est_df.filter(F.col("est_jaccard") >= EST_ACCEPT).select(
         "id_a", "id_b",
         F.col("est_jaccard").alias("sim"),
@@ -1137,7 +1155,6 @@ def tiered_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     border = est_df.filter(
         (F.col("est_jaccard") >= EST_REJECT) & (F.col("est_jaccard") < EST_ACCEPT)
     ).select("id_a", "id_b")
-    da = _doc_arrays_tier(spark, sf_dir)
     exact = verified_pairs_from_arrays(da, border, JACCARD_T).select(
         "id_a", "id_b",
         F.col("jaccard").alias("sim"),
@@ -1154,28 +1171,33 @@ def _estimate_pairs_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         sigs = _minhash_sigs_tier(spark, sf_dir)
-        cands = lsh_candidates(sigs)
-        a = sigs.select(
-            F.col("id").alias("id_a"),
-            *[F.col(f"s{i}").alias(f"sa{i}") for i in range(N_SIGS)],
-        )
-        b = sigs.select(
-            F.col("id").alias("id_b"),
-            *[F.col(f"s{i}").alias(f"sb{i}") for i in range(N_SIGS)],
-        )
-        agree = None
-        for i in range(N_SIGS):
-            term = (F.col(f"sa{i}") == F.col(f"sb{i}")).cast("int")
-            agree = term if agree is None else agree + term
-        return (
-            cands.join(a, "id_a")
-            .join(b, "id_b")
-            .select(
-                "id_a", "id_b", (agree.cast("double") / N_SIGS).alias("est_jaccard")
-            )
-        )
+        return signature_estimate_pairs(sigs, lsh_candidates(sigs))
 
     return _tier(spark, sf_dir, "est_pairs", build)
+
+
+def signature_estimate_pairs(sigs: DataFrame, cands: DataFrame) -> DataFrame:
+    """(id_a, id_b, est_jaccard): the signature-agreement Jaccard
+    estimate over candidate pairs — fixed 64-byte payload per side
+    (N_SIGS 8-hex mins), never a document array.  ONE definition shared
+    by the document est tier (d33/d35/d36) and the d41 composed build."""
+    a = sigs.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"s{i}").alias(f"sa{i}") for i in range(N_SIGS)],
+    )
+    b = sigs.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"s{i}").alias(f"sb{i}") for i in range(N_SIGS)],
+    )
+    agree = None
+    for i in range(N_SIGS):
+        term = (F.col(f"sa{i}") == F.col(f"sb{i}")).cast("int")
+        agree = term if agree is None else agree + term
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (agree.cast("double") / N_SIGS).alias("est_jaccard"))
+    )
 
 
 _TIERED_SQL = f"""
@@ -1240,6 +1262,24 @@ def d35_tiered_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (md5 signatures, array_intersect Jaccard), so the
     whole tier hash-oracles."""
     return tiered_verified_pairs(spark, sf_dir)
+
+
+def fingerprint_star_edges(sims: DataFrame) -> DataFrame:
+    """(id_a, id_b): LINEAR star edges on exact fingerprint equality —
+    each doc points at the min doc_id of its simhash class, one window
+    over one shuffle, output linear in docs.  The ONLY safe way to feed
+    fingerprint agreement into a connected-components pass (SCALE.md
+    round 7: raw Hamming<=k PAIRS cost their quadratic volume wherever
+    consumed; no exact sparsification of a fuzzy-class graph exists)."""
+    w = Window.partitionBy("simhash")
+    return (
+        sims.select(
+            F.col("id").alias("id_b"),
+            F.min("id").over(w).alias("id_a"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+    )
 
 
 CORPUS_CLEAN_TIERED_ORACLE = f"""
@@ -1326,22 +1366,12 @@ def d36_corpus_clean_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_tokens >= 20) & ((n_stop.cast("double") / n_tokens) < 0.5)
     ).select("doc_id")
 
-    from pyspark.sql import Window as W
-
     tier_pairs = tiered_verified_pairs(spark, sf_dir).select("id_a", "id_b")
     sims64 = _tier(
         spark, sf_dir, "simhash64",
         lambda: simhash64_df(load_table(spark, sf_dir, "documents")),
     )
-    sim_edges = (
-        sims64.select(
-            F.col("id").alias("id_b"),
-            F.min("id").over(W.partitionBy("simhash")).alias("id_a"),
-        )
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    edges = tier_pairs.unionByName(sim_edges)
+    edges = tier_pairs.unionByName(fingerprint_star_edges(sims64))
 
     groups = connected_components(edges, src="id_a", dst="id_b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("keeper")
@@ -1350,6 +1380,144 @@ def d36_corpus_clean_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.join(groups, "doc_id", "left")
         .filter(F.col("keeper").isNull() | (F.col("keeper") == F.col("doc_id")))
         .select("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d41: the full production training-data build — exact-substring removal
+# FIRST (Lee et al. 2021 order: near-dup fingerprints see cleaned text),
+# then the tiered near-dup clean, then the quality gate
+# ---------------------------------------------------------------------------
+
+
+def _d41_oracle() -> str:
+    from .text4 import _CLEAN_SQL, _SPANS_SQL
+
+    return f"""
+    WITH RECURSIVE {_SPANS_SQL},
+    {_CLEAN_SQL},
+    documents_clean AS (
+        SELECT d.doc_id, COALESCE(a.clean_text, '') AS text
+        FROM toked d LEFT JOIN clean_agg a USING (doc_id)
+    ),
+    {_shingles_sql("documents_clean")},
+    {_sig_sql()},
+    {_bands_sql()},
+    cands AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+    ),
+    {_TIERED_SQL},
+    {_simhash64_sql("documents_clean")},
+    sim_edges AS (
+        SELECT keeper AS id_a, id AS id_b FROM (
+            SELECT id, MIN(id) OVER (PARTITION BY simhash) AS keeper FROM sims
+        ) WHERE id <> keeper
+    ),
+    all_pairs AS (
+        SELECT id_a, id_b FROM tier_pairs
+        UNION
+        SELECT id_a, id_b FROM sim_edges
+    ),
+    sym AS (SELECT id_a AS s, id_b AS d FROM all_pairs
+            UNION SELECT id_b, id_a FROM all_pairs),
+    walk(node, label) AS (
+        SELECT s, s FROM sym
+        UNION
+        SELECT e.d, w.label FROM walk w JOIN sym e ON w.node = e.s
+        WHERE w.label < e.d
+    ),
+    groups AS (SELECT node AS doc_id, MIN(label) AS keeper FROM walk GROUP BY node),
+    quality AS (
+        SELECT doc_id, n_tokens FROM (
+          SELECT doc_id,
+                 len(regexp_split_to_array(trim(text, ' '), '[ \t\n\f\r]+')) AS n_tokens,
+                 len(list_filter(regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\f\r]+'),
+                                 t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop
+          FROM documents_clean
+        ) WHERE n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5
+    )
+    SELECT q.doc_id, c.text AS clean_text,
+           CAST(q.n_tokens AS BIGINT) AS n_clean_tokens
+    FROM quality q
+    JOIN documents_clean c USING (doc_id)
+    LEFT JOIN groups g ON q.doc_id = g.doc_id
+    WHERE g.doc_id IS NULL OR g.keeper = q.doc_id
+"""
+
+
+def _d41_cleaned_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text): the substring-CLEANED corpus — d39's removal
+    output renamed to the (doc_id, text) shape every downstream stage
+    consumes.  Materialized once; shingling, simhash and the quality
+    gate all read it (in production: the cleaned-text table the
+    substring pass writes)."""
+    from .text4 import substring_dedup_clean
+
+    return _tier(
+        spark, sf_dir, "d41_cleaned",
+        lambda: substring_dedup_clean(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", F.col("clean_text").alias("text")
+        ),
+    )
+
+
+@query(
+    "d41_training_data_build",
+    oracle=_d41_oracle(),
+    survey="dedup-substring,dedup-minhash-lsh,dedup-simhash,dedup-groups,quality-score",
+)
+def d41_training_data_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END production training-data build, composed in the
+    Lee et al. (2021) order: exact duplicate-substring REMOVAL first
+    (d39 — so every downstream fingerprint sees cleaned text), then the
+    tiered near-dup clean (d36's machinery: layered MinHash verify +
+    linear SimHash64 star edges -> one connected-components pass +
+    keeper election), then the quality gate — (doc_id, clean_text,
+    n_clean_tokens), one row per SURVIVING document: what actually
+    ships to the tokenizer.
+
+    Every stage is the SAME definition as its standalone query
+    (substring_dedup_clean, tiered_pairs_from, signature_estimate_pairs,
+    fingerprint_star_edges), applied to the cleaned relation — the
+    composition adds no new operator semantics, only the order.  Scale
+    shape: the cleaned tier is written once and read by three
+    scan-shaped consumers; all near-dup machinery keeps its measured
+    30x/100x posture (SCALE.md rounds 6-8) because the input shape
+    (doc_id, text) is unchanged — only shorter."""
+    from ..pipeline.closure import connected_components
+
+    cleaned = _d41_cleaned_tier(spark, sf_dir)
+    da = _tier(spark, sf_dir, "d41_arrays", lambda: shingle_arrays_df(cleaned))
+    sigs = _tier(
+        spark, sf_dir, "d41_sigs",
+        lambda: minhash_signatures(da.select("id", F.explode("sh").alias("shingle"))),
+    )
+    est = _tier(
+        spark, sf_dir, "d41_est",
+        lambda: signature_estimate_pairs(sigs, lsh_candidates(sigs)),
+    )
+    tier_pairs = tiered_pairs_from(da, est).select("id_a", "id_b")
+    sims64 = _tier(spark, sf_dir, "d41_simhash64", lambda: simhash64_df(cleaned))
+    edges = tier_pairs.unionByName(fingerprint_star_edges(sims64))
+    groups = connected_components(edges, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("keeper")
+    )
+
+    toks = F.split(F.trim(F.col("text")), _WS_SPLIT)
+    low_toks = F.split(F.lower(F.trim(F.col("text"))), _WS_SPLIT)
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(low_toks, lambda t: t.isin("the", "a", "of", "and")))
+    quality = cleaned.filter(
+        (n_tokens >= 20) & ((n_stop.cast("double") / n_tokens) < 0.5)
+    ).select("doc_id", n_tokens.cast("bigint").alias("n_clean_tokens"))
+
+    return (
+        quality.join(groups, "doc_id", "left")
+        .filter(F.col("keeper").isNull() | (F.col("keeper") == F.col("doc_id")))
+        .join(cleaned, "doc_id")
+        .select("doc_id", F.col("text").alias("clean_text"), "n_clean_tokens")
     )
 
 

@@ -983,11 +983,12 @@ def _dup_span_islands(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "d39_substring_dedup_clean",
-    oracle=f"""
-    WITH {_SPANS_SQL},
-    toked AS (
+# The token-removal CTEs over dup_spans — toked (all docs, normalized
+# token arrays), kept (positions outside every span), agg (clean text +
+# kept counts).  ONE definition shared by the d39 oracle and the d41
+# composed-build oracle (queries/dedup.py), so the removal semantics
+# cannot drift between the stage and the composition.
+_CLEAN_SQL = f"""toked AS (
         SELECT doc_id,
                regexp_split_to_array(lower(trim(text, ' ')), '{_WS_SPLIT}') AS toks
         FROM documents
@@ -1005,18 +1006,25 @@ def _dup_span_islands(docs: DataFrame) -> DataFrame:
               AND t.pos BETWEEN s.span_start AND s.span_end
         )
     ),
-    agg AS (
+    clean_agg AS (
         SELECT doc_id,
                string_agg(tok, ' ' ORDER BY pos) AS clean_text,
                COUNT(*) AS n_kept
         FROM kept GROUP BY doc_id
-    )
+    )"""
+
+
+@query(
+    "d39_substring_dedup_clean",
+    oracle=f"""
+    WITH {_SPANS_SQL},
+    {_CLEAN_SQL}
     SELECT d.doc_id,
            COALESCE(a.clean_text, '') AS clean_text,
            CAST(len(d.toks) AS BIGINT) AS n_tokens,
            CAST(len(d.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
     FROM toked d
-    LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN clean_agg a USING (doc_id)
     """,
     survey="dedup-substring",
 )

@@ -476,3 +476,13 @@ def test_d40_capped_pairs_join_on_subcluster(spark):
     # centroid relation); none may be unbounded
     for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
         assert m.group(1) in ("BuildRight", "BuildLeft")
+
+
+def test_d41_composed_build_no_theta_and_bounded_exchanges(spark):
+    """The end-to-end training-data build must inherit every stage's
+    scale shape: no corpus-level theta join anywhere (substring spans,
+    minhash bands, simhash64, CC, quality), no Cartesian, and every
+    nested-loop join broadcast-bounded."""
+    plan = _plan(spark, "d41_training_data_build")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
