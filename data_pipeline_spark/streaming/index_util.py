@@ -14,8 +14,10 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
+import shutil
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def tier_dir(index_dir: str, tier: str, key: str) -> str:
@@ -61,3 +63,68 @@ def run_batch_key(checkpoint: str, batch_id: int) -> str:
     run's partitions instead of over them."""
     h = hashlib.md5(os.path.abspath(checkpoint).encode("utf-8")).hexdigest()
     return f"{h}-b{batch_id}"
+
+
+def committed_batch_ids(checkpoint: str) -> set[int]:
+    """Micro-batch ids with a COMMIT entry in the checkpoint's commit
+    log.  A committed batch is durably done — Structured Streaming
+    resumes AFTER the last commit, never re-executing it — so its index
+    partition can be compacted without breaking the retry exclusion."""
+    commits = os.path.join(checkpoint, "commits")
+    if not os.path.isdir(commits):
+        return set()
+    return {int(f) for f in os.listdir(commits) if f.isdigit()}
+
+
+def compact_index(
+    spark: SparkSession, index_dir: str, checkpoint: str
+) -> dict[str, int]:
+    """Fold COMMITTED micro-batch partitions into ``batch=base``.
+
+    The batch-keyed layout is correct but unbounded: one partition
+    directory per micro-batch forever — a small-files problem at
+    production cadence.  This rewrites, per tier, the partitions of
+    THIS checkpoint's committed batches (plus the existing base) into
+    one ``batch=base`` directory and deletes the folded directories.
+
+    Safety rules, each load-bearing:
+    - only batches in the checkpoint's COMMIT log fold (an in-flight or
+      failed batch may still be retried; its partition must survive so
+      the retry's per-partition overwrite and the probe's own-batch
+      exclusion keep working);
+    - only THIS checkpoint's keys fold (another run's stream may be
+      live against the same index — its keys are not ours to move);
+    - the union is materialized (localCheckpoint) BEFORE the base
+      overwrite, since ``base`` is both a source and the target;
+    - probe results are unchanged by construction: the same rows under
+      a different partition value, and match_batch's retry exclusion
+      filters on ``batch != <live key>``, which ``base`` never is.
+
+    Returns {tier: number of batch directories folded}."""
+    done = committed_batch_ids(checkpoint)
+    h = hashlib.md5(os.path.abspath(checkpoint).encode("utf-8")).hexdigest()
+    foldable = {f"{h}-b{i}" for i in done}
+    out: dict[str, int] = {}
+    for tier in sorted(os.listdir(index_dir)):
+        tpath = os.path.join(index_dir, tier)
+        if not os.path.isdir(tpath):
+            continue
+        keys = [
+            m.group(1)
+            for d in sorted(os.listdir(tpath))
+            if (m := re.fullmatch(r"batch=(.+)", d))
+        ]
+        fold = [k for k in keys if k in foldable]
+        out[tier] = len(fold)
+        if not fold:
+            continue
+        srcs = fold + (["base"] if "base" in keys else [])
+        union = None
+        for k in srcs:
+            part = spark.read.parquet(tier_dir(index_dir, tier, k))
+            union = part if union is None else union.unionByName(part)
+        union = union.localCheckpoint()  # materialize: base is source AND target
+        union.write.mode("overwrite").parquet(tier_dir(index_dir, tier, "base"))
+        for k in fold:
+            shutil.rmtree(tier_dir(index_dir, tier, k))
+    return out

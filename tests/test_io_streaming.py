@@ -706,3 +706,101 @@ def test_stream_index_flat_layout_and_restart_keys(spark, tmp_path):
     assert run_batch_key("/tmp/ck1", 0) != run_batch_key("/tmp/ck1", 1)
     # keys are non-numeric strings: partition-type inference stays string
     assert not run_batch_key("/tmp/ck1", 3).isdigit()
+
+
+def test_index_compaction_preserves_probes_and_retry(spark, tmp_path):
+    """compact_index folds COMMITTED batch partitions into batch=base:
+    probe results must be identical before/after (same rows, different
+    partition value), an UNCOMMITTED (retryable) batch's partition must
+    survive the compaction, and a retry of that live batch across the
+    compaction must stay idempotent (own-partition overwrite + own-fold
+    probe exclusion)."""
+    import json as _json
+
+    from data_pipeline_spark.streaming.dedup_stream import (
+        index_corpus,
+        match_batch,
+        stream_dedup,
+    )
+    from data_pipeline_spark.streaming.index_util import (
+        committed_batch_ids,
+        compact_index,
+        run_batch_key,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again today "
+        "while the patient grey owl watches from a very tall oak tree and "
+        "counts every single jump with great care and quiet amusement"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different words about spark sql engines here")],
+        "doc_id bigint, text string",
+    )
+    index_dir = str(tmp_path / "lsh_index")
+    index_corpus(corpus, index_dir)
+
+    ck = str(tmp_path / "ckpt_compact")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    matches_dir = str(tmp_path / "matches")
+    # two committed micro-batches (one stream run per feed file)
+    for i, txt in enumerate(
+        [base.replace("dog", "cat"), base.replace("today", "tomorrow")]
+    ):
+        with open(feed / f"b{i}.jsonl", "w") as f:
+            f.write(_json.dumps({"doc_id": 10 + i, "text": txt}) + "\n")
+        q = stream_dedup(spark, str(feed), index_dir, matches_dir, checkpoint=ck)
+        q.awaitTermination(120)
+    assert committed_batch_ids(ck) == {0, 1}
+
+    probe = spark.createDataFrame(
+        [(99, base.replace("owl", "hawk"))], "doc_id bigint, text string"
+    )
+    r_before = sorted(
+        map(tuple, match_batch(spark, probe, index_dir, append=False).collect())
+    )
+    assert {c for _, c, _ in r_before} >= {1, 10}
+    # both streamed docs joined the index (band-collision with the probe
+    # is probabilistic; index membership is not)
+    idx_ids = {
+        r.id
+        for r in spark.read.parquet(os.path.join(index_dir, "shingles"))
+        .select("id").distinct().collect()
+    }
+    assert idx_ids >= {1, 2, 10, 11}
+
+    # a LIVE (uncommitted) batch folds its partition, then compaction runs
+    live_key = run_batch_key(ck, 2)
+    live = spark.createDataFrame(
+        [(30, base.replace("jump", "hop"))], "doc_id bigint, text string"
+    )
+    l1 = sorted(map(tuple, match_batch(spark, live, index_dir, batch_key=live_key).collect()))
+
+    folded = compact_index(spark, index_dir, ck)
+    assert folded == {"bands": 2, "shingles": 2}
+    for tier in ("bands", "shingles"):
+        dirs = sorted(os.listdir(os.path.join(index_dir, tier)))
+        assert f"batch={live_key}" in dirs           # live batch survives
+        assert [d for d in dirs if d.startswith("batch=")] == sorted(
+            ["batch=base", f"batch={live_key}"]
+        )
+
+    # probe results identical across the compaction (doc 30's live fold
+    # is part of the index in both probes)
+    r_after = sorted(
+        map(tuple, match_batch(spark, probe, index_dir, append=False).collect())
+    )
+    assert r_after == sorted(
+        r_before + [t for t in r_after if t[1] == 30]
+    ) or r_after == r_before
+    assert [t for t in r_after if t[1] != 30] == r_before
+
+    # retrying the live batch ACROSS the compaction reproduces its first
+    # run exactly and leaves no duplicate index rows
+    l2 = sorted(map(tuple, match_batch(spark, live, index_dir, batch_key=live_key).collect()))
+    assert l2 == l1
+    sh = spark.read.parquet(os.path.join(index_dir, "shingles"))
+    assert sh.filter("id = 30").select("shingle").distinct().count() == sh.filter("id = 30").count()
+    # a second compaction with no newly committed batches is a no-op
+    assert compact_index(spark, index_dir, ck) == {"bands": 0, "shingles": 0}
