@@ -201,38 +201,69 @@ def merge_by_yuid(
 ) -> DataFrame:
     """records(yuid, source, identifier, data) -> merged(yuid, rectype, data).
 
-    One shuffle on yuid; each group folds in merge-order inside an
-    Arrow-batched pandas group-map.  ``vetoes`` is the P5 hook surface:
+    One shuffle on yuid; groups fold in merge-order inside an
+    Arrow-batched stream.  ``vetoes`` is the P5 hook surface:
     {source: {"should_merge_into": fn, "should_merge_from": fn}} — plain
     picklable callables shipped with the UDF closure (see
     SourceRegistry.merge_hooks_map); a vetoed record is excluded from the
-    fold, exactly the reference's skip semantics."""
+    fold, exactly the reference's skip semantics.
+
+    Harness (round 8): mapInPandas over a yuid-repartitioned,
+    yuid-sorted stream, MANY groups per Arrow batch, instead of
+    groupBy().applyInPandas — the latter invokes Python and builds a
+    pandas frame once PER GROUP, and at the measured 30x ETL scale
+    (900k records, 450k two-record groups) that per-group overhead was
+    74% of the whole build (236 s of 320, SCALE.md round 8).  Group
+    contiguity is guaranteed by the hash exchange on yuid plus the
+    within-partition sort; the per-group fold semantics (merge-order
+    sort, veto consent, merge_docs) are byte-identical — pinned by the
+    a01 golden gate and the determinism-under-partitioning test."""
     import pandas as pd
 
     order = merge_order or DEFAULT_MERGE_ORDER
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.assign(_prio=pdf["source"].map(lambda s: order.get(s, 100))).sort_values(
-            ["_prio", "source", "identifier"], kind="mergesort"
-        )
-        docs = [json.loads(d) for d in pdf["data"]]
+    def fold_group(yuid, rows):
+        # rows: [(source, identifier, data_json)] — merge-order sort with
+        # the same (priority, source, identifier) key as always
+        rows.sort(key=lambda r: (order.get(r[0], 100), r[0], r[1]))
+        docs = [json.loads(r[2]) for r in rows]
         if vetoes:
-            base_doc, base_src = docs[0], pdf["source"].iloc[0]
+            base_doc, base_src = docs[0], rows[0][0]
             kept = [base_doc]
-            for doc, src in zip(docs[1:], list(pdf["source"])[1:]):
+            for doc, (src, _, _) in zip(docs[1:], rows[1:]):
                 if should_merge(vetoes, base_doc, base_src, doc, src):
                     kept.append(doc)
             docs = kept
         merged = merge_docs(docs)
-        merged["id"] = pdf["yuid"].iloc[0]
-        return pd.DataFrame(
-            {
-                "yuid": [pdf["yuid"].iloc[0]],
-                "rectype": [merged.get("type")],
-                "data": [json.dumps(merged, sort_keys=True)],
-            }
-        )
+        merged["id"] = yuid
+        return yuid, merged.get("type"), json.dumps(merged, sort_keys=True)
 
-    return reidentified.groupBy("yuid").applyInPandas(
-        fold, schema="yuid string, rectype string, data string"
+    def fold_stream(batches):
+        cur_yuid, cur_rows = None, []
+        out: list[tuple] = []
+        for pdf in batches:
+            for y, s, i, d in zip(
+                pdf["yuid"].to_numpy(), pdf["source"].to_numpy(),
+                pdf["identifier"].to_numpy(), pdf["data"].to_numpy(),
+            ):
+                if y != cur_yuid:
+                    if cur_yuid is not None:
+                        out.append(fold_group(cur_yuid, cur_rows))
+                    cur_yuid, cur_rows = y, []
+                cur_rows.append((s, i, d))
+            if out:  # emit completed groups per input batch: bounded memory
+                yield pd.DataFrame(out, columns=["yuid", "rectype", "data"])
+                out = []
+        if cur_yuid is not None:
+            out.append(fold_group(cur_yuid, cur_rows))
+        if out:
+            yield pd.DataFrame(out, columns=["yuid", "rectype", "data"])
+
+    part = (
+        reidentified.select("yuid", "source", "identifier", "data")
+        .repartition("yuid")
+        .sortWithinPartitions("yuid")
+    )
+    return part.mapInPandas(
+        fold_stream, schema="yuid string, rectype string, data string"
     )

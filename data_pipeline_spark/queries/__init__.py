@@ -66,6 +66,11 @@ GATE_PIN = [
     # d33/d35/d36/d39 run through the refactored code, so they re-gate
     "d33_minhash_estimate_pairs", "d35_tiered_pairs",
     "d36_corpus_clean_tiered", "d39_substring_dedup_clean",
+    # r8 ETL-scale fixes: merge_by_yuid moved to the mapInPandas
+    # group-stream harness (91x at 30x) and extract_edges to the
+    # single-parse explode — a01 is a permanent pin already; x01 runs
+    # through the restructured extraction, so it re-gates
+    "x01_edges_extraction",
 ]
 
 GATE_WINDOW_SIZE = 50
