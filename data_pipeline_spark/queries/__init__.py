@@ -20,6 +20,7 @@ from . import cdc  # noqa: F401, E402
 from . import dedup  # noqa: F401, E402
 from . import graph  # noqa: F401, E402
 from . import dsl  # noqa: F401, E402
+from . import sketches  # noqa: F401, E402
 from . import reconcile_gate  # noqa: F401, E402
 from . import enrich_gate  # noqa: F401, E402
 

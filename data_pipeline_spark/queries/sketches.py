@@ -1,0 +1,343 @@
+"""Sketch-based corpus profiling — the one-pass, mergeable, tiny-output
+operators a 100 TB ingest runs FIRST on unknown data: cardinality
+(HyperLogLog), heavy hitters (count-min), and length quantiles
+(log-histogram).  Beyond-reference surface (the reference profiles its
+corpora offline; analog: the record-count / top-k reports of
+/root/reference pipeline CLI `counts` and A14/A16) re-expressed as
+distributed sketches.
+
+Scale posture shared by all three: ONE scan + token explode, then a
+map-side partial aggregation that collapses the shuffle to the sketch's
+fixed size (256 HLL registers / 4x1024 CMS counters / ~40 histogram
+bins) — exchange volume is O(sketch x partitions) regardless of corpus
+size, and every sketch merges associatively (MAX / SUM per cell), which
+is exactly how it would combine across 1000 executors or across daily
+corpus increments.
+
+Determinism contract: every hash primitive is md5-hex arithmetic
+available identically in Spark and DuckDB (`conv`/`'0x'||` hex casts,
+`bin`/`printf('%%b',..)` bit lengths, `<<` shifts); the HLL inverse-power
+sum accumulates in DECIMAL(38,34) (exact: 2^-33 terminates at 33 decimal
+digits) so the estimate is independent of partitioning and engine.  The
+small-range linear-counting correction (m*ln(m/V)) is deliberately NOT
+applied in-engine: ln() bits are libm-dependent across engines, so the
+query emits the raw estimate plus the zero-register count and leaves the
+correction to the caller (documented trade, not an oversight).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+# alpha_m * m^2 for m=256 registers: 0.7213/(1+1.079/256) * 65536.
+_HLL_ALPHA_M2 = 47072.71267120224
+
+_WS = r"[ \t\n\f\r]+"
+_WS_SQL = r"[ \t\n\f\r]+"
+
+# Count-min geometry: 4 independent salted rows x 1024 slots.
+_CMS_DEPTHS = 4
+_CMS_WIDTH = 1024
+
+# Probe tokens for the CMS point-query demonstration — the language
+# marker vocabulary (queries/text.py) so every probe exists in-corpus.
+_CMS_PROBES = (
+    "the", "fast", "small", "data", "key",
+    "order", "window", "batch", "stream", "spark",
+)
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """(source, tok): the exploded whitespace tokens — the same tokenizer
+    every text-family query uses (d03 et al.)."""
+    return (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), _WS)).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+
+
+_TOK_SQL = f"""
+      SELECT source,
+             unnest(regexp_split_to_array(lower(trim(text)), '{_WS_SQL}')) AS tok
+      FROM documents
+"""
+
+
+@query(
+    "d42_hll_cardinality",
+    oracle=f"""
+    WITH tok AS ({_TOK_SQL}),
+    h AS (
+      SELECT source, md5(tok) AS h FROM tok WHERE tok <> ''
+    ),
+    rv AS (
+      SELECT source,
+             CAST(CAST(('0x' || substr(h, 1, 2)) AS UBIGINT) AS BIGINT) AS reg,
+             CAST(CAST(('0x' || substr(h, 3, 8)) AS UBIGINT) AS BIGINT) AS v
+      FROM h
+    ),
+    rr AS (
+      SELECT source, reg,
+             CASE WHEN v = 0 THEN 33 ELSE 33 - length(printf('%b', v)) END AS rho
+      FROM rv
+    ),
+    regs AS (
+      SELECT source, reg, MAX(rho) AS m FROM rr GROUP BY source, reg
+    ),
+    merged AS (
+      SELECT '__all__' AS source, reg, MAX(m) AS m FROM regs GROUP BY reg
+    ),
+    allregs AS (
+      SELECT * FROM regs UNION ALL SELECT * FROM merged
+    ),
+    agg AS (
+      SELECT source,
+             COUNT(*) AS m_hit,
+             SUM(CAST(1.0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE)
+                      AS DECIMAL(38,34))) AS s
+      FROM allregs GROUP BY source
+    )
+    SELECT source,
+           CAST(m_hit AS BIGINT) AS registers_hit,
+           CAST(256 - m_hit AS BIGINT) AS registers_zero,
+           {_HLL_ALPHA_M2!r} / CAST(CAST(256 - m_hit AS DECIMAL(38,34)) + s
+                                    AS DOUBLE) AS est_distinct_raw
+    FROM agg
+    """,
+    survey="profile-hll",
+)
+def d42_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token cardinality per source plus the merged
+    '__all__' sketch (register-wise MAX — the associative merge that
+    combines per-executor or per-day sketches at 100 TB).  m=256
+    registers from the first md5 hex byte; rho from the bit length of
+    the next 32 hash bits.  The shuffle after the map-side partial MAX
+    is <= 256 rows per source; the estimate is the raw alpha*m^2/sum
+    form with the zero-register count emitted alongside (see module
+    docstring for why linear counting stays caller-side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("tok"))
+    rv = _tokens(docs).select(
+        "source",
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("long").alias("reg"),
+        F.conv(F.substring(h, 3, 8), 16, 10).cast("long").alias("v"),
+    )
+    rr = rv.select(
+        "source",
+        "reg",
+        F.when(F.col("v") == 0, F.lit(33))
+        .otherwise(F.lit(33) - F.length(F.bin(F.col("v"))))
+        .alias("rho"),
+    )
+    regs = rr.groupBy("source", "reg").agg(F.max("rho").alias("m"))
+    merged = (
+        regs.groupBy("reg")
+        .agg(F.max("m").alias("m"))
+        .select(F.lit("__all__").alias("source"), "reg", "m")
+    )
+    allregs = regs.unionByName(merged)
+    # shiftleft's Python wrapper wants an int amount; the SQL form shifts
+    # by a column — 1<<m then exact double division (2^-m is a power of two).
+    inv = F.lit(1.0) / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)")
+    agg = allregs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("m_hit"),
+        F.sum(inv.cast("decimal(38,34)")).alias("s"),
+    )
+    return agg.select(
+        "source",
+        F.col("m_hit").cast("long").alias("registers_hit"),
+        (F.lit(256) - F.col("m_hit")).cast("long").alias("registers_zero"),
+        (
+            F.lit(_HLL_ALPHA_M2)
+            / ((F.lit(256) - F.col("m_hit")).cast("decimal(38,34)") + F.col("s")).cast(
+                "double"
+            )
+        ).alias("est_distinct_raw"),
+    )
+
+
+def _probe_list_sql() -> str:
+    return ", ".join(f"('{t}')" for t in _CMS_PROBES)
+
+
+@query(
+    "d43_cms_heavy_hitters",
+    oracle=f"""
+    WITH tok AS ({_TOK_SQL}),
+    t2 AS (SELECT tok FROM tok WHERE tok <> ''),
+    depths AS (SELECT unnest(range(0, {_CMS_DEPTHS})) AS depth),
+    cells AS (
+      SELECT depth,
+             CAST(CAST(('0x' || substr(
+                 md5('s' || CAST(depth AS VARCHAR) || ':' || tok), 1, 3))
+               AS UBIGINT) AS BIGINT) % {_CMS_WIDTH} AS slot,
+             COUNT(*) AS c
+      FROM t2 CROSS JOIN depths
+      GROUP BY depth, slot
+    ),
+    probes(token) AS (VALUES {_probe_list_sql()}),
+    pslot AS (
+      SELECT token, depth,
+             CAST(CAST(('0x' || substr(
+                 md5('s' || CAST(depth AS VARCHAR) || ':' || token), 1, 3))
+               AS UBIGINT) AS BIGINT) % {_CMS_WIDTH} AS slot
+      FROM probes CROSS JOIN depths
+    ),
+    est AS (
+      SELECT token, MIN(c) AS cms_est
+      FROM pslot JOIN cells USING (depth, slot)
+      GROUP BY token
+    ),
+    tru AS (
+      SELECT tok AS token, COUNT(*) AS true_cnt
+      FROM t2 WHERE tok IN ({", ".join(f"'{t}'" for t in _CMS_PROBES)})
+      GROUP BY tok
+    )
+    SELECT token, cms_est, true_cnt
+    FROM est JOIN tru USING (token)
+    """,
+    survey="profile-cms",
+)
+def d43_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over token frequencies (4 salted rows x 1024
+    counters) with point-query estimates for the marker vocabulary,
+    emitted next to the true counts so the one-sided error
+    (cms_est >= true_cnt, property-tested) is visible.  The sketch
+    build is the scale story: the 4x explode collapses map-side to
+    <= 4096 counter cells per partition before the exchange, and cells
+    merge by SUM — the same associativity that unions per-executor or
+    per-increment sketches at 100 TB.  Probe lookups broadcast the
+    40-row probe-slot relation against the tiny sketch."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(docs).select("tok")
+    depths = F.explode(
+        F.array(*[F.lit(d) for d in range(_CMS_DEPTHS)])
+    ).alias("depth")
+
+    def slot_of(tok_col, depth_col) -> F.Column:
+        salted = F.concat(
+            F.lit("s"), depth_col.cast("string"), F.lit(":"), tok_col
+        )
+        return (
+            F.conv(F.substring(F.md5(salted), 1, 3), 16, 10).cast("long")
+            % _CMS_WIDTH
+        )
+
+    cells = (
+        toks.select("tok", depths)
+        .select("depth", slot_of(F.col("tok"), F.col("depth")).alias("slot"))
+        .groupBy("depth", "slot")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = spark.createDataFrame(
+        [(t,) for t in _CMS_PROBES], "token string"
+    )
+    pslot = (
+        probes.select("token", depths)
+        .select("token", "depth", slot_of(F.col("token"), F.col("depth")).alias("slot"))
+    )
+    est = (
+        cells.join(F.broadcast(pslot), ["depth", "slot"])
+        .groupBy("token")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    tru = (
+        toks.filter(F.col("tok").isin(*_CMS_PROBES))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .withColumnRenamed("tok", "token")
+    )
+    return est.join(tru, "token").select("token", "cms_est", "true_cnt")
+
+
+@query(
+    "d44_token_histogram_quantiles",
+    oracle=f"""
+    WITH lens AS (
+      SELECT source,
+             len(regexp_split_to_array(trim(text), '{_WS_SQL}')) AS n_tokens
+      FROM documents
+    ),
+    binned AS (
+      SELECT source,
+             CASE WHEN n_tokens <= 0 THEN 0
+                  ELSE length(printf('%b', CAST(n_tokens AS BIGINT))) END AS bin
+      FROM lens
+    ),
+    hist AS (
+      SELECT source, bin, COUNT(*) AS n FROM binned GROUP BY source, bin
+    ),
+    cum AS (
+      SELECT source, bin, n,
+             SUM(n) OVER (PARTITION BY source ORDER BY bin) AS cum_n,
+             SUM(n) OVER (PARTITION BY source) AS total_n
+      FROM hist
+    ),
+    qs(quantile, qnum, qden) AS (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)),
+    hit AS (
+      SELECT c.source, q.quantile, MIN(c.bin) AS bin
+      FROM cum c CROSS JOIN qs q
+      WHERE c.cum_n * q.qden >= c.total_n * q.qnum
+      GROUP BY c.source, q.quantile
+    )
+    SELECT source, quantile, bin,
+           CASE WHEN bin = 0 THEN 0
+                ELSE CAST(CAST(1 AS BIGINT) << (bin - 1) AS BIGINT) END AS tokens_lo,
+           CAST((CAST(1 AS BIGINT) << bin) - 1 AS BIGINT) AS tokens_hi
+    FROM hit
+    """,
+    survey="profile-quantile",
+)
+def d44_token_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length quantiles (p50/p90/p99) from a log2
+    histogram — the mergeable quantile shape (bins SUM associatively;
+    exact order statistics at 100 TB would need a full sort).  The
+    quantile thresholds use integer cross-multiplication
+    (cum*qden >= total*qnum), not float multiplication, so the answer
+    is engine- and partitioning-independent.  One scan, ~40-bin
+    shuffle, window over the tiny histogram."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), _WS))
+    binned = docs.select(
+        "source",
+        F.when(n_tokens <= 0, F.lit(0))
+        .otherwise(F.length(F.bin(n_tokens.cast("long"))))
+        .alias("bin"),
+    )
+    hist = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("n"))
+    w_cum = W.partitionBy("source").orderBy("bin")
+    w_all = W.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "bin",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n").over(w_all).alias("total_n"),
+    )
+    qs = spark.createDataFrame(
+        [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
+        "quantile string, qnum int, qden int",
+    )
+    hit = (
+        cum.join(F.broadcast(qs))
+        .filter(F.col("cum_n") * F.col("qden") >= F.col("total_n") * F.col("qnum"))
+        .groupBy("source", "quantile")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return hit.select(
+        "source",
+        "quantile",
+        "bin",
+        F.when(F.col("bin") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), bin - 1)"))
+        .alias("tokens_lo"),
+        (F.expr("shiftleft(CAST(1 AS BIGINT), bin)") - 1)
+        .cast("long")
+        .alias("tokens_hi"),
+    )

@@ -486,3 +486,34 @@ def test_d41_composed_build_no_theta_and_bounded_exchanges(spark):
     plan = _plan(spark, "d41_training_data_build")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_d42_hll_partial_agg_no_joins(spark):
+    """The HLL sketch must collapse map-side: partial MAX per (source,
+    register) before the exchange, and no join anywhere — exchange
+    volume is O(registers x partitions) regardless of corpus size."""
+    plan = _plan(spark, "d42_hll_cardinality")
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d43_cms_partial_agg_and_broadcast_probes(spark):
+    """The CMS build must partial-agg the 4x1024 counter cells map-side;
+    the probe lookup joins the tiny probe-slot relation by broadcast
+    (never a shuffle of the token stream against 40 rows)."""
+    plan = _plan(spark, "d43_cms_heavy_hitters")
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d44_histogram_window_over_tiny_agg(spark):
+    """Quantiles come from the ~40-bin histogram: the corpus-sized scan
+    feeds ONE partial-aggregated groupBy; the window and quantile-spec
+    join run over histogram-sized data (spec side broadcast)."""
+    plan = _plan(spark, "d44_token_histogram_quantiles")
+    assert plan.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
