@@ -335,3 +335,175 @@ def knn_lsh(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+def _pq_subdims(vec_df: DataFrame, id_col: str, emb_col: str, dsub: int) -> DataFrame:
+    """Per-dimension layout (id, sub, dsub, val): posexplode the vector and
+    split dimension d into subspace d // dsub, offset d % dsub.  Row-local
+    fan-out of the scan — no exchange."""
+    return vec_df.select(
+        id_col, F.posexplode(emb_col).alias("d", "val")
+    ).select(
+        id_col,
+        (F.col("d") / dsub).cast("int").alias("sub"),
+        (F.col("d") % dsub).alias("dsub"),
+        "val",
+    )
+
+
+def _pq_assign(sv: DataFrame, cb: DataFrame, id_col: str) -> DataFrame:
+    """(id, sub) -> nearest code by squared L2 against the broadcast
+    codebook.  Per-dimension squared differences accumulate in DECIMAL
+    (order-independent) and the distance ROUNDs to 6 before the ranking —
+    the same cross-engine determinism contract as ivf_centroids."""
+    d2 = (
+        sv.join(F.broadcast(cb), ["sub", "dsub"])
+        .withColumn("sq", (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")))
+        .groupBy(id_col, "sub", "code")
+        .agg(
+            F.round(
+                F.sum(F.col("sq").cast("decimal(30,15)")).cast("double"), 6
+            ).alias("dist")
+        )
+    )
+    w = W.partitionBy(id_col, "sub").orderBy("dist", "code")
+    return (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "sub", "code")
+    )
+
+
+def pq_index(
+    corpus: DataFrame, m: int = 8, dsub: int = 8, ks: int = 16, iters: int = 1
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization index over corpus(neighbor_id, nemb):
+    returns (codebook(sub, code, dsub, cval), codes(neighbor_id, sub, code)).
+
+    The codebook is trained by the same deterministic k-means recipe as
+    ivf_centroids, run over ALL subspaces at once as one relation (subspace
+    is a grouping column, not a loop — one Spark job trains m codebooks):
+    seeds are the sub-vectors of the ``ks`` lexically-first corpus vectors,
+    then ``iters`` Lloyd steps with DECIMAL-accumulated means ROUNDed to 9
+    digits before re-entering the assignment, squared-L2 distances ROUNDed
+    to 6 with code-id tiebreaks — an exact decimal artifact a SQL oracle
+    replays bit-identically.
+
+    Scale posture: the codebook is m*ks*dsub rows (1024 at the defaults —
+    always broadcast); training shuffles fixed-size (id, sub, code)
+    aggregates; the persisted index stores m uint8-sized codes + one norm
+    per vector instead of the full vector — 64-dim float64 collapses from
+    512 B to ~16 B (32x), which is the difference between an in-memory and
+    a disk-bound candidate scan at 100 TB."""
+    sv = _pq_subdims(corpus, "neighbor_id", "nemb", dsub)
+    seeds = (
+        corpus.orderBy("neighbor_id")
+        .limit(ks)
+        .select("neighbor_id")
+        .withColumn("code", F.row_number().over(W.orderBy("neighbor_id")) - 1)
+    )
+    cb = (
+        sv.join(F.broadcast(seeds), "neighbor_id")
+        .select("sub", "code", "dsub", F.col("val").alias("cval"))
+    )
+    for _ in range(iters):
+        asg = _pq_assign(sv, cb, "neighbor_id")
+        cb = (
+            asg.join(sv, ["neighbor_id", "sub"])
+            .groupBy("sub", "code", "dsub")
+            .agg(
+                F.round(
+                    F.sum(F.col("val").cast("decimal(30,15)")).cast("double")
+                    / F.count(F.lit(1)),
+                    9,
+                ).alias("cval")
+            )
+        )
+    codes = _pq_assign(sv, cb, "neighbor_id")
+    return cb, codes
+
+
+def knn_pq_adc(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    dsub: int = 8,
+    ks: int = 16,
+    rerank: int = 20,
+) -> DataFrame:
+    """PQ-ADC ANN top-k (Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search" — asymmetric distance computation):
+    rank the WHOLE corpus from its 8-byte PQ codes plus a per-vector norm,
+    then read full vectors only for the ``rerank`` best candidates per
+    query.
+
+    ADC: each query builds a (sub, code) -> partial-dot lookup table
+    (m*ks = 128 rows, broadcast) against the trained codebook; a corpus
+    vector's estimated dot product is the sum of its m table hits —
+    est_cos = adc_dot / (|q|*|v|) with exact stored norms.  The estimate
+    ranking never touches an embedding array: the scan side is the codes
+    relation (m small ints + a norm per vector), which is the entire point
+    at 100 TB — the full vectors stay in cold storage and only
+    rerank*|queries| of them are ever fetched for the exact re-rank.
+
+    Determinism: partial dots and the m-way ADC sum accumulate in DECIMAL;
+    est_cos and the exact re-rank cosine ROUND to 6 with neighbor_id
+    tiebreaks — fully replayable in a SQL oracle (queries/vector
+    _v06_oracle)."""
+    cb, codes = pq_index(corpus, m=m, dsub=dsub, ks=ks)
+    norms = corpus.select(
+        "neighbor_id",
+        F.sqrt(
+            F.aggregate(F.col("nemb"), F.lit(0.0), lambda s, v: s + v * v)
+        ).alias("nrm"),
+    )
+    qnorms = queries.select(
+        "query_id",
+        F.sqrt(
+            F.aggregate(F.col("qemb"), F.lit(0.0), lambda s, v: s + v * v)
+        ).alias("qnrm"),
+    )
+    qsv = _pq_subdims(queries, "query_id", "qemb", dsub)
+    lut = (
+        qsv.join(F.broadcast(cb), ["sub", "dsub"])
+        .withColumn("prod", F.col("val") * F.col("cval"))
+        .groupBy("query_id", "sub", "code")
+        .agg(
+            F.round(
+                F.sum(F.col("prod").cast("decimal(30,15)")).cast("double"), 9
+            ).alias("dot_sub")
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(F.col("dot_sub").cast("decimal(30,15)")).cast("double").alias("adc_dot")
+        )
+    )
+    est = (
+        adc.join(F.broadcast(qnorms), "query_id")
+        .join(norms, "neighbor_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("est_cos", F.round(F.col("adc_dot") / (F.col("qnrm") * F.col("nrm")), 6))
+    )
+    we = W.partitionBy("query_id").orderBy(F.desc("est_cos"), "neighbor_id")
+    cand = (
+        est.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= rerank)
+        .select("query_id", "neighbor_id", "est_cos")
+    )
+    # only rerank*|queries| full vectors are ever read: broadcast the tiny
+    # candidate list into the corpus scan, then exact-cosine top-k
+    rer = (
+        corpus.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn("cos_sim", F.round(cosine("qemb", "nemb"), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        rer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "est_cos", "cos_sim")
+    )

@@ -492,6 +492,151 @@ def d40_semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_V06_DIM, _V06_M, _V06_DSUB, _V06_KS, _V06_RERANK, _V06_K = 64, 8, 8, 16, 20, 5
+
+
+def _v06_oracle() -> str:
+    """DuckDB twin of the v06 PQ-ADC ANN — the ENTIRE deterministic PQ
+    training + encode + ADC ranking + exact re-rank replayed in SQL.
+    Same determinism contract as _v04_oracle: every accumulation that
+    crosses a grouping is DECIMAL (order-independent), every value that
+    enters a ranking is ROUNDed first (dist/est_cos/cos_sim to 6, means
+    and partial dots to 9), every ranking tiebreaks by id — so the
+    approximate index is an exact decimal artifact both engines
+    reproduce bit-identically."""
+    cos = _IVF_COS
+
+    def dist_cte(cb: str) -> str:
+        return f"""(
+        SELECT s.vec_id, s.sub, c.code,
+               ROUND(CAST(SUM(CAST((s.val - c.cval) * (s.val - c.cval)
+                     AS DECIMAL(30,15))) AS DOUBLE), 6) AS dist
+        FROM sv s JOIN {cb} c ON s.sub = c.sub AND s.dsub = c.dsub
+        GROUP BY s.vec_id, s.sub, c.code
+    )"""
+
+    def argmin_cte(dist: str) -> str:
+        return f"""(
+        SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, code) AS rn
+            FROM {dist}
+        ) WHERE rn = 1
+    )"""
+
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    sv AS (
+        SELECT vec_id, d // {_V06_DSUB} AS sub, d % {_V06_DSUB} AS dsub,
+               emb[d + 1] AS val
+        FROM vecs CROSS JOIN range(0, {_V06_DIM}) AS t(d)
+    ),
+    seeds AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+        FROM (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT {_V06_KS})
+    ),
+    cb0 AS (
+        SELECT s.sub, sd.code, s.dsub, s.val AS cval
+        FROM sv s JOIN seeds sd USING (vec_id)
+    ),
+    dist1 AS {dist_cte('cb0')},
+    asg1 AS {argmin_cte('dist1')},
+    cb1 AS (
+        SELECT a.sub, a.code, s.dsub,
+               ROUND(CAST(SUM(CAST(s.val AS DECIMAL(30,15))) AS DOUBLE)
+                     / COUNT(*), 9) AS cval
+        FROM asg1 a JOIN sv s ON a.vec_id = s.vec_id AND a.sub = s.sub
+        GROUP BY a.sub, a.code, s.dsub
+    ),
+    dist2 AS {dist_cte('cb1')},
+    codes AS {argmin_cte('dist2')},
+    norms AS (
+        SELECT vec_id, sqrt(list_dot_product(emb, emb)) AS nrm FROM vecs
+    ),
+    lut AS (
+        SELECT q.vec_id AS query_id, c.sub, c.code,
+               ROUND(CAST(SUM(CAST(q.val * c.cval AS DECIMAL(30,15)))
+                     AS DOUBLE), 9) AS dot_sub
+        FROM sv q JOIN cb1 c ON q.sub = c.sub AND q.dsub = c.dsub
+        WHERE q.vec_id < 10
+        GROUP BY q.vec_id, c.sub, c.code
+    ),
+    adc AS (
+        SELECT l.query_id, k.vec_id AS neighbor_id,
+               CAST(SUM(CAST(l.dot_sub AS DECIMAL(30,15))) AS DOUBLE) AS adc_dot
+        FROM codes k JOIN lut l ON k.sub = l.sub AND k.code = l.code
+        GROUP BY l.query_id, k.vec_id
+    ),
+    est AS (
+        SELECT a.query_id, a.neighbor_id,
+               ROUND(a.adc_dot / (nq.nrm * nn.nrm), 6) AS est_cos
+        FROM adc a
+        JOIN norms nq ON nq.vec_id = a.query_id
+        JOIN norms nn ON nn.vec_id = a.neighbor_id
+        WHERE a.query_id <> a.neighbor_id
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id, est_cos FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY est_cos DESC, neighbor_id) AS rn
+            FROM est
+        ) WHERE rn <= {_V06_RERANK}
+    ),
+    rer AS (
+        SELECT c.query_id, c.neighbor_id, c.est_cos,
+               {cos.format(a='a.emb', b='b.emb')} AS cos_sim
+        FROM cand c
+        JOIN vecs a ON a.vec_id = c.query_id
+        JOIN vecs b ON b.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, est_cos, cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM rer
+    ) WHERE rn <= {_V06_K}
+    """
+
+
+@query("v06_ann_pq_adc", oracle=_v06_oracle(), survey="similarity-ann-pq")
+def v06_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al. 2011), hash-verified: train m=8 per-subspace
+    codebooks with the deterministic k-means recipe (decimal-accumulated
+    means, rounded distances, id tiebreaks — one Spark job trains all
+    subspaces as one relation), encode every corpus vector as 8 small
+    codes + an exact norm, rank the whole corpus per query from the
+    broadcast 128-row lookup table WITHOUT touching any embedding array,
+    and read full vectors only for the top-20 re-rank.  The
+    oracle replays training, encoding, ADC and re-rank exactly.
+
+    This is the 100 TB memory lever the IVF path (v04) composes with:
+    512 B/vector of float64 becomes ~16 B of codes+norm, so the
+    candidate scan that dominates ANN cost runs over a 32x smaller
+    relation that fits where the raw vectors cannot.  Emits est_cos next
+    to the exact cos_sim so the ADC error is visible (same
+    estimate-vs-truth reporting as d43's sketch)."""
+    from ..operators.similarity import knn_pq_adc
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb")
+    )
+    return knn_pq_adc(
+        queries_df, corpus, k=_V06_K, m=_V06_M, dsub=_V06_DSUB,
+        ks=_V06_KS, rerank=_V06_RERANK,
+    )
+
+
 @query(
     "v02_label_centroid_norms",
     oracle="""

@@ -592,3 +592,35 @@ def test_semantic_dedup_cap_semantics(spark, emb):
         for r in semantic_dedup(corpus, k=8, max_cluster_size=10**6).collect()
     }
     assert huge == base
+
+
+def test_pq_adc_recall_and_one_sided_rank(spark, emb):
+    """PQ-ADC top-5 vs brute force: re-rank depth is the recall lever
+    (the Jégou et al. trade) — on uniform random 64-dim embeddings (the
+    PQ worst case: no cluster structure for 16 codes to exploit) the
+    measured curve is 0.59 / 0.79 / 0.93 at rerank 20 / 50 / 100.  Pin
+    the floor at 50, the monotone lever, and that every emitted row
+    carries the ADC estimate next to the exact cosine with the
+    quantization error inside a loose band."""
+    from data_pipeline_spark.operators.similarity import knn_pq_adc
+
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb"))
+    exact = knn_bruteforce(queries, corpus, k=5).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+
+    def recall(rerank: int) -> float:
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in knn_pq_adc(queries, corpus, k=5, rerank=rerank).collect()
+        }
+        return len(truth & got) / len(truth)
+
+    shallow, deep = recall(20), recall(50)
+    assert deep >= 0.7, f"recall@5 (rerank=50) = {deep}"
+    assert deep >= shallow, (shallow, deep)
+    rows = knn_pq_adc(queries, corpus, k=5, rerank=50).collect()
+    for r in rows:
+        assert abs(r.est_cos - r.cos_sim) < 0.5, (r.query_id, r.neighbor_id)

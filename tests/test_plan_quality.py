@@ -517,3 +517,14 @@ def test_d44_histogram_window_over_tiny_agg(spark):
     assert plan.count("HashAggregate") >= 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_v06_pq_adc_ranks_without_vectors(spark):
+    """The PQ-ADC estimate ranking must run over codes + broadcast LUT
+    only: every join below the candidate cut is broadcast (codebook,
+    LUT, norms of the query side, candidate list), no Cartesian, no
+    corpus-sized sort-merge; the full-vector re-rank join is bounded by
+    the broadcast candidate list."""
+    plan = _plan(spark, "v06_ann_pq_adc")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
