@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from .dedup import _tier
 from .registry import query
 
 # alpha_m * m^2 for m=256 registers: 0.7213/(1+1.079/256) * 65536.
@@ -348,4 +349,117 @@ def d44_token_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.expr("shiftleft(CAST(1 AS BIGINT), bin)") - 1)
         .cast("long")
         .alias("tokens_hi"),
+    )
+
+
+# Fixed-threshold theta sketch: keep every distinct token hash whose md5
+# starts with '0' (p = 1/16 of the hash space).  Unlike HLL registers,
+# the retained hashes form a uniform SAMPLE of the distinct-token set,
+# so sketches support INTERSECTION — the set operation HLL fundamentally
+# cannot do (HLL registers only merge by union).  est_distinct = n / p.
+_THETA_DEN = 16  # p = 1/16: first md5 hex char == '0'
+
+
+def theta_sample(docs: DataFrame) -> DataFrame:
+    """The per-source theta sketch: distinct (source, md5) pairs under
+    the threshold.  The theta filter runs BEFORE the dedup exchange (the
+    plan pin in test_plan_quality), so no shuffle ever carries the
+    unsampled token stream; in production this relation is the persisted
+    per-day sketch table downstream comparisons read."""
+    h = F.md5(F.col("tok"))
+    return (
+        _tokens(docs)
+        .filter(F.substring(h, 1, 1) == "0")
+        .select("source", h.alias("h"))
+        .distinct()
+    )
+
+
+@query(
+    "d45_theta_sketch_overlap",
+    oracle=f"""
+    WITH tok AS ({_TOK_SQL}),
+    samp AS (
+      SELECT DISTINCT source, md5(tok) AS h
+      FROM tok
+      WHERE tok <> '' AND substr(md5(tok), 1, 1) = '0'
+    ),
+    per AS (SELECT source, COUNT(*) AS n FROM samp GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+      FROM samp a JOIN samp b USING (h)
+      WHERE a.source < b.source
+      GROUP BY a.source, b.source
+    ),
+    pairs AS (
+      SELECT pa.source AS src_a, pb.source AS src_b, pa.n AS n_a, pb.n AS n_b
+      FROM per pa JOIN per pb ON pa.source < pb.source
+    )
+    SELECT p.src_a, p.src_b,
+           CAST(p.n_a AS BIGINT) AS n_a,
+           CAST(p.n_b AS BIGINT) AS n_b,
+           CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+           CAST(p.n_a + p.n_b - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union,
+           CAST({_THETA_DEN} * COALESCE(i.n_inter, 0) AS BIGINT)
+             AS est_inter_distinct,
+           CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / CAST(p.n_a + p.n_b - COALESCE(i.n_inter, 0) AS DOUBLE)
+             AS jaccard_est
+    FROM pairs p
+    LEFT JOIN inter i ON p.src_a = i.src_a AND p.src_b = i.src_b
+    """,
+    survey="profile-theta",
+)
+def d45_theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source vocabulary overlap from fixed-threshold
+    theta sketches — the corpus-vs-corpus comparison a 100 TB ingest
+    answers WITHOUT a pairwise scan join: each source keeps the distinct
+    token hashes falling under theta (md5 first hex char '0', p=1/16),
+    and any two sketches intersect/union directly because they are
+    uniform samples of the SAME hash space.  HLL (d42) cannot do this:
+    registers merge only by union.  est_inter_distinct = 16 * n_inter is
+    the unbiased distinct-intersection estimate; jaccard_est = n_inter /
+    n_union estimates the vocabulary Jaccard.
+
+    Scale posture: the theta filter runs BEFORE the distinct exchange,
+    so the shuffle carries <= vocab/16 fixed-width (source, 32-hex)
+    rows; per-day or per-executor sketches persist and compare later
+    with no rescan.  The sketch-vs-sketch join is sample-sized; the
+    final pair frame is |sources|^2 rows (broadcast nested loop over two
+    ~20-row aggregates — bounded, deliberate).  All arithmetic is
+    integer counts plus one exact long->double division, so Spark and
+    DuckDB agree bit-for-bit."""
+    samp = _tier(
+        spark, sf_dir, "theta_sample",
+        lambda: theta_sample(load_table(spark, sf_dir, "documents")),
+    )
+    per = samp.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    sa = samp.select(F.col("source").alias("src_a"), "h")
+    sb = samp.select(F.col("source").alias("src_b"), "h")
+    inter = (
+        sa.join(sb, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    pa = F.broadcast(per.select(F.col("source").alias("src_a"), F.col("n").alias("n_a")))
+    pb = F.broadcast(per.select(F.col("source").alias("src_b"), F.col("n").alias("n_b")))
+    pairs = pa.join(pb, F.col("src_a") < F.col("src_b"))
+    joined = pairs.join(inter, ["src_a", "src_b"], "left").select(
+        "src_a",
+        "src_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.coalesce(F.col("n_inter"), F.lit(0)).cast("long").alias("n_inter"),
+    )
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return joined.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "n_inter",
+        n_union.cast("long").alias("n_union"),
+        (F.lit(_THETA_DEN) * F.col("n_inter")).cast("long").alias("est_inter_distinct"),
+        (F.col("n_inter").cast("double") / n_union.cast("double")).alias("jaccard_est"),
     )

@@ -1100,6 +1100,82 @@ def d17_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(h < thr).select("doc_id", "lang")
 
 
+# Train/val/test thresholds on the first md5 hex byte of the GROUP key
+# (0..255): < 205 -> train (80.1%), < 230 -> val (9.8%), else test
+# (10.2%).  The group key is the d02 content fingerprint, so every
+# duplicate-class lands in exactly ONE split by construction.
+SPLIT_VAL_LT = 230
+SPLIT_TRAIN_LT = 205
+
+
+@query(
+    "d46_leakage_safe_split",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+    ),
+    fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\f\\r]+', ' ', 'g'))
+                 AS group_fp
+        FROM corpus
+    ),
+    b AS (
+        SELECT doc_id, group_fp,
+               CAST(CAST(('0x' || substr(md5(group_fp), 1, 2)) AS UBIGINT)
+                    AS BIGINT) AS bucket
+        FROM fp
+    )
+    SELECT doc_id, group_fp, bucket,
+           CASE WHEN bucket < {SPLIT_TRAIN_LT} THEN 'train'
+                WHEN bucket < {SPLIT_VAL_LT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    survey="split-leakage-safe",
+)
+def d46_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a hash of the
+    d02 content FINGERPRINT, not of the document id, so exact duplicates
+    (and, composed with d36/d39 upstream, near-duplicates of the cleaned
+    corpus) can never straddle train and eval — the classic leakage bug
+    this operator exists to prevent.  Assignment is RNG-free (a doc's
+    fate never changes across runs, engines, partitionings, or
+    incremental builds) and needs NO shuffle: fingerprint, re-hash,
+    bucket compare are all scan-side row-local expressions, which is
+    what makes it viable as a final stage over 100 TB.  The fingerprint
+    is re-hashed before bucketing so the split bucket is statistically
+    independent of every other use of fingerprint prefixes in the
+    pipeline (d16 shards on a doc-id hash, d17 samples on another).
+    Like d01, every 20th doc is unioned back re-keyed so the
+    no-straddle property is non-vacuous on the duplicate-free synthetic
+    corpus (the injected copy must land in its original's split)."""
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = base.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = base.unionByName(copies)
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[ \t\n\f\r]+", " ")
+    )
+    b = corpus.select(
+        "doc_id",
+        fp.alias("group_fp"),
+        F.conv(F.substring(F.md5(fp), 1, 2), 16, 10).cast("long").alias("bucket"),
+    )
+    return b.select(
+        "doc_id",
+        "group_fp",
+        "bucket",
+        F.when(F.col("bucket") < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(F.col("bucket") < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Composite gate queries: the external driver hash-checks a bounded window
 # of queries() (observed: first 50), so each window slot should prove as

@@ -528,3 +528,37 @@ def test_v06_pq_adc_ranks_without_vectors(spark):
     plan = _plan(spark, "v06_ann_pq_adc")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_d45_theta_filter_precedes_every_exchange(spark):
+    """The theta sample filter must run scan-side (directly above the
+    token explode, below the dedup exchange) so no shuffle ever carries
+    the unsampled token stream; the full query reads the corpus through
+    the materialized sketch tier exactly once, and the 20x20 pair frame
+    is the one (bounded, broadcast) nested-loop join."""
+    from data_pipeline_spark.catalog import load_table
+    from data_pipeline_spark.queries.sketches import theta_sample
+
+    tier = theta_sample(load_table(spark, SF, "documents"))
+    tplan = tier._jdf.queryExecution().executedPlan().toString()
+    lines = tplan.splitlines()
+    gen = [i for i, ln in enumerate(lines) if "Generate explode" in ln]
+    assert gen, tplan
+    for i in gen:  # the sample filter sits immediately above the explode
+        assert "substring(md5(" in lines[i - 1], lines[i - 1]
+    assert tplan.count("HashAggregate") >= 2  # partial dedup before exchange
+
+    plan = _plan(spark, "d45_theta_sketch_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "FileScan parquet" not in plan  # every input is the shared tier
+
+
+def test_d46_split_is_shuffle_free(spark):
+    """Split assignment is row-local: no hash-partitioned exchange, no
+    join, no aggregate anywhere — the only Exchange is the registry
+    wrapper's final presentation sort (rangepartitioning)."""
+    plan = _plan(spark, "d46_leakage_safe_split")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan

@@ -1,0 +1,124 @@
+"""Scaled measurement of the v06 PQ-ADC ANN path vs the brute-force
+baseline (operators/similarity.py), with the bench spin canary at both
+ends and interleaved repeats (warm-up pass first, then alternating
+A/B/A/B — the r7 ADVICE lesson: never let one arm absorb all the JVM
+warm-up).
+
+Reports, per corpus:
+- brute-force top-5 wall-time for a 200-query batch (the exact baseline:
+  every query reads every full vector);
+- PQ-ADC top-5 wall-time end-to-end (train + encode + ADC rank + top-20
+  re-rank) and recall@5 vs the brute-force truth;
+- the static memory fact that is the actual 100 TB story: bytes/vector
+  of the relation the candidate ranking scans (m codes + norm) vs the
+  raw vector relation — the ADC rank never touches an embedding array.
+
+Usage:
+    python tools/measure_pq.py /tmp/sf1x30
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+_N_QUERIES = 200
+_K = 5
+_RERANK = 50
+
+
+def _spin(iters: int = 2_000_000) -> float:
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(iters):
+        acc += i
+    _ = acc
+    return round(time.perf_counter() - t0, 3)
+
+
+def main(sf_dir: str) -> None:
+    sys.path.insert(0, "/root/repo")
+    from data_pipeline_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_pq_adc,
+    )
+
+    canary_start = _spin()
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+        .getOrCreate()
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    n_vecs = emb.count()
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb")
+    )
+
+    def run_bf():
+        return knn_bruteforce(queries, corpus, k=_K).collect()
+
+    def run_pq():
+        return knn_pq_adc(queries, corpus, k=_K, rerank=_RERANK).collect()
+
+    # warm-up (not recorded)
+    knn_pq_adc(
+        queries.limit(5), corpus.limit(2000), k=_K, rerank=_RERANK
+    ).count()
+
+    runs: dict[str, list[float]] = {"bruteforce": [], "pq_adc": []}
+    results: dict[str, list] = {}
+    for _ in range(2):
+        for name, fn in (("bruteforce", run_bf), ("pq_adc", run_pq)):
+            t0 = time.perf_counter()
+            rows = fn()
+            runs[name].append(round(time.perf_counter() - t0, 1))
+            results[name] = rows
+
+    truth = {(r.query_id, r.neighbor_id) for r in results["bruteforce"]}
+    got = {(r.query_id, r.neighbor_id) for r in results["pq_adc"]}
+    recall = round(len(truth & got) / len(truth), 3)
+
+    # the static memory fact: what the ADC rank scans per vector
+    # (m uint8 codes + one float64 norm) vs the raw vector
+    dim = len(emb.select("emb").first().emb)
+    raw_bytes = dim * 8
+    code_bytes = 8 * 1 + 8
+
+    canary_end = _spin()
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "n_vecs": n_vecs,
+                "n_queries": _N_QUERIES,
+                "k": _K,
+                "rerank": _RERANK,
+                "runs_sec": runs,
+                "recall_at_5": recall,
+                "scan_bytes_per_vector": {
+                    "raw": raw_bytes,
+                    "pq_codes_plus_norm": code_bytes,
+                },
+                "canary_spin_sec": {"start": canary_start, "end": canary_end},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1])

@@ -59,6 +59,7 @@ def main(sf_dir: str) -> None:
         "d42_hll_cardinality",
         "d43_cms_heavy_hitters",
         "d44_token_histogram_quantiles",
+        "d45_theta_sketch_overlap",
     ):
         t0 = time.perf_counter()
         n = QUERIES[name].spark_fn(spark, sf_dir).count()
@@ -99,6 +100,12 @@ def main(sf_dir: str) -> None:
         .count()
     )
 
+    # theta-sketch relation size: the exchange volume of d45's sample
+    # dedup — bounded by vocab/16 per source, NOT by corpus size
+    from data_pipeline_spark.queries.sketches import theta_sample
+
+    theta_rows = theta_sample(docs.select("source", "text")).count()
+
     canary_end = _spin()
     print(
         json.dumps(
@@ -110,6 +117,7 @@ def main(sf_dir: str) -> None:
                 "hll_register_rows": hll_regs,
                 "cms_cell_rows": cms_cells,
                 "histogram_bin_rows": hist_bins,
+                "theta_sample_rows": theta_rows,
                 "canary_spin_sec": {"start": canary_start, "end": canary_end},
             }
         )
