@@ -423,6 +423,18 @@ def pq_index(
     return cb, codes
 
 
+def vector_norms(df: DataFrame, id_col: str, emb_col: str, out: str = "nrm") -> DataFrame:
+    """(id, L2 norm) of an embedding column — at 100 TB this relation is
+    INDEX data, persisted next to the PQ codes so the serving path never
+    reads a full vector outside the re-rank."""
+    return df.select(
+        id_col,
+        F.sqrt(
+            F.aggregate(F.col(emb_col), F.lit(0.0), lambda s, v: s + v * v)
+        ).alias(out),
+    )
+
+
 def knn_pq_adc(
     queries: DataFrame,
     corpus: DataFrame,
@@ -431,6 +443,7 @@ def knn_pq_adc(
     dsub: int = 8,
     ks: int = 16,
     rerank: int = 20,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """PQ-ADC ANN top-k (Jégou et al. 2011, "Product Quantization for
     Nearest Neighbor Search" — asymmetric distance computation):
@@ -450,14 +463,20 @@ def knn_pq_adc(
     Determinism: partial dots and the m-way ADC sum accumulate in DECIMAL;
     est_cos and the exact re-rank cosine ROUND to 6 with neighbor_id
     tiebreaks — fully replayable in a SQL oracle (queries/vector
-    _v06_oracle)."""
-    cb, codes = pq_index(corpus, m=m, dsub=dsub, ks=ks)
-    norms = corpus.select(
-        "neighbor_id",
-        F.sqrt(
-            F.aggregate(F.col("nemb"), F.lit(0.0), lambda s, v: s + v * v)
-        ).alias("nrm"),
-    )
+    _v06_oracle).
+
+    ``index``: optional prebuilt (codebook, codes, norms) triple — the
+    persisted-index serving path.  At 100 TB ``pq_index`` +
+    ``vector_norms`` run ONCE per corpus build and every query batch
+    reuses the stored relations; passing them here charges a query batch
+    only its serving cost (LUT build + ADC rank + re-rank).  Default
+    None trains in-line — the self-contained declared-query form with an
+    identical plan to before this parameter existed."""
+    if index is not None:
+        cb, codes, norms = index
+    else:
+        cb, codes = pq_index(corpus, m=m, dsub=dsub, ks=ks)
+        norms = vector_norms(corpus, "neighbor_id", "nemb")
     qnorms = queries.select(
         "query_id",
         F.sqrt(

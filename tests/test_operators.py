@@ -624,3 +624,32 @@ def test_pq_adc_recall_and_one_sided_rank(spark, emb):
     rows = knn_pq_adc(queries, corpus, k=5, rerank=50).collect()
     for r in rows:
         assert abs(r.est_cos - r.cos_sim) < 0.5, (r.query_id, r.neighbor_id)
+
+
+def test_pq_adc_prebuilt_index_path_is_identical(spark, emb):
+    """The persisted-index serving path (index=(codebook, codes, norms)
+    built once by pq_index + vector_norms) must return exactly the rows
+    the self-training path returns — the parameter changes WHERE the
+    index comes from, never the result."""
+    from data_pipeline_spark.operators.similarity import (
+        knn_pq_adc,
+        pq_index,
+        vector_norms,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb"))
+    cb, codes = pq_index(corpus)
+    index = (
+        cb.localCheckpoint(),
+        codes.localCheckpoint(),
+        vector_norms(corpus, "neighbor_id", "nemb").localCheckpoint(),
+    )
+    key = lambda r: (r.query_id, r.neighbor_id)  # noqa: E731
+    self_trained = sorted(knn_pq_adc(queries, corpus, k=5, rerank=30).collect(), key=key)
+    served = sorted(
+        knn_pq_adc(queries, corpus, k=5, rerank=30, index=index).collect(), key=key
+    )
+    assert [tuple(r) for r in served] == [tuple(r) for r in self_trained]

@@ -1,20 +1,30 @@
 """Scaled measurement of the v06 PQ-ADC ANN path vs the brute-force
-baseline (operators/similarity.py), with the bench spin canary at both
-ends and interleaved repeats (warm-up pass first, then alternating
-A/B/A/B — the r7 ADVICE lesson: never let one arm absorb all the JVM
-warm-up).
+baseline (operators/similarity.py), phase-split the way production runs
+it, with the bench spin canary at both ends and interleaved repeats
+(warm-up pass first, then alternating A/B — the r7 ADVICE lesson: never
+let one arm absorb all the JVM warm-up).
 
-Reports, per corpus:
-- brute-force top-5 wall-time for a 200-query batch (the exact baseline:
-  every query reads every full vector);
-- PQ-ADC top-5 wall-time end-to-end (train + encode + ADC rank + top-20
-  re-rank) and recall@5 vs the brute-force truth;
+Phases, reported separately because they amortize differently:
+- **index build** (once per corpus build): pq_index train + encode +
+  vector_norms, materialized via localCheckpoint — the persisted-index
+  stand-in (the same convention as the dedup tier memo);
+- **serve** (every query batch): knn_pq_adc with the prebuilt index —
+  LUT build + ADC rank over codes + top-`_RERANK` exact re-rank;
+- **brute force** (the exact baseline): every query reads every full
+  vector (knn_bruteforce), timed on the same interleave;
+- recall@5 of the served PQ result vs the brute-force truth;
 - the static memory fact that is the actual 100 TB story: bytes/vector
   of the relation the candidate ranking scans (m codes + norm) vs the
   raw vector relation — the ADC rank never touches an embedding array.
 
+The first end-to-end form of this tool (self-training knn_pq_adc vs
+brute force, no phase split) measured 30x PQ [546.8, 324.2] s vs brute
+[234.9, 354.5] s: re-training the index inside every repeat swamps the
+serving cost and says nothing about either phase — recorded here so it
+is not retried.
+
 Usage:
-    python tools/measure_pq.py /tmp/sf1x30
+    python tools/measure_pq.py /tmp/sf1x30 [n_repeats]
 """
 
 from __future__ import annotations
@@ -40,11 +50,13 @@ def _spin(iters: int = 2_000_000) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def main(sf_dir: str) -> None:
+def main(sf_dir: str, n_repeats: int = 2) -> None:
     sys.path.insert(0, "/root/repo")
     from data_pipeline_spark.operators.similarity import (
         knn_bruteforce,
         knn_pq_adc,
+        pq_index,
+        vector_norms,
     )
 
     canary_start = _spin()
@@ -65,32 +77,45 @@ def main(sf_dir: str) -> None:
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
+    # the scaled parquet lands in 4 files; spread the corpus over the 32
+    # cores so per-stage stragglers don't measure the file layout
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb")
-    )
-
-    def run_bf():
-        return knn_bruteforce(queries, corpus, k=_K).collect()
-
-    def run_pq():
-        return knn_pq_adc(queries, corpus, k=_K, rerank=_RERANK).collect()
+    ).repartition(32, "neighbor_id")
 
     # warm-up (not recorded)
     knn_pq_adc(
         queries.limit(5), corpus.limit(2000), k=_K, rerank=_RERANK
     ).count()
 
-    runs: dict[str, list[float]] = {"bruteforce": [], "pq_adc": []}
+    # phase 1: index build, once — train + encode + norms, materialized
+    t0 = time.perf_counter()
+    cb, codes = pq_index(corpus)
+    index = (
+        cb.localCheckpoint(),
+        codes.localCheckpoint(),
+        vector_norms(corpus, "neighbor_id", "nemb").localCheckpoint(),
+    )
+    sec_index = round(time.perf_counter() - t0, 1)
+
+    def run_bf():
+        return knn_bruteforce(queries, corpus, k=_K).collect()
+
+    def run_pq():
+        return knn_pq_adc(queries, corpus, k=_K, rerank=_RERANK, index=index).collect()
+
+    # phase 2: interleaved serve repeats
+    runs: dict[str, list[float]] = {"bruteforce": [], "pq_serve": []}
     results: dict[str, list] = {}
-    for _ in range(2):
-        for name, fn in (("bruteforce", run_bf), ("pq_adc", run_pq)):
+    for _ in range(n_repeats):
+        for name, fn in (("bruteforce", run_bf), ("pq_serve", run_pq)):
             t0 = time.perf_counter()
             rows = fn()
             runs[name].append(round(time.perf_counter() - t0, 1))
             results[name] = rows
 
     truth = {(r.query_id, r.neighbor_id) for r in results["bruteforce"]}
-    got = {(r.query_id, r.neighbor_id) for r in results["pq_adc"]}
+    got = {(r.query_id, r.neighbor_id) for r in results["pq_serve"]}
     recall = round(len(truth & got) / len(truth), 3)
 
     # the static memory fact: what the ADC rank scans per vector
@@ -108,6 +133,7 @@ def main(sf_dir: str) -> None:
                 "n_queries": _N_QUERIES,
                 "k": _K,
                 "rerank": _RERANK,
+                "sec_index_build": sec_index,
                 "runs_sec": runs,
                 "recall_at_5": recall,
                 "scan_bytes_per_vector": {
@@ -121,4 +147,4 @@ def main(sf_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1])
+    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 2)
