@@ -17,11 +17,20 @@ Phases, reported separately because they amortize differently:
   of the relation the candidate ranking scans (m codes + norm) vs the
   raw vector relation — the ADC rank never touches an embedding array.
 
-The first end-to-end form of this tool (self-training knn_pq_adc vs
-brute force, no phase split) measured 30x PQ [546.8, 324.2] s vs brute
-[234.9, 354.5] s: re-training the index inside every repeat swamps the
-serving cost and says nothing about either phase — recorded here so it
-is not retried.
+Two discarded measurement runs, recorded here so neither mistake is
+retried:
+- The first end-to-end form of this tool (self-training knn_pq_adc vs
+  brute force, no phase split, no repartition) measured 30x PQ
+  [546.8, 324.2] s vs brute [234.9, 354.5] s: re-training the index
+  inside every repeat swamps the serving cost, and the un-repartitioned
+  4-file corpus made every stage a 4-task straggler (brute force is
+  9-27 s once spread over the cores).
+- A later run overlapped the FIRST run's JVM still draining stages:
+  SIGKILL on the Python driver orphans the child JVM, which keeps
+  executing its current job.  The end spin canary (0.13 vs 0.07 idle)
+  flagged it; the clean A/B re-run measured index build at 20.1 s where
+  the contaminated run said 374.4 s.  Kill the JVM (or wait for it),
+  never just the Python wrapper.
 
 Usage:
     python tools/measure_pq.py /tmp/sf1x30 [n_repeats]
