@@ -71,9 +71,68 @@ _TOK_SQL = f"""
 """
 
 
-@query(
-    "d42_hll_cardinality",
-    oracle=f"""
+def hll_registers(docs: DataFrame) -> DataFrame:
+    """(source, reg, m): the per-source HLL sketch relation — register-
+    wise MAX of rho over the token hashes.  Associative and mergeable:
+    the MAX of per-batch register relations equals the register relation
+    of the concatenated corpus, which is what makes this THE streaming /
+    incremental profile state (streaming/sketch_stream.py folds exactly
+    this relation; the r08 gate driver-verifies the fold identity)."""
+    h = F.md5(F.col("tok"))
+    rv = _tokens(docs).select(
+        "source",
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("long").alias("reg"),
+        F.conv(F.substring(h, 3, 8), 16, 10).cast("long").alias("v"),
+    )
+    rr = rv.select(
+        "source",
+        "reg",
+        F.when(F.col("v") == 0, F.lit(33))
+        .otherwise(F.lit(33) - F.length(F.bin(F.col("v"))))
+        .alias("rho"),
+    )
+    return rr.groupBy("source", "reg").agg(F.max("rho").alias("m"))
+
+
+def merge_registers(regs: DataFrame) -> DataFrame:
+    """MAX-merge a register relation that may hold several sketches per
+    (source, reg) — per-batch partials, per-day increments, or
+    per-executor shards all combine through this one fold."""
+    return regs.groupBy("source", "reg").agg(F.max("m").alias("m"))
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """Per-source + merged-'__all__' raw HLL estimates from a register
+    relation (one row per (source, reg)).  See the module docstring for
+    the DECIMAL inverse-power accumulation and the deliberate caller-
+    side linear-counting correction."""
+    merged = (
+        regs.groupBy("reg")
+        .agg(F.max("m").alias("m"))
+        .select(F.lit("__all__").alias("source"), "reg", "m")
+    )
+    allregs = regs.unionByName(merged)
+    # shiftleft's Python wrapper wants an int amount; the SQL form shifts
+    # by a column — 1<<m then exact double division (2^-m is a power of two).
+    inv = F.lit(1.0) / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)")
+    agg = allregs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("m_hit"),
+        F.sum(inv.cast("decimal(38,34)")).alias("s"),
+    )
+    return agg.select(
+        "source",
+        F.col("m_hit").cast("long").alias("registers_hit"),
+        (F.lit(256) - F.col("m_hit")).cast("long").alias("registers_zero"),
+        (
+            F.lit(_HLL_ALPHA_M2)
+            / ((F.lit(256) - F.col("m_hit")).cast("decimal(38,34)") + F.col("s")).cast(
+                "double"
+            )
+        ).alias("est_distinct_raw"),
+    )
+
+
+_D42_ORACLE = f"""
     WITH tok AS ({_TOK_SQL}),
     h AS (
       SELECT source, md5(tok) AS h FROM tok WHERE tok <> ''
@@ -111,9 +170,10 @@ _TOK_SQL = f"""
            {_HLL_ALPHA_M2!r} / CAST(CAST(256 - m_hit AS DECIMAL(38,34)) + s
                                     AS DOUBLE) AS est_distinct_raw
     FROM agg
-    """,
-    survey="profile-hll",
-)
+    """
+
+
+@query("d42_hll_cardinality", oracle=_D42_ORACLE, survey="profile-hll")
 def d42_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-token cardinality per source plus the merged
     '__all__' sketch (register-wise MAX — the associative merge that
@@ -122,46 +182,34 @@ def d42_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the next 32 hash bits.  The shuffle after the map-side partial MAX
     is <= 256 rows per source; the estimate is the raw alpha*m^2/sum
     form with the zero-register count emitted alongside (see module
-    docstring for why linear counting stays caller-side)."""
+    docstring for why linear counting stays caller-side).  Composed from
+    hll_registers + hll_estimate — the same functions the streaming
+    profile fold executes per micro-batch."""
     docs = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.col("tok"))
-    rv = _tokens(docs).select(
-        "source",
-        F.conv(F.substring(h, 1, 2), 16, 10).cast("long").alias("reg"),
-        F.conv(F.substring(h, 3, 8), 16, 10).cast("long").alias("v"),
-    )
-    rr = rv.select(
-        "source",
-        "reg",
-        F.when(F.col("v") == 0, F.lit(33))
-        .otherwise(F.lit(33) - F.length(F.bin(F.col("v"))))
-        .alias("rho"),
-    )
-    regs = rr.groupBy("source", "reg").agg(F.max("rho").alias("m"))
-    merged = (
-        regs.groupBy("reg")
-        .agg(F.max("m").alias("m"))
-        .select(F.lit("__all__").alias("source"), "reg", "m")
-    )
-    allregs = regs.unionByName(merged)
-    # shiftleft's Python wrapper wants an int amount; the SQL form shifts
-    # by a column — 1<<m then exact double division (2^-m is a power of two).
-    inv = F.lit(1.0) / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)")
-    agg = allregs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("m_hit"),
-        F.sum(inv.cast("decimal(38,34)")).alias("s"),
-    )
-    return agg.select(
-        "source",
-        F.col("m_hit").cast("long").alias("registers_hit"),
-        (F.lit(256) - F.col("m_hit")).cast("long").alias("registers_zero"),
-        (
-            F.lit(_HLL_ALPHA_M2)
-            / ((F.lit(256) - F.col("m_hit")).cast("decimal(38,34)") + F.col("s")).cast(
-                "double"
-            )
-        ).alias("est_distinct_raw"),
-    )
+    return hll_estimate(hll_registers(docs))
+
+
+@query(
+    "r08_sketch_fold_gate",
+    oracle=_D42_ORACLE,
+    survey="profile-hll,R5",
+)
+def r08_sketch_fold_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming profile fold's batch-equivalent path, as a declared
+    gate (the v05 pattern: a deterministic split plays the stream): the
+    corpus arrives as three doc_id%3 'micro-batches', each builds its
+    OWN register relation (hll_registers — exactly what
+    streaming/sketch_stream.py folds per micro-batch), the partials
+    MAX-merge (merge_registers), and the estimate reads the merged
+    state.  The oracle is d42's one-shot SQL verbatim, so the driver
+    hash-verifies the fold identity itself: batch-wise folding must
+    reproduce the single-pass sketch bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    parts = [
+        hll_registers(docs.filter(F.col("doc_id") % 3 == i)) for i in range(3)
+    ]
+    partials = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return hll_estimate(merge_registers(partials))
 
 
 def _probe_list_sql() -> str:

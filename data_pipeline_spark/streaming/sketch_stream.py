@@ -1,0 +1,108 @@
+"""Streaming corpus profiling: the HLL cardinality sketch maintained
+incrementally over a document feed — the continuous-ingestion twin of
+the batch profile (queries/sketches.py d42), the same way
+similarity_stream.py twins the batch ANN probe.
+
+The sketch IS the canonical streaming aggregate: the per-source register
+relation (source, reg, m) is tiny (<= 256 rows x sources), merges by
+register-wise MAX (associative + idempotent), and old batches never need
+re-reading — each micro-batch writes ONLY its own partial registers and
+the profile reader MAX-merges whatever partitions exist.  Every
+expression is the batch path's own (hll_registers / merge_registers /
+hll_estimate), and the declared r08_sketch_fold_gate hash-verifies the
+fold identity (batch-wise MAX-merge == one-shot sketch) against the
+DuckDB oracle — the streaming path is driver-verified through its batch
+twin, like the rest of the streaming family.
+
+At-least-once idempotency: partial registers land in batch-keyed
+partition directories (checkpoint-scoped keys, streaming/index_util.py)
+with per-partition overwrite — a retried micro-batch replaces its own
+directory, and MAX-merge makes even a cross-run duplicate fold harmless
+(MAX is idempotent), which is strictly stronger than the dedup/similarity
+indexes can claim.  The committed-batch compaction fold
+(index_util.compact_index) applies unchanged: registers are
+partition-layout data like any other tier.
+
+At 100 TB the feed side scans arbitrarily large micro-batches, but the
+state and every exchange stay sketch-sized — this is the profile a
+continuous ingest consults for "how many distinct tokens has source X
+contributed" without ever rescanning history.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..queries.sketches import (
+    hll_estimate,  # ONE estimate construction batch + streaming share
+    hll_registers,  # ONE register construction batch + streaming share
+    merge_registers,
+)
+from .index_util import require_batch_layout, run_batch_key, tier_dir as _tier_dir
+
+
+def profile_corpus(docs: DataFrame, profile_dir: str) -> None:
+    """Build the persisted base profile for an existing corpus.
+    ``docs`` is (source, text, ...)."""
+    hll_registers(docs).write.mode("overwrite").parquet(
+        _tier_dir(profile_dir, "regs", "base")
+    )
+
+
+def fold_batch(docs: DataFrame, profile_dir: str, batch_key: str) -> None:
+    """Fold one micro-batch: write ITS OWN partial register relation
+    under ``batch=<batch_key>`` with overwrite.  No read-modify-write of
+    shared state — a retry replaces its own directory, concurrent
+    streams fold under their own checkpoint-scoped keys, and the reader
+    (read_profile) owns the merge."""
+    hll_registers(docs).write.mode("overwrite").parquet(
+        _tier_dir(profile_dir, "regs", batch_key)
+    )
+
+
+def read_profile(spark: SparkSession, profile_dir: str) -> DataFrame:
+    """The live profile: MAX-merge every folded partial (base + all
+    batches) and estimate.  Identical expressions to the d42 batch query
+    over the same documents — pinned by test and by the r08 gate."""
+    regs = spark.read.parquet(os.path.join(profile_dir, "regs"))
+    regs = require_batch_layout(regs, profile_dir, "regs")
+    return hll_estimate(merge_registers(regs.select("source", "reg", "m")))
+
+
+def stream_profile(
+    spark: SparkSession,
+    feed_path: str,
+    profile_dir: str,
+    checkpoint: str,
+):
+    """Structured-Streaming wrapper: each micro-batch of documents
+    (doc_id bigint, source string, text string) folds its partial
+    registers under a checkpoint-scoped batch key.  Trigger availableNow
+    — the drain-the-feed mode the other streaming twins use."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        fold_batch(
+            batch.select("source", "text"),
+            profile_dir,
+            run_batch_key(checkpoint, batch_id),
+        )
+
+    feed = spark.readStream.schema(
+        "doc_id bigint, source string, text string"
+    ).json(feed_path)
+    return (
+        feed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+__all__ = [
+    "profile_corpus",
+    "fold_batch",
+    "read_profile",
+    "stream_profile",
+]

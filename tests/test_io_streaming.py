@@ -804,3 +804,66 @@ def test_index_compaction_preserves_probes_and_retry(spark, tmp_path):
     assert sh.filter("id = 30").select("shingle").distinct().count() == sh.filter("id = 30").count()
     # a second compaction with no newly committed batches is a no-op
     assert compact_index(spark, index_dir, ck) == {"bands": 0, "shingles": 0}
+
+
+def test_stream_profile_matches_batch_sketch(spark, tmp_path):
+    """The streamed HLL profile (per-micro-batch partial registers,
+    MAX-merged by the reader) must equal the one-shot batch sketch over
+    the same documents BIT-FOR-BIT, stay identical under a duplicate
+    fold of a batch (register MAX is idempotent, the strongest retry
+    guarantee in the streaming family), and survive committed-batch
+    compaction unchanged."""
+    from data_pipeline_spark.queries.sketches import hll_estimate, hll_registers
+    from data_pipeline_spark.streaming.index_util import (
+        committed_batch_ids,
+        compact_index,
+        run_batch_key,
+    )
+    from data_pipeline_spark.streaming.sketch_stream import (
+        fold_batch,
+        profile_corpus,
+        read_profile,
+        stream_profile,
+    )
+
+    schema = "doc_id bigint, source string, text string"
+    base_rows = [
+        (1, "src_a", "alpha beta gamma alpha"),
+        (2, "src_b", "delta epsilon delta"),
+    ]
+    docs0 = spark.createDataFrame(base_rows, schema)
+    profile_dir = str(tmp_path / "profile")
+    profile_corpus(docs0.select("source", "text"), profile_dir)
+
+    feed = tmp_path / "docfeed"
+    feed.mkdir()
+    rows1 = [(10, "src_a", "alpha zeta eta theta"), (11, "src_c", "iota kappa")]
+    rows2 = [(12, "src_b", "lambda mu nu xi omicron pi epsilon")]
+    ck = str(tmp_path / "ckpt_prof")
+    for i, rows in enumerate([rows1, rows2]):
+        with open(feed / f"b{i}.jsonl", "w") as f:
+            for d, s, t in rows:
+                f.write(json.dumps({"doc_id": d, "source": s, "text": t}) + "\n")
+        q = stream_profile(spark, str(feed), profile_dir, checkpoint=ck)
+        q.awaitTermination(120)
+
+    everything = spark.createDataFrame(
+        base_rows + rows1 + rows2, schema
+    ).select("source", "text")
+    want = sorted(map(tuple, hll_estimate(hll_registers(everything)).collect()))
+    got = sorted(map(tuple, read_profile(spark, profile_dir).collect()))
+    assert got == want
+    assert {s for s, *_ in got} == {"src_a", "src_b", "src_c", "__all__"}
+
+    # a RETRIED fold of micro-batch 0 (same checkpoint-scoped key)
+    # overwrites its own partition; the merged profile cannot move
+    b0 = spark.createDataFrame(rows1, schema)
+    fold_batch(b0.select("source", "text"), profile_dir, run_batch_key(ck, 0))
+    assert sorted(map(tuple, read_profile(spark, profile_dir).collect())) == want
+
+    # committed-batch compaction folds both batches into base; the
+    # profile is unchanged and the batch directories are gone
+    assert committed_batch_ids(ck) == {0, 1}
+    assert compact_index(spark, profile_dir, ck) == {"regs": 2}
+    assert sorted(map(tuple, read_profile(spark, profile_dir).collect())) == want
+    assert os.listdir(os.path.join(profile_dir, "regs")) == ["batch=base"]
