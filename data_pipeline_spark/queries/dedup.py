@@ -1521,6 +1521,74 @@ def d41_training_data_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _d47_oracle() -> str:
+    from .text2 import SPLIT_TRAIN_LT, SPLIT_VAL_LT
+
+    return f"""
+    WITH built AS ({_d41_oracle()}),
+    fp AS (
+        SELECT doc_id, n_clean_tokens,
+               md5(regexp_replace(lower(trim(clean_text)), '[ \\t\\n\\f\\r]+', ' ', 'g'))
+                 AS group_fp
+        FROM built
+    ),
+    b AS (
+        SELECT doc_id, n_clean_tokens,
+               CAST(CAST(('0x' || substr(md5(group_fp), 1, 2)) AS UBIGINT)
+                    AS BIGINT) AS bucket
+        FROM fp
+    )
+    SELECT CASE WHEN bucket < {SPLIT_TRAIN_LT} THEN 'train'
+                WHEN bucket < {SPLIT_VAL_LT} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_clean_tokens) AS BIGINT) AS n_tokens
+    FROM b
+    GROUP BY 1
+"""
+
+
+@query(
+    "d47_training_split_manifest",
+    oracle=_d47_oracle(),
+    survey="split-leakage-safe,token-count,dedup-substring,dedup-groups",
+)
+def d47_training_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST stage of the training-data story: d41's surviving
+    cleaned corpus routed through the d46 leakage-safe split (assignment
+    hashed from the cleaned-content fingerprint, RNG-free) and rolled up
+    into the manifest a trainer actually reads — (split, n_docs,
+    n_tokens).  Composition only: d41 supplies the survivors (its tiers
+    are shared, so this costs one extra scan-side projection + a 3-row
+    aggregate), the d46 expressions supply the split, and token
+    accounting sums the already-computed n_clean_tokens.  At 100 TB the
+    per-doc split column is written with the shards (shuffle-free, like
+    d46); this manifest is its bounded per-split rollup."""
+    from .text2 import SPLIT_TRAIN_LT, SPLIT_VAL_LT
+
+    built = d41_training_data_build(spark, sf_dir)
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col("clean_text"))), r"[ \t\n\f\r]+", " ")
+    )
+    b = built.select(
+        "n_clean_tokens",
+        F.conv(F.substring(F.md5(fp), 1, 2), 16, 10).cast("long").alias("bucket"),
+    )
+    split = (
+        F.when(F.col("bucket") < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(F.col("bucket") < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        b.select(split.alias("split"), "n_clean_tokens")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_clean_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming-similarity batch twin gate (the continuous ANN probe's
 # expressions, driver-verified — VERDICT r6 #5)
