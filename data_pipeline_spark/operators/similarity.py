@@ -375,7 +375,12 @@ def _pq_assign(sv: DataFrame, cb: DataFrame, id_col: str) -> DataFrame:
 
 
 def pq_index(
-    corpus: DataFrame, m: int = 8, dsub: int = 8, ks: int = 16, iters: int = 1
+    corpus: DataFrame,
+    m: int = 8,
+    dsub: int = 8,
+    ks: int = 16,
+    iters: int = 1,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Product-quantization index over corpus(neighbor_id, nemb):
     returns (codebook(sub, code, dsub, cval), codes(neighbor_id, sub, code)).
@@ -394,7 +399,13 @@ def pq_index(
     aggregates; the persisted index stores m uint8-sized codes + one norm
     per vector instead of the full vector — 64-dim float64 collapses from
     512 B to ~16 B (32x), which is the difference between an in-memory and
-    a disk-bound candidate scan at 100 TB."""
+    a disk-bound candidate scan at 100 TB.
+
+    ``materialize=True`` localCheckpoints the codebook before encoding
+    and the codes after: without it, a caller that materializes the
+    returned codes re-executes the whole training plan through the
+    codes' lineage (measured double-training in tools/measure_pq.py) —
+    the persisted-index stand-in for serving and measurement."""
     sv = _pq_subdims(corpus, "neighbor_id", "nemb", dsub)
     seeds = (
         corpus.orderBy("neighbor_id")
@@ -419,7 +430,14 @@ def pq_index(
                 ).alias("cval")
             )
         )
+    if materialize:
+        # checkpoint the trained codebook BEFORE deriving codes: codes'
+        # lineage otherwise re-runs the whole training plan when it is
+        # itself materialized (measured double-training in measure_pq)
+        cb = cb.localCheckpoint()
     codes = _pq_assign(sv, cb, "neighbor_id")
+    if materialize:
+        codes = codes.localCheckpoint()
     return cb, codes
 
 
@@ -469,11 +487,19 @@ def knn_pq_adc(
     persisted-index serving path.  At 100 TB ``pq_index`` +
     ``vector_norms`` run ONCE per corpus build and every query batch
     reuses the stored relations; passing them here charges a query batch
-    only its serving cost (LUT build + ADC rank + re-rank).  Default
-    None trains in-line — the self-contained declared-query form with an
-    identical plan to before this parameter existed."""
+    only its serving cost (LUT build + ADC rank + re-rank).  The
+    subspace geometry is DERIVED from the codebook itself (its max dsub
+    offset) so the m/dsub/ks parameters are ignored on this path — a
+    caller-supplied dsub that disagreed with the stored codebook would
+    otherwise mis-pair dimensions in the LUT join and corrupt the
+    ranking silently.  Default None trains in-line — the self-contained
+    declared-query form with an identical plan to before this parameter
+    existed."""
     if index is not None:
         cb, codes, norms = index
+        # one tiny job over the broadcast-sized codebook; geometry is
+        # index metadata, never a caller guess
+        dsub = cb.agg(F.max("dsub")).first()[0] + 1
     else:
         cb, codes = pq_index(corpus, m=m, dsub=dsub, ks=ks)
         norms = vector_norms(corpus, "neighbor_id", "nemb")

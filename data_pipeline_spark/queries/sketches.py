@@ -103,9 +103,14 @@ def merge_registers(regs: DataFrame) -> DataFrame:
 
 def hll_estimate(regs: DataFrame) -> DataFrame:
     """Per-source + merged-'__all__' raw HLL estimates from a register
-    relation (one row per (source, reg)).  See the module docstring for
-    the DECIMAL inverse-power accumulation and the deliberate caller-
-    side linear-counting correction."""
+    relation.  MAX-merges internally first, so the function is TOTAL
+    over any register relation — un-merged per-batch partials included
+    (m_hit counts rows; fed duplicates per (source, reg) it would
+    otherwise report >256 registers and a nonsense estimate, silently).
+    The merge is one aggregate over sketch-sized data — free.  See the
+    module docstring for the DECIMAL inverse-power accumulation and the
+    deliberate caller-side linear-counting correction."""
+    regs = merge_registers(regs)
     merged = (
         regs.groupBy("reg")
         .agg(F.max("m").alias("m"))
@@ -432,7 +437,13 @@ def theta_sample(docs: DataFrame) -> DataFrame:
       FROM tok
       WHERE tok <> '' AND substr(md5(tok), 1, 1) = '0'
     ),
-    per AS (SELECT source, COUNT(*) AS n FROM samp GROUP BY source),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    per AS (
+      SELECT s.source, COALESCE(c.n, 0) AS n
+      FROM srcs s
+      LEFT JOIN (SELECT source, COUNT(*) AS n FROM samp GROUP BY source) c
+        USING (source)
+    ),
     inter AS (
       SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
       FROM samp a JOIN samp b USING (h)
@@ -450,9 +461,10 @@ def theta_sample(docs: DataFrame) -> DataFrame:
            CAST(p.n_a + p.n_b - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union,
            CAST({_THETA_DEN} * COALESCE(i.n_inter, 0) AS BIGINT)
              AS est_inter_distinct,
-           CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
-             / CAST(p.n_a + p.n_b - COALESCE(i.n_inter, 0) AS DOUBLE)
-             AS jaccard_est
+           CASE WHEN p.n_a + p.n_b - COALESCE(i.n_inter, 0) = 0 THEN 0.0
+                ELSE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                  / CAST(p.n_a + p.n_b - COALESCE(i.n_inter, 0) AS DOUBLE)
+           END AS jaccard_est
     FROM pairs p
     LEFT JOIN inter i ON p.src_a = i.src_a AND p.src_b = i.src_b
     """,
@@ -477,11 +489,16 @@ def d45_theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~20-row aggregates — bounded, deliberate).  All arithmetic is
     integer counts plus one exact long->double division, so Spark and
     DuckDB agree bit-for-bit."""
-    samp = _tier(
-        spark, sf_dir, "theta_sample",
-        lambda: theta_sample(load_table(spark, sf_dir, "documents")),
-    )
-    per = samp.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    docs = load_table(spark, sf_dir, "documents")
+    samp = _tier(spark, sf_dir, "theta_sample", lambda: theta_sample(docs))
+    # every source keeps its pair rows even with an EMPTY sketch (a
+    # <~16-token vocabulary can sample nothing): count from the distinct
+    # source relation, not from the sample — else the source silently
+    # vanishes from the overlap report
+    srcs = docs.select("source").distinct()
+    per = srcs.join(
+        samp.groupBy("source").agg(F.count(F.lit(1)).alias("n")), "source", "left"
+    ).select("source", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
     sa = samp.select(F.col("source").alias("src_a"), "h")
     sb = samp.select(F.col("source").alias("src_b"), "h")
     inter = (
@@ -509,5 +526,7 @@ def d45_theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_inter",
         n_union.cast("long").alias("n_union"),
         (F.lit(_THETA_DEN) * F.col("n_inter")).cast("long").alias("est_inter_distinct"),
-        (F.col("n_inter").cast("double") / n_union.cast("double")).alias("jaccard_est"),
+        F.when(n_union == 0, F.lit(0.0))
+        .otherwise(F.col("n_inter").cast("double") / n_union.cast("double"))
+        .alias("jaccard_est"),
     )

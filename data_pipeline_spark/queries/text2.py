@@ -1104,8 +1104,46 @@ def d17_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (0..255): < 205 -> train (80.1%), < 230 -> val (9.8%), else test
 # (10.2%).  The group key is the d02 content fingerprint, so every
 # duplicate-class lands in exactly ONE split by construction.
+#
+# THE split expressions live here ONCE, Spark + SQL, because d47's whole
+# leakage-safety guarantee is that its split equals d46's — four
+# hand-maintained copies would de-synchronize silently (each copy stays
+# self-consistent with its own oracle).
 SPLIT_VAL_LT = 230
 SPLIT_TRAIN_LT = 205
+
+# content fingerprint of a text column (the d02 normalization)
+CONTENT_FP_SQL = (
+    "md5(regexp_replace(lower(trim({col})), '[ \\t\\n\\f\\r]+', ' ', 'g'))"
+)
+# 0..255 bucket: RE-hash the fingerprint so the split bucket is
+# independent of every other use of fingerprint prefixes in the pipeline
+SPLIT_BUCKET_SQL = (
+    "CAST(CAST(('0x' || substr(md5({fp}), 1, 2)) AS UBIGINT) AS BIGINT)"
+)
+SPLIT_CASE_SQL = (
+    f"CASE WHEN {{b}} < {SPLIT_TRAIN_LT} THEN 'train' "
+    f"WHEN {{b}} < {SPLIT_VAL_LT} THEN 'val' ELSE 'test' END"
+)
+
+
+def content_fp(text_col):
+    """Spark twin of CONTENT_FP_SQL."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text_col)), r"[ \t\n\f\r]+", " "))
+
+
+def split_bucket(fp_col):
+    """Spark twin of SPLIT_BUCKET_SQL."""
+    return F.conv(F.substring(F.md5(fp_col), 1, 2), 16, 10).cast("long")
+
+
+def split_label(bucket_col):
+    """Spark twin of SPLIT_CASE_SQL."""
+    return (
+        F.when(bucket_col < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(bucket_col < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
 
 
 @query(
@@ -1117,21 +1155,16 @@ SPLIT_TRAIN_LT = 205
         SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
     ),
     fp AS (
-        SELECT doc_id,
-               md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\f\\r]+', ' ', 'g'))
-                 AS group_fp
+        SELECT doc_id, {CONTENT_FP_SQL.format(col="text")} AS group_fp
         FROM corpus
     ),
     b AS (
         SELECT doc_id, group_fp,
-               CAST(CAST(('0x' || substr(md5(group_fp), 1, 2)) AS UBIGINT)
-                    AS BIGINT) AS bucket
+               {SPLIT_BUCKET_SQL.format(fp="group_fp")} AS bucket
         FROM fp
     )
     SELECT doc_id, group_fp, bucket,
-           CASE WHEN bucket < {SPLIT_TRAIN_LT} THEN 'train'
-                WHEN bucket < {SPLIT_VAL_LT} THEN 'val'
-                ELSE 'test' END AS split
+           {SPLIT_CASE_SQL.format(b="bucket")} AS split
     FROM b
     """,
     survey="split-leakage-safe",
@@ -1157,22 +1190,14 @@ def d46_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     corpus = base.unionByName(copies)
-    fp = F.md5(
-        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[ \t\n\f\r]+", " ")
-    )
+    fp = content_fp(F.col("text"))
     b = corpus.select(
         "doc_id",
         fp.alias("group_fp"),
-        F.conv(F.substring(F.md5(fp), 1, 2), 16, 10).cast("long").alias("bucket"),
+        split_bucket(fp).alias("bucket"),
     )
     return b.select(
-        "doc_id",
-        "group_fp",
-        "bucket",
-        F.when(F.col("bucket") < SPLIT_TRAIN_LT, F.lit("train"))
-        .when(F.col("bucket") < SPLIT_VAL_LT, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
+        "doc_id", "group_fp", "bucket", split_label(F.col("bucket")).alias("split")
     )
 
 

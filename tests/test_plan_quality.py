@@ -551,7 +551,12 @@ def test_d45_theta_filter_precedes_every_exchange(spark):
     plan = _plan(spark, "d45_theta_sketch_overlap")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
-    assert "FileScan parquet" not in plan  # every input is the shared tier
+    # the token stream enters only through the materialized tier; the
+    # sole corpus scans left are the source-universe lookups (so a
+    # source with an empty sketch still reports), each pruned to the
+    # one 'source' column
+    for scan in plan.split("FileScan parquet")[1:]:
+        assert "ReadSchema: struct<source:string>" in scan.split("\n")[0], scan[:200]
 
 
 def test_d46_split_is_shuffle_free(spark):
