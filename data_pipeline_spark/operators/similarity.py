@@ -374,6 +374,48 @@ def _pq_assign(sv: DataFrame, cb: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def pq_train_codes(
+    sv: DataFrame,
+    seeds: DataFrame,
+    iters: int = 1,
+    materialize: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """PQ training + encoding from the per-dimension layout
+    sv(neighbor_id, sub, dsub, val) and a seeds(neighbor_id, code)
+    relation: returns (codebook(sub, code, dsub, cval),
+    codes(neighbor_id, sub, code)).  Shared by the raw-vector index
+    (``pq_index``) and the IVF-residual index (``knn_ivf_pq``) — the
+    trained artifact follows the same determinism contract either way
+    (decimal-accumulated means ROUNDed to 9, squared-L2 distances
+    ROUNDed to 6, code-id tiebreaks)."""
+    cb = (
+        sv.join(F.broadcast(seeds), "neighbor_id")
+        .select("sub", "code", "dsub", F.col("val").alias("cval"))
+    )
+    for _ in range(iters):
+        asg = _pq_assign(sv, cb, "neighbor_id")
+        cb = (
+            asg.join(sv, ["neighbor_id", "sub"])
+            .groupBy("sub", "code", "dsub")
+            .agg(
+                F.round(
+                    F.sum(F.col("val").cast("decimal(30,15)")).cast("double")
+                    / F.count(F.lit(1)),
+                    9,
+                ).alias("cval")
+            )
+        )
+    if materialize:
+        # checkpoint the trained codebook BEFORE deriving codes: codes'
+        # lineage otherwise re-runs the whole training plan when it is
+        # itself materialized (measured double-training in measure_pq)
+        cb = cb.localCheckpoint()
+    codes = _pq_assign(sv, cb, "neighbor_id")
+    if materialize:
+        codes = codes.localCheckpoint()
+    return cb, codes
+
+
 def pq_index(
     corpus: DataFrame,
     m: int = 8,
@@ -413,32 +455,7 @@ def pq_index(
         .select("neighbor_id")
         .withColumn("code", F.row_number().over(W.orderBy("neighbor_id")) - 1)
     )
-    cb = (
-        sv.join(F.broadcast(seeds), "neighbor_id")
-        .select("sub", "code", "dsub", F.col("val").alias("cval"))
-    )
-    for _ in range(iters):
-        asg = _pq_assign(sv, cb, "neighbor_id")
-        cb = (
-            asg.join(sv, ["neighbor_id", "sub"])
-            .groupBy("sub", "code", "dsub")
-            .agg(
-                F.round(
-                    F.sum(F.col("val").cast("decimal(30,15)")).cast("double")
-                    / F.count(F.lit(1)),
-                    9,
-                ).alias("cval")
-            )
-        )
-    if materialize:
-        # checkpoint the trained codebook BEFORE deriving codes: codes'
-        # lineage otherwise re-runs the whole training plan when it is
-        # itself materialized (measured double-training in measure_pq)
-        cb = cb.localCheckpoint()
-    codes = _pq_assign(sv, cb, "neighbor_id")
-    if materialize:
-        codes = codes.localCheckpoint()
-    return cb, codes
+    return pq_train_codes(sv, seeds, iters=iters, materialize=materialize)
 
 
 def vector_norms(df: DataFrame, id_col: str, emb_col: str, out: str = "nrm") -> DataFrame:
@@ -541,6 +558,192 @@ def knn_pq_adc(
     )
     # only rerank*|queries| full vectors are ever read: broadcast the tiny
     # candidate list into the corpus scan, then exact-cosine top-k
+    rer = (
+        corpus.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn("cos_sim", F.round(cosine("qemb", "nemb"), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        rer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "est_cos", "cos_sim")
+    )
+
+
+def ivf_pq_index(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 2,
+    dsub: int = 8,
+    ks: int = 16,
+    pq_iters: int = 1,
+    materialize: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """IVF-PQ index build (Jégou et al. 2011 §IV — "inverted file with
+    asymmetric distance computation"): coarse-quantize the corpus with the
+    deterministic k-means (shared with v04/d37), then product-quantize the
+    RESIDUAL v - centroid(v) — residuals concentrate near zero, so the same
+    code budget spends its resolution where the vectors actually are.
+
+    Returns (cents(cluster_id, cemb),
+             cb(sub, code, dsub, cval)           — residual codebook,
+             entries(neighbor_id, cluster_id, sub, code, nrm)) — the
+    inverted-list payload: per vector its coarse cell, m residual codes and
+    the exact L2 norm.  At 100 TB ``entries`` is THE stored index —
+    partitioned by cluster_id (so a probe is a partition-pruned read),
+    ~17 B/vector instead of 512 B of float64 — and the raw vectors stay in
+    cold storage for the re-rank only.
+
+    Determinism: residual components are exact double subtractions of two
+    decimal artifacts (the stored vector and the 9-digit-rounded centroid),
+    and the PQ trainer is the shared pq_train_codes recipe — the whole
+    index replays bit-identically in the SQL oracle
+    (queries/vector._v07_oracle)."""
+    cents = ivf_centroids(corpus, k=n_clusters, iters=iters)
+    if materialize:
+        cents = cents.localCheckpoint()
+    indexed = _assign(corpus, cents)
+    if materialize:
+        indexed = indexed.localCheckpoint()
+    # residual per-dimension layout: explode the assigned vector against the
+    # (broadcast) per-dimension centroid — row-local fan-out, one exchange
+    # nowhere (the centroid side is n_clusters*dim rows)
+    cdim = cents.select("cluster_id", F.posexplode("cemb").alias("d", "cv"))
+    rsv = (
+        indexed.select("neighbor_id", "cluster_id", F.posexplode("nemb").alias("d", "v"))
+        .join(F.broadcast(cdim), ["cluster_id", "d"])
+        .select(
+            "neighbor_id",
+            (F.col("d") / dsub).cast("int").alias("sub"),
+            (F.col("d") % dsub).alias("dsub"),
+            (F.col("v") - F.col("cv")).alias("val"),
+        )
+    )
+    seeds = (
+        corpus.orderBy("neighbor_id")
+        .limit(ks)
+        .select("neighbor_id")
+        .withColumn("code", F.row_number().over(W.orderBy("neighbor_id")) - 1)
+    )
+    cb, codes = pq_train_codes(rsv, seeds, iters=pq_iters, materialize=materialize)
+    entries = codes.join(
+        indexed.select("neighbor_id", "cluster_id"), "neighbor_id"
+    ).join(vector_norms(corpus, "neighbor_id", "nemb"), "neighbor_id")
+    if materialize:
+        entries = entries.localCheckpoint()
+    return cents, cb, entries
+
+
+def knn_ivf_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    dsub: int = 8,
+    ks: int = 16,
+    rerank: int = 20,
+    iters: int = 2,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN top-k — the production composition of the two scale
+    levers this family built separately: IVF partition pruning (v04: only
+    nprobe/n_clusters of the corpus is scanned per query) times PQ code
+    compression (v06: the scanned fraction is 16-byte codes, not 512-byte
+    vectors).  This is the FAISS IVFPQ / Jégou et al. architecture — at
+    100 TB neither lever suffices alone: IVF over raw vectors still reads
+    32x too many bytes per probe, flat PQ still scans the whole corpus.
+
+    ADC with residual codes needs no per-(query, cluster) lookup table:
+    dot(q, v) = dot(q, c_v) + dot(q, r_v) ≈ dot(q, c_v) + Σ_sub
+    LUT[sub, code_sub(v)] where LUT = dot(q_sub, cb[sub, code]) is the
+    same query-global m*ks-row broadcast table as v06 and dot(q, c_v) is
+    exact against the broadcast centroids.  est_cos divides by exact
+    stored norms; the ``rerank`` best candidates per query get the exact
+    cosine over full vectors.
+
+    Determinism: every accumulation crossing a grouping is DECIMAL, every
+    ranked value is ROUNDed first (dist/est_cos/cos_sim to 6, means and
+    partial dots to 9), every ranking tiebreaks by id — the oracle
+    (queries/vector._v07_oracle) replays index build, probe selection, ADC
+    and re-rank exactly.
+
+    ``index``: optional prebuilt (cents, cb, entries) triple from
+    ``ivf_pq_index`` — the serving path; at scale the index builds once
+    per corpus and every query batch pays only LUT + pruned ADC + re-rank."""
+    if index is not None:
+        cents, cb, entries = index
+        dsub = cb.agg(F.max("dsub")).first()[0] + 1
+    else:
+        cents, cb, entries = ivf_pq_index(
+            corpus, n_clusters=n_clusters, iters=iters, dsub=dsub, ks=ks
+        )
+    # probe selection: nprobe nearest centroids per query (broadcast cents)
+    qscored = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", F.round(cosine("qemb", "cemb"), 6)
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("sim"), "cluster_id")
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            "query_id",
+            "cluster_id",
+            # exact dot(q, centroid): the coarse term of the ADC estimate
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("qemb"), F.col("cemb"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda s, v: s + v,
+                ),
+                9,
+            ).alias("dot_qc"),
+        )
+    )
+    qnorms = queries.select(
+        "query_id",
+        F.sqrt(
+            F.aggregate(F.col("qemb"), F.lit(0.0), lambda s, v: s + v * v)
+        ).alias("qnrm"),
+    )
+    # query-global residual LUT: dot(q_sub, cb[sub, code]) — m*ks rows/query
+    qsv = _pq_subdims(queries, "query_id", "qemb", dsub)
+    lut = (
+        qsv.join(F.broadcast(cb), ["sub", "dsub"])
+        .withColumn("prod", F.col("val") * F.col("cval"))
+        .groupBy("query_id", "sub", "code")
+        .agg(
+            F.round(
+                F.sum(F.col("prod").cast("decimal(30,15)")).cast("double"), 9
+            ).alias("dot_sub")
+        )
+    )
+    # ADC over probed cells only: the entries scan is pruned to the probed
+    # cluster_ids (partition pruning on the stored index), reads codes+norm,
+    # never an embedding array
+    adc = (
+        entries.join(F.broadcast(probes), "cluster_id")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id", "dot_qc", "nrm")
+        .agg(
+            F.sum(F.col("dot_sub").cast("decimal(30,15)")).cast("double").alias("adc_dot")
+        )
+    )
+    est = (
+        adc.join(F.broadcast(qnorms), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "est_cos",
+            F.round((F.col("dot_qc") + F.col("adc_dot")) / (F.col("qnrm") * F.col("nrm")), 6),
+        )
+    )
+    we = W.partitionBy("query_id").orderBy(F.desc("est_cos"), "neighbor_id")
+    cand = (
+        est.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= rerank)
+        .select("query_id", "neighbor_id", "est_cos")
+    )
     rer = (
         corpus.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(queries), "query_id")

@@ -637,6 +637,172 @@ def v06_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_V07_DSUB, _V07_KS, _V07_NPROBE, _V07_RERANK, _V07_K = 8, 16, 4, 20, 5
+
+
+def _v07_oracle() -> str:
+    """DuckDB twin of the v07 IVF-PQ ANN — coarse k-means (the SAME
+    _ivf_indexed_ctes as v04/d37/d40, so the cell assignment cannot
+    drift), residual extraction, residual-PQ training + encoding
+    (v06's dist/argmin recipe over the residual layout), probe
+    selection, coarse-dot + residual-ADC estimate, and exact re-rank —
+    all replayed in SQL under the family determinism contract (decimal
+    accumulations, round-before-rank, id tiebreaks)."""
+    cos = _IVF_COS
+    body, prev = _ivf_indexed_ctes()
+
+    def dist_cte(cb: str) -> str:
+        return f"""(
+        SELECT r.neighbor_id, r.sub, c.code,
+               ROUND(CAST(SUM(CAST((r.val - c.cval) * (r.val - c.cval)
+                     AS DECIMAL(30,15))) AS DOUBLE), 6) AS dist
+        FROM rsv r JOIN {cb} c ON r.sub = c.sub AND r.dsub = c.dsub
+        GROUP BY r.neighbor_id, r.sub, c.code
+    )"""
+
+    def argmin_cte(dist: str) -> str:
+        return f"""(
+        SELECT neighbor_id, sub, code FROM (
+            SELECT neighbor_id, sub, code,
+                   row_number() OVER (PARTITION BY neighbor_id, sub
+                                      ORDER BY dist, code) AS rn
+            FROM {dist}
+        ) WHERE rn = 1
+    )"""
+
+    return f"""{body},
+    cdim AS (
+        SELECT cluster_id, d, cemb[d + 1] AS cv
+        FROM {prev} CROSS JOIN range(0, {_V03_DIM}) AS t(d)
+    ),
+    rsv AS (
+        SELECT i.neighbor_id, t.d // {_V07_DSUB} AS sub, t.d % {_V07_DSUB} AS dsub,
+               i.nemb[t.d + 1] - c.cv AS val
+        FROM indexed i CROSS JOIN range(0, {_V03_DIM}) AS t(d)
+        JOIN cdim c ON c.cluster_id = i.cluster_id AND c.d = t.d
+    ),
+    seeds AS (
+        SELECT vec_id AS neighbor_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+        FROM (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT {_V07_KS})
+    ),
+    cb0 AS (
+        SELECT r.sub, s.code, r.dsub, r.val AS cval
+        FROM rsv r JOIN seeds s USING (neighbor_id)
+    ),
+    dist1 AS {dist_cte('cb0')},
+    asg1 AS {argmin_cte('dist1')},
+    cb1 AS (
+        SELECT a.sub, a.code, r.dsub,
+               ROUND(CAST(SUM(CAST(r.val AS DECIMAL(30,15))) AS DOUBLE)
+                     / COUNT(*), 9) AS cval
+        FROM asg1 a JOIN rsv r ON a.neighbor_id = r.neighbor_id AND a.sub = r.sub
+        GROUP BY a.sub, a.code, r.dsub
+    ),
+    dist2 AS {dist_cte('cb1')},
+    codes AS {argmin_cte('dist2')},
+    norms AS (
+        SELECT vec_id, sqrt(list_dot_product(emb, emb)) AS nrm FROM vecs
+    ),
+    entries AS (
+        SELECT k.neighbor_id, i.cluster_id, k.sub, k.code, n.nrm
+        FROM codes k
+        JOIN indexed i USING (neighbor_id)
+        JOIN norms n ON n.vec_id = k.neighbor_id
+    ),
+    probes AS (
+        SELECT query_id, cluster_id, dot_qc FROM (
+            SELECT v.vec_id AS query_id, c.cluster_id,
+                   ROUND(list_dot_product(v.emb, c.cemb), 9) AS dot_qc,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {cos.format(a='v.emb', b='c.cemb')} DESC,
+                                c.cluster_id) AS rn
+            FROM vecs v CROSS JOIN {prev} c
+            WHERE v.vec_id < 10
+        ) WHERE rn <= {_V07_NPROBE}
+    ),
+    qsv AS (
+        SELECT vec_id AS query_id, d // {_V07_DSUB} AS sub,
+               d % {_V07_DSUB} AS dsub, emb[d + 1] AS val
+        FROM vecs CROSS JOIN range(0, {_V03_DIM}) AS t(d)
+        WHERE vec_id < 10
+    ),
+    lut AS (
+        SELECT q.query_id, c.sub, c.code,
+               ROUND(CAST(SUM(CAST(q.val * c.cval AS DECIMAL(30,15)))
+                     AS DOUBLE), 9) AS dot_sub
+        FROM qsv q JOIN cb1 c ON q.sub = c.sub AND q.dsub = c.dsub
+        GROUP BY q.query_id, c.sub, c.code
+    ),
+    adc AS (
+        SELECT p.query_id, e.neighbor_id, p.dot_qc, e.nrm,
+               CAST(SUM(CAST(l.dot_sub AS DECIMAL(30,15))) AS DOUBLE) AS adc_dot
+        FROM entries e
+        JOIN probes p ON p.cluster_id = e.cluster_id
+        JOIN lut l ON l.query_id = p.query_id
+                  AND l.sub = e.sub AND l.code = e.code
+        GROUP BY p.query_id, e.neighbor_id, p.dot_qc, e.nrm
+    ),
+    est AS (
+        SELECT a.query_id, a.neighbor_id,
+               ROUND((a.dot_qc + a.adc_dot) / (nq.nrm * a.nrm), 6) AS est_cos
+        FROM adc a JOIN norms nq ON nq.vec_id = a.query_id
+        WHERE a.query_id <> a.neighbor_id
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id, est_cos FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY est_cos DESC, neighbor_id) AS rn
+            FROM est
+        ) WHERE rn <= {_V07_RERANK}
+    ),
+    rer AS (
+        SELECT c.query_id, c.neighbor_id, c.est_cos,
+               {cos.format(a='a.emb', b='b.emb')} AS cos_sim
+        FROM cand c
+        JOIN vecs a ON a.vec_id = c.query_id
+        JOIN vecs b ON b.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, est_cos, cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM rer
+    ) WHERE rn <= {_V07_K}
+    """
+
+
+@query("v07_ann_ivf_pq", oracle=_v07_oracle(), survey="similarity-ann-ivf,similarity-ann-pq")
+def v07_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (Jégou et al. 2011 §IV, the FAISS IVFPQ architecture),
+    hash-verified: the two scale levers this family measured separately
+    COMPOSED — IVF partition pruning (only nprobe/n_clusters of the corpus
+    is scanned per query, v04's lever) times PQ code compression (the
+    scanned fraction is ~17 B/vector of residual codes + norm, not 512 B
+    of float64, v06's lever).  The PQ codebook quantizes the RESIDUAL
+    v - centroid(v), so dot(q, v) ≈ dot(q, c_v) + Σ_sub LUT[sub, code]
+    with the same query-global broadcast LUT as v06 plus an exact coarse
+    dot against the broadcast centroids — no per-(query, cluster) table.
+    The oracle replays coarse k-means, residual PQ training, encoding,
+    probe selection, ADC and the exact top-20 re-rank bit-identically."""
+    from ..operators.similarity import knn_ivf_pq
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb")
+    )
+    return knn_ivf_pq(
+        queries_df, corpus, k=_V07_K, n_clusters=_V04_CLUSTERS,
+        nprobe=_V07_NPROBE, dsub=_V07_DSUB, ks=_V07_KS,
+        rerank=_V07_RERANK, iters=_V04_ITERS,
+    )
+
+
 @query(
     "v02_label_centroid_norms",
     oracle="""

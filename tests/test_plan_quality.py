@@ -530,6 +530,23 @@ def test_v06_pq_adc_ranks_without_vectors(spark):
     assert plan.count("BroadcastHashJoin") >= 4
 
 
+def test_v07_ivf_pq_pruned_and_codes_only(spark):
+    """IVF-PQ composes both scale levers, and the plan must show both:
+    the centroid/codebook/LUT/probe/candidate sides are all broadcast
+    (no Cartesian anywhere — every nested-loop is against a broadcast
+    relation), and the only non-broadcast joins are the index-BUILD
+    equi-joins (codes ⋈ assignment ⋈ norms on neighbor_id — persisted
+    artifacts at 100 TB, never per-query work).  The ADC rank side
+    enters through the probes broadcast join, i.e. partition-pruned to
+    probed cells."""
+    plan = _plan(spark, "v07_ann_ivf_pq")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 6
+    # index-build equi-joins only; a 4th would mean a corpus-sized
+    # shuffle leaked into the serving path
+    assert plan.count("SortMergeJoin") <= 3
+
+
 def test_d45_theta_filter_precedes_every_exchange(spark):
     """The theta sample filter must run scan-side (directly above the
     token explode, below the dedup exchange) so no shuffle ever carries
