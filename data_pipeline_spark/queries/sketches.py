@@ -239,9 +239,49 @@ def slots_of_md5(tok_col: F.Column) -> F.Column:
     )
 
 
-@query(
-    "d43_cms_heavy_hitters",
-    oracle=f"""
+def cms_cells(docs: DataFrame) -> DataFrame:
+    """(depth, slot, c): the count-min sketch relation over the corpus's
+    token stream — at most _CMS_DEPTHS x _CMS_WIDTH rows regardless of
+    corpus size.  LINEAR (cells merge by SUM): the cell counts of
+    concatenated corpora equal the SUM-merge of their per-part cells,
+    which is what makes this the streaming / incremental frequency state
+    (streaming/sketch_stream.py folds exactly this relation; the r09
+    gate driver-verifies the fold identity).  Unlike the HLL registers,
+    SUM is NOT idempotent — a duplicated fold double-counts — so the
+    batch-keyed overwrite layout carries the whole at-least-once
+    contract for this sketch (see fold_cms_batch)."""
+    toks = _tokens(docs).select("tok")
+    return (
+        toks.select(F.explode(slots_of_md5(F.col("tok"))).alias("ds"))
+        .select("ds.depth", "ds.slot")
+        .groupBy("depth", "slot")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def merge_cells(cells: DataFrame) -> DataFrame:
+    """SUM-merge a cell relation holding several sketch partials —
+    per-batch, per-day or per-executor CMS shards combine through this
+    one linear fold."""
+    return cells.groupBy("depth", "slot").agg(F.sum("c").alias("c"))
+
+
+def cms_probe_estimates(spark: SparkSession, cells: DataFrame) -> DataFrame:
+    """(token, cms_est) point queries for the marker vocabulary against a
+    (merged) cell relation: min over the token's _CMS_DEPTHS cells.  The
+    probe-slot relation is 40 rows — always broadcast."""
+    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "token string")
+    pslot = probes.select(
+        "token", F.explode(slots_of_md5(F.col("token"))).alias("ds")
+    ).select("token", "ds.depth", "ds.slot")
+    return (
+        cells.join(F.broadcast(pslot), ["depth", "slot"])
+        .groupBy("token")
+        .agg(F.min("c").alias("cms_est"))
+    )
+
+
+_D43_ORACLE = f"""
     WITH tok AS ({_TOK_SQL}),
     t2 AS (SELECT tok FROM tok WHERE tok <> ''),
     depths AS (SELECT unnest(range(0, {_CMS_DEPTHS})) AS depth),
@@ -272,9 +312,10 @@ def slots_of_md5(tok_col: F.Column) -> F.Column:
     )
     SELECT token, cms_est, true_cnt
     FROM est JOIN tru USING (token)
-    """,
-    survey="profile-cms",
-)
+    """
+
+
+@query("d43_cms_heavy_hitters", oracle=_D43_ORACLE, survey="profile-cms")
 def d43_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over token frequencies (4 rows x 1024 counters)
     with point-query estimates for the marker vocabulary, emitted next
@@ -289,29 +330,44 @@ def d43_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     at ~1.1x on the idle 30x corpus (the build is explode/partial-agg
     bound, not hash bound), kept for the weaker per-token codegen, not
     as a claimed big win.  Probe lookups broadcast the 40-row
-    probe-slot relation against the tiny sketch."""
+    probe-slot relation against the tiny sketch.  Composed from
+    cms_cells + cms_probe_estimates — the same functions the streaming
+    CMS fold executes per micro-batch."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(docs).select("tok")
-    cells = (
-        toks.select(F.explode(slots_of_md5(F.col("tok"))).alias("ds"))
-        .select("ds.depth", "ds.slot")
-        .groupBy("depth", "slot")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    probes = spark.createDataFrame(
-        [(t,) for t in _CMS_PROBES], "token string"
-    )
-    pslot = (
-        probes.select("token", F.explode(slots_of_md5(F.col("token"))).alias("ds"))
-        .select("token", "ds.depth", "ds.slot")
-    )
-    est = (
-        cells.join(F.broadcast(pslot), ["depth", "slot"])
-        .groupBy("token")
-        .agg(F.min("c").alias("cms_est"))
-    )
+    est = cms_probe_estimates(spark, cms_cells(docs))
     tru = (
-        toks.filter(F.col("tok").isin(*_CMS_PROBES))
+        _tokens(docs)
+        .filter(F.col("tok").isin(*_CMS_PROBES))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .withColumnRenamed("tok", "token")
+    )
+    return est.join(tru, "token").select("token", "cms_est", "true_cnt")
+
+
+@query("r09_cms_fold_gate", oracle=_D43_ORACLE, survey="profile-cms,R5")
+def r09_cms_fold_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming CMS fold's batch-equivalent path, as a declared gate
+    (the r08/v05 pattern: a deterministic split plays the stream): the
+    corpus arrives as three doc_id%3 'micro-batches', each builds its
+    OWN cell relation (cms_cells — exactly what
+    streaming/sketch_stream.py folds per micro-batch), the partials
+    SUM-merge (merge_cells — CMS is linear, so the merged sketch must
+    equal the one-shot sketch EXACTLY, not approximately), and the
+    probe estimates read the merged state.  The oracle is d43's
+    one-shot SQL verbatim, so the driver hash-verifies the fold
+    identity itself.  Where the HLL fold (r08) is also idempotent under
+    duplicated folds (MAX), the CMS fold is NOT — SUM double-counts —
+    which is why the streaming layout's batch-keyed overwrite +
+    committed-batch compaction carry the whole at-least-once contract
+    for this sketch (tested in test_io_streaming.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    parts = [cms_cells(docs.filter(F.col("doc_id") % 3 == i)) for i in range(3)]
+    partials = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    est = cms_probe_estimates(spark, merge_cells(partials))
+    tru = (
+        _tokens(docs)
+        .filter(F.col("tok").isin(*_CMS_PROBES))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("true_cnt"))
         .withColumnRenamed("tok", "token")

@@ -36,18 +36,25 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..queries.sketches import (
+    cms_cells,  # ONE cell construction batch + streaming share
+    cms_probe_estimates,
     hll_estimate,  # ONE estimate construction batch + streaming share
     hll_registers,  # ONE register construction batch + streaming share
+    merge_cells,
     merge_registers,
 )
 from .index_util import require_batch_layout, run_batch_key, tier_dir as _tier_dir
 
 
 def profile_corpus(docs: DataFrame, profile_dir: str) -> None:
-    """Build the persisted base profile for an existing corpus.
+    """Build the persisted base profile for an existing corpus —
+    both sketch tiers (HLL registers + CMS cells).
     ``docs`` is (source, text, ...)."""
     hll_registers(docs).write.mode("overwrite").parquet(
         _tier_dir(profile_dir, "regs", "base")
+    )
+    cms_cells(docs).write.mode("overwrite").parquet(
+        _tier_dir(profile_dir, "cells", "base")
     )
 
 
@@ -71,6 +78,32 @@ def read_profile(spark: SparkSession, profile_dir: str) -> DataFrame:
     return hll_estimate(merge_registers(regs.select("source", "reg", "m")))
 
 
+def fold_cms_batch(docs: DataFrame, profile_dir: str, batch_key: str) -> None:
+    """Fold one micro-batch of the count-min frequency sketch: write ITS
+    OWN partial cell relation under ``batch=<batch_key>`` with overwrite.
+    CMS cells merge by SUM — linear, so the reader's merge equals the
+    one-shot sketch exactly (r09 gate) — but SUM is NOT idempotent: a
+    duplicated fold double-counts, so unlike the HLL registers the
+    at-least-once contract rests ENTIRELY on the batch-keyed overwrite
+    (a retry replaces its own directory, checkpoint-scoped keys prevent
+    cross-run collisions) and on compact_index only folding batches the
+    checkpoint has committed."""
+    cms_cells(docs).write.mode("overwrite").parquet(
+        _tier_dir(profile_dir, "cells", batch_key)
+    )
+
+
+def read_cms_profile(spark: SparkSession, profile_dir: str) -> DataFrame:
+    """The live frequency profile: SUM-merge every folded partial and
+    point-query the marker vocabulary.  Identical expressions to the
+    d43 batch query over the same documents — pinned by the r09 gate."""
+    cells = spark.read.parquet(os.path.join(profile_dir, "cells"))
+    cells = require_batch_layout(cells, profile_dir, "cells")
+    return cms_probe_estimates(
+        spark, merge_cells(cells.select("depth", "slot", "c"))
+    )
+
+
 def stream_profile(
     spark: SparkSession,
     feed_path: str,
@@ -79,15 +112,15 @@ def stream_profile(
 ):
     """Structured-Streaming wrapper: each micro-batch of documents
     (doc_id bigint, source string, text string) folds its partial
-    registers under a checkpoint-scoped batch key.  Trigger availableNow
-    — the drain-the-feed mode the other streaming twins use."""
+    registers AND its partial CMS cells under a checkpoint-scoped batch
+    key (one pass over the batch feeds both sketches).  Trigger
+    availableNow — the drain-the-feed mode the other streaming twins
+    use."""
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        fold_batch(
-            batch.select("source", "text"),
-            profile_dir,
-            run_batch_key(checkpoint, batch_id),
-        )
+        key = run_batch_key(checkpoint, batch_id)
+        fold_batch(batch.select("source", "text"), profile_dir, key)
+        fold_cms_batch(batch.select("source", "text"), profile_dir, key)
 
     feed = spark.readStream.schema(
         "doc_id bigint, source string, text string"
@@ -104,5 +137,7 @@ __all__ = [
     "profile_corpus",
     "fold_batch",
     "read_profile",
+    "fold_cms_batch",
+    "read_cms_profile",
     "stream_profile",
 ]

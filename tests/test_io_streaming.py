@@ -813,7 +813,12 @@ def test_stream_profile_matches_batch_sketch(spark, tmp_path):
     fold of a batch (register MAX is idempotent, the strongest retry
     guarantee in the streaming family), and survive committed-batch
     compaction unchanged."""
-    from data_pipeline_spark.queries.sketches import hll_estimate, hll_registers
+    from data_pipeline_spark.queries.sketches import (
+        cms_cells,
+        cms_probe_estimates,
+        hll_estimate,
+        hll_registers,
+    )
     from data_pipeline_spark.streaming.index_util import (
         committed_batch_ids,
         compact_index,
@@ -821,15 +826,20 @@ def test_stream_profile_matches_batch_sketch(spark, tmp_path):
     )
     from data_pipeline_spark.streaming.sketch_stream import (
         fold_batch,
+        fold_cms_batch,
         profile_corpus,
+        read_cms_profile,
         read_profile,
         stream_profile,
     )
 
     schema = "doc_id bigint, source string, text string"
+    # texts include CMS probe vocabulary ("the", "data", "stream", ...)
+    # split across base and feed batches, so the probe-estimate equality
+    # below is non-vacuous AND exercises cross-batch summation
     base_rows = [
-        (1, "src_a", "alpha beta gamma alpha"),
-        (2, "src_b", "delta epsilon delta"),
+        (1, "src_a", "alpha beta the data gamma alpha the"),
+        (2, "src_b", "delta stream epsilon delta the"),
     ]
     docs0 = spark.createDataFrame(base_rows, schema)
     profile_dir = str(tmp_path / "profile")
@@ -837,8 +847,8 @@ def test_stream_profile_matches_batch_sketch(spark, tmp_path):
 
     feed = tmp_path / "docfeed"
     feed.mkdir()
-    rows1 = [(10, "src_a", "alpha zeta eta theta"), (11, "src_c", "iota kappa")]
-    rows2 = [(12, "src_b", "lambda mu nu xi omicron pi epsilon")]
+    rows1 = [(10, "src_a", "alpha zeta data eta theta"), (11, "src_c", "iota the kappa")]
+    rows2 = [(12, "src_b", "lambda mu stream nu xi the omicron pi epsilon")]
     ck = str(tmp_path / "ckpt_prof")
     for i, rows in enumerate([rows1, rows2]):
         with open(feed / f"b{i}.jsonl", "w") as f:
@@ -854,16 +864,30 @@ def test_stream_profile_matches_batch_sketch(spark, tmp_path):
     got = sorted(map(tuple, read_profile(spark, profile_dir).collect()))
     assert got == want
     assert {s for s, *_ in got} == {"src_a", "src_b", "src_c", "__all__"}
+    # the CMS tier folded in the same pass: the streamed frequency
+    # profile must equal the one-shot batch sketch (CMS is LINEAR — the
+    # SUM-merge of per-batch cells is exact, not approximate)
+    want_cms = sorted(
+        map(tuple, cms_probe_estimates(spark, cms_cells(everything)).collect())
+    )
+    got_cms = sorted(map(tuple, read_cms_profile(spark, profile_dir).collect()))
+    assert got_cms == want_cms
 
     # a RETRIED fold of micro-batch 0 (same checkpoint-scoped key)
-    # overwrites its own partition; the merged profile cannot move
+    # overwrites its own partition; the merged profiles cannot move —
+    # for CMS this is THE at-least-once guarantee (SUM is not
+    # idempotent; only the overwrite layout prevents double-counting)
     b0 = spark.createDataFrame(rows1, schema)
     fold_batch(b0.select("source", "text"), profile_dir, run_batch_key(ck, 0))
+    fold_cms_batch(b0.select("source", "text"), profile_dir, run_batch_key(ck, 0))
     assert sorted(map(tuple, read_profile(spark, profile_dir).collect())) == want
+    assert sorted(map(tuple, read_cms_profile(spark, profile_dir).collect())) == want_cms
 
-    # committed-batch compaction folds both batches into base; the
-    # profile is unchanged and the batch directories are gone
+    # committed-batch compaction folds both batches into base in BOTH
+    # tiers; the profiles are unchanged and the batch directories gone
     assert committed_batch_ids(ck) == {0, 1}
-    assert compact_index(spark, profile_dir, ck) == {"regs": 2}
+    assert compact_index(spark, profile_dir, ck) == {"cells": 2, "regs": 2}
     assert sorted(map(tuple, read_profile(spark, profile_dir).collect())) == want
+    assert sorted(map(tuple, read_cms_profile(spark, profile_dir).collect())) == want_cms
     assert os.listdir(os.path.join(profile_dir, "regs")) == ["batch=base"]
+    assert os.listdir(os.path.join(profile_dir, "cells")) == ["batch=base"]
