@@ -1662,3 +1662,233 @@ def v05_stream_similarity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_matches(
         newv, embedding_signatures(newv), embedding_signatures(idxv), idxv
     )
+
+
+# ---------------------------------------------------------------------------
+# d48: incremental corpus refresh — the per-crawl admission gate a
+# continuously-ingested training corpus runs: exact dedup against the
+# previous build's fingerprint index (d27), quality gating (d41's gate),
+# and NEAR-dup rejection against the previous build's SimHash64 index —
+# all with cost proportional to the delta + two fingerprint-sized indexes,
+# never the previous corpus text
+# ---------------------------------------------------------------------------
+
+_D48_PREV_MOD = 4  # doc_id % 4 == 0 plays the previously-ingested corpus
+# Planted near-duplicates: SimHash64 hashes the DISTINCT word set, so a
+# word-order permutation of the same vocabulary is a guaranteed near-dup
+# (identical simhash) that is NOT an exact dup (different normalized md5).
+_D48_NEARPREV_MOD = 31  # prev gets _W ordered, delta gets _W reversed
+_D48_NEARBATCH_MOD = 37  # delta-only: two permutations of _X by doc_id parity
+_D48_W = (
+    "amber basalt cobalt dunes ember flint garnet heath iris jasper krait "
+    "lotus maple nectar onyx prism quartz rivet slate topaz umber vortex"
+)
+_D48_X = (
+    "anchor bison cedar dagger eagle falcon gecko harbor ingot jackal kelp "
+    "lantern marble nickel osprey pebble quiver russet saffron tundra "
+    "urchin willow"
+)
+_D48_W_REV = " ".join(reversed(_D48_W.split()))
+_D48_X_REV = " ".join(reversed(_D48_X.split()))
+
+
+def _d48_oracle() -> str:
+    from .text4 import _BATCHDUP_MOD, _SHARED_MOD
+
+    ws = r"[ \t\n\f\r]+"
+    return f"""
+    WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {_SHARED_MOD} = 0
+                    THEN 'shared boilerplate page ' || CAST(doc_id % 3 AS VARCHAR)
+                    WHEN doc_id % {_BATCHDUP_MOD} = 0 AND doc_id % {_D48_PREV_MOD} != 0
+                    THEN 'batch duplicate page'
+                    WHEN doc_id % {_D48_NEARPREV_MOD} = 0
+                    THEN CASE WHEN doc_id % {_D48_PREV_MOD} = 0
+                              THEN '{_D48_W}' ELSE '{_D48_W_REV}' END
+                    WHEN doc_id % {_D48_NEARBATCH_MOD} = 0 AND doc_id % {_D48_PREV_MOD} != 0
+                    THEN CASE WHEN doc_id % 2 = 0
+                              THEN '{_D48_X}' ELSE '{_D48_X_REV}' END
+                    ELSE text END AS text
+        FROM documents
+    ),
+    {_simhash64_sql('planted')},
+    feat AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text, ' ')), '{ws}', ' ', 'g')) AS fp,
+               len(regexp_split_to_array(trim(text, ' '), '{ws}')) AS n_tokens,
+               len(list_filter(regexp_split_to_array(lower(trim(text, ' ')), '{ws}'),
+                               t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop,
+               (doc_id % {_D48_PREV_MOD} = 0) AS is_prev
+        FROM planted
+    ),
+    joined AS (
+        SELECT f.doc_id, f.fp, f.n_tokens, f.n_stop, f.is_prev, s.simhash
+        FROM feat f JOIN sims s ON s.id = f.doc_id
+    ),
+    prev_fp AS (SELECT DISTINCT fp FROM joined WHERE is_prev),
+    prev_sim AS (SELECT DISTINCT simhash FROM joined WHERE is_prev),
+    lvl1 AS (
+        SELECT j.*, (p.fp IS NOT NULL) AS seen_prev
+        FROM joined j LEFT JOIN prev_fp p ON j.fp = p.fp
+        WHERE NOT j.is_prev
+    ),
+    lvl2 AS (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM lvl1 WHERE NOT seen_prev
+    ),
+    lvl3 AS (
+        SELECT *, (n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5)
+                  AS quality_ok
+        FROM lvl2 WHERE rn = 1
+    ),
+    lvl4 AS (
+        SELECT l.*, (q.simhash IS NOT NULL) AS near_prev
+        FROM lvl3 l LEFT JOIN prev_sim q ON l.simhash = q.simhash
+        WHERE l.quality_ok
+    ),
+    lvl5 AS (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY simhash) AS keeper
+        FROM lvl4 WHERE NOT near_prev
+    ),
+    sel AS (
+        SELECT doc_id, n_tokens, 'in_prev_build' AS reason FROM lvl1 WHERE seen_prev
+        UNION ALL
+        SELECT doc_id, n_tokens, 'dup_in_batch' FROM lvl2 WHERE rn > 1
+        UNION ALL
+        SELECT doc_id, n_tokens, 'low_quality' FROM lvl3 WHERE NOT quality_ok
+        UNION ALL
+        SELECT doc_id, n_tokens, 'near_dup_prev' FROM lvl4 WHERE near_prev
+        UNION ALL
+        SELECT doc_id, n_tokens, 'near_dup_batch' FROM lvl5 WHERE doc_id <> keeper
+        UNION ALL
+        SELECT doc_id, n_tokens, 'admitted' FROM lvl5 WHERE doc_id = keeper
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, reason,
+           (reason = 'admitted') AS admitted
+    FROM sel
+"""
+
+
+@query(
+    "d48_incremental_refresh",
+    oracle=_d48_oracle(),
+    survey="dedup-incremental,dedup-simhash,quality-score",
+)
+def d48_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus REFRESH — the composed per-crawl admission gate
+    (d27's exact incremental dedup widened with d41's quality gate and a
+    near-dup check against the previous build): every delta document
+    gets exactly one verdict, in production order — cheapest first —
+    (1) exact fingerprint in the previous build -> in_prev_build,
+    (2) not the first of its exact class within the batch -> dup_in_batch,
+    (3) fails the quality gate -> low_quality (no fingerprint work is
+    spent on documents the gate would drop),
+    (4) SimHash64 equal to a previous-build fingerprint -> near_dup_prev,
+    (5) SimHash64 class already has a lower-id batch survivor ->
+        near_dup_batch,
+    else admitted.  doc_id % 4 == 0 plays the previous corpus.
+
+    Planted fixtures make every verdict reachable on the synthetic
+    corpus: d27's shared-boilerplate (% 23) and batch-duplicate (% 29)
+    exact plants, plus word-PERMUTATION plants for the near-dup paths —
+    SimHash64 hashes the distinct word SET, so a reordering of the same
+    22 words is a guaranteed near-dup (identical fingerprint) that no
+    exact check catches (% 31 spans prev/delta; % 37 is delta-only,
+    two orderings by doc_id parity).
+
+    Scale shape: the previous build contributes ONLY two indexes — a
+    16-byte exact fingerprint relation and an 8-byte SimHash64 relation
+    (both persisted by the previous refresh; rebuilt here from the
+    deterministic prev split so the oracle can replay them).  The delta
+    pays one text scan (fingerprint + simhash + quality in one pass),
+    two index equi-joins and two windows; nothing ever re-reads the
+    previous corpus text, so a daily refresh costs O(delta + indexes)
+    regardless of corpus age — the same contract as d27, extended to
+    near-dups."""
+    from .text4 import _BATCHDUP_MOD, _SHARED_MOD
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            k % _SHARED_MOD == 0,
+            F.concat(F.lit("shared boilerplate page "), (k % 3).cast("string")),
+        )
+        .when(
+            (k % _BATCHDUP_MOD == 0) & (k % _D48_PREV_MOD != 0),
+            F.lit("batch duplicate page"),
+        )
+        .when(
+            k % _D48_NEARPREV_MOD == 0,
+            F.when(k % _D48_PREV_MOD == 0, F.lit(_D48_W)).otherwise(F.lit(_D48_W_REV)),
+        )
+        .when(
+            (k % _D48_NEARBATCH_MOD == 0) & (k % _D48_PREV_MOD != 0),
+            F.when(k % 2 == 0, F.lit(_D48_X)).otherwise(F.lit(_D48_X_REV)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    planted = _tier(spark, sf_dir, "d48_planted", lambda: planted)
+    sims = simhash64_df(planted)
+    toks = F.split(F.trim(F.col("text")), _WS_SPLIT)
+    low_toks = F.split(F.lower(F.trim(F.col("text"))), _WS_SPLIT)
+    feat = planted.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS_SPLIT, " ")
+        ).alias("fp"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(low_toks, lambda t: t.isin("the", "a", "of", "and"))).alias(
+            "n_stop"
+        ),
+        (k % _D48_PREV_MOD == 0).alias("is_prev"),
+    )
+    joined = feat.join(sims, feat.doc_id == sims.id).drop("id")
+    prev_fp = joined.filter("is_prev").select("fp").distinct()
+    prev_sim = joined.filter("is_prev").select("simhash").distinct()
+
+    lvl1 = (
+        joined.filter(~F.col("is_prev"))
+        .join(prev_fp.withColumn("_pf", F.lit(True)), "fp", "left")
+        .withColumn("seen_prev", F.coalesce("_pf", F.lit(False)))
+        .drop("_pf")
+    )
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    lvl2 = lvl1.filter(~F.col("seen_prev")).withColumn("rn", F.row_number().over(w_fp))
+    lvl3 = lvl2.filter(F.col("rn") == 1).withColumn(
+        "quality_ok",
+        (F.col("n_tokens") >= 20)
+        & ((F.col("n_stop").cast("double") / F.col("n_tokens")) < 0.5),
+    )
+    lvl4 = (
+        lvl3.filter("quality_ok")
+        .join(prev_sim.withColumn("_ps", F.lit(True)), "simhash", "left")
+        .withColumn("near_prev", F.coalesce("_ps", F.lit(False)))
+        .drop("_ps")
+    )
+    lvl5 = lvl4.filter(~F.col("near_prev")).withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("simhash"))
+    )
+
+    def slice_(df: DataFrame, cond, reason: str) -> DataFrame:
+        return df.filter(cond).select(
+            "doc_id", "n_tokens", F.lit(reason).alias("reason")
+        )
+
+    sel = (
+        slice_(lvl1, F.col("seen_prev"), "in_prev_build")
+        .unionByName(slice_(lvl2, F.col("rn") > 1, "dup_in_batch"))
+        .unionByName(slice_(lvl3, ~F.col("quality_ok"), "low_quality"))
+        .unionByName(slice_(lvl4, F.col("near_prev"), "near_dup_prev"))
+        .unionByName(slice_(lvl5, F.col("doc_id") != F.col("keeper"), "near_dup_batch"))
+        .unionByName(slice_(lvl5, F.col("doc_id") == F.col("keeper"), "admitted"))
+    )
+    return sel.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "reason",
+        (F.col("reason") == "admitted").alias("admitted"),
+    )
