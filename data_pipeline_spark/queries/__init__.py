@@ -72,6 +72,13 @@ GATE_PIN = [
     # single-parse explode — a01 is a permanent pin already; x01 runs
     # through the restructured extraction, so it re-gates
     "x01_edges_extraction",
+    # r9: the r8 pins above CANNOT rotate out yet — the driver never
+    # wrote CORRECTNESS_r08.json, so no committed row vouches for the
+    # r8 code; they stay pinned until their next committed green row.
+    # r9 code changes (pq_train_codes extraction under v06, cms_cells
+    # extraction under d43) need no pin: v06/d43 are never-green in the
+    # committed history for the same reason, so the window auto-fronts
+    # them with the other r8/r9 declarations.
 ]
 
 GATE_WINDOW_SIZE = 50
