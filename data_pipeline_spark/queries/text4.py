@@ -1077,3 +1077,161 @@ def substring_dedup_clean(docs: DataFrame) -> DataFrame:
         F.size("toks").cast("bigint").alias("n_tokens"),
         (F.size("toks") - F.size("kept")).cast("bigint").alias("n_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d49: Bloom-filter previous-build membership — the space lever for d27/
+# d48's exact fingerprint index.  At 100 TB the exact index is 16 B/doc;
+# a Bloom filter is 1-2 BITS/doc at useful false-positive rates, and a
+# false positive only re-drops a document the exact path would have kept
+# — the safe error direction for dedup admission.
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 4096  # m: filter width (2^12 — one 3-hex md5 window per hash)
+_BLOOM_K = 3  # k: hash functions, disjoint 3-hex windows of md5(fingerprint)
+
+
+def bloom_positions(fp_col: F.Column) -> F.Column:
+    """array<long> of the _BLOOM_K bit positions for a fingerprint: the
+    d-th position is the d-th disjoint 3-hex window of md5(fingerprint)
+    mod _BLOOM_BITS — the same engine-portable window-hash construction
+    as the CMS rows (queries/sketches.slots_of_md5), so the DuckDB
+    oracle replays the positions exactly."""
+    h = F.md5(fp_col)
+    return F.array(
+        *[
+            (
+                F.conv(F.substring(h, 1 + 3 * d, 3), 16, 10).cast("long")
+                % _BLOOM_BITS
+            )
+            for d in range(_BLOOM_K)
+        ]
+    )
+
+
+def _d49_oracle() -> str:
+    ws = r"[ \t\n\f\r]+"
+    pos = (
+        lambda d: f"CAST(CAST(('0x' || substr(md5(fp), {1 + 3 * d}, 3)) AS UBIGINT)"
+        f" AS BIGINT) % {_BLOOM_BITS}"
+    )
+    pos_list = ", ".join(pos(d) for d in range(_BLOOM_K))
+    return f"""
+    WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {_SHARED_MOD} = 0
+                    THEN 'shared boilerplate page ' || CAST(doc_id % 3 AS VARCHAR)
+                    WHEN doc_id % {_BATCHDUP_MOD} = 0 AND doc_id % {_PREV_MOD} != 0
+                    THEN 'batch duplicate page'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text, ' ')), '{ws}', ' ', 'g')) AS fp,
+               (doc_id % {_PREV_MOD} = 0) AS is_prev
+        FROM planted
+    ),
+    prev_exact AS (SELECT DISTINCT fp FROM fp WHERE is_prev),
+    prev_bits AS (
+        SELECT DISTINCT unnest([{pos_list}]) AS bitpos
+        FROM fp WHERE is_prev
+    ),
+    delta_pos AS (
+        SELECT doc_id, fp, unnest([{pos_list}]) AS bitpos
+        FROM fp WHERE NOT is_prev
+    ),
+    bloom AS (
+        SELECT d.doc_id,
+               (COUNT(b.bitpos) = {_BLOOM_K}) AS seen_bloom
+        FROM delta_pos d LEFT JOIN prev_bits b ON d.bitpos = b.bitpos
+        GROUP BY d.doc_id
+    ),
+    exact AS (
+        SELECT f.doc_id, (p.fp IS NOT NULL) AS seen_exact
+        FROM fp f LEFT JOIN prev_exact p ON f.fp = p.fp
+        WHERE NOT f.is_prev
+    )
+    SELECT e.doc_id, e.seen_exact, b.seen_bloom,
+           (b.seen_bloom AND NOT e.seen_exact) AS false_positive
+    FROM exact e JOIN bloom b USING (doc_id)
+"""
+
+
+@query(
+    "d49_bloom_prev_membership",
+    oracle=_d49_oracle(),
+    survey="dedup-incremental,profile-cms",
+)
+def d49_bloom_prev_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter previous-build membership, verified against the exact
+    index it replaces: every delta document's fingerprint is tested both
+    ways and any disagreement is emitted as ``false_positive`` (the only
+    possible direction — a Bloom filter has NO false negatives, so
+    seen_exact => seen_bloom always; the test pins the implication).
+
+    Construction: m=4096 bits, k=3 positions per key from disjoint 3-hex
+    windows of md5(fingerprint) — deterministic, engine-portable, and
+    the filter itself is represented RELATIONALLY as the distinct
+    (bitpos) rows of the previous build (<= m rows, <= 32 KB — always
+    broadcast).  Membership = all k positions present, computed as one
+    broadcast join + a count-equals-k aggregate; no bitset type needed
+    in either engine.
+
+    Why it matters at 100 TB: d27/d48's exact prev-index is 16 B/doc —
+    160 GB for a 10-billion-doc corpus, a real shuffle/broadcast cost
+    per refresh.  The Bloom relation is m bits TOTAL (size chosen by
+    target FP rate: m/n = 10 bits/key + k=7 gives ~1% FP), and an FP
+    only costs re-dropping a duplicate-looking NEW document — dedup
+    admission tolerates that direction by design, never the reverse.
+    The declared geometry (m=4096, k=3, n~=125 prev docs at sf0.01)
+    expects (1-e^(-kn/m))^k ~= 7e-4 FP; the gate pins exact equality of
+    the whole verdict relation, so any FP the corpus does produce is in
+    the hash-verified output, not averaged away."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            k % _SHARED_MOD == 0,
+            F.concat(F.lit("shared boilerplate page "), (k % 3).cast("string")),
+        )
+        .when(
+            (k % _BATCHDUP_MOD == 0) & (k % _PREV_MOD != 0),
+            F.lit("batch duplicate page"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    fp = planted.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS_SPLIT, " ")
+        ).alias("fp"),
+        (k % _PREV_MOD == 0).alias("is_prev"),
+    )
+    prev_exact = fp.filter("is_prev").select("fp").distinct()
+    prev_bits = (
+        fp.filter("is_prev")
+        .select(F.explode(bloom_positions(F.col("fp"))).alias("bitpos"))
+        .distinct()
+    )
+    delta = fp.filter(~F.col("is_prev"))
+    bloom = (
+        delta.select("doc_id", F.explode(bloom_positions(F.col("fp"))).alias("bitpos"))
+        .join(
+            F.broadcast(prev_bits.withColumn("_hit", F.lit(True))), "bitpos", "left"
+        )
+        .groupBy("doc_id")
+        .agg((F.count("_hit") == _BLOOM_K).alias("seen_bloom"))
+    )
+    exact = (
+        delta.join(prev_exact.withColumn("_pe", F.lit(True)), "fp", "left")
+        .select("doc_id", F.coalesce("_pe", F.lit(False)).alias("seen_exact"))
+    )
+    return exact.join(bloom, "doc_id").select(
+        "doc_id",
+        "seen_exact",
+        "seen_bloom",
+        (F.col("seen_bloom") & ~F.col("seen_exact")).alias("false_positive"),
+    )

@@ -697,3 +697,39 @@ def test_pq_adc_prebuilt_index_path_is_identical(spark, emb):
         knn_pq_adc(queries, corpus, k=5, rerank=30, index=index).collect(), key=key
     )
     assert [tuple(r) for r in served] == [tuple(r) for r in self_trained]
+
+
+def test_bloom_membership_no_false_negatives_and_real_fps(spark):
+    """The Bloom relation (d49) must NEVER miss a present key (no false
+    negatives — the filter's hard guarantee) and, loaded to ~0.5 keys/bit
+    x k=3 where theory predicts ~46% FPs, must actually PRODUCE false
+    positives — proving the verdict column detects them rather than
+    degenerating into the exact check."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.queries.text4 import _BLOOM_K, bloom_positions
+
+    prev = spark.range(2000).select(F.md5(F.col("id").cast("string")).alias("fp"))
+    # delta: 200 keys present in prev + 400 disjoint keys
+    hit = spark.range(200).select(F.md5(F.col("id").cast("string")).alias("fp"))
+    miss = spark.range(400).select(
+        F.md5(F.concat(F.lit("novel-"), F.col("id").cast("string"))).alias("fp")
+    )
+    delta = hit.withColumn("present", F.lit(True)).unionByName(
+        miss.withColumn("present", F.lit(False))
+    )
+    prev_bits = prev.select(
+        F.explode(bloom_positions(F.col("fp"))).alias("bitpos")
+    ).distinct()
+    verdicts = (
+        delta.select("fp", "present", F.explode(bloom_positions(F.col("fp"))).alias("bitpos"))
+        .join(F.broadcast(prev_bits.withColumn("_hit", F.lit(True))), "bitpos", "left")
+        .groupBy("fp", "present")
+        .agg((F.count("_hit") == _BLOOM_K).alias("seen_bloom"))
+        .collect()
+    )
+    fn = [r for r in verdicts if r.present and not r.seen_bloom]
+    fp = [r for r in verdicts if not r.present and r.seen_bloom]
+    assert not fn, f"Bloom false negatives: {len(fn)}"
+    # 2000 keys x 3 positions in 4096 bits -> fill ~0.77, FP ~ 0.46
+    assert len(fp) > 50, f"expected substantial FPs at this density, got {len(fp)}"
