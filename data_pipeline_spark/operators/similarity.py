@@ -591,9 +591,13 @@ def ivf_pq_index(
              entries(neighbor_id, cluster_id, sub, code, nrm)) — the
     inverted-list payload: per vector its coarse cell, m residual codes and
     the exact L2 norm.  At 100 TB ``entries`` is THE stored index —
-    partitioned by cluster_id (so a probe is a partition-pruned read),
-    ~17 B/vector instead of 512 B of float64 — and the raw vectors stay in
-    cold storage for the re-rank only.
+    partitioned by cluster_id, ~17 B/vector instead of 512 B of float64 —
+    and the raw vectors stay in cold storage for the re-rank only.
+    "A probe is a partition-pruned read" is LITERAL: with entries written
+    ``partitionBy("cluster_id")``, Catalyst plans a dynamic-partition-
+    pruning subquery from the broadcast probes join, so only the probed
+    cells' files are scanned (pinned by
+    tests/test_plan_quality.py::test_v07_stored_index_dynamic_partition_pruning).
 
     Determinism: residual components are exact double subtractions of two
     decimal artifacts (the stored vector and the 9-digit-rounded centroid),

@@ -547,6 +547,51 @@ def test_v07_ivf_pq_pruned_and_codes_only(spark):
     assert plan.count("SortMergeJoin") <= 3
 
 
+def test_v07_stored_index_dynamic_partition_pruning(spark, tmp_path):
+    """The 100 TB claim 'a probe is a partition-pruned read' must be
+    LITERAL on the stored index: with entries written partitioned by
+    cluster_id, serving a query batch must plan a
+    dynamicpruningexpression on the entries scan (Catalyst DPP from the
+    broadcast probes join), so only the probed cells' files are read —
+    and return rows identical to the self-contained path."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.catalog import load_table
+    from data_pipeline_spark.operators.similarity import ivf_pq_index, knn_ivf_pq
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb"))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    cents, cb, entries = ivf_pq_index(corpus, materialize=True)
+    base = str(tmp_path / "ivfpq")
+    entries.write.partitionBy("cluster_id").parquet(f"{base}/entries")
+    cents.write.parquet(f"{base}/cents")
+    cb.write.parquet(f"{base}/cb")
+    stored = (
+        spark.read.parquet(f"{base}/cents"),
+        spark.read.parquet(f"{base}/cb"),
+        spark.read.parquet(f"{base}/entries"),
+    )
+    served = knn_ivf_pq(queries, corpus, k=5, nprobe=4, index=stored)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    # the entries scan is the only partitioned read, so the pruning
+    # expression names its partition column (the Location string is
+    # truncated by toString, so match the filter, not the path)
+    pruned_scans = [
+        b
+        for b in plan.split("FileScan parquet")[1:]
+        if "dynamicpruningexpression(cluster_id" in b[:1200]
+        and "PartitionFilters" in b[:1200]
+    ]
+    assert pruned_scans, plan
+    inline = knn_ivf_pq(queries, corpus, k=5, nprobe=4)
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, inline.collect()))
+
+
 def test_d45_theta_filter_precedes_every_exchange(spark):
     """The theta sample filter must run scan-side (directly above the
     token explode, below the dedup exchange) so no shuffle ever carries
