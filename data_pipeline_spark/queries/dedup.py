@@ -1770,6 +1770,82 @@ def _d48_oracle() -> str:
 """
 
 
+def refresh_verdicts(
+    delta: DataFrame, prev_fp: DataFrame, prev_sim: DataFrame
+) -> DataFrame:
+    """The d48 admission chain as a reusable operator over persisted
+    indexes — the production call shape: ``delta`` is
+    (doc_id, fp, n_tokens, n_stop, simhash) for the arriving batch only,
+    ``prev_fp`` (fp) and ``prev_sim`` (simhash) are the previous build's
+    stored fingerprint indexes.  Returns one (doc_id, n_tokens, reason,
+    admitted) verdict per delta document; see d48 for the verdict order.
+    Cost: one window + one join per index on delta-sized data — nothing
+    here scales with the previous corpus except the index join sides."""
+    lvl1 = (
+        delta.join(prev_fp.withColumn("_pf", F.lit(True)), "fp", "left")
+        .withColumn("seen_prev", F.coalesce("_pf", F.lit(False)))
+        .drop("_pf")
+    )
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    lvl2 = lvl1.filter(~F.col("seen_prev")).withColumn("rn", F.row_number().over(w_fp))
+    lvl3 = lvl2.filter(F.col("rn") == 1).withColumn(
+        "quality_ok",
+        (F.col("n_tokens") >= 20)
+        & ((F.col("n_stop").cast("double") / F.col("n_tokens")) < 0.5),
+    )
+    lvl4 = (
+        lvl3.filter("quality_ok")
+        .join(prev_sim.withColumn("_ps", F.lit(True)), "simhash", "left")
+        .withColumn("near_prev", F.coalesce("_ps", F.lit(False)))
+        .drop("_ps")
+    )
+    lvl5 = lvl4.filter(~F.col("near_prev")).withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("simhash"))
+    )
+
+    def slice_(df: DataFrame, cond, reason: str) -> DataFrame:
+        return df.filter(cond).select(
+            "doc_id", "n_tokens", F.lit(reason).alias("reason")
+        )
+
+    sel = (
+        slice_(lvl1, F.col("seen_prev"), "in_prev_build")
+        .unionByName(slice_(lvl2, F.col("rn") > 1, "dup_in_batch"))
+        .unionByName(slice_(lvl3, ~F.col("quality_ok"), "low_quality"))
+        .unionByName(slice_(lvl4, F.col("near_prev"), "near_dup_prev"))
+        .unionByName(slice_(lvl5, F.col("doc_id") != F.col("keeper"), "near_dup_batch"))
+        .unionByName(slice_(lvl5, F.col("doc_id") == F.col("keeper"), "admitted"))
+    )
+    return sel.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "reason",
+        (F.col("reason") == "admitted").alias("admitted"),
+    )
+
+
+def refresh_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp, n_tokens, n_stop, simhash) — everything the refresh
+    verdict chain needs, from one text scan joined with the SimHash64
+    aggregate.  Shared by the d48 gate (over the planted split) and the
+    scale tool (over a replica split); the admitted side of a production
+    refresh appends exactly these columns to the two indexes."""
+    toks = F.split(F.trim(F.col("text")), _WS_SPLIT)
+    low_toks = F.split(F.lower(F.trim(F.col("text"))), _WS_SPLIT)
+    feat = docs.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS_SPLIT, " ")
+        ).alias("fp"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(low_toks, lambda t: t.isin("the", "a", "of", "and"))).alias(
+            "n_stop"
+        ),
+    )
+    sims = simhash64_df(docs)
+    return feat.join(sims, feat.doc_id == sims.id).drop("id")
+
+
 @query(
     "d48_incremental_refresh",
     oracle=_d48_oracle(),
@@ -1832,63 +1908,10 @@ def d48_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     planted = _tier(spark, sf_dir, "d48_planted", lambda: planted)
-    sims = simhash64_df(planted)
-    toks = F.split(F.trim(F.col("text")), _WS_SPLIT)
-    low_toks = F.split(F.lower(F.trim(F.col("text"))), _WS_SPLIT)
-    feat = planted.select(
-        "doc_id",
-        F.md5(
-            F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS_SPLIT, " ")
-        ).alias("fp"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.filter(low_toks, lambda t: t.isin("the", "a", "of", "and"))).alias(
-            "n_stop"
-        ),
-        (k % _D48_PREV_MOD == 0).alias("is_prev"),
+    joined = refresh_features(planted).withColumn(
+        "is_prev", F.col("doc_id") % _D48_PREV_MOD == 0
     )
-    joined = feat.join(sims, feat.doc_id == sims.id).drop("id")
     prev_fp = joined.filter("is_prev").select("fp").distinct()
     prev_sim = joined.filter("is_prev").select("simhash").distinct()
-
-    lvl1 = (
-        joined.filter(~F.col("is_prev"))
-        .join(prev_fp.withColumn("_pf", F.lit(True)), "fp", "left")
-        .withColumn("seen_prev", F.coalesce("_pf", F.lit(False)))
-        .drop("_pf")
-    )
-    w_fp = Window.partitionBy("fp").orderBy("doc_id")
-    lvl2 = lvl1.filter(~F.col("seen_prev")).withColumn("rn", F.row_number().over(w_fp))
-    lvl3 = lvl2.filter(F.col("rn") == 1).withColumn(
-        "quality_ok",
-        (F.col("n_tokens") >= 20)
-        & ((F.col("n_stop").cast("double") / F.col("n_tokens")) < 0.5),
-    )
-    lvl4 = (
-        lvl3.filter("quality_ok")
-        .join(prev_sim.withColumn("_ps", F.lit(True)), "simhash", "left")
-        .withColumn("near_prev", F.coalesce("_ps", F.lit(False)))
-        .drop("_ps")
-    )
-    lvl5 = lvl4.filter(~F.col("near_prev")).withColumn(
-        "keeper", F.min("doc_id").over(Window.partitionBy("simhash"))
-    )
-
-    def slice_(df: DataFrame, cond, reason: str) -> DataFrame:
-        return df.filter(cond).select(
-            "doc_id", "n_tokens", F.lit(reason).alias("reason")
-        )
-
-    sel = (
-        slice_(lvl1, F.col("seen_prev"), "in_prev_build")
-        .unionByName(slice_(lvl2, F.col("rn") > 1, "dup_in_batch"))
-        .unionByName(slice_(lvl3, ~F.col("quality_ok"), "low_quality"))
-        .unionByName(slice_(lvl4, F.col("near_prev"), "near_dup_prev"))
-        .unionByName(slice_(lvl5, F.col("doc_id") != F.col("keeper"), "near_dup_batch"))
-        .unionByName(slice_(lvl5, F.col("doc_id") == F.col("keeper"), "admitted"))
-    )
-    return sel.select(
-        "doc_id",
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        "reason",
-        (F.col("reason") == "admitted").alias("admitted"),
-    )
+    delta = joined.filter(~F.col("is_prev")).drop("is_prev")
+    return refresh_verdicts(delta, prev_fp, prev_sim)

@@ -547,6 +547,49 @@ def test_v07_ivf_pq_pruned_and_codes_only(spark):
     assert plan.count("SortMergeJoin") <= 3
 
 
+def test_d48_refresh_reads_delta_text_and_index_schemas_only(spark, tmp_path):
+    """The incremental-refresh contract, pinned structurally: serving a
+    refresh against STORED prev indexes must plan exactly one documents
+    scan (the delta) and read the index files at their fingerprint-only
+    schemas — no plan node may touch previous-corpus text, which is what
+    makes the per-crawl cost O(delta + indexes) at any corpus age."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.catalog import load_table
+    from data_pipeline_spark.queries.dedup import refresh_features, refresh_verdicts
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    prev_feat = refresh_features(docs.filter(F.col("doc_id") % 4 == 0))
+    base = str(tmp_path / "refresh_idx")
+    prev_feat.select("fp").distinct().write.parquet(f"{base}/fp")
+    prev_feat.select("simhash").distinct().write.parquet(f"{base}/sim")
+
+    delta = docs.filter(F.col("doc_id") % 4 != 0)
+    out = refresh_verdicts(
+        refresh_features(delta),
+        spark.read.parquet(f"{base}/fp"),
+        spark.read.parquet(f"{base}/sim"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = [b.split("ReadSchema: ")[1].split("\n")[0]
+             for b in plan.split("FileScan parquet")[1:] if "ReadSchema: " in b]
+    doc_scans = [s for s in scans if "text" in s]
+    idx_scans = [s for s in scans if "text" not in s]
+    # text is read ONLY for the delta (the 6-slice union re-reads the
+    # delta branch, so several scans — each must carry the delta
+    # predicate in its DataFilters, i.e. prev text never leaves a scan)
+    assert doc_scans, plan
+    for b in plan.split("FileScan parquet")[1:]:
+        head = b.split("\n")[0]
+        if "text" in head.split("ReadSchema: ")[-1]:
+            assert "% 4) = 0)" in head, head
+    # the index reads carry fingerprint-only schemas
+    assert all(
+        s.startswith("struct<fp:string") or s.startswith("struct<simhash:bigint")
+        for s in idx_scans
+    ), idx_scans
+
+
 def test_v07_stored_index_dynamic_partition_pruning(spark, tmp_path):
     """The 100 TB claim 'a probe is a partition-pruned read' must be
     LITERAL on the stored index: with entries written partitioned by
