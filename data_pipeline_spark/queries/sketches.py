@@ -375,9 +375,67 @@ def r09_cms_fold_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(tru, "token").select("token", "cms_est", "true_cnt")
 
 
-@query(
-    "d44_token_histogram_quantiles",
-    oracle=f"""
+def hist_bins(docs: DataFrame) -> DataFrame:
+    """(source, bin, n): per-source log2 token-length histogram — at most
+    ~40 bins per source regardless of corpus size.  LINEAR (bins merge by
+    SUM), so per-batch histograms fold exactly like the CMS cells: the
+    SUM-merge of per-part histograms equals the one-shot histogram, which
+    is what makes this the streaming quantile state (the r10 gate
+    driver-verifies the fold identity).  Same at-least-once posture as
+    the CMS tier: SUM is not idempotent — the batch-keyed overwrite
+    layout carries the retry contract."""
+    n_tokens = F.size(F.split(F.trim(F.col("text")), _WS))
+    binned = docs.select(
+        "source",
+        F.when(n_tokens <= 0, F.lit(0))
+        .otherwise(F.length(F.bin(n_tokens.cast("long"))))
+        .alias("bin"),
+    )
+    return binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("n"))
+
+
+def merge_bins(hist: DataFrame) -> DataFrame:
+    """SUM-merge a histogram relation holding several partials."""
+    return hist.groupBy("source", "bin").agg(F.sum("n").alias("n"))
+
+
+def hist_quantiles(spark: SparkSession, hist: DataFrame) -> DataFrame:
+    """p50/p90/p99 token-length quantile bins from a (merged) histogram
+    relation.  Integer cross-multiplication thresholds (cum*qden >=
+    total*qnum) — engine- and partitioning-independent; the window and
+    the quantile-spec join run over histogram-sized data."""
+    w_cum = W.partitionBy("source").orderBy("bin")
+    w_all = W.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "bin",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n").over(w_all).alias("total_n"),
+    )
+    qs = spark.createDataFrame(
+        [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
+        "quantile string, qnum int, qden int",
+    )
+    hit = (
+        cum.join(F.broadcast(qs))
+        .filter(F.col("cum_n") * F.col("qden") >= F.col("total_n") * F.col("qnum"))
+        .groupBy("source", "quantile")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return hit.select(
+        "source",
+        "quantile",
+        "bin",
+        F.when(F.col("bin") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), bin - 1)"))
+        .alias("tokens_lo"),
+        (F.expr("shiftleft(CAST(1 AS BIGINT), bin)") - 1)
+        .cast("long")
+        .alias("tokens_hi"),
+    )
+
+
+_D44_ORACLE = f"""
     WITH lens AS (
       SELECT source,
              len(regexp_split_to_array(trim(text), '{_WS_SQL}')) AS n_tokens
@@ -410,9 +468,10 @@ def r09_cms_fold_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE CAST(CAST(1 AS BIGINT) << (bin - 1) AS BIGINT) END AS tokens_lo,
            CAST((CAST(1 AS BIGINT) << bin) - 1 AS BIGINT) AS tokens_hi
     FROM hit
-    """,
-    survey="profile-quantile",
-)
+    """
+
+
+@query("d44_token_histogram_quantiles", oracle=_D44_ORACLE, survey="profile-quantile")
 def d44_token_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-length quantiles (p50/p90/p99) from a log2
     histogram — the mergeable quantile shape (bins SUM associatively;
@@ -420,45 +479,29 @@ def d44_token_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     quantile thresholds use integer cross-multiplication
     (cum*qden >= total*qnum), not float multiplication, so the answer
     is engine- and partitioning-independent.  One scan, ~40-bin
-    shuffle, window over the tiny histogram."""
+    shuffle, window over the tiny histogram.  Composed from hist_bins +
+    hist_quantiles — the same functions the streaming profile fold
+    executes per micro-batch."""
     docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.trim(F.col("text")), _WS))
-    binned = docs.select(
-        "source",
-        F.when(n_tokens <= 0, F.lit(0))
-        .otherwise(F.length(F.bin(n_tokens.cast("long"))))
-        .alias("bin"),
-    )
-    hist = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("n"))
-    w_cum = W.partitionBy("source").orderBy("bin")
-    w_all = W.partitionBy("source")
-    cum = hist.select(
-        "source",
-        "bin",
-        F.sum("n").over(w_cum).alias("cum_n"),
-        F.sum("n").over(w_all).alias("total_n"),
-    )
-    qs = spark.createDataFrame(
-        [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
-        "quantile string, qnum int, qden int",
-    )
-    hit = (
-        cum.join(F.broadcast(qs))
-        .filter(F.col("cum_n") * F.col("qden") >= F.col("total_n") * F.col("qnum"))
-        .groupBy("source", "quantile")
-        .agg(F.min("bin").alias("bin"))
-    )
-    return hit.select(
-        "source",
-        "quantile",
-        "bin",
-        F.when(F.col("bin") == 0, F.lit(0).cast("long"))
-        .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), bin - 1)"))
-        .alias("tokens_lo"),
-        (F.expr("shiftleft(CAST(1 AS BIGINT), bin)") - 1)
-        .cast("long")
-        .alias("tokens_hi"),
-    )
+    return hist_quantiles(spark, hist_bins(docs))
+
+
+@query("r10_hist_fold_gate", oracle=_D44_ORACLE, survey="profile-quantile,R5")
+def r10_hist_fold_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming histogram fold's batch-equivalent path, as a
+    declared gate (the r08/r09 pattern): three doc_id%3 'micro-batches'
+    each build their OWN histogram (hist_bins — what
+    streaming/sketch_stream.py folds per micro-batch), the partials
+    SUM-merge (merge_bins — linear, so the merged histogram equals the
+    one-shot histogram EXACTLY), and the quantile read runs over the
+    merged state.  The oracle is d44's one-shot SQL verbatim, so the
+    driver hash-verifies the fold identity.  Same at-least-once posture
+    as the CMS fold: SUM is not idempotent, the batch-keyed overwrite
+    layout carries the retry contract (tested in test_io_streaming.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    parts = [hist_bins(docs.filter(F.col("doc_id") % 3 == i)) for i in range(3)]
+    partials = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return hist_quantiles(spark, merge_bins(partials))
 
 
 # Fixed-threshold theta sketch: keep every distinct token hash whose md5

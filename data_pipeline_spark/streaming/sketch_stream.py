@@ -1,7 +1,11 @@
-"""Streaming corpus profiling: the HLL cardinality sketch maintained
-incrementally over a document feed — the continuous-ingestion twin of
-the batch profile (queries/sketches.py d42), the same way
-similarity_stream.py twins the batch ANN probe.
+"""Streaming corpus profiling: the HLL cardinality sketch (d42), the
+count-min frequency sketch (d43) and the token-length histogram (d44)
+maintained incrementally over one document feed — the
+continuous-ingestion twin of the batch profile, the same way
+similarity_stream.py twins the batch ANN probe.  Merge laws differ and
+each is stated where it matters: registers MAX (idempotent), cells and
+bins SUM (linear, not idempotent — the batch-keyed overwrite layout
+carries at-least-once for those tiers).
 
 The sketch IS the canonical streaming aggregate: the per-source register
 relation (source, reg, m) is tiny (<= 256 rows x sources), merges by
@@ -38,8 +42,11 @@ from pyspark.sql import DataFrame, SparkSession
 from ..queries.sketches import (
     cms_cells,  # ONE cell construction batch + streaming share
     cms_probe_estimates,
+    hist_bins,  # ONE histogram construction batch + streaming share
+    hist_quantiles,
     hll_estimate,  # ONE estimate construction batch + streaming share
     hll_registers,  # ONE register construction batch + streaming share
+    merge_bins,
     merge_cells,
     merge_registers,
 )
@@ -55,6 +62,9 @@ def profile_corpus(docs: DataFrame, profile_dir: str) -> None:
     )
     cms_cells(docs).write.mode("overwrite").parquet(
         _tier_dir(profile_dir, "cells", "base")
+    )
+    hist_bins(docs).write.mode("overwrite").parquet(
+        _tier_dir(profile_dir, "bins", "base")
     )
 
 
@@ -104,6 +114,26 @@ def read_cms_profile(spark: SparkSession, profile_dir: str) -> DataFrame:
     )
 
 
+def fold_hist_batch(docs: DataFrame, profile_dir: str, batch_key: str) -> None:
+    """Fold one micro-batch of the token-length histogram: write ITS OWN
+    partial bin relation under ``batch=<batch_key>`` with overwrite.
+    Bins merge by SUM — linear like the CMS cells, with the same
+    at-least-once posture: the batch-keyed overwrite layout alone
+    carries the retry contract (r10 gate pins the fold identity)."""
+    hist_bins(docs).write.mode("overwrite").parquet(
+        _tier_dir(profile_dir, "bins", batch_key)
+    )
+
+
+def read_hist_profile(spark: SparkSession, profile_dir: str) -> DataFrame:
+    """The live quantile profile: SUM-merge every folded partial and read
+    the p50/p90/p99 bins.  Identical expressions to the d44 batch query
+    over the same documents — pinned by the r10 gate."""
+    bins = spark.read.parquet(os.path.join(profile_dir, "bins"))
+    bins = require_batch_layout(bins, profile_dir, "bins")
+    return hist_quantiles(spark, merge_bins(bins.select("source", "bin", "n")))
+
+
 def stream_profile(
     spark: SparkSession,
     feed_path: str,
@@ -111,16 +141,17 @@ def stream_profile(
     checkpoint: str,
 ):
     """Structured-Streaming wrapper: each micro-batch of documents
-    (doc_id bigint, source string, text string) folds its partial
-    registers AND its partial CMS cells under a checkpoint-scoped batch
-    key (one pass over the batch feeds both sketches).  Trigger
-    availableNow — the drain-the-feed mode the other streaming twins
-    use."""
+    (doc_id bigint, source string, text string) folds its partial HLL
+    registers, CMS cells AND histogram bins under a checkpoint-scoped
+    batch key (one pass over the batch feeds all three sketch tiers).
+    Trigger availableNow — the drain-the-feed mode the other streaming
+    twins use."""
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         key = run_batch_key(checkpoint, batch_id)
         fold_batch(batch.select("source", "text"), profile_dir, key)
         fold_cms_batch(batch.select("source", "text"), profile_dir, key)
+        fold_hist_batch(batch.select("source", "text"), profile_dir, key)
 
     feed = spark.readStream.schema(
         "doc_id bigint, source string, text string"
@@ -139,5 +170,7 @@ __all__ = [
     "read_profile",
     "fold_cms_batch",
     "read_cms_profile",
+    "fold_hist_batch",
+    "read_hist_profile",
     "stream_profile",
 ]

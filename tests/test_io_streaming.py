@@ -816,6 +816,8 @@ def test_stream_profile_matches_batch_sketch(spark, tmp_path):
     from data_pipeline_spark.queries.sketches import (
         cms_cells,
         cms_probe_estimates,
+        hist_bins,
+        hist_quantiles,
         hll_estimate,
         hll_registers,
     )
@@ -827,8 +829,10 @@ def test_stream_profile_matches_batch_sketch(spark, tmp_path):
     from data_pipeline_spark.streaming.sketch_stream import (
         fold_batch,
         fold_cms_batch,
+        fold_hist_batch,
         profile_corpus,
         read_cms_profile,
+        read_hist_profile,
         read_profile,
         stream_profile,
     )
@@ -872,6 +876,12 @@ def test_stream_profile_matches_batch_sketch(spark, tmp_path):
     )
     got_cms = sorted(map(tuple, read_cms_profile(spark, profile_dir).collect()))
     assert got_cms == want_cms
+    # the histogram tier folded in the same pass (bins SUM — linear)
+    want_hist = sorted(
+        map(tuple, hist_quantiles(spark, hist_bins(everything)).collect())
+    )
+    got_hist = sorted(map(tuple, read_hist_profile(spark, profile_dir).collect()))
+    assert got_hist == want_hist
 
     # a RETRIED fold of micro-batch 0 (same checkpoint-scoped key)
     # overwrites its own partition; the merged profiles cannot move —
@@ -880,14 +890,18 @@ def test_stream_profile_matches_batch_sketch(spark, tmp_path):
     b0 = spark.createDataFrame(rows1, schema)
     fold_batch(b0.select("source", "text"), profile_dir, run_batch_key(ck, 0))
     fold_cms_batch(b0.select("source", "text"), profile_dir, run_batch_key(ck, 0))
+    fold_hist_batch(b0.select("source", "text"), profile_dir, run_batch_key(ck, 0))
     assert sorted(map(tuple, read_profile(spark, profile_dir).collect())) == want
     assert sorted(map(tuple, read_cms_profile(spark, profile_dir).collect())) == want_cms
+    assert sorted(map(tuple, read_hist_profile(spark, profile_dir).collect())) == want_hist
 
-    # committed-batch compaction folds both batches into base in BOTH
+    # committed-batch compaction folds both batches into base in ALL
     # tiers; the profiles are unchanged and the batch directories gone
     assert committed_batch_ids(ck) == {0, 1}
-    assert compact_index(spark, profile_dir, ck) == {"cells": 2, "regs": 2}
+    assert compact_index(spark, profile_dir, ck) == {"bins": 2, "cells": 2, "regs": 2}
     assert sorted(map(tuple, read_profile(spark, profile_dir).collect())) == want
     assert sorted(map(tuple, read_cms_profile(spark, profile_dir).collect())) == want_cms
+    assert sorted(map(tuple, read_hist_profile(spark, profile_dir).collect())) == want_hist
     assert os.listdir(os.path.join(profile_dir, "regs")) == ["batch=base"]
     assert os.listdir(os.path.join(profile_dir, "cells")) == ["batch=base"]
+    assert os.listdir(os.path.join(profile_dir, "bins")) == ["batch=base"]
