@@ -905,3 +905,69 @@ def test_stream_profile_matches_batch_sketch(spark, tmp_path):
     assert os.listdir(os.path.join(profile_dir, "regs")) == ["batch=base"]
     assert os.listdir(os.path.join(profile_dir, "cells")) == ["batch=base"]
     assert os.listdir(os.path.join(profile_dir, "bins")) == ["batch=base"]
+
+
+def test_refresh_index_append_closes_the_loop(spark, tmp_path):
+    """The d48 refresh operator's full production cycle: crawl 0 runs
+    against EMPTY indexes, its admitted documents' fingerprints append
+    to the stored fp/simhash indexes, and crawl 1 — containing an exact
+    copy, a word-permutation near-dup, novel docs and an in-batch dup —
+    must classify every document against what crawl 0 admitted.  This
+    pins the sink side of the refresh (the indexes a crawl writes are
+    the indexes the next crawl reads), not just the verdict logic."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.queries.dedup import (
+        _D48_W,
+        _D48_W_REV,
+        refresh_features,
+        refresh_verdicts,
+    )
+
+    words = lambda p: " ".join(f"{p}{i:02d}" for i in range(22))
+    text_b, text_c, text_d = words("ridge"), words("creek"), words("bluff")
+    d_perm = " ".join(reversed(text_d.split()))
+
+    schema = "doc_id bigint, text string"
+    crawl0 = spark.createDataFrame(
+        [(1, _D48_W), (2, text_b), (3, "too short")], schema
+    )
+    empty_fp = spark.createDataFrame([], "fp string")
+    empty_sim = spark.createDataFrame([], "simhash bigint")
+    feats0 = refresh_features(crawl0)
+    v0 = {r.doc_id: r.reason for r in refresh_verdicts(feats0, empty_fp, empty_sim).collect()}
+    assert v0 == {1: "admitted", 2: "admitted", 3: "low_quality"}
+
+    # the sink side: admitted docs' fingerprints become the stored indexes
+    base = str(tmp_path / "idx")
+    admitted0 = feats0.filter(F.col("doc_id").isin(1, 2))
+    admitted0.select("fp").write.mode("append").parquet(f"{base}/fp")
+    admitted0.select("simhash").write.mode("append").parquet(f"{base}/sim")
+
+    crawl1 = spark.createDataFrame(
+        [
+            (10, _D48_W),      # exact copy of crawl-0 doc 1
+            (11, _D48_W_REV),  # word-permutation of doc 1 (same simhash)
+            (12, text_c),      # novel
+            (13, text_c),      # exact dup of 12 within the batch
+            (14, text_d),      # novel
+            (15, d_perm),      # permutation of 14 (same simhash, new fp)
+        ],
+        schema,
+    )
+    v1 = {
+        r.doc_id: r.reason
+        for r in refresh_verdicts(
+            refresh_features(crawl1),
+            spark.read.parquet(f"{base}/fp"),
+            spark.read.parquet(f"{base}/sim"),
+        ).collect()
+    }
+    assert v1 == {
+        10: "in_prev_build",
+        11: "near_dup_prev",
+        12: "admitted",
+        13: "dup_in_batch",
+        14: "admitted",
+        15: "near_dup_batch",
+    }
