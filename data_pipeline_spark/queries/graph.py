@@ -144,3 +144,139 @@ def j05_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comps = connected_components(edges, src="src", dst="dst")
     return comps.select(F.col("node"), F.col("component"))
+
+
+_PR_D = 0.85  # damping
+_PR_ITERS = 3
+_PR_TOPK = 20
+
+
+def _g03_oracle() -> str:
+    def step(prev: str, i: int) -> str:
+        return f"""
+    p{i} AS (
+        SELECT n.node,
+               ROUND((1 - {_PR_D}) / nt.nn + {_PR_D} * COALESCE(c.s, 0.0), 12)
+                 AS rank
+        FROM nodes n CROSS JOIN nt
+        LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(CAST(p.rank / od.outdeg AS DECIMAL(38,20)))
+                        AS DOUBLE) AS s
+            FROM edges e
+            JOIN {prev} p ON p.node = e.src
+            JOIN outdeg od ON od.node = e.src
+            GROUP BY e.dst
+        ) c ON c.node = n.node
+    )"""
+
+    steps = ",".join(step(f"p{i - 1}", i) for i in range(1, _PR_ITERS + 1))
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    nodes AS (
+        SELECT 'c' || c_custkey AS node FROM customer
+        UNION
+        SELECT 's' || s_suppkey FROM supplier
+    ),
+    nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM nodes),
+    outdeg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    p0 AS (
+        SELECT n.node, 1.0 / nt.nn AS rank FROM nodes n CROSS JOIN nt
+    ),
+    {steps}
+    SELECT node, ROUND(rank, 9) AS rank FROM (
+        SELECT node, rank,
+               row_number() OVER (ORDER BY rank DESC, node) AS rn
+        FROM p{_PR_ITERS}
+    ) WHERE rn <= {_PR_TOPK}
+    """
+
+
+@query("g03_pagerank", oracle=_g03_oracle(), survey="J5,graph-analytics")
+def g03_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer->supplier purchase graph, 3 fixed
+    iterations, damping 0.85, top-20 by rank — iterative graph
+    analytics beyond the closure family (J5 is label propagation to a
+    FIXPOINT; PageRank is the weighted-mass cousin every analytics
+    engine ships).  Each iteration is ONE join (edges x ranks on src,
+    both co-partitionable on the node key) plus one aggregate — the
+    same per-round shape as closure.py, so the 100 TB posture is
+    identical: rounds x (shuffle on node id), lineage truncated per
+    round in the production path, AQE handles the inevitable in-degree
+    skew (celebrity suppliers) by splitting the oversized reduce
+    partitions.
+
+    Determinism (the k-means recipe): per-edge contributions
+    rank/outdeg are exact IEEE divisions; the in-neighbor SUM — the
+    only order-dependent accumulation — runs in DECIMAL(38,20); each
+    new rank ROUNDs to 12 before re-entering the next iteration, so
+    all 3 iterations replay bit-identically in the DuckDB oracle.
+    Dangling mass (suppliers have no out-edges) is deliberately NOT
+    redistributed — the classic simplified PR both engines state
+    identically."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    edges = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        customer.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+        )
+        .union(
+            supplier.select(
+                F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
+            )
+        )
+        .distinct()
+    )
+    # one bounded scalar: the node count (same role as closure round
+    # counts — driver-side control, not data)
+    n_nodes = float(nodes.count())
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(n_nodes)).alias("rank"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg.withColumnRenamed("src", "src2"), F.col("src") == F.col("src2"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(
+                F.sum(F.col("contrib").cast("decimal(38,20)"))
+                .cast("double")
+                .alias("s")
+            )
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.round(
+                F.lit((1 - _PR_D) / n_nodes)
+                + F.lit(_PR_D) * F.coalesce(F.col("s"), F.lit(0.0)),
+                12,
+            ).alias("rank"),
+        )
+    from pyspark.sql import Window as W
+
+    top = (
+        ranks.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.desc("rank"), "node"))
+        )
+        .filter(F.col("rn") <= _PR_TOPK)
+        .select("node", F.round("rank", 9).alias("rank"))
+    )
+    return top
