@@ -315,3 +315,79 @@ def a27_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_qty"),
         F.sqrt(var).alias("std_qty"),
     )
+
+
+@query(
+    "a28_funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND e.ts >= v.t1 AND e.ts <= v.t1 + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id
+        FROM events e
+        JOIN c ON e.user_id = c.user_id
+        JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts >= c.t2 AND e.ts <= v.t1 + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'view' AS event_type, CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+    """,
+    survey="W-family,sequential-pattern",
+)
+def a28_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view -> click -> purchase within 7 days
+    of the user's FIRST view) — the sequential-pattern aggregate every
+    event-analytics engine ships.  Step k counts users whose first
+    step-k event follows their step-(k-1) anchor in event TIME, not just
+    existence — so the join chain carries the anchors (t1, t2) forward
+    and each stage is one aggregate + one broadcast-or-shuffled
+    equi-join on user_id.  At 100 TB the events scan is pruned to the
+    three funnel event types (PushedFilters on event_type) and every
+    stage shuffles only (user_id, anchor) pairs — never raw events.
+    MIN anchors make the result deterministic; counts are exact."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    horizon = F.col("t1") + F.expr("INTERVAL 7 DAYS")
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") >= F.col("t1")) & (F.col("ts") <= horizon))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") >= F.col("t2")) & (F.col("ts") <= horizon))
+        .select("user_id")
+        .distinct()
+    )
+
+    def row(step: int, etype: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(step).alias("step"),
+            F.lit(etype).alias("event_type"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return row(1, "view", v).unionByName(row(2, "click", c)).unionByName(
+        row(3, "purchase", p)
+    )
