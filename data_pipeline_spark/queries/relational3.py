@@ -391,3 +391,66 @@ def a28_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row(1, "view", v).unionByName(row(2, "click", c)).unionByName(
         row(3, "purchase", p)
     )
+
+
+@query(
+    "a29_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(floor(date_diff('day', f.cohort_week,
+                                    CAST(date_trunc('week', e.ts) AS DATE)) / 7)
+                    AS BIGINT) AS week_k
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ),
+    sizes AS (
+        SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort_week
+    )
+    SELECT a.cohort_week, a.week_k,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size
+    FROM activity a JOIN sizes s ON a.cohort_week = s.cohort_week
+    GROUP BY a.cohort_week, a.week_k, s.cohort_size
+    """,
+    survey="A-family,cohort-analytics",
+)
+def a29_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts — the second classic event-analytics
+    aggregate next to a28's funnel: users are cohorted by the Monday of
+    their first event's week, and each (cohort_week, week_k) cell counts
+    users from that cohort active k weeks later, with the cohort size
+    alongside (the retention ratio is the caller's one division).
+    Deterministic throughout: MIN first-event, date_trunc to Monday,
+    integer week arithmetic, exact counts.
+
+    Scale shape: one aggregate to cohort users (shuffle on user_id), one
+    user_id equi-join to tag activity, one distinct + count on
+    (cohort, week) — the distinct is the only corpus-sized exchange and
+    it carries 3 small columns.  At 100 TB the firsts relation is the
+    user dimension (bounded by users, not events) and the cohort cells
+    are a few hundred rows."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    week = lambda c: F.date_trunc("week", c).cast("date")
+    firsts = events.groupBy("user_id").agg(F.min(week(F.col("ts"))).alias("cohort_week"))
+    activity = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(week(F.col("ts")), F.col("cohort_week")) / 7
+            ).cast("bigint").alias("week_k"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        activity.groupBy("cohort_week", "week_k")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(sizes, "cohort_week")
+        .select("cohort_week", "week_k", "n_active", F.col("cohort_size").cast("bigint").alias("cohort_size"))
+    )
