@@ -547,6 +547,28 @@ def test_v07_ivf_pq_pruned_and_codes_only(spark):
     assert plan.count("SortMergeJoin") <= 3
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "d51_prefix_filter_jaccard",
+        "g03_pagerank",
+        "a28_funnel_conversion",
+        "a29_retention_cohorts",
+        "d49_bloom_prev_membership",
+        "d48_incremental_refresh",
+    ],
+)
+def test_r9_queries_never_plan_products(spark, name):
+    """Every round-9 query is equi-join-shaped by design: PageRank's
+    edges x ranks, the funnel/cohort user joins, the prefix-filter
+    candidate join and both refresh index joins all key on real columns
+    — a Cartesian or nested-loop anywhere means a join condition was
+    lost (audited at declaration time: 0 of either across all six)."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_d48_refresh_reads_delta_text_and_index_schemas_only(spark, tmp_path):
     """The incremental-refresh contract, pinned structurally: serving a
     refresh against STORED prev indexes must plan exactly one documents
