@@ -971,3 +971,80 @@ def test_refresh_index_append_closes_the_loop(spark, tmp_path):
         14: "admitted",
         15: "near_dup_batch",
     }
+
+
+def test_stream_refresh_matches_batch_and_is_retry_idempotent(spark, tmp_path):
+    """The streamed refresh must (a) judge each crawl exactly as the
+    batch operator does against the same indexes, (b) admit across
+    crawls transitively (crawl 2 rejects dups of crawl 1's admissions),
+    (c) reproduce a crawl's verdicts exactly on a RETRY (own-batch index
+    exclusion — without it the retry would see its first attempt's fold
+    and reject everything as in_prev_build), and (d) survive
+    committed-batch compaction."""
+    from data_pipeline_spark.queries.dedup import _D48_W, _D48_W_REV
+    from data_pipeline_spark.streaming.index_util import (
+        committed_batch_ids,
+        compact_index,
+        run_batch_key,
+    )
+    from data_pipeline_spark.streaming.refresh_stream import (
+        index_corpus,
+        refresh_batch,
+        stream_refresh,
+    )
+
+    words = lambda p: " ".join(f"{p}{i:02d}" for i in range(22))
+    text_b, text_c = words("mesa"), words("fjord")
+
+    schema = "doc_id bigint, text string"
+    base = spark.createDataFrame([(1, _D48_W), (2, text_b)], schema)
+    index_dir = str(tmp_path / "ridx")
+    index_corpus(base, index_dir)
+
+    feed = tmp_path / "crawlfeed"
+    feed.mkdir()
+    crawl1 = [(10, _D48_W), (11, _D48_W_REV), (12, text_c), (13, "too short")]
+    crawl2 = [(20, text_c), (21, words("atoll"))]
+    ck = str(tmp_path / "ckpt_refresh")
+    verd_dir = str(tmp_path / "verdicts")
+    for i, rows in enumerate([crawl1, crawl2]):
+        with open(feed / f"c{i}.jsonl", "w") as f:
+            for d, t in rows:
+                f.write(json.dumps({"doc_id": d, "text": t}) + "\n")
+        q = stream_refresh(spark, str(feed), index_dir, verd_dir, checkpoint=ck)
+        q.awaitTermination(120)
+
+    got = {
+        r.doc_id: r.reason
+        for r in spark.read.parquet(verd_dir).collect()
+    }
+    assert got == {
+        10: "in_prev_build",   # exact copy of base doc 1
+        11: "near_dup_prev",   # permutation of base doc 1
+        12: "admitted",
+        13: "low_quality",
+        20: "in_prev_build",   # exact copy of crawl-1's ADMITTED doc 12
+        21: "admitted",
+    }
+
+    # a RETRIED crawl 0 (same checkpoint-scoped key) must reproduce its
+    # original verdicts — its own fold is excluded from the read — and
+    # overwrite rather than duplicate its index partitions
+    b0 = spark.createDataFrame(crawl1, schema)
+    retry = refresh_batch(
+        spark, b0, index_dir, batch_key=run_batch_key(ck, 0)
+    )
+    assert {r.doc_id: r.reason for r in retry.collect()} == {
+        10: "in_prev_build", 11: "near_dup_prev", 12: "admitted", 13: "low_quality"
+    }
+
+    # compaction folds the committed crawls into base; a fresh judgment
+    # of the same crawl-2 documents (no append) is unchanged
+    assert committed_batch_ids(ck) == {0, 1}
+    assert compact_index(spark, index_dir, ck) == {"fp": 2, "sim": 2}
+    again = refresh_batch(
+        spark, spark.createDataFrame(crawl2, schema), index_dir, append=False
+    )
+    assert {r.doc_id: r.reason for r in again.collect()} == {
+        20: "in_prev_build", 21: "in_prev_build"  # 21 was admitted+folded
+    }
