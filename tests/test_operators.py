@@ -733,3 +733,27 @@ def test_bloom_membership_no_false_negatives_and_real_fps(spark):
     assert not fn, f"Bloom false negatives: {len(fn)}"
     # 2000 keys x 3 positions in 4096 bits -> fill ~0.77, FP ~ 0.46
     assert len(fp) > 50, f"expected substantial FPs at this density, got {len(fp)}"
+
+
+def test_sq_recall_beats_pq_at_small_rerank(spark, emb):
+    """Scalar quantization's selling point over PQ is rank fidelity:
+    measured recall@5 on the worst-case random embeddings is 1.0 at
+    rerank=10 (flat PQ needs rerank~100 for 0.93) — int8 per-dimension
+    codes are effectively rank-lossless here.  Tripwire below the
+    measured value."""
+    from data_pipeline_spark.operators.similarity import knn_sq
+
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb"))
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(queries, corpus, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_sq(queries, corpus, k=5, rerank=10).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.95, f"recall@5 = {recall}"
