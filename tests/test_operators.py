@@ -757,3 +757,20 @@ def test_sq_recall_beats_pq_at_small_rerank(spark, emb):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.95, f"recall@5 = {recall}"
+
+
+def test_sq_serving_path_equals_selfcontained(spark, emb):
+    """The prebuilt SQ index (sq_index triple passed via ``index=``) must
+    return byte-identical rows to the self-contained path — the same
+    persisted-index contract as PQ/IVF-PQ."""
+    from data_pipeline_spark.operators.similarity import knn_sq, sq_index
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb"))
+    inline = knn_sq(queries, corpus, k=5).collect()
+    stats, codes, norms = sq_index(corpus)
+    idx = (stats.localCheckpoint(), codes.localCheckpoint(), norms.localCheckpoint())
+    served = knn_sq(queries, corpus, k=5, index=idx).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, served))
