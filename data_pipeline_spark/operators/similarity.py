@@ -680,8 +680,16 @@ def knn_ivf_pq(
         cents, cb, entries = index
         dsub = cb.agg(F.max("dsub")).first()[0] + 1
     else:
+        # materialize=True: the inline-build path fans the trained index
+        # into BOTH the LUT branch (via cb) and the ADC branch (via
+        # entries -> codes), so without a checkpoint the k-means + PQ
+        # training lineage re-executes per branch — the double-training
+        # problem the pq_train_codes comment documents (ADVICE r9).  The
+        # serving path gets the same property for free from the stored
+        # index; this makes the self-contained path match it.
         cents, cb, entries = ivf_pq_index(
-            corpus, n_clusters=n_clusters, iters=iters, dsub=dsub, ks=ks
+            corpus, n_clusters=n_clusters, iters=iters, dsub=dsub, ks=ks,
+            materialize=True,
         )
     # probe selection: nprobe nearest centroids per query (broadcast cents)
     qscored = queries.crossJoin(F.broadcast(cents)).withColumn(

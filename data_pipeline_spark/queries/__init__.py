@@ -54,31 +54,17 @@ GATE_PIN = [
     "a01_merge_fold", "j06_reconcile_min_equivs", "j03_constraint_veto",
     "j08_reidentify", "p05_merge_veto", "p02_validation_rules",
     "j12_metatype_join", "f23_guess_type",
-    # r8: the five one-round r7 pins (dsl_q11, rj02, d33, d09, v05)
-    # dropped — their r7 driver rows are committed (CORRECTNESS_r07.json
-    # at 70f48e5) and their code is unchanged this round.
-    # r8: semantic_dedup grew the max_cluster_size lever (d40's capped
-    # split, operators/similarity.py) — d37 runs through the refactored
-    # function (default path, byte-identical plan), so it re-gates
-    "d37_semantic_dedup",
-    # r8: the d41 composition extracted shared definitions
-    # (signature_estimate_pairs, tiered_pairs_from,
-    # fingerprint_star_edges; _CLEAN_SQL with the clean_agg rename) —
-    # d33/d35/d36/d39 run through the refactored code, so they re-gate
-    "d33_minhash_estimate_pairs", "d35_tiered_pairs",
-    "d36_corpus_clean_tiered", "d39_substring_dedup_clean",
-    # r8 ETL-scale fixes: merge_by_yuid moved to the mapInPandas
-    # group-stream harness (91x at 30x) and extract_edges to the
-    # single-parse explode — a01 is a permanent pin already; x01 runs
-    # through the restructured extraction, so it re-gates
-    "x01_edges_extraction",
-    # r9: the r8 pins above CANNOT rotate out yet — the driver never
-    # wrote CORRECTNESS_r08.json, so no committed row vouches for the
-    # r8 code; they stay pinned until their next committed green row.
-    # r9 code changes (pq_train_codes extraction under v06, cms_cells
-    # extraction under d43) need no pin: v06/d43 are never-green in the
-    # committed history for the same reason, so the window auto-fronts
-    # them with the other r8/r9 declarations.
+    # r10: all six r8 code-change pins (d37, d33, d35, d36, d39, x01)
+    # dropped — CORRECTNESS_r09.json is committed (844a0f0) and vouches
+    # green for the restructured code; their code is unchanged this
+    # round.  Only the composite family gates and the golden
+    # reconcile/merge gates above remain permanent.
+    # r10 code changes that re-gate (old green row no longer vouches):
+    # g03's PageRank teleport constant now interpolated into the oracle
+    # (ADVICE r9 #1), d51's prefix length moved to true integer `div`
+    # (ADVICE r9 #2), v07's inline build materializes the trained
+    # index (ADVICE r9 #3 — plan change in the self-contained path).
+    "g03_pagerank", "d51_prefix_filter_jaccard", "v07_ann_ivf_pq",
 ]
 
 GATE_WINDOW_SIZE = 50
@@ -88,7 +74,12 @@ GATE_WINDOW_SIZE = 50
 # compounds with row age (the \x0b tokenizer bug sat exactly there), so
 # every round re-proves at least this many of the oldest-green queries
 # even when pins + new declarations could fill the window.
-AGE_SLOTS = 5
+# r10: raised 5 -> 12 (VERDICT r9 #3) to burn down the 37-query r3/r4
+# stale tail now that the committed r09 file released the r8 pins; with
+# zero never-green queries the window already fills with stalest greens,
+# but the raised reservation keeps the re-proof rate even as this
+# round's new declarations land.
+AGE_SLOTS = 12
 
 
 def driver_green_history() -> dict[str, int]:

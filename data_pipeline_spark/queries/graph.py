@@ -152,11 +152,17 @@ _PR_TOPK = 20
 
 
 def _g03_oracle() -> str:
+    # The teleport term is interpolated as the Python-computed double
+    # (repr of 1 - _PR_D = 0.15000000000000002) rather than the SQL text
+    # `(1 - 0.85)`: DuckDB evaluates the latter in DECIMAL (exactly 0.15)
+    # before the double division, while Spark adds F.lit((1-_PR_D)/n) —
+    # off by one ulp, enough to flip a rank at a ROUND boundary.  Both
+    # engines now share the identical constant (determinism contract).
     def step(prev: str, i: int) -> str:
         return f"""
     p{i} AS (
         SELECT n.node,
-               ROUND((1 - {_PR_D}) / nt.nn + {_PR_D} * COALESCE(c.s, 0.0), 12)
+               ROUND({(1 - _PR_D)!r} / nt.nn + {_PR_D} * COALESCE(c.s, 0.0), 12)
                  AS rank
         FROM nodes n CROSS JOIN nt
         LEFT JOIN (

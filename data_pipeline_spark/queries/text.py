@@ -685,9 +685,12 @@ def d51_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w_doc))
         .withColumn("n", F.count(F.lit(1)).over(w_n))
     )
-    # prefix length |S| - ceil(t|S|) + 1, t = 3/5 in exact integers
-    prefix_len = F.col("n") - F.floor(
-        (_D51_T_NUM * F.col("n") + (_D51_T_DEN - 1)) / _D51_T_DEN
+    # prefix length |S| - ceil(t|S|) + 1, t = 3/5 in TRUE integer
+    # arithmetic: SQL `div` keeps the whole computation in longs
+    # (ADVICE r9 — the previous `/` + floor was double division, only
+    # exact while 3n+4 < 2^53, weaker than the docstring's guarantee).
+    prefix_len = F.col("n") - F.expr(
+        f"({_D51_T_NUM} * n + {_D51_T_DEN - 1}) div {_D51_T_DEN}"
     ) + 1
     prefix = ordered.filter(F.col("pos") <= prefix_len).select("doc_id", "shingle")
     cands = (
