@@ -63,17 +63,19 @@ def salted_agg(
 def salted_join(
     big: DataFrame,
     small: DataFrame,
-    key: str,
+    key: str | list[str],
     spread_cols: list[str],
     n_salts: int = 16,
     how: str = "inner",
 ) -> DataFrame:
     """Skew-safe equi-join: salt the big side, replicate the small side
-    across all salts, join on (key, salt). Output == plain join on `key`
-    (verified in tests); cost = small side x n_salts, which is the point —
-    the small side is bounded, the hot key no longer is."""
+    across all salts, join on (key..., salt). Output == plain join on
+    `key` (verified in tests); cost = small side x n_salts, which is the
+    point — the small side is bounded, the hot key no longer is.
+    ``key`` may be a single column name or a list (composite equi-key)."""
+    keys = [key] if isinstance(key, str) else list(key)
     b = salted(big, spread_cols, n_salts)
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    return b.join(s, [key, "_salt"], how).drop("_salt")
+    return b.join(s, [*keys, "_salt"], how).drop("_salt")

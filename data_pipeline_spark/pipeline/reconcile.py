@@ -37,26 +37,47 @@ def local_uri_expr(source_col, ident_col):
     return F.concat(F.lit(URI + "/"), source_col, F.lit("/"), ident_col)
 
 
-def name_join(names: DataFrame, name_index: DataFrame) -> DataFrame:
+def name_join(
+    names: DataFrame, name_index: DataFrame, broadcast_index: bool = True
+) -> DataFrame:
     """J1: records' prioritized clean names probed against the per-source
     name index; type must match. Candidate election (W4,
     reconciler.py:266-274): when several index entries match, the target
     supported by the MOST of the record's names wins, then best (lowest)
-    priority, then identifier — all deterministic."""
+    priority, then identifier — all deterministic.
+
+    ``broadcast_index=False`` is the large-authority path: when the name
+    index scales with the corpus (the reference's full LCNAF/ULAN-sized
+    authorities — millions of entries, not a curated broadcast-able dim),
+    the probe becomes a shuffle join on (name_clean, rectype), and a
+    celebrity name ("John Smith") is hot on BOTH sides.  salted_join
+    (operators/skew.py) fans the record side's hot key over n_salts tasks
+    and replicates only the matching index slice — output proven equal to
+    the broadcast path (tests/test_pipeline_scale.py)."""
     from pyspark.sql import Window as W
 
-    idx = F.broadcast(
-        name_index.select(
-            F.col("source").alias("idx_source"),
-            "name_clean",
-            "target_identifier",
-            F.col("rectype").alias("idx_rectype"),
-        )
+    idx_cols = name_index.select(
+        F.col("source").alias("idx_source"),
+        "name_clean",
+        "target_identifier",
+        F.col("rectype").alias("idx_rectype"),
     )
-    hits = names.join(
-        idx,
-        (names.name_clean == idx.name_clean) & (names.rectype == idx.idx_rectype),
-    ).filter(F.col("source") != F.col("idx_source"))  # not-self-source (P3)
+    if broadcast_index:
+        idx = F.broadcast(idx_cols)
+        hits = names.join(
+            idx,
+            (names.name_clean == idx.name_clean) & (names.rectype == idx.idx_rectype),
+        )
+    else:
+        from ..operators.skew import salted_join
+
+        hits = salted_join(
+            names,
+            idx_cols.withColumnRenamed("idx_rectype", "rectype"),
+            ["name_clean", "rectype"],
+            spread_cols=["uri"],
+        )
+    hits = hits.filter(F.col("source") != F.col("idx_source"))  # not-self-source (P3)
     votes = hits.groupBy("uri", "rectype", "idx_source", "target_identifier").agg(
         F.count(F.lit(1)).alias("n_votes"), F.min("priority").alias("best_prio")
     )
@@ -154,7 +175,10 @@ def date_plausibility_filter(edges: DataFrame, timespans: DataFrame) -> DataFram
 
 
 def reconcile(
-    records: DataFrame, indexes: dict[str, DataFrame], min_equivs: int = 3
+    records: DataFrame,
+    indexes: dict[str, DataFrame],
+    min_equivs: int = 3,
+    broadcast_index: bool = True,
 ) -> DataFrame:
     """Full reconcile pass: one equiv_edges relation from all join families.
 
@@ -166,7 +190,10 @@ def reconcile(
     name-matching — the fuzziest join — only runs for records that still
     hold fewer than this many asserted equivalents; well-connected records
     skip it, which both mirrors the reference and prunes the name join's
-    probe side at scale."""
+    probe side at scale.
+
+    ``broadcast_index=False`` routes J1 through the salted shuffle join
+    (see name_join) for authority indexes too large to broadcast."""
     docs = with_doc(records)
     names = extract_names(docs)
     equivs = extract_equivalents(docs)
@@ -180,7 +207,9 @@ def reconcile(
         .select(F.col("src_uri").alias("uri"))
     )
     gated_names = names.join(well_connected, "uri", "left_anti")
-    name_edges = name_join(gated_names, indexes["name_index"])
+    name_edges = name_join(
+        gated_names, indexes["name_index"], broadcast_index=broadcast_index
+    )
     uri_edges = uri_join(equivs, indexes["uri_index"])
 
     edges = record_edges.unionByName(name_edges).unionByName(uri_edges)

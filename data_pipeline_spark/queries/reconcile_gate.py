@@ -429,3 +429,125 @@ def p02_validation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("errors").cast("int").alias("n_errors"),
         F.array_join(F.array_sort("errors"), "|").alias("errs"),
     )
+
+
+@query(
+    "a02_skewed_merge_fold",
+    oracle="""
+    WITH c AS (
+      SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS rn FROM customer
+    ),
+    s AS (
+      SELECT rn, rn // 128 AS blk,
+             CASE WHEN rn % 128 < 1 THEN 0 WHEN rn % 128 < 3 THEN 1
+                  WHEN rn % 128 < 8 THEN 2 WHEN rn % 128 < 28 THEN 3
+                  ELSE 4 END AS sub
+      FROM c
+    )
+    SELECT lpad(CAST(min(rn) AS VARCHAR), 8, '0') AS comp_key,
+           COUNT(*) AS n_records,
+           'L' || CAST(min(rn) AS VARCHAR) AS label,
+           LEAST(3, COUNT(*)) AS n_names
+    FROM s GROUP BY blk, sub
+    """,
+    survey="A1,A3,J5,J6,J7,W2",
+)
+def a02_skewed_merge_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-tailed component shapes through the REAL entity chain
+    (reconcile -> closure -> mint -> reidentify -> merge fold) — the
+    adversarial twin of a01's uniform pairs (VERDICT r9 #1).
+
+    Plant: customers ordered by key become a dense row-number; each block
+    of 128 rows splits into CHAIN components of sizes 1/2/5/20/100 (record
+    rn asserts equivalence to rn+1 while the next row is in the same
+    chain).  Chains are the worst case for label propagation — a 100-link
+    chain needs ~100 naive rounds; path halving (closure.py) must close it
+    in O(log n) — and the 100-record groups stress the merge fold's
+    per-group Arrow batch where a01's groups are always pairs.  The
+    reference bounds BFS at max_distance=3 precisely to dodge this shape
+    (docs/sample_config/base.json:6, process/collector.py:201-218); the
+    whole-dataset closure has no such bound, so it must EARN it here.
+
+    Output per merged entity: first-member key, component size, the
+    merge-winner's label (W2: min identifier wins the fold order), and the
+    fold's deduped name count (A3: names cycle rn%3, so a component keeps
+    min(3, size) of them).  The oracle derives all four analytically from
+    the block arithmetic — any closure under-merge, fold mis-order or
+    dedupe drift breaks a column."""
+    from pyspark.sql import Window as W
+
+    from ..pipeline.envelope import with_doc
+    from ..pipeline.idmap import build_idmap
+    from ..pipeline.merge_records import merge_by_yuid
+    from ..pipeline.reconcile import reconcile
+    from ..pipeline.reidentify import reidentify
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    rn = F.row_number().over(W.orderBy("c_custkey")) - 1
+    base = cust.select(rn.alias("rn")).select(
+        "rn",
+        F.lpad(F.col("rn").cast("string"), 8, "0").alias("id8"),
+        (F.col("rn") % 128).alias("pos"),
+    )
+    # chain link: rn -> rn+1 unless rn sits on a sub-component boundary
+    # (pos in {0,2,7,27,127}) or is the corpus' last row
+    has_next = (~F.col("pos").isin(0, 2, 7, 27, 127)) & (
+        F.lead("rn", 1).over(W.orderBy("rn")).isNotNull()
+    )
+    next_id8 = F.lpad((F.col("rn") + 1).cast("string"), 8, "0")
+    uri = F.concat(F.lit("https://fixture.test/srcA/"), F.col("id8"))
+    next_uri = F.concat(F.lit("https://fixture.test/srcA/"), next_id8)
+    data = F.to_json(
+        F.struct(
+            uri.alias("id"),
+            F.lit("Person").alias("type"),
+            F.concat(F.lit("L"), F.col("rn").cast("string")).alias("_label"),
+            F.array(
+                F.struct(
+                    F.lit("Name").alias("type"),
+                    F.concat(F.lit("N"), (F.col("rn") % 3).cast("string")).alias(
+                        "content"
+                    ),
+                )
+            ).alias("identified_by"),
+            F.when(
+                has_next,
+                F.array(F.struct(next_uri.alias("id"), F.lit("Person").alias("type"))),
+            ).alias("equivalent"),
+        )
+    )
+    records = base.select(
+        F.lit("srcA").alias("source"),
+        F.col("id8").alias("identifier"),
+        F.lit("Person").alias("rectype"),
+        data.alias("data"),
+    )
+    e = spark.createDataFrame
+    indexes = {
+        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": e([], "uri_a string, uri_b string"),
+        "different_from": e([], "uri_a string, uri_b string"),
+    }
+    edges = reconcile(records, indexes)
+    all_uris = with_doc(records).select(
+        F.coalesce(F.col("doc.id"), F.concat_ws("/", "source", "identifier")).alias("uri")
+    )
+    idmap = build_idmap(edges, all_uris)
+    reident = reidentify(records, idmap)
+    merged = merge_by_yuid(
+        reident.select("yuid", "source", "identifier", "data"), {"srcA": 0}
+    )
+    per = reident.groupBy("yuid").agg(
+        F.min("identifier").alias("comp_key"),
+        F.count(F.lit(1)).alias("n_records"),
+    )
+    names_schema = "identified_by array<struct<type:string,content:string>>"
+    return per.join(merged, "yuid").select(
+        "comp_key",
+        "n_records",
+        F.get_json_object(F.col("data"), "$._label").alias("label"),
+        F.size(F.from_json(F.col("data"), names_schema).identified_by)
+        .cast("long")
+        .alias("n_names"),
+    )

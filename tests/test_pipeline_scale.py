@@ -119,3 +119,47 @@ def test_reidentify_idempotent(spark, built_pair):
     a = dict(out["reidentified"].select(F.concat_ws("|", "source", "identifier"), "data").collect())
     b = dict(again.select(F.concat_ws("|", "source", "identifier"), "data").collect())
     assert a == b  # all URIs already yuids -> second pass is a no-op
+
+
+def test_name_join_salted_equals_broadcast(spark):
+    """The large-authority J1 path (broadcast_index=False: salted shuffle
+    join, operators/skew.salted_join) must produce the exact edge set of
+    the broadcast path — exercised under a celebrity plant: 40% of the
+    records share one hot name that the index maps to a single target, so
+    the hot (name_clean, rectype) key fans out on BOTH join sides."""
+    from data_pipeline_spark.pipeline.reconcile import reconcile
+
+    cust = (
+        spark.read.parquet(f"{SF}/customer.parquet").select("c_custkey").limit(500)
+    )
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    name = F.when(k % 5 < 2, F.lit("Celebrity Q Smith")).otherwise(
+        F.concat(F.lit("Unique "), ks)
+    )
+    data = F.to_json(
+        F.struct(
+            F.concat(F.lit("https://fixture.test/srcA/"), ks).alias("id"),
+            F.lit("Person").alias("type"),
+            name.alias("_label"),
+        )
+    )
+    records = cust.select(
+        F.lit("srcA").alias("source"),
+        ks.alias("identifier"),
+        F.lit("Person").alias("rectype"),
+        data.alias("data"),
+    )
+    idx = _empty_indexes(spark)
+    idx["name_index"] = spark.createDataFrame(
+        [("idx", "celebrity q smith", "T1", "Person"),
+         ("idx", "unique 7", "T7", "Person")],
+        "source string, name_clean string, target_identifier string, rectype string",
+    )
+    bc = sorted(map(tuple, reconcile(records, idx).collect()))
+    sj = sorted(map(tuple, reconcile(records, idx, broadcast_index=False).collect()))
+    assert bc == sj
+    # the celebrity fan-out actually happened: every hot-name record got
+    # the same target edge
+    n_hot = sum(1 for r in bc if r[1].endswith("/idx/T1"))
+    assert n_hot == cust.filter(k % 5 < 2).count()
