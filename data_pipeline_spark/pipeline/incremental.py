@@ -28,7 +28,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .build import run_build
-from .envelope import with_doc
+
+
+
+def _with_uri(records: DataFrame) -> DataFrame:
+    """Key the records tier by canonical URI with a single-path JSON
+    extract — NOT the full DOC_SCHEMA parse (with_doc): at 30x/900k
+    records the full parse made the delta-sized rebuild scale with the
+    corpus (35s vs 20s, SCALE.md round 10).  The scan still touches every
+    row (unavoidable for a keyed filter without a materialized uri
+    column), but the per-row work is one JSON path, and Catalyst prunes
+    every other column."""
+    return records.withColumn(
+        "_uri", F.get_json_object(F.col("data"), "$.id")
+    )
 
 
 def apply_changes_to_records(records: DataFrame, changes: DataFrame) -> DataFrame:
@@ -37,7 +50,7 @@ def apply_changes_to_records(records: DataFrame, changes: DataFrame) -> DataFram
     from ..streaming.ingest import dedupe_first_seen
 
     ch = dedupe_first_seen(changes)
-    keyed = with_doc(records).withColumn("_uri", F.col("doc.id")).drop("doc")
+    keyed = _with_uri(records)
 
     deletes = ch.filter(F.col("change") == "delete").select(
         F.col("object_uri").alias("_uri")
@@ -149,9 +162,15 @@ def affected_uris(
             )
             seeds = seeds.union(hits)
 
+    # seeds and hit_yuids are feed-sized (blast ∝ changes, the module
+    # contract) — broadcast them so the two idmap passes are shuffle-free
+    # scans instead of O(corpus) exchanges (measured: the un-hinted joins
+    # shuffled the 900k-row idmap twice per crawl, SCALE.md round 10)
     qua = seeds.select(F.col("uri").alias("qua_uri")).distinct()
-    hit_yuids = idmap_prev.join(qua, "qua_uri").select("yuid").distinct()
-    members = idmap_prev.join(hit_yuids, "yuid").select(F.col("qua_uri").alias("uri"))
+    hit_yuids = idmap_prev.join(F.broadcast(qua), "qua_uri").select("yuid").distinct()
+    members = idmap_prev.join(F.broadcast(hit_yuids), "yuid").select(
+        F.col("qua_uri").alias("uri")
+    )
     return members.union(seeds).distinct()
 
 
@@ -180,12 +199,19 @@ def incremental_build(
     new_records = apply_changes_to_records(records, changes)
     blast = affected_uris(changes, idmap_prev, indexes)
 
-    slice_records = (
-        with_doc(new_records)
-        .withColumn("_uri", F.col("doc.id"))
-        .join(blast, F.col("_uri") == blast.uri, "left_semi")
-        .drop("doc", "_uri")
+    # slice FIRST, then apply the feed to the delta-sized slice: the only
+    # O(corpus) work left in the rebuild is the single-column uri scan of
+    # the semi-join (the full new_records tier stays lazy — at scale it
+    # is a partition-overwrite write, never recomputed here).  Changed
+    # URIs are always blast seeds, so applying the feed to the slice is
+    # equivalent to slicing the post-feed tier (tested: incremental ==
+    # full rebuild).
+    slice_prev = (
+        _with_uri(records)
+        .join(F.broadcast(blast), F.col("_uri") == blast.uri, "left_semi")
+        .drop("_uri")
     )
+    slice_records = apply_changes_to_records(slice_prev, changes)
     rebuilt = run_build(spark, slice_records, indexes, idmap_prev, merge_order)
 
     # every prev yuid in the blast must leave `untouched` — when two prev
@@ -193,11 +219,14 @@ def incremental_build(
     # is not in rebuilt["merged"] and only the blast knows about it
     affected_yuids = (
         idmap_prev.join(
-            blast.select(F.col("uri").alias("qua_uri")).distinct(), "qua_uri"
+            F.broadcast(blast.select(F.col("uri").alias("qua_uri")).distinct()),
+            "qua_uri",
         ).select("yuid").distinct()
     )
-    untouched = prev_merged.join(affected_yuids, "yuid", "left_anti").join(
-        rebuilt["merged"].select("yuid"), "yuid", "left_anti"
+    # the splice's only O(corpus) pass: one scan of prev_merged with two
+    # broadcast (delta-sized) anti-joins — no corpus-sized exchange
+    untouched = prev_merged.join(F.broadcast(affected_yuids), "yuid", "left_anti").join(
+        F.broadcast(rebuilt["merged"].select("yuid")), "yuid", "left_anti"
     )
     rebuilt["merged_full"] = untouched.unionByName(rebuilt["merged"])
     rebuilt["records"] = new_records

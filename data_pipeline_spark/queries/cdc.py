@@ -358,3 +358,134 @@ def rj02_overlapping_order_windows(spark: SparkSession, sf_dir: str) -> DataFram
     return pairs.groupBy("n_name").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs")
     )
+
+
+@query(
+    "r11_incremental_build",
+    oracle="""
+    SELECT 'K' || c_custkey AS comp_key,
+           CASE c_custkey % 10 WHEN 0 THEN 'B' WHEN 1 THEN 'U' ELSE 'A' END
+             || c_custkey AS label,
+           CAST(CASE c_custkey % 10 WHEN 0 THEN 2 WHEN 2 THEN 4 ELSE 3 END
+                AS BIGINT) AS n_names
+    FROM customer
+    """,
+    survey="R1,R4,R5,R7,R8,A1,J5,J7",
+)
+def r11_incremental_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end incremental rebuild (VERDICT r9 #4): the
+    reference's test_updates.py:78-309 flow — crawl feed -> watermark ->
+    admission -> blast-radius slice rebuild -> splice — as ONE gate over
+    the real pipeline (pipeline/incremental.py), the way d41 composes the
+    dedup stages.
+
+    Prev build: srcA_k ~ srcB_k pair components for every customer, each
+    record named [K<k>, <src>name<k>].  Change feed (k = c_custkey):
+    - k%10==0: DELETE srcA_k        -> entity shrinks to srcB (label B<k>)
+    - k%10==1: UPDATE srcA_k        -> label U<k>, names [K<k>, Uname<k>]
+    - k%10==2: CREATE srcN_k linking srcA_k -> component grows to 3
+    - k%10==3: stale DELETE below the R1 watermark -> MUST be ignored
+    - else: untouched -> final row comes from the SPLICE, not the rebuild
+    The oracle states the final corpus analytically: any watermark leak
+    (3-class turns into 0-class), blast-radius miss (2-class loses srcB's
+    names), splice error (duplicate or lost untouched rows) or fold drift
+    breaks a row."""
+    from ..pipeline.build import run_build
+    from ..pipeline.incremental import incremental_build
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+
+    def rec(src: str, label_prefix: str, extra_name: str, link_to: str | None):
+        uri = F.concat(F.lit(f"https://fixture.test/{src}/"), ks)
+        fields = [
+            uri.alias("id"),
+            F.lit("Person").alias("type"),
+            F.concat(F.lit(label_prefix), ks).alias("_label"),
+            F.array(
+                F.struct(
+                    F.lit("Name").alias("type"),
+                    F.concat(F.lit("K"), ks).alias("content"),
+                ),
+                F.struct(
+                    F.lit("Name").alias("type"),
+                    F.concat(F.lit(extra_name), ks).alias("content"),
+                ),
+            ).alias("identified_by"),
+        ]
+        if link_to is not None:
+            fields.append(
+                F.array(
+                    F.struct(
+                        F.concat(
+                            F.lit(f"https://fixture.test/{link_to}/"), ks
+                        ).alias("id"),
+                        F.lit("Person").alias("type"),
+                    )
+                ).alias("equivalent")
+            )
+        return F.to_json(F.struct(*fields))
+
+    def envelope(src: str, data):
+        return cust.select(
+            F.lit(src).alias("source"),
+            ks.alias("identifier"),
+            F.lit("Person").alias("rectype"),
+            F.lit("2026-01-01T00:00:00").alias("record_time"),
+            F.lit("create").alias("change"),
+            data.alias("data"),
+        )
+
+    prev_records = envelope("srcA", rec("srcA", "A", "Aname", "srcB")).unionByName(
+        envelope("srcB", rec("srcB", "B", "Bname", None))
+    )
+    e = spark.createDataFrame
+    indexes = {
+        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": e([], "uri_a string, uri_b string"),
+        "different_from": e([], "uri_a string, uri_b string"),
+    }
+    order = {"srcA": 0, "srcB": 1, "srcN": 2}
+    prev = run_build(spark, prev_records, indexes, merge_order=order)
+
+    a_uri = F.concat(F.lit("https://fixture.test/srcA/"), ks)
+    n_uri = F.concat(F.lit("https://fixture.test/srcN/"), ks)
+    m = k % 10
+    changes = (
+        cust.filter(m.isin(0, 1, 2, 3))
+        .select(
+            k.alias("seq"),
+            F.when(m == 3, F.lit("2026-01-10T00:00:00"))
+            .otherwise(F.lit("2026-02-01T00:00:00"))
+            .cast("timestamp")
+            .alias("end_time"),
+            F.when(m.isin(0, 3), F.lit("delete"))
+            .when(m == 1, F.lit("update"))
+            .otherwise(F.lit("create"))
+            .alias("change"),
+            F.when(m == 2, n_uri).otherwise(a_uri).alias("object_uri"),
+            F.when(m == 1, rec("srcA", "U", "Uname", "srcB"))
+            .when(m == 2, rec("srcN", "N", "Nname", "srcA"))
+            .alias("payload"),
+        )
+    )
+    inc = incremental_build(
+        spark,
+        prev_records,
+        changes,
+        indexes,
+        idmap_prev=prev["idmap"],
+        prev_merged=prev["merged"],
+        merge_order=order,
+        last_harvest="2026-01-15T00:00:00",
+    )
+    names_schema = "identified_by array<struct<type:string,content:string>>"
+    return inc["merged_full"].select(
+        F.get_json_object(F.col("data"), "$.identified_by[0].content").alias("comp_key"),
+        F.get_json_object(F.col("data"), "$._label").alias("label"),
+        F.size(F.from_json(F.col("data"), names_schema).identified_by)
+        .cast("long")
+        .alias("n_names"),
+    )
