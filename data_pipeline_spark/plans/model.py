@@ -12,18 +12,33 @@ from ..catalog import load_table
 
 
 def build_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uniform entities(id, type, name, number) over all testdata rows."""
+    """Uniform entities(id, type, name, number, date, anytext) over all
+    testdata rows.
 
-    def ent(df, prefix, typ, key, name_col, number_col):
+    ``date`` and ``anytext`` complete the reference's field-type table
+    (searchConfig.json via ml_lexer.py:283-299): every configured leaf
+    type — string, xstring (exact identifier), date (the *DateFloat
+    range fields) and number — now has a typed column in the model, and
+    ``anytext`` is the `text -> *AnyText` cross-field surface (the
+    record's searchable text in one column, word-queryable with `~`)."""
+
+    def ent(df, prefix, typ, key, name_col, number_col, date_col=None):
+        name = F.col(name_col) if name_col else F.lit(None).cast("string")
         return df.select(
             F.concat(F.lit(prefix), F.col(key).cast("string")).alias("id"),
             F.lit(typ).alias("type"),
-            (F.col(name_col) if name_col else F.lit(None).cast("string")).alias("name"),
+            name.alias("name"),
             (
                 F.col(number_col).cast("double")
                 if number_col
                 else F.lit(None).cast("double")
             ).alias("number"),
+            (
+                F.col(date_col).cast("date")
+                if date_col
+                else F.lit(None).cast("date")
+            ).alias("date"),
+            F.lower(F.concat_ws(" ", name, F.lit(typ))).alias("anytext"),
         )
 
     return (
@@ -32,7 +47,7 @@ def build_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(ent(load_table(spark, sf_dir, "part"), "part:", "part", "p_partkey", "p_name", "p_retailprice"))
         .unionAll(ent(load_table(spark, sf_dir, "nation"), "nation:", "nation", "n_nationkey", "n_name", None))
         .unionAll(ent(load_table(spark, sf_dir, "region"), "region:", "region", "r_regionkey", "r_name", None))
-        .unionAll(ent(load_table(spark, sf_dir, "orders"), "order:", "order", "o_orderkey", None, "o_totalprice"))
+        .unionAll(ent(load_table(spark, sf_dir, "orders"), "order:", "order", "o_orderkey", None, "o_totalprice", "o_orderdate"))
     )
 
 

@@ -49,10 +49,16 @@ class SearchPlanner:
         entities: DataFrame,
         edges: DataFrame,
         field_map: dict[str, str] | None = None,
+        any_predicate: str = "any",
     ):
         self.entities = entities
         self.edges = edges
         self.field_map = field_map or {}
+        # the reference's `any` relationship (searchConfig.json
+        # `any: [lux:*Any, Reference]`, ml_lexer.py:286): a traversal
+        # matching over EVERY predicate — compiled as the edge semi-join
+        # without the predicate filter
+        self.any_predicate = any_predicate
 
     def plan(self, query: str | object) -> DataFrame:
         """Return a DataFrame of matching entity `id`s (distinct)."""
@@ -193,7 +199,9 @@ class SearchPlanner:
             return self.entities.filter(self._near_condition(node)).select("id")
         if isinstance(node, Rel):
             sub = self._plan(node.child)
-            e = self.edges.filter(F.col("predicate") == node.predicate)
+            e = self.edges
+            if node.predicate != self.any_predicate:
+                e = e.filter(F.col("predicate") == node.predicate)
             if node.inverse:
                 # entities pointed TO by matches of the sub-plan
                 return (

@@ -65,6 +65,12 @@ GATE_PIN = [
     # (ADVICE r9 #2), v07's inline build materializes the trained
     # index (ADVICE r9 #3 — plan change in the self-contained path).
     "g03_pagerank", "d51_prefix_filter_jaccard", "v07_ann_ivf_pq",
+    # r10: the DSL model grew date/anytext columns and the planner the
+    # `any` wildcard (searchConfig audit) — every dsl query runs through
+    # the changed model; q01-q04/q06-q08/q10 re-front via AGE_SLOTS
+    # already, these three (r5/r7 greens) re-gate by pin
+    "dsl_q05_parts_in_german_orders", "dsl_q09_boost_scoring",
+    "dsl_q11_near_andnot_boost",
 ]
 
 GATE_WINDOW_SIZE = 50

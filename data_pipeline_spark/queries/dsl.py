@@ -262,3 +262,34 @@ def dsl_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         "BOOST(ANDNOT(AND(type=part, name~small),"
         " NEAR(name~small, name~bolt, 1)), AND(type=part, name~gizmo))"
     )
+
+
+@query(
+    "dsl_q12_any_rel_date_text",
+    oracle=r"""
+    SELECT DISTINCT 'order:' || o_orderkey AS id
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1995-06-01'
+      AND CAST(o_orderdate AS DATE) <= DATE '1995-06-30'
+      AND len(list_filter(regexp_split_to_array(lower(p_name) || ' part', '\W+'),
+                          t -> t = 'widget')) > 0
+    """,
+    survey="Q4,Q5,search-any-rel,search-date-field,search-anytext",
+)
+def dsl_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three field-table entries the round-10 audit of the
+    reference's searchConfig.json (via ml_lexer.py:283-299) found
+    untested, in one query: the `any` predicate-WILDCARD relationship
+    (`lux:*Any` — edge traversal over every predicate), a typed `date`
+    leaf with range comparators (the *DateFloat fields), and the
+    `text`/*AnyText cross-field word surface — orders placed in June
+    1995 with ANY related entity whose anytext word-matches 'widget'.
+    Only contains-edges can satisfy the sub-plan (parts own the word),
+    so the oracle replays the wildcard traversal as the lineitem join."""
+    planner = build_planner(spark, sf_dir)
+    return planner.plan(
+        'AND(type=order, date>="1995-06-01", date<="1995-06-30",'
+        ' any(anytext~widget))'
+    )

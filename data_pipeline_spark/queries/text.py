@@ -631,6 +631,9 @@ def d15_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE: the d-family numbering skips d50 (d49 -> d51) — a round-9
+# numbering accident.  Kept as a gap on purpose: renumbering would orphan
+# the committed CORRECTNESS/BENCH history that records these names.
 _D51_T_NUM, _D51_T_DEN = 3, 5  # Jaccard threshold 0.6 as an exact rational
 
 
