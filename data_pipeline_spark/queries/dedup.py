@@ -262,6 +262,77 @@ def lsh_candidates(sigs: DataFrame) -> DataFrame:
     )
 
 
+def lsh_candidates_capped(sigs: DataFrame, bucket_cap: int = 64) -> DataFrame:
+    """LSH candidates with a HARD per-bucket quadratic bound — the
+    mega-family guard (VERDICT r9 #5).  A pathological near-dup family of
+    B documents lands ALL of them in the same band buckets, so the plain
+    band join emits B(B-1)/2 pairs (100k family = 5e9 pairs from one
+    bucket).  This variant splits every over-cap bucket the way the
+    semantic tier's capped_assignment does (operators/similarity.py:126):
+    row_number over (md5(id), id) within the bucket, mod ceil(n/cap) —
+    deterministic and EXACT (every sub-bucket holds at most ``bucket_cap``
+    ids by construction), applied BEFORE the pair join so the quadratic
+    stage never sees an unsplit bucket.  Per-bucket output is bounded by
+    ceil(n/cap) * cap^2/2 — LINEAR in n at fixed cap.
+
+    Connectivity contract (what the downstream CC consumers — d36's
+    corpus clean, d12's dedup groups — actually need): each sub-bucket's
+    minimum id is linked to the bucket minimum, so any two docs of a
+    split bucket stay CC-connected through the spine IF the linking pairs
+    survive verification.  For a genuine near-dup family they do (every
+    member is near-dup with every other); for a hash-collision bucket of
+    UNRELATED docs the spine edges fail verify exactly like the plain
+    join's pairs would.  Pairs are a SUBSET of the uncapped candidate set
+    plus the spine (property-tested in tests/test_scale_paths.py); the
+    first-shared-band single-emission trick does not survive splitting
+    (a pair suppressed in band s by the split may legally re-match in
+    band t), so this path dedupes with a distinct over the now-bounded
+    volume."""
+    bh = band_hash_cols()
+    bands = sigs.select("id", F.posexplode(F.array(*bh)).alias("band", "bh"))
+    wb = Window.partitionBy("band", "bh")
+    wo = wb.orderBy(F.md5(F.col("id").cast("string")), "id")
+    split = bands.select(
+        "id", "band", "bh",
+        (
+            (F.row_number().over(wo) - 1)
+            % F.ceil(
+                F.count(F.lit(1)).over(wb).cast("double") / bucket_cap
+            ).cast("bigint")
+        ).alias("sub"),
+    )
+    a = split.select("band", "bh", "sub", F.col("id").alias("id_a"))
+    b = split.select("band", "bh", "sub", F.col("id").alias("id_b"))
+    pairs = (
+        a.join(b, ["band", "bh", "sub"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    sub_mins = split.groupBy("band", "bh", "sub").agg(F.min("id").alias("sid"))
+    spine = (
+        sub_mins.withColumn(
+            "bmin", F.min("sid").over(Window.partitionBy("band", "bh"))
+        )
+        .filter(F.col("sid") != F.col("bmin"))
+        .select(
+            F.least("sid", "bmin").alias("id_a"),
+            F.greatest("sid", "bmin").alias("id_b"),
+        )
+    )
+    return pairs.unionByName(spine).distinct()
+
+
+def tiered_pairs_capped(docs: DataFrame, bucket_cap: int = 64) -> DataFrame:
+    """The d35 layered verify over the CAPPED candidate set — the hot-
+    bucket route for corpora with mega near-dup families.  Identical
+    estimate/borderline/exact thresholds (tiered_pairs_from), only the
+    candidate generation differs."""
+    da = shingle_arrays_df(docs)
+    sigs = minhash_signatures(da.select("id", F.explode("sh").alias("shingle")))
+    cands = lsh_candidates_capped(sigs, bucket_cap)
+    return tiered_pairs_from(da, signature_estimate_pairs(sigs, cands))
+
+
 def verified_pairs_from_arrays(
     doc_sh: DataFrame, candidates: DataFrame, threshold: float
 ) -> DataFrame:
