@@ -1986,3 +1986,57 @@ def d48_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_sim = joined.filter("is_prev").select("simhash").distinct()
     delta = joined.filter(~F.col("is_prev")).drop("is_prev")
     return refresh_verdicts(delta, prev_fp, prev_sim)
+
+
+_D52_CAP = 4  # small enough that sf0.01 buckets actually split
+
+_D52_ORACLE = f"""
+    WITH {_SHINGLES_SQL},
+    {_sig_sql()},
+    {_bands_sql()},
+    split AS (
+        SELECT id, band, bh,
+               (row_number() OVER (PARTITION BY band, bh
+                                   ORDER BY md5(CAST(id AS VARCHAR)), id) - 1)
+               % CAST(CEIL(CAST(COUNT(*) OVER (PARTITION BY band, bh) AS DOUBLE)
+                           / {_D52_CAP}) AS BIGINT) AS sub
+        FROM bands
+    ),
+    sub_mins AS (
+        SELECT band, bh, sub, MIN(id) AS sid FROM split GROUP BY band, bh, sub
+    ),
+    spine AS (
+        SELECT LEAST(sid, bmin) AS id_a, GREATEST(sid, bmin) AS id_b
+        FROM (SELECT band, bh, sid,
+                     MIN(sid) OVER (PARTITION BY band, bh) AS bmin
+              FROM sub_mins)
+        WHERE sid != bmin
+    ),
+    cands AS (
+        SELECT DISTINCT id_a, id_b FROM (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM split a
+            JOIN split b ON a.band = b.band AND a.bh = b.bh
+                        AND a.sub = b.sub AND a.id < b.id
+            UNION ALL
+            SELECT id_a, id_b FROM spine
+        )
+    ),
+    {_TIERED_SQL}
+    SELECT id_a, id_b, sim, method FROM tier_pairs
+"""
+
+
+@query("d52_capped_tier_pairs", oracle=_D52_ORACLE, survey="dedup-minhash-lsh,skew")
+def d52_capped_tier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mega-family-capped candidate path (lsh_candidates_capped) as a
+    driver gate: band buckets larger than the cap split into exact
+    row_number-mod sub-buckets BEFORE the pair join (hard per-bucket
+    quadratic bound — a 100k-member near-dup family emits linear
+    candidates, measured in SCALE.md round 10), with the sub-minimum
+    spine keeping split buckets CC-connected.  The oracle replays the
+    split (same md5 order, same ceil arithmetic), the spine, and the
+    d35 layered verify over the capped candidate set — byte parity or
+    red.  Cap pinned to {_D52_CAP} so sf0.01 buckets genuinely split."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tiered_pairs_capped(docs, bucket_cap=_D52_CAP)
