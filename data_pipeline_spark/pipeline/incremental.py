@@ -229,5 +229,13 @@ def incremental_build(
         F.broadcast(rebuilt["merged"].select("yuid")), "yuid", "left_anti"
     )
     rebuilt["merged_full"] = untouched.unionByName(rebuilt["merged"])
+    # the spliced FULL idmap — the next crawl's idmap_prev (the streaming
+    # entity twin folds on this): affected components' rows are replaced
+    # wholesale by the rebuilt slice's idmap (creates appear, deletes
+    # vanish with their records), untouched components' rows survive
+    rebuilt["idmap_full"] = (
+        idmap_prev.join(F.broadcast(affected_yuids), "yuid", "left_anti")
+        .unionByName(rebuilt["idmap"].select("qua_uri", "yuid"))
+    )
     rebuilt["records"] = new_records
     return rebuilt

@@ -1048,3 +1048,101 @@ def test_stream_refresh_matches_batch_and_is_retry_idempotent(spark, tmp_path):
     assert {r.doc_id: r.reason for r in again.collect()} == {
         20: "in_prev_build", 21: "in_prev_build"  # 21 was admitted+folded
     }
+
+
+def test_stream_entity_builds_crawl_sequence(spark, tmp_path):
+    """The entity-chain streaming twin (streaming/entity_stream.py): two
+    crawl files -> two micro-batch incremental builds over versioned
+    state; the final streamed merged tier must equal a FULL rebuild over
+    the final records tier (the same gold check the batch incremental
+    test pins), so the streaming sequencing adds nothing to semantics."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.pipeline.build import run_build
+    from data_pipeline_spark.streaming.entity_stream import (
+        init_state,
+        latest_state,
+        stream_entity_builds,
+    )
+
+    def uri(src, k):
+        return f"https://fixture.test/{src}/{k}"
+
+    def doc(src, k, label, link=None):
+        d = {"id": uri(src, k), "type": "Person", "_label": label}
+        if link:
+            d["equivalent"] = [{"id": link, "type": "Person"}]
+        return json.dumps(d)
+
+    rows = []
+    for k in range(20):
+        rows.append(("srcA", str(k), "Person", "2026-01-01T00:00:00", "create",
+                     doc("srcA", k, f"A{k}", uri("srcB", k))))
+        rows.append(("srcB", str(k), "Person", "2026-01-01T00:00:00", "create",
+                     doc("srcB", k, f"B{k}")))
+    records = spark.createDataFrame(
+        rows,
+        "source string, identifier string, rectype string, record_time string, change string, data string",
+    )
+    e = spark.createDataFrame
+    indexes = {
+        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": e([], "uri_a string, uri_b string"),
+        "different_from": e([], "uri_a string, uri_b string"),
+    }
+    order = {"srcA": 0, "srcB": 1, "srcN": 2}
+    state_dir = str(tmp_path / "state")
+    init_state(spark, records, indexes, state_dir, merge_order=order)
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    crawl1 = [
+        {"seq": 1, "end_time": "2026-02-01T10:00:00", "change": "update",
+         "object_uri": uri("srcA", 3),
+         "payload": doc("srcA", 3, "A3-updated", uri("srcB", 3))},
+        {"seq": 2, "end_time": "2026-02-01T10:00:00", "change": "delete",
+         "object_uri": uri("srcA", 5), "payload": None},
+    ]
+    crawl2 = [
+        {"seq": 3, "end_time": "2026-02-02T10:00:00", "change": "create",
+         "object_uri": uri("srcN", 7),
+         "payload": doc("srcN", 7, "N7", uri("srcA", 7))},
+        # second-crawl update of the SAME record crawl 1 touched: state
+        # versioning must chain, not reset
+        {"seq": 4, "end_time": "2026-02-02T10:00:00", "change": "update",
+         "object_uri": uri("srcA", 3),
+         "payload": doc("srcA", 3, "A3-final", uri("srcB", 3))},
+    ]
+    for i, crawl in enumerate((crawl1, crawl2)):
+        with open(feed_dir / f"crawl{i}.jsonl", "w") as f:
+            for r in crawl:
+                f.write(json.dumps(r) + "\n")
+
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_entity_builds(spark, str(feed_dir), state_dir, ckpt, indexes, order)
+    q.awaitTermination(180)
+
+    final = latest_state(spark, state_dir, ckpt)
+    # gold carries the BASE idmap as its stability input: the streamed
+    # chain keeps prev yuids across crawls (e.g. B5 keeps the pair's
+    # yuid after srcA/5's delete), so the equivalent batch rebuild must
+    # get the same lineage — without it the gold would re-mint B5
+    base_idmap = spark.read.parquet(f"{state_dir}/idmap/v=base")
+    gold = run_build(
+        spark, final["records"], indexes, idmap_prev=base_idmap, merge_order=order
+    )
+    got = {
+        (r["yuid"], r["data"]) for r in final["merged"].collect()
+    }
+    want = {(r["yuid"], r["data"]) for r in gold["merged"].collect()}
+    assert got == want
+    labels = {
+        json.loads(d)["_label"] for (_, d) in got
+    }
+    assert "A3-final" in labels           # crawl-2 update landed on crawl-1 state
+    assert "A3-updated" not in labels
+    assert "B5" in labels                 # srcA/5 deleted -> srcB/5 now the base
+    n7 = [json.loads(d) for (_, d) in got if json.loads(d)["_label"] == "A7"]
+    assert len(n7) == 1                   # srcN/7 folded INTO A7's entity
+    assert final["idmap"].filter(F.col("qua_uri") == uri("srcN", 7)).count() == 1
