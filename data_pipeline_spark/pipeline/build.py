@@ -31,14 +31,19 @@ def run_build(
     indexes: dict[str, DataFrame],
     idmap_prev: DataFrame | None = None,
     merge_order: dict[str, int] | None = None,
+    delta_sized: bool = False,
 ) -> dict[str, DataFrame]:
-    """records + reconcile indexes (+ prev idmap) -> all output tiers."""
+    """records + reconcile indexes (+ prev idmap) -> all output tiers.
+
+    ``delta_sized``: this build covers a change-feed-sized slice (the
+    incremental rebuild) — size-asymmetric joins against prev-build
+    relations broadcast the slice side (see idmap.assign_yuids)."""
     equiv_edges = reconcile(records, indexes)
 
     all_uris = with_doc(records).select(
         F.coalesce(F.col("doc.id"), F.concat_ws("/", "source", "identifier")).alias("uri")
     )
-    idmap = build_idmap(equiv_edges, all_uris, idmap_prev)
+    idmap = build_idmap(equiv_edges, all_uris, idmap_prev, delta_sized)
 
     reidentified = reidentify(
         records.select("source", "identifier", "rectype", "data"), idmap

@@ -68,7 +68,11 @@ def label_components(edges: DataFrame, all_uris: DataFrame) -> DataFrame:
     return comps.unionByName(singles)
 
 
-def assign_yuids(components: DataFrame, idmap_prev: DataFrame | None = None) -> DataFrame:
+def assign_yuids(
+    components: DataFrame,
+    idmap_prev: DataFrame | None = None,
+    delta_sized: bool = False,
+) -> DataFrame:
     """idmap(qua_uri, yuid) from component labels + the previous build.
 
     The split rule needs one deterministic winner per prev yuid: the new
@@ -79,9 +83,16 @@ def assign_yuids(components: DataFrame, idmap_prev: DataFrame | None = None) -> 
 
     from pyspark.sql import Window as W
 
-    # no broadcast hint: the previous idmap scales with the corpus —
-    # this is a plain equi-join on qua_uri (both sides bucketable)
-    prev_hits = comps.join(idmap_prev.select("qua_uri", "yuid"), "qua_uri")
+    # FULL build: no broadcast hint — the previous idmap AND the new
+    # components both scale with the corpus; plain equi-join on qua_uri
+    # (both sides bucketable).  INCREMENTAL slice rebuild
+    # (delta_sized=True, set by pipeline/incremental.py): the components
+    # relation is blast-radius-sized, so broadcasting it keeps the
+    # corpus-sized idmap_prev scan shuffle-free — AQE cannot infer this
+    # itself because the checkpointed lineage reports no size stats
+    # (caught by test_plan_quality's splice plan pin, round 10)
+    probe = F.broadcast(comps) if delta_sized else comps
+    prev_hits = probe.join(idmap_prev.select("qua_uri", "yuid"), "qua_uri")
     # one winner component per prev yuid (split handling)
     w = W.partitionBy("yuid").orderBy("qua_uri")
     winners = (
@@ -104,7 +115,14 @@ def assign_yuids(components: DataFrame, idmap_prev: DataFrame | None = None) -> 
 
 
 def build_idmap(
-    edges: DataFrame, all_uris: DataFrame, idmap_prev: DataFrame | None = None
+    edges: DataFrame,
+    all_uris: DataFrame,
+    idmap_prev: DataFrame | None = None,
+    delta_sized: bool = False,
 ) -> DataFrame:
-    """equiv_edges + universe (+ prev build) -> idmap(qua_uri, yuid)."""
-    return assign_yuids(label_components(edges, all_uris), idmap_prev)
+    """equiv_edges + universe (+ prev build) -> idmap(qua_uri, yuid).
+
+    ``delta_sized``: the caller asserts the component universe is
+    change-feed-sized (the incremental slice rebuild) — the prev-idmap
+    stability join then broadcasts the component side."""
+    return assign_yuids(label_components(edges, all_uris), idmap_prev, delta_sized)

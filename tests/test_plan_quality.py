@@ -694,3 +694,67 @@ def test_d46_split_is_shuffle_free(spark):
     assert "Exchange hashpartitioning" not in plan
     assert "Join" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_incremental_splice_broadcasts_delta_side(spark):
+    """The round-10 claim that the incremental rebuild exchanges no
+    corpus-sized relation: the blast/splice joins must compile to
+    broadcast joins (delta side broadcast), never a SortMergeJoin over
+    idmap_prev/prev_merged."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.pipeline.build import run_build
+    from data_pipeline_spark.pipeline.incremental import incremental_build
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select("c_custkey").limit(200)
+    ks = F.col("c_custkey").cast("string")
+    records = cust.select(
+        F.lit("srcA").alias("source"),
+        ks.alias("identifier"),
+        F.lit("Person").alias("rectype"),
+        F.lit("2026-01-01T00:00:00").alias("record_time"),
+        F.lit("create").alias("change"),
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("https://fixture.test/srcA/"), ks).alias("id"),
+                F.lit("Person").alias("type"),
+                F.concat(F.lit("A"), ks).alias("_label"),
+            )
+        ).alias("data"),
+    )
+    e = spark.createDataFrame
+    idx = {
+        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": e([], "uri_a string, uri_b string"),
+        "different_from": e([], "uri_a string, uri_b string"),
+    }
+    prev = run_build(spark, records, idx)
+    changes = cust.limit(5).select(
+        F.col("c_custkey").alias("seq"),
+        F.lit("2026-02-01T00:00:00").cast("timestamp").alias("end_time"),
+        F.lit("delete").alias("change"),
+        F.concat(F.lit("https://fixture.test/srcA/"), ks).alias("object_uri"),
+        F.lit(None).cast("string").alias("payload"),
+    )
+    inc = incremental_build(
+        spark, records, changes, idx,
+        idmap_prev=prev["idmap"].localCheckpoint(),
+        prev_merged=prev["merged"].localCheckpoint(),
+    )
+    out = inc["merged_full"]
+    out.collect()  # execute: AQE finalizes join strategies at runtime
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # FINAL adaptive plan: the splice anti-joins (yuid keys, prev_merged
+    # side) and the blast membership joins (qua_uri keys, idmap_prev
+    # side) must end up broadcast — statically hinted where the delta is
+    # known (incremental.py), AQE-converted for the slice rebuild's
+    # prev-idmap stability join (assign_yuids: comps is delta-sized at
+    # runtime).  Sort-merge INSIDE the delta-sized slice (e.g. the
+    # closure's uri-keyed singleton anti-join) is fine
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line and ("yuid" in line or "qua_uri" in line):
+            raise AssertionError(
+                f"corpus-sided splice/blast join stayed sort-merge: {line}"
+            )

@@ -117,6 +117,11 @@ def main(sf_dir: str) -> None:
     prev_idmap = prev["idmap"].localCheckpoint()
     n_prev = prev_merged.count()
     full_sec = round(time.perf_counter() - t0, 1)
+    # second full-build rep (same session): run-to-run JVM variance at
+    # these absolute times is large — report both, compare the mins
+    t0 = time.perf_counter()
+    run_build(spark, records, indexes, merge_order=order)["merged"].count()
+    full_sec2 = round(time.perf_counter() - t0, 1)
 
     # fixed delta: N_CHANGES changes over the lowest custkeys (present at
     # every scale): half updates, quarter deletes, quarter creates
@@ -169,21 +174,25 @@ def main(sf_dir: str) -> None:
     )
     n_changes = changes.count()
 
-    t0 = time.perf_counter()
-    inc = incremental_build(
-        spark, records, changes, indexes,
-        idmap_prev=prev_idmap, prev_merged=prev_merged, merge_order=order,
-    )
-    slice_merged = inc["merged"].localCheckpoint()
-    n_slice = slice_merged.count()
-    slice_sec = round(time.perf_counter() - t0, 1)
+    slice_secs, splice_secs = [], []
+    n_slice = n_full_out = 0
+    for _ in range(2):  # interleaved reps, same session
+        t0 = time.perf_counter()
+        inc = incremental_build(
+            spark, records, changes, indexes,
+            idmap_prev=prev_idmap, prev_merged=prev_merged, merge_order=order,
+        )
+        slice_merged = inc["merged"].localCheckpoint()
+        n_slice = slice_merged.count()
+        slice_secs.append(round(time.perf_counter() - t0, 1))
 
-    # the real splice (incremental_build's own merged_full); its lazy plan
-    # re-derives the slice, so splice_sec ≈ splice + one slice recompute —
-    # an upper bound on the write-side pass
-    t0 = time.perf_counter()
-    n_full_out = inc["merged_full"].count()
-    splice_sec = round(time.perf_counter() - t0, 1)
+        # the real splice (incremental_build's own merged_full); its lazy
+        # plan re-derives the slice, so splice ≈ splice + one slice
+        # recompute — an upper bound on the write-side pass
+        t0 = time.perf_counter()
+        n_full_out = inc["merged_full"].count()
+        splice_secs.append(round(time.perf_counter() - t0, 1))
+    slice_sec, splice_sec = min(slice_secs), min(splice_secs)
 
     canary_end = _spin()
     print(json.dumps({
@@ -193,9 +202,12 @@ def main(sf_dir: str) -> None:
         "n_changes": n_changes,
         "n_slice_entities": n_slice,
         "n_final_entities": n_full_out,
-        "full_build_sec": full_sec,
+        "full_build_sec": min(full_sec, full_sec2),
+        "full_build_reps": [full_sec, full_sec2],
         "slice_rebuild_sec": slice_sec,
+        "slice_rebuild_reps": slice_secs,
         "splice_sec": splice_sec,
+        "splice_reps": splice_secs,
         "full_over_slice": round(full_sec / max(slice_sec, 0.1), 1),
         "canary_spin_sec": {"start": canary_start, "end": canary_end},
     }))
