@@ -2040,3 +2040,95 @@ def d52_capped_tier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     red.  Cap pinned to {_D52_CAP} so sf0.01 buckets genuinely split."""
     docs = load_table(spark, sf_dir, "documents")
     return tiered_pairs_capped(docs, bucket_cap=_D52_CAP)
+
+
+_D53_ORACLE = f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_sig_sql()},
+    {_bands_sql()},
+    cands AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM shingles GROUP BY id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_both
+        FROM cands c
+        JOIN shingles sa ON c.id_a = sa.id
+        JOIN shingles sb ON c.id_b = sb.id AND sa.shingle = sb.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes na ON id_a = na.id JOIN sizes nb ON id_b = nb.id
+        WHERE ROUND(CAST(n_both AS DOUBLE) / (na.n + nb.n - n_both), 6) >= {JACCARD_T}
+    ),
+    sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    walk(node, label) AS (
+        SELECT s, s FROM sym
+        UNION
+        SELECT e.d, w.label FROM walk w JOIN sym e ON w.node = e.s
+        WHERE w.label < e.d
+    ),
+    comp AS (SELECT node, MIN(label) AS comp FROM walk GROUP BY node),
+    tok AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+')) AS n_tokens
+        FROM documents
+    ),
+    keepers AS (
+        SELECT comp, doc_id AS keeper, n_tokens AS keeper_tokens FROM (
+            SELECT c.comp, c.node AS doc_id, t.n_tokens,
+                   row_number() OVER (PARTITION BY c.comp
+                                      ORDER BY t.n_tokens DESC, c.node) AS rn
+            FROM comp c JOIN tok t ON t.doc_id = c.node
+        ) WHERE rn = 1
+    )
+    SELECT c.node AS doc_id,
+           k.keeper AS keeper_doc_id,
+           c.node = k.keeper AS kept
+    FROM comp c JOIN keepers k ON c.comp = k.comp
+"""
+
+
+@query(
+    "d53_quality_keeper_election",
+    oracle=_D53_ORACLE,
+    survey="dedup-groups,quality-score",
+)
+def d53_quality_keeper_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper election: d12's dedup groups, but each
+    cluster keeps its BEST member — highest token count, doc_id tiebreak
+    — instead of the min id.  This is what production corpus cleans
+    actually do (keep the longest/highest-quality copy of a near-dup
+    family, not an arbitrary one); the min-id form (d12) remains the
+    cheap variant when members are interchangeable.  Same LSH-verified
+    pair tier and closure; one extra broadcast-able token-count join and
+    a per-component argmax window.  At 100 TB the window partitions by
+    component (bounded groups), never globally."""
+    from pyspark.sql import Window as W
+
+    from ..pipeline.closure import connected_components
+
+    pairs = _verified_pairs_tier(spark, sf_dir)
+    comps = connected_components(
+        pairs.select("id_a", "id_b"), src="id_a", dst="id_b"
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("comp"))
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+")).alias("n_tokens"),
+    )
+    scored = comps.join(tok, "doc_id")
+    w = W.partitionBy("comp").orderBy(F.desc("n_tokens"), "doc_id")
+    keepers = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("comp", F.col("doc_id").alias("keeper_doc_id"))
+    )
+    return comps.join(keepers, "comp").select(
+        "doc_id",
+        "keeper_doc_id",
+        (F.col("doc_id") == F.col("keeper_doc_id")).alias("kept"),
+    )
