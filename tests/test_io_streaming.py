@@ -1146,3 +1146,63 @@ def test_stream_entity_builds_crawl_sequence(spark, tmp_path):
     n7 = [json.loads(d) for (_, d) in got if json.loads(d)["_label"] == "A7"]
     assert len(n7) == 1                   # srcN/7 folded INTO A7's entity
     assert final["idmap"].filter(F.col("qua_uri") == uri("srcN", 7)).count() == 1
+
+
+def test_entity_build_batch_retry_idempotent(spark, tmp_path):
+    """A retried crawl (same batch_key, same source_key) must reproduce
+    its first attempt exactly: the per-version overwrite plus the
+    committed-source read are the whole at-least-once story for the
+    entity stream (mirrors the refresh stream's retry contract)."""
+    from data_pipeline_spark.streaming.entity_stream import (
+        entity_build_batch,
+        init_state,
+    )
+
+    def doc(src, k, label, link=None):
+        d = {"id": f"https://fixture.test/{src}/{k}", "type": "Person", "_label": label}
+        if link:
+            d["equivalent"] = [{"id": link, "type": "Person"}]
+        return json.dumps(d)
+
+    rows = [
+        ("srcA", str(k), "Person", "2026-01-01T00:00:00", "create",
+         doc("srcA", k, f"A{k}"))
+        for k in range(8)
+    ]
+    records = spark.createDataFrame(
+        rows,
+        "source string, identifier string, rectype string, record_time string, change string, data string",
+    )
+    e = spark.createDataFrame
+    indexes = {
+        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": e([], "uri_a string, uri_b string"),
+        "different_from": e([], "uri_a string, uri_b string"),
+    }
+    state_dir = str(tmp_path / "state")
+    init_state(spark, records, indexes, state_dir)
+
+    changes = e(
+        [(1, "2026-02-01 00:00:00", "update", "https://fixture.test/srcA/3",
+          doc("srcA", 3, "A3-v2"))],
+        "seq bigint, end_time string, change string, object_uri string, payload string",
+    ).withColumn("end_time", F.col("end_time").cast("timestamp"))
+
+    def snapshot():
+        return {
+            tier: sorted(map(tuple, spark.read.parquet(
+                f"{state_dir}/{tier}/v=k1").collect()))
+            for tier in ("records", "idmap", "merged")
+        }
+
+    entity_build_batch(spark, changes, state_dir, indexes,
+                       batch_key="k1", source_key="base")
+    first = snapshot()
+    # retry: same key, same source — the overwrite must reproduce it
+    entity_build_batch(spark, changes, state_dir, indexes,
+                       batch_key="k1", source_key="base")
+    assert snapshot() == first
+    labels = {json.loads(r[2])["_label"] if len(r) == 3 else None
+              for r in first["merged"]}
+    assert "A3-v2" in labels
