@@ -11,10 +11,20 @@ extract-join-reassemble:
    that shuffles only (uri, yuid) pairs, never documents;
 3. collect each record's private ``uri -> yuid`` map (tiny: the record's
    own reference set) back onto the row;
-4. apply the substitutions in one Arrow-batched pandas pass.
+4. apply the substitutions as a JVM higher-order fold —
+   ``aggregate(map_entries(submap), data, replace(acc, "uri", "yuid"))``
+   — inside whole-stage codegen (round 10; previously an Arrow-batched
+   pandas pass: at 3M records the Python round-trip was the dominant
+   chain stage, 76.6 s of 140.7).
 
-No broadcast of the full idmap, no driver loop — both sides stream, so a
-billion-record idmap is fine.
+Substitution-order independence (why the unordered map is safe): every
+search key is a full quoted string ``"<uri>"`` and every replacement a
+quoted yuid, which is never itself an http URI — so no replacement can
+create, destroy, or overlap another key's match, and any fold order
+yields the same string.
+
+No broadcast of the full idmap, no driver loop, no Python boundary —
+both sides stream, so a billion-record idmap is fine.
 """
 
 from __future__ import annotations
@@ -28,8 +38,6 @@ _URI_RE = r'"(https?://[^"]+)"'
 def reidentify(records: DataFrame, idmap: DataFrame) -> DataFrame:
     """records(source, identifier, rectype, data) + idmap(qua_uri, yuid)
     -> same rows with `data` rewritten and a `yuid` column attached."""
-    import pandas as pd
-
     keyed = records.withColumn(
         "_rk", F.concat_ws("|", F.col("source"), F.col("identifier"))
     )
@@ -44,21 +52,24 @@ def reidentify(records: DataFrame, idmap: DataFrame) -> DataFrame:
     )
     joined = keyed.join(per_record, "_rk", "left")
 
-    def rewrite(batches):
-        for pdf in batches:
-            out_data = []
-            for data, submap in zip(pdf["data"], pdf["_submap"]):
-                sub = dict(submap) if submap is not None else {}
-                s = data
-                # exact quoted-string matches only, so partial-prefix URIs
-                # never clobber longer ones
-                for uri, yuid in sub.items():
-                    s = s.replace(f'"{uri}"', f'"{yuid}"')
-                out_data.append(s)
-            yield pdf.assign(data=out_data).drop(columns=["_submap"])
-
-    schema = ", ".join(f"{c} string" for c in joined.drop("_submap").columns)
-    rewritten = joined.mapInPandas(rewrite, schema=schema)
+    # exact quoted-string matches only, so partial-prefix URIs never
+    # clobber longer ones; see the module docstring for why the fold is
+    # order-independent over the (unordered) collected map
+    rewritten = joined.withColumn(
+        "data",
+        F.when(
+            F.col("_submap").isNotNull(),
+            F.aggregate(
+                F.map_entries("_submap"),
+                F.col("data"),
+                lambda acc, e: F.replace(
+                    acc,
+                    F.concat(F.lit('"'), e["key"], F.lit('"')),
+                    F.concat(F.lit('"'), e["value"], F.lit('"')),
+                ),
+            ),
+        ).otherwise(F.col("data")),
+    ).drop("_submap")
 
     # the record's own yuid is its rewritten doc id (the reference also
     # rewrites the top-level id, reidentifier.py:190-218)
