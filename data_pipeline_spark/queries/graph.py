@@ -286,3 +286,55 @@ def g03_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.round("rank", 9).alias("rank"))
     )
     return top
+
+
+@query(
+    "j09_closure_star",
+    oracle="""
+    WITH RECURSIVE c AS (
+        SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS rn FROM customer
+    ),
+    edges AS (
+        SELECT 'n' || lpad(CAST(rn AS VARCHAR), 8, '0') AS src,
+               'n' || lpad(CAST(rn + 1 AS VARCHAR), 8, '0') AS dst
+        FROM c
+        WHERE rn % 50 != 49 AND rn + 1 <= (SELECT MAX(rn) FROM c)
+    ),
+    sym AS (SELECT src AS s, dst AS d FROM edges
+            UNION SELECT dst, src FROM edges),
+    walk(node, label) AS (
+        SELECT s, s FROM sym
+        UNION
+        SELECT e.d, w.label FROM walk w JOIN sym e ON w.node = e.s
+        WHERE w.label < e.d
+    )
+    SELECT node, MIN(label) AS component FROM walk GROUP BY node
+    """,
+    survey="J5,graph-closure-star",
+)
+def j09_closure_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large-star/small-star closure fallback (Kiveris et al.) as its
+    own driver gate, on the shape it exists for: 50-link CHAINS (dense
+    customer row numbers, chain edges rn -> rn+1 within blocks of 50).
+    j05 gates the default path-halving algorithm on clique-ish
+    components; this pins the star algorithm's fixpoint + root-readout
+    against the same recursive-CTE oracle style.  The adversarial scale
+    run (SCALE.md round 10) measured star FASTER than halving once
+    5,000-link chains appear (1.11x at 30x, 1.21x at 100x), so the
+    fallback is the production choice for long-chain graphs — it earns a
+    correctness gate of its own."""
+    from pyspark.sql import Window as W
+
+    from ..pipeline.closure import connected_components
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    rn = F.row_number().over(W.orderBy("c_custkey")) - 1
+    base = cust.select(rn.alias("rn"))
+    node = F.concat(F.lit("n"), F.lpad(F.col("rn").cast("string"), 8, "0"))
+    nxt = F.concat(F.lit("n"), F.lpad((F.col("rn") + 1).cast("string"), 8, "0"))
+    edges = (
+        base.withColumn("_has_next", F.lead("rn", 1).over(W.orderBy("rn")).isNotNull())
+        .filter((F.col("rn") % 50 != 49) & F.col("_has_next"))
+        .select(node.alias("src"), nxt.alias("dst"))
+    )
+    return connected_components(edges, algorithm="star")
