@@ -758,3 +758,21 @@ def test_incremental_splice_broadcasts_delta_side(spark):
             raise AssertionError(
                 f"corpus-sided splice/blast join stayed sort-merge: {line}"
             )
+
+
+@pytest.mark.parametrize("name", [
+    "a02_skewed_merge_fold",
+    "r11_incremental_build",
+    "dsl_q12_any_rel_date_text",
+    "d52_capped_tier_pairs",
+    "d53_quality_keeper_election",
+    "j09_closure_star",
+])
+def test_round10_queries_no_cartesian(spark, name):
+    """Plan hygiene for the round-10 declarations: no CartesianProduct
+    and no BroadcastNestedLoopJoin anywhere in the optimized plan — every
+    join in these operators is an equi-join (banded, keyed, or
+    component-keyed) by design."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
