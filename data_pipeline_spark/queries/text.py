@@ -731,3 +731,60 @@ def d51_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _D51_T_NUM / _D51_T_DEN)
     )
+
+
+def nfc_normalize_col():
+    """Vectorized NFC normalization (Arrow-batched pandas_udf) — Spark
+    has no built-in Unicode normalizer, so this is a deliberate Python
+    boundary (SCALE.md inventory), shaped like the date-tail UDF: one
+    Series in, one Series out, never per-row Python in the driver."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(texts):
+        import unicodedata
+
+        return texts.map(
+            lambda s: unicodedata.normalize("NFC", s) if s is not None else None
+        )
+
+    _nfc.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(_nfc, "string")
+
+
+@query(
+    "d54_unicode_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(
+                   nfc_normalize(text || ' cafe' || chr(769) || '  ' ||
+                                 chr(8203) || 'x' || chr(3) || 'y'),
+                   '[\\x00-\\x08\\x0e-\\x1f\\x7f\\x{200b}-\\x{200d}\\x{feff}]',
+                   '', 'g'),
+               '[ \t\n\f\r]+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+    survey="text-normalize,F8,F14",
+)
+def d54_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text normalization — the curation step every real corpus
+    pipeline runs before tokenization/dedup: NFC composition (combining
+    sequences fold to precomposed forms, so 'e'+U+0301 == U+00E9 for
+    every downstream fingerprint), control-character strip, zero-width
+    strip (U+200B-200D, U+FEFF), whitespace collapse + trim.  NFC runs
+    in an Arrow-batched pandas_udf (Spark has no built-in normalizer);
+    the strips/collapse are JVM regexp_replace.  The synthetic documents
+    are ASCII, so the gate PLANTS a decomposed-accent + zero-width +
+    control-char tail on every row — both engines build the identical
+    input (Spark escapes == chr() calls), so the oracle (DuckDB
+    nfc_normalize, the same Unicode NFC) verifies the composition
+    actually happened, not a pass-through."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(F.col("text"), F.lit(" cafe\u0301  \u200bx\x03y"))
+    nfc = nfc_normalize_col()(planted)
+    stripped = F.regexp_replace(
+        nfc, "[\x00-\x08\x0e-\x1f\x7f\u200b-\u200d\ufeff]", ""
+    )
+    collapsed = F.trim(F.regexp_replace(stripped, "[ \t\n\f\r]+", " "))
+    return docs.select("doc_id", collapsed.alias("norm_text"))
