@@ -551,3 +551,63 @@ def a02_skewed_merge_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_names"),
     )
+
+
+@query(
+    "j14_salted_celebrity_reconcile",
+    oracle="""
+    SELECT 'https://fixture.test/srcA/' || c_custkey AS src_uri,
+           'https://fixture.test/idx/T1' AS dst_uri,
+           'Person' AS rectype,
+           'name' AS provenance
+    FROM customer WHERE c_custkey % 5 < 2
+    UNION ALL
+    SELECT 'https://fixture.test/srcA/7',
+           'https://fixture.test/idx/T7', 'Person', 'name'
+    """,
+    survey="J1,W4,skew",
+)
+def j14_salted_celebrity_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large-authority J1 path (reconcile broadcast_index=False:
+    operators/skew.salted_join fans hot (name_clean, rectype) keys over
+    16 salts) as its OWN driver gate, under a celebrity plant — 40% of
+    records share one hot name the index maps to a single target, the
+    skew shape the salted path exists for (VERDICT r9 #1; measured on
+    the real chain at 30x/100x in tools/measure_etl_adversarial.py).
+    The oracle states the expected edge set analytically: every
+    hot-name record gains the T1 edge, record 7 (whose unique name the
+    index also lists) gains T7 — identical output to the broadcast path
+    by the tested equality, proven here through the salted plan."""
+    from ..pipeline.reconcile import reconcile
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    name = F.when(k % 5 < 2, F.lit("Celebrity Q Smith")).otherwise(
+        F.concat(F.lit("Unique "), ks)
+    )
+    data = F.to_json(
+        F.struct(
+            F.concat(F.lit("https://fixture.test/srcA/"), ks).alias("id"),
+            F.lit("Person").alias("type"),
+            name.alias("_label"),
+        )
+    )
+    records = cust.select(
+        F.lit("srcA").alias("source"),
+        ks.alias("identifier"),
+        F.lit("Person").alias("rectype"),
+        data.alias("data"),
+    )
+    e = spark.createDataFrame
+    indexes = {
+        "name_index": e(
+            [("idx", "celebrity q smith", "T1", "Person"),
+             ("idx", "unique 7", "T7", "Person")],
+            "source string, name_clean string, target_identifier string, rectype string",
+        ),
+        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": e([], "uri_a string, uri_b string"),
+        "different_from": e([], "uri_a string, uri_b string"),
+    }
+    return reconcile(records, indexes, broadcast_index=False)
