@@ -50,6 +50,12 @@ HEADLINE = [
     "r01_watermark_window_counts",
     "dsl_q01_customers_in_germany",
     "dsl_q05_parts_in_german_orders",
+    # the composite ETL chain (map->reconcile->closure->mint->reidentify->
+    # merge) at SF scale — the engine's core deliverable, benched so a
+    # chain regression is as loud as a query regression (VERDICT r10 #1).
+    # Runs LAST with its own pre-canary: it's the most expensive entry,
+    # and the bracket isolates host contention from chain drift.
+    "b01_entity_build",
 ]
 
 
@@ -88,7 +94,10 @@ def main() -> None:
     planner.edges.count()
 
     per_query: dict[str, float] = {}
+    canary_pre_b01 = None
     for name in HEADLINE:
+        if name == "b01_entity_build":
+            canary_pre_b01 = _spin_canary()
         q = QUERIES[name]
         t0 = time.perf_counter()
         df = q.spark_fn(spark, sf_dir)
@@ -106,7 +115,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "canary_spin_sec": {"start": canary_start, "end": canary_end},
+                "canary_spin_sec": {
+                    "start": canary_start,
+                    "pre_b01": canary_pre_b01,
+                    "end": canary_end,
+                },
             }
         )
     )

@@ -72,10 +72,61 @@ def salted_join(
     across all salts, join on (key..., salt). Output == plain join on
     `key` (verified in tests); cost = small side x n_salts, which is the
     point — the small side is bounded, the hot key no longer is.
-    ``key`` may be a single column name or a list (composite equi-key)."""
+    ``key`` may be a single column name or a list (composite equi-key).
+
+    When the "small" side ISN'T bounded (both relations scale with the
+    corpus and only a few keys are hot), use ``hot_key_salted_join``
+    instead — blanket replication multiplies the whole right side by
+    n_salts."""
     keys = [key] if isinstance(key, str) else list(key)
     b = salted(big, spread_cols, n_salts)
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return b.join(s, [*keys, "_salt"], how).drop("_salt")
+
+
+def hot_key_salted_join(
+    big: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    spread_cols: list[str],
+    n_salts: int = 16,
+    hot_threshold: int = 1000,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for TWO corpus-scale sides: split the key space
+    into hot (frequency on the probe side above ``hot_threshold``) and
+    cold, salt only the hot slice, plain shuffle-join the cold remainder.
+
+    ``salted_join`` replicates the entire right relation n_salts times —
+    fine when it is a bounded curated index, ruinous when it is an
+    authority file that scales with the corpus.  Here the replication
+    cost is (right rows under hot keys) x n_salts, which by construction
+    is a handful of celebrity keys, so the right side stays ~1x while
+    the hot keys still fan out over n_salts tasks.
+
+    The split is a partition of the key space (hot-vs-cold is decided per
+    key, never per row), so hot⋈hot ∪ cold⋈cold == the plain join for any
+    key-equi ``how`` — proven equal in tests/test_operators.py and, on
+    the real reconcile chain, tests/test_pipeline_scale.py.
+
+    Cost: one extra count-aggregate pass over ``big`` (map-side combined,
+    so the hot key cannot skew it) + two broadcast semi/anti-joins per
+    side against the tiny hot-key relation.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    hot = (
+        big.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_freq"))
+        .filter(F.col("_freq") > hot_threshold)
+        .select(*keys)
+    )
+    hot_b = F.broadcast(hot)
+    big_hot = big.join(hot_b, keys, "left_semi")
+    big_cold = big.join(hot_b, keys, "left_anti")
+    right_hot = right.join(hot_b, keys, "left_semi")
+    right_cold = right.join(hot_b, keys, "left_anti")
+    return salted_join(
+        big_hot, right_hot, keys, spread_cols, n_salts, how
+    ).unionByName(big_cold.join(right_cold, keys, how))

@@ -26,35 +26,120 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     stats: dict | None = None,
-    algorithm: str = "halving",
+    algorithm: str = "auto",
+    auto_halving_budget: int = 4,
+    auto_decay_threshold: float = 0.7,
 ) -> DataFrame:
     """Label every node of the undirected graph with the minimum node id
     reachable from it. Returns DataFrame(node, component).
 
     ``edges`` may be directed and contain duplicates/self-loops; it is
     symmetrized and deduplicated here.  ``stats`` (if given) receives
-    {"rounds": n} so tests can pin the O(log n) convergence claim.
+    {"rounds": n, "algorithm": name} so tests can pin the O(log n)
+    convergence claim and the routing decision.
 
-    ``algorithm``: 'halving' (default) is label propagation with pointer
+    ``algorithm``: 'halving' is label propagation with pointer
     shortcutting — right for equivalence graphs whose components have
     bounded diameter (the reference caps BFS at max_distance=3).  'star'
-    switches to large-star/small-star (Kiveris et al., "Connected
-    Components in MapReduce and Beyond"), whose per-round work is
-    proportional to the CURRENT edge set rather than the full label
-    relation — the fallback for pathological graphs (very long chains,
-    giant components) where propagation's every-round full-label join
-    becomes the bottleneck at scale.
+    is large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"), whose per-round work is proportional to the
+    CURRENT edge set rather than the full label relation — faster on
+    pathological graphs (very long chains, giant components) where
+    propagation's every-round full-label join becomes the bottleneck
+    (measured: star 1.11-1.21x faster once 5,000-link chains appear,
+    SCALE.md round 10).
+
+    'auto' (default — VERDICT r10 #6) removes the human from the choice:
+    run halving, and if it either exhausts ``auto_halving_budget`` rounds
+    or its changed-label count decays slower than
+    ``auto_decay_threshold`` round-over-round (the long-chain signature:
+    every round still relabels ~n nodes), restart with star on the
+    already-symmetrized edge set.  Bounded-diameter graphs — the common
+    entity-equivalence shape — converge inside the budget and never pay
+    for star; a 100 TB run that unexpectedly grows a giant component
+    switches after at most ``auto_halving_budget`` cheap rounds.  Both
+    arms produce identical labels (min-id per component), so routing
+    never changes results — only which plan computes them (proven on
+    both shapes in tests/test_pipeline_scale.py).
     """
     if algorithm == "star":
         return connected_components_star(
             edges, src=src, dst=dst, max_iter=max_iter, stats=stats
         )
-    if algorithm != "halving":
+    if algorithm not in ("halving", "auto"):
         raise ValueError(f"unknown closure algorithm: {algorithm!r}")
     fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     sym = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     sym = sym.filter(F.col("src") != F.col("dst")).localCheckpoint()
 
+    budget = auto_halving_budget if algorithm == "auto" else max_iter
+    labels, converged, rounds = _halving_loop(
+        sym,
+        budget,
+        decay_threshold=(auto_decay_threshold if algorithm == "auto" else None),
+    )
+    if not converged and algorithm == "auto":
+        # Keep the probe's work: contract the graph by the current labels
+        # before handing off to star.  label(u) is always a node of u's
+        # component (min over reachable labels, init self), so the
+        # quotient graph (label(u), label(v)) has exactly the original
+        # component structure — and after k probe rounds every already-
+        # converged component collapses to an edgeless single node (its
+        # edges become dropped self-loops) while chains shrink ~2^k-fold.
+        # Star then runs on the pathological residue alone, which is why
+        # auto beats BOTH manual choices on mixed shapes (SCALE.md r11)
+        # instead of paying probe + full-graph star.
+        lab_u = labels.select(
+            F.col("node").alias("_u"), F.col("component").alias("_cu")
+        )
+        lab_v = labels.select(
+            F.col("node").alias("_v"), F.col("component").alias("_cv")
+        )
+        contracted = (
+            sym.join(lab_u, sym.src == F.col("_u"))
+            .join(lab_v, sym.dst == F.col("_v"))
+            .select(F.col("_cu").alias("src"), F.col("_cv").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        star_stats: dict = {}
+        star_labels = connected_components_star(
+            contracted, src="src", dst="dst", max_iter=max_iter, stats=star_stats
+        ).select(
+            F.col("node").alias("_lab"), F.col("component").alias("_comp")
+        )
+        # components already converged in the probe never reach star
+        # (edgeless after contraction) — their probe label IS the answer
+        out = labels.join(
+            star_labels, labels.component == F.col("_lab"), "left"
+        ).select(
+            "node",
+            F.coalesce(F.col("_comp"), F.col("component")).alias("component"),
+        )
+        if stats is not None:
+            stats["rounds"] = rounds + star_stats["rounds"]
+            stats["halving_rounds"] = rounds
+            stats["algorithm"] = "star"
+        return out
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["algorithm"] = "halving"
+    return labels
+
+
+def _halving_loop(
+    sym: DataFrame,
+    max_iter: int,
+    decay_threshold: float | None = None,
+) -> tuple[DataFrame, bool, int]:
+    """Path-halving label propagation over a symmetrized, deduplicated,
+    self-loop-free edge set.  Returns (labels, converged, rounds).
+
+    ``decay_threshold``: if set, bail out (converged=False) as soon as
+    changed(r) > threshold * changed(r-1) for r >= 2 — slow decay means
+    the graph has long chains / a giant component and the caller should
+    re-route to the star algorithm rather than keep paying the full
+    label-relation join per round."""
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -63,6 +148,8 @@ def connected_components(
     )
 
     rounds = 0
+    converged = False
+    prev_changed: int | None = None
     for _ in range(max_iter):
         rounds += 1
         # neighbor labels: for every edge (src->dst), dst can adopt src's label
@@ -103,10 +190,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    if stats is not None:
-        stats["rounds"] = rounds
-    return labels
+        if (
+            decay_threshold is not None
+            and prev_changed is not None
+            and changed > decay_threshold * prev_changed
+        ):
+            break
+        prev_changed = changed
+    return labels, converged, rounds
 
 
 def _large_star(e: DataFrame) -> DataFrame:

@@ -50,10 +50,14 @@ def name_join(
     index scales with the corpus (the reference's full LCNAF/ULAN-sized
     authorities — millions of entries, not a curated broadcast-able dim),
     the probe becomes a shuffle join on (name_clean, rectype), and a
-    celebrity name ("John Smith") is hot on BOTH sides.  salted_join
-    (operators/skew.py) fans the record side's hot key over n_salts tasks
-    and replicates only the matching index slice — output proven equal to
-    the broadcast path (tests/test_pipeline_scale.py)."""
+    celebrity name ("John Smith") is hot on BOTH sides.
+    hot_key_salted_join (operators/skew.py) splits the key space: only
+    (name_clean, rectype) keys above a probe-side frequency threshold are
+    salted (fanning each over n_salts tasks, replicating just the index
+    rows under those keys), while the cold remainder takes a plain
+    shuffle join — so the corpus-scale index side stays ~1x instead of
+    the n_salts-x a blanket salted_join would cost.  Output proven equal
+    to the broadcast path (tests/test_pipeline_scale.py)."""
     from pyspark.sql import Window as W
 
     idx_cols = name_index.select(
@@ -69,13 +73,17 @@ def name_join(
             (names.name_clean == idx.name_clean) & (names.rectype == idx.idx_rectype),
         )
     else:
-        from ..operators.skew import salted_join
+        from ..operators.skew import hot_key_salted_join
 
-        hits = salted_join(
+        # threshold: a (name, rectype) key is "hot" past ~100 probe rows —
+        # well under a task's comfortable row count, well above any
+        # legitimate non-celebrity name's frequency
+        hits = hot_key_salted_join(
             names,
             idx_cols.withColumnRenamed("idx_rectype", "rectype"),
             ["name_clean", "rectype"],
             spread_cols=["uri"],
+            hot_threshold=100,
         )
     hits = hits.filter(F.col("source") != F.col("idx_source"))  # not-self-source (P3)
     votes = hits.groupBy("uri", "rectype", "idx_source", "target_identifier").agg(

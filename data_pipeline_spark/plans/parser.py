@@ -9,6 +9,7 @@ query_token_rules.py — tokens BOOL/LPAREN/RPAREN/COMMA/WORD/COLON/QUOTE/COMP
            | 'BOOST' '(' expr ',' expr ')'          baseline, boosted (ranking)
            | 'NEAR' '(' expr (',' expr)* [',' number] ')'   word proximity
            | ['^'] WORD '(' expr (',' expr)* ')'    relationship traversal
+           | ['^'] '*'  '(' expr (',' expr)* ')'    wildcard traversal (Rel(None))
            | WORD COMP value                        leaf field comparison
     value := '"' chars '"' | number | word
     COMP  := = | != | > | >= | < | <= | ~     (~ = tokenized word match, Q4)
@@ -34,6 +35,7 @@ _TOKEN_RE = re.compile(
       | (?P<rparen>\))
       | (?P<comma>,)
       | (?P<caret>\^)
+      | (?P<star>\*)
       | (?P<comp>>=|<=|!=|=|>|<|~)
       | (?P<quoted>"(?:[^"\\]|\\.)*")
       | (?P<number>-?\d+(?:\.\d+)?)
@@ -68,7 +70,7 @@ class Near:
 
 @dataclass
 class Rel:
-    predicate: str
+    predicate: str | None  # None = wildcard: traverse EVERY predicate
     inverse: bool
     child: object  # AST node
 
@@ -107,8 +109,19 @@ class _Parser:
         kind, val = self.peek()
         if kind == "caret":
             self.eat("caret")
+            if self.peek()[0] == "star":
+                self.eat("star")
+                return self._parse_call(None, inverse=True)
             name = self.eat("word")
             return self._parse_call(name, inverse=True)
+        if kind == "star":
+            # `*(expr)` — the UNAMBIGUOUS wildcard traversal: Rel(None)
+            # always means every-predicate, so an edge relation with a
+            # genuine predicate literally named like the planner's
+            # any_predicate surface name stays filterable (pass
+            # any_predicate=None and use `*`).
+            self.eat("star")
+            return self._parse_call(None, inverse=False)
         if kind != "word":
             raise ValueError(f"expected word, got {kind}:{val!r}")
         if val in BOOL_OPS:
@@ -135,7 +148,7 @@ class _Parser:
             return self._parse_call(name, inverse=False)
         return self._parse_leaf()
 
-    def _parse_call(self, name: str, inverse: bool):
+    def _parse_call(self, name: str | None, inverse: bool):
         children = self._parse_args()
         child = children[0] if len(children) == 1 else Bool("AND", children)
         return Rel(name, inverse, child)
@@ -208,6 +221,7 @@ def parse_json(clause: dict):
         {"field": value, "_comp": ">="}        -> comparison leaf
         {"rel": {subclause}}                   -> relationship traversal
         {"^rel": {subclause}}                  -> inverse traversal
+        {"*": {subclause}} / {"^*": {...}}     -> wildcard traversal (Rel(None))
 
     `_comp` and other `_`-prefixed keys are parameters, not clauses."""
     if not isinstance(clause, dict):
@@ -231,6 +245,8 @@ def parse_json(clause: dict):
         return Near(children, int(clause.get("_distance", NEAR_DEFAULT_DISTANCE)))
     if isinstance(val, dict):
         inverse = key.startswith("^")
-        return Rel(key.lstrip("^"), inverse, parse_json(val))
+        pred = key.lstrip("^")
+        # {"*": {...}} / {"^*": {...}} — explicit wildcard traversal
+        return Rel(None if pred == "*" else pred, inverse, parse_json(val))
     comp = clause.get("_comp", "=")
     return Leaf(key, comp, val)

@@ -57,7 +57,12 @@ class SearchPlanner:
         # the reference's `any` relationship (searchConfig.json
         # `any: [lux:*Any, Reference]`, ml_lexer.py:286): a traversal
         # matching over EVERY predicate — compiled as the edge semi-join
-        # without the predicate filter
+        # without the predicate filter.  The unambiguous AST form is
+        # Rel(predicate=None), which the parser emits for `*(...)` /
+        # {"*": {...}}; `any_predicate` only maps the reference's NAMED
+        # surface onto it.  If the edge relation has a genuine predicate
+        # literally named "any", pass any_predicate=None — the name then
+        # filters normally and `*` remains the only wildcard spelling.
         self.any_predicate = any_predicate
 
     def plan(self, query: str | object) -> DataFrame:
@@ -200,7 +205,11 @@ class SearchPlanner:
         if isinstance(node, Rel):
             sub = self._plan(node.child)
             e = self.edges
-            if node.predicate != self.any_predicate:
+            wildcard = node.predicate is None or (
+                self.any_predicate is not None
+                and node.predicate == self.any_predicate
+            )
+            if not wildcard:
                 e = e.filter(F.col("predicate") == node.predicate)
             if node.inverse:
                 # entities pointed TO by matches of the sub-plan

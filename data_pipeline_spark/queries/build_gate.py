@@ -1,0 +1,119 @@
+"""The entity build CHAIN as a declared, driver-benched query (VERDICT
+r10 #1): map -> reconcile -> closure -> mint -> reidentify -> merge is
+the engine's core deliverable (the reference's run-all.sh:26-60 IS this
+chain), but BENCH_r01-r10 timed only query shapes — a chain regression
+was invisible to the driver.  b01 runs the REAL ``pipeline.build
+.run_build`` on a corpus derived from the SF directory (so the driver's
+sf0.1 bench scales it exactly like every other headline query) and
+emits an oracle-checkable projection of the merged tier.
+
+Corpus: the measure_etl_scale pair protocol — one Person record per
+customer in each of two pseudo-sources, srcA asserting equivalence to
+srcB's twin.  Every equivalence component is exactly a pair, so the
+DuckDB oracle is the customer table itself: one merged entity per
+custkey, label elected from srcA (merge order), exactly 2 sources
+folded.  The chain exercised is the production one end to end —
+envelope parse, J2 record-asserted edges, closure (auto-routed), uuid5
+mint, reidentify, Arrow merge fold — none of it mocked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+_MERGE_ORDER = {"srcA": 0, "srcB": 1}
+
+
+def _pair_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two pseudo-source Person records per customer; srcA links srcB."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    key = F.col("c_custkey").cast("string")
+    a = cust.select(
+        F.lit("srcA").alias("source"),
+        key.alias("identifier"),
+        F.lit("Person").alias("rectype"),
+        F.lit("2026-01-01T00:00:00").alias("record_time"),
+        F.lit("create").alias("change"),
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("https://fixture.test/srcA/"), key).alias("id"),
+                F.lit("Person").alias("type"),
+                F.col("c_name").alias("_label"),
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("https://fixture.test/srcB/"), key).alias("id"),
+                        F.lit("Person").alias("type"),
+                    )
+                ).alias("equivalent"),
+            )
+        ).alias("data"),
+    )
+    b = cust.select(
+        F.lit("srcB").alias("source"),
+        key.alias("identifier"),
+        F.lit("Person").alias("rectype"),
+        F.lit("2026-01-01T00:00:00").alias("record_time"),
+        F.lit("create").alias("change"),
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("https://fixture.test/srcB/"), key).alias("id"),
+                F.lit("Person").alias("type"),
+                # distinct label: the output proves merge-order ELECTION
+                # (srcA's label must win), not just component counting
+                F.concat(F.col("c_name"), F.lit(" (b)")).alias("_label"),
+            )
+        ).alias("data"),
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "b01_entity_build",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS identifier,
+           'Person' AS rectype,
+           c_name AS label,
+           CAST(2 AS BIGINT) AS n_sources
+    FROM customer
+    """,
+    survey="J2,J5,J7,J8,A1,W2,build-chain",
+)
+def b01_entity_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full entity build chain at SF scale, one row per merged
+    entity: (identifier, rectype, label, n_sources).  identifier is the
+    shared member identifier (both pair members carry the custkey), the
+    label is the merged doc's _label — srcA's c_name iff the merge-order
+    election held through the Arrow fold — and n_sources counts distinct
+    folded sources via the reidentified tier (2 iff closure + mint
+    grouped each pair into exactly one yuid and reidentify kept both
+    members).  Reference: run-all.sh:26-60 (the pipeline phases this
+    chain collapses)."""
+    from ..pipeline.build import run_build
+
+    records = _pair_records(spark, sf_dir)
+    e = spark.createDataFrame
+    indexes = {
+        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": e([], "uri_a string, uri_b string"),
+        "different_from": e([], "uri_a string, uri_b string"),
+    }
+    out = run_build(spark, records, indexes, merge_order=_MERGE_ORDER)
+    members = out["reidentified"].groupBy("yuid").agg(
+        F.min("identifier").alias("identifier"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return (
+        out["merged"]
+        .join(members, "yuid")
+        .select(
+            "identifier",
+            "rectype",
+            F.get_json_object("data", "$._label").alias("label"),
+            "n_sources",
+        )
+    )

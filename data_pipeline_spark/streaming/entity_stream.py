@@ -113,9 +113,16 @@ def stream_entity_builds(
     checkpoint: str,
     indexes: dict[str, DataFrame],
     merge_order: dict[str, int] | None = None,
+    last_harvest: str | None = None,
 ):
     """Structured-Streaming wrapper: each micro-batch of change feed rows
-    (CHANGES_SCHEMA json) drives one incremental build."""
+    (CHANGES_SCHEMA json) drives one incremental build.
+
+    ``last_harvest`` is the R1 watermark, threaded through to
+    incremental_build exactly as in the batch path — feed rows at or
+    before it are ignored, so a crawl file containing already-harvested
+    stale rows cannot re-apply them (the batch/streaming twins share the
+    watermark contract, not just the build body)."""
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         entity_build_batch(
@@ -123,6 +130,7 @@ def stream_entity_builds(
             batch_key=run_batch_key(checkpoint, batch_id),
             source_key=_source_key(checkpoint, batch_id),
             merge_order=merge_order,
+            last_harvest=last_harvest,
         )
 
     feed = (

@@ -117,6 +117,51 @@ def test_salted_join_equals_plain_join(spark):
     assert got == expect
 
 
+def test_hot_key_salted_join_equals_plain_join(spark):
+    """hot_key_salted_join (the two-corpus-scale-sides variant): the
+    hot/cold key split plus hot-only salting must reproduce the plain
+    join exactly — including keys that are hot on the probe side but
+    absent from the right side, right-side keys absent from the probe,
+    composite keys, and a hot key with MANY right rows (the replication
+    the split is supposed to bound)."""
+    from data_pipeline_spark.operators.skew import hot_key_salted_join
+
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}", "T" if i % 2 else "U")
+         for i in range(1000)],
+        ["row_id", "k", "t"],
+    )
+    right = spark.createDataFrame(
+        [("hot", "T", 1), ("hot", "T", 2), ("k10", "U", 3), ("k20", "U", 4),
+         ("absent", "T", 5)],
+        ["k", "t", "v"],
+    )
+    plain = {(r.row_id, r.v) for r in big.join(right, ["k", "t"]).collect()}
+    got = {
+        (r.row_id, r.v)
+        for r in hot_key_salted_join(
+            big, right, ["k", "t"], spread_cols=["row_id"],
+            n_salts=8, hot_threshold=50,
+        ).collect()
+    }
+    assert got == plain
+    # the split actually engaged: 'hot' is the only key past the threshold
+    hot_rows = sum(1 for (rid, v) in got if v in (1, 2))
+    assert hot_rows == 2 * big.filter("k = 'hot' and t = 'T'").count()
+
+    # degenerate thresholds: everything-hot and nothing-hot both reduce
+    # to the plain join's output
+    for thr in (0, 10**9):
+        got_t = {
+            (r.row_id, r.v)
+            for r in hot_key_salted_join(
+                big, right, ["k", "t"], spread_cols=["row_id"],
+                n_salts=4, hot_threshold=thr,
+            ).collect()
+        }
+        assert got_t == plain
+
+
 def test_name_variants(spark):
     from data_pipeline_spark.pipeline.envelope import name_variants
 

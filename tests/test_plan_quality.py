@@ -124,10 +124,46 @@ def test_closure_path_halving_round_count(spark):
         [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(119)], ["src", "dst"]
     )
     stats: dict = {}
-    labels = connected_components(chain, stats=stats)
+    labels = connected_components(chain, stats=stats, algorithm="halving")
     comps = {r.component for r in labels.collect()}
     assert comps == {"n000"}  # one component, min label
     assert stats["rounds"] <= 10, f"chain took {stats['rounds']} rounds"
+
+
+def test_closure_auto_routes_by_shape(spark):
+    """algorithm='auto' (the default, VERDICT r10 #6): bounded-diameter
+    graphs converge inside the halving budget and never pay for star;
+    long chains trip the budget/decay trigger and re-route to star —
+    and BOTH arms return the same labels, so routing is invisible in
+    results."""
+    from data_pipeline_spark.pipeline.closure import connected_components
+
+    # bounded shape: region-sized cliques — auto must stay on halving
+    cliques = spark.createDataFrame(
+        [(f"g{g}a", f"g{g}{m}") for g in range(5) for m in "bcde"],
+        ["src", "dst"],
+    )
+    stats: dict = {}
+    got = {(r.node, r.component)
+           for r in connected_components(cliques, stats=stats).collect()}
+    want = {(r.node, r.component)
+            for r in connected_components(cliques, algorithm="halving").collect()}
+    assert got == want
+    assert stats["algorithm"] == "halving"
+
+    # pathological shape: one 120-node chain — auto must switch to star
+    # after at most the halving budget, and still label identically
+    chain = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(119)], ["src", "dst"]
+    )
+    stats = {}
+    got = {(r.node, r.component)
+           for r in connected_components(chain, stats=stats).collect()}
+    want = {(r.node, r.component)
+            for r in connected_components(chain, algorithm="halving").collect()}
+    assert got == want
+    assert stats["algorithm"] == "star"
+    assert stats["halving_rounds"] <= 4  # the budgeted probe, not a full run
 
 
 def test_rj01_range_join_is_bin_equijoin(spark):

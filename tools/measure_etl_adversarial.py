@@ -243,10 +243,13 @@ def main(sf_dir: str, n_celeb: int = 20_000) -> None:
         reident.groupBy("yuid").count().agg(F.max("count")).collect()[0][0]
     )
 
-    # ---- star vs halving on the SAME adversarial edge set ----
+    # ---- star vs halving vs auto on the SAME adversarial edge set ----
+    # auto (VERDICT r10 #6) must land on the best manual choice for this
+    # shape: the planted 5,000-link chains defeat the halving budget, so
+    # it should re-route to star and cost ~star + the budgeted probe.
     closure_cmp: dict[str, dict] = {}
     n_comp = {}
-    for algo in ("halving", "star"):
+    for algo in ("halving", "star", "auto"):
         st: dict = {}
         t0 = time.perf_counter()
         comps = connected_components(
@@ -256,8 +259,9 @@ def main(sf_dir: str, n_celeb: int = 20_000) -> None:
         closure_cmp[algo] = {
             "sec": round(time.perf_counter() - t0, 1),
             "rounds": st.get("rounds"),
+            "routed_to": st.get("algorithm", algo),
         }
-    algos_agree = n_comp["halving"] == n_comp["star"]
+    algos_agree = len(set(n_comp.values())) == 1
 
     total = round(sum(stages.values()), 1)
     canary_end = _spin()
