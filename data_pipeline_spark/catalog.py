@@ -27,7 +27,45 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def input_fingerprint(sf_dir: str, name: str) -> str:
+    """Cheap identity of a table's files: (name, size, mtime_ns) of every
+    file under <sf_dir>/<name>.parquet.  Microseconds on a local listing —
+    vs the ~100ms spark.read.parquet round trip the plan cache avoids —
+    and regenerating a table in place changes it, so the cache can never
+    serve a plan whose pinned file listing has been deleted."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    parts: list[str] = []
+    if os.path.isdir(path):
+        for entry in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, entry))
+            parts.append(f"{entry}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+    return ";".join(parts)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One lazy scan plan per (session, sf_dir, table, input fingerprint),
+    cached on the session object.  ``spark.read.parquet`` costs a ~100ms
+    schema-infer + file-listing driver round trip PER CALL (measured,
+    SCALE.md round 11) — a 6-table query paid ~0.6s of pure plan-build
+    before executing anything, which was the whole "small-query drift" of
+    VERDICT r10.  DataFrames are immutable lazy plans, so reuse is free;
+    the fingerprint in the key means an in-place testdata regeneration
+    invalidates the entry (same contract as the dedup tier cache) instead
+    of serving a plan over deleted part files."""
+    cache = getattr(spark, "_dps_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._dps_table_cache = cache
+    key = (os.path.abspath(sf_dir), name, input_fingerprint(sf_dir, name))
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
+    # evict superseded plans of the same table (regen under the same path)
+    for stale in [k for k in cache if k[:2] == key[:2]]:
+        del cache[stale]
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
@@ -40,8 +78,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    cache[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

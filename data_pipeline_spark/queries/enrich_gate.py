@@ -487,6 +487,10 @@ def u05_llm_person_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE: the u-family numbering skips u06 (u05 -> u07) — a round-5
+# numbering accident, same class as the d50 gap (queries/text.py).  Kept
+# as a gap on purpose: renumbering would orphan the committed
+# CORRECTNESS/BENCH history that records these names.
 @query(
     "u07_geonames_place_gate",
     oracle="""

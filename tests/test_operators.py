@@ -162,6 +162,24 @@ def test_hot_key_salted_join_equals_plain_join(spark):
         assert got_t == plain
 
 
+def test_load_table_session_plan_cache(spark):
+    """catalog.load_table caches ONE lazy scan plan per (session, sf_dir,
+    table) — the r11 fix for the ~0.1s-per-call schema-infer round trip
+    that dominated small-query build time (SCALE.md round 11).  Same
+    session + same args -> same plan object; different sf_dir -> a
+    different plan; the events nanos->micros shim survives caching."""
+    from data_pipeline_spark.catalog import load_table
+
+    a = load_table(spark, "/root/testdata/sf0.001", "orders")
+    b = load_table(spark, "/root/testdata/sf0.001", "orders")
+    assert a is b
+    c = load_table(spark, "/root/testdata/sf0.01", "orders")
+    assert c is not a
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert ev is load_table(spark, "/root/testdata/sf0.001", "events")
+    assert dict(ev.dtypes)["ts"].startswith("timestamp")  # shim applied, cached
+
+
 def test_name_variants(spark):
     from data_pipeline_spark.pipeline.envelope import name_variants
 
