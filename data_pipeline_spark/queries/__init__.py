@@ -71,9 +71,15 @@ GATE_PIN = [
     #   (ADVICE r10 #4 — hot/cold key split)
     "j14_salted_celebrity_reconcile",
     # - planner.py Rel compilation gained the predicate=None wildcard
-    #   sentinel (ADVICE r10 #2): dsl_q12 exercises the wildcard, dsl_q05
-    #   the named-predicate traversal through the same changed branch
+    #   sentinel (ADVICE r10 #2).  Per ADVICE r10 #3 (don't rely on age
+    #   ordering to re-front consumers of changed code), the WHOLE dsl
+    #   family pins for this one round — every dsl query compiles through
+    #   the changed planner; q02/q03/q08 arrive via AGE_SLOTS anyway.
     "dsl_q12_any_rel_date_text", "dsl_q05_parts_in_german_orders",
+    "dsl_q01_customers_in_germany", "dsl_q04_nations_with_rich_customers",
+    "dsl_q06_similar_customers", "dsl_q07_json_form",
+    "dsl_q09_boost_scoring", "dsl_q10_sparql_shape",
+    "dsl_q11_near_andnot_boost",
 ]
 
 GATE_WINDOW_SIZE = 50

@@ -338,3 +338,61 @@ def j09_closure_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(node.alias("src"), nxt.alias("dst"))
     )
     return connected_components(edges, algorithm="star")
+
+
+@query(
+    "j16_closure_auto_routed",
+    oracle="""
+    WITH RECURSIVE c AS (
+        SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS rn FROM customer
+    ),
+    edges AS (
+        SELECT 'n' || lpad(CAST(rn AS VARCHAR), 8, '0') AS src,
+               'n' || lpad(CAST(rn + 1 AS VARCHAR), 8, '0') AS dst
+        FROM c
+        WHERE rn % 200 != 199 AND rn + 1 <= (SELECT MAX(rn) FROM c)
+    ),
+    sym AS (SELECT src AS s, dst AS d FROM edges
+            UNION SELECT dst, src FROM edges),
+    walk(node, label) AS (
+        SELECT s, s FROM sym
+        UNION
+        SELECT e.d, w.label FROM walk w JOIN sym e ON w.node = e.s
+        WHERE w.label < e.d
+    )
+    SELECT node, MIN(label) AS component FROM walk GROUP BY node
+    """,
+    survey="J5,graph-closure-auto",
+)
+def j16_closure_auto_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The auto-routed closure's SWITCH path as its own driver gate
+    (round 11): 200-link chains through the DEFAULT algorithm — long
+    enough that the budgeted halving probe cannot converge, so the gate
+    exercises the full auto machinery: probe rounds, the label-CONTRACTED
+    handoff (quotient graph by probe labels), star on the residue, and
+    the join-back for probe-converged components.  j05 gates auto's
+    stay-on-halving arm (clique shape), j09 the star arm invoked
+    directly; this pins the routing + contraction composition against
+    the same recursive-CTE oracle style.  The switch is asserted
+    (stats['algorithm'] == 'star'), so the gate cannot silently degrade
+    into re-testing the halving arm if budgets change."""
+    from pyspark.sql import Window as W
+
+    from ..pipeline.closure import connected_components
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    rn = F.row_number().over(W.orderBy("c_custkey")) - 1
+    base = cust.select(rn.alias("rn"))
+    node = F.concat(F.lit("n"), F.lpad(F.col("rn").cast("string"), 8, "0"))
+    nxt = F.concat(F.lit("n"), F.lpad((F.col("rn") + 1).cast("string"), 8, "0"))
+    edges = (
+        base.withColumn("_has_next", F.lead("rn", 1).over(W.orderBy("rn")).isNotNull())
+        .filter((F.col("rn") % 200 != 199) & F.col("_has_next"))
+        .select(node.alias("src"), nxt.alias("dst"))
+    )
+    stats: dict = {}
+    out = connected_components(edges, stats=stats)
+    assert stats["algorithm"] == "star", (
+        f"auto did not switch on 200-link chains: {stats}"
+    )
+    return out

@@ -94,16 +94,21 @@ def test_cumulative_driver_coverage_spans_every_family():
 def test_rotation_on_synthetic_history():
     """compute_gate_window on synthetic input: pins lead, then
     never-checked by declaration order, then stalest greens."""
+    from data_pipeline_spark.queries import AGE_SLOTS
+
     names = [n for n in GATE_PIN] + [f"z{i:03d}" for i in range(60)]
     hist = {f"z{i:03d}": (1 if i < 20 else 2) for i in range(40)}  # z040+ unchecked
     window = compute_gate_window(names, hist)
     assert window[: len(GATE_PIN)] == list(GATE_PIN)
     tail = window[len(GATE_PIN):]
-    n_unchecked = 20  # z040..z059
-    assert tail[:n_unchecked] == [f"z{i:03d}" for i in range(40, 60)]
-    # remaining slots go to round-1 greens (stalest) in declaration order
-    rest = tail[n_unchecked:]
-    assert rest == [f"z{i:03d}" for i in range(len(rest))]
+    # never-checked (z040..z059) lead the tail up to the reserved budget
+    # (window minus pins minus the age reservation); overflow unchecked
+    # queries yield to the AGE_SLOTS stalest greens and re-enter after
+    n_unchecked = min(20, GATE_WINDOW_SIZE - len(GATE_PIN) - AGE_SLOTS)
+    assert tail[:n_unchecked] == [f"z{i:03d}" for i in range(40, 40 + n_unchecked)]
+    # the age reservation goes to round-1 greens (stalest) in declaration order
+    aged = tail[n_unchecked:n_unchecked + AGE_SLOTS]
+    assert aged == [f"z{i:03d}" for i in range(len(aged))]
     assert len(window) == GATE_WINDOW_SIZE
 
 

@@ -200,6 +200,9 @@ def test_reconcile_gate_queries_no_cartesian(spark):
         "j01_name_vote_election",
         "j02_uri_equivalence",
         "j06_reconcile_min_equivs",
+        # the hot/cold-split salted J1 path (r11): the explode-replicated
+        # hot slice and the cold shuffle join must BOTH stay equi-joins
+        "j14_salted_celebrity_reconcile",
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
