@@ -18,6 +18,9 @@ never its own partial write — so the retry reproduces the first attempt
 production scale the records/merged writes are partition-overwrites of
 the touched components only (the blast radius is delta-sized, SCALE.md
 round 10); the twin writes full tiers because its fixtures are small.
+Superseded version directories fold away via compact_entity_state (the
+entity twin of index_util.compact_index) — without it the layout grows
+one full tier set per crawl forever.
 """
 
 from __future__ import annotations
@@ -106,6 +109,52 @@ def latest_state(spark: SparkSession, state_dir: str, checkpoint: str) -> dict[s
     }
 
 
+def compact_entity_state(state_dir: str, checkpoint: str) -> dict[str, int]:
+    """Delete version directories SUPERSEDED by the last committed crawl.
+
+    The versioned layout is correct but unbounded: one full tier set per
+    crawl forever — the entity twin of the small-files growth
+    compact_index bounds for the refresh/dedup streams.  Version
+    liveness follows from the retry contract (_source_key): a (possibly
+    retried) batch N reads the last COMMITTED version before N, and
+    Structured Streaming never re-executes a committed batch — so once
+    batch M is committed, every OLDER committed version of this
+    checkpoint is unreachable.  Deleted: this checkpoint's committed
+    versions except the latest.  Kept, each load-bearing:
+
+    - ``base``: the fresh-checkpoint restart path replays the feed from
+      scratch against it (and its keys aren't checkpoint-scoped);
+    - the latest committed version: the next batch's source and the
+      retry source for any in-flight batch;
+    - any UNCOMMITTED version dir (a dead attempt's partial write): its
+      batch may retry, and the retry's per-version overwrite owns it;
+    - other checkpoints' keys: another run may be live against the same
+      state_dir (the compact_index scoping rule, applied verbatim).
+
+    Returns {tier: number of version directories removed}."""
+    import re
+    import shutil
+
+    done = committed_batch_ids(checkpoint)
+    if not done:
+        return {}
+    removable = {run_batch_key(checkpoint, i) for i in done} - {
+        run_batch_key(checkpoint, max(done))
+    }
+    removed: dict[str, int] = {}
+    for tier in ("records", "idmap", "merged"):
+        tdir = os.path.join(state_dir, tier)
+        n = 0
+        if os.path.isdir(tdir):
+            for d in sorted(os.listdir(tdir)):
+                m = re.fullmatch(r"v=(.+)", d)
+                if m and m.group(1) in removable:
+                    shutil.rmtree(os.path.join(tdir, d))
+                    n += 1
+        removed[tier] = n
+    return removed
+
+
 def stream_entity_builds(
     spark: SparkSession,
     feed_path: str,
@@ -152,5 +201,6 @@ __all__ = [
     "init_state",
     "entity_build_batch",
     "latest_state",
+    "compact_entity_state",
     "stream_entity_builds",
 ]

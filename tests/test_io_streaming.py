@@ -1148,6 +1148,23 @@ def test_stream_entity_builds_crawl_sequence(spark, tmp_path):
     assert len(n7) == 1                   # srcN/7 folded INTO A7's entity
     assert final["idmap"].filter(F.col("qua_uri") == uri("srcN", 7)).count() == 1
 
+    # state compaction: crawl-1's version dirs are superseded (crawl 2 is
+    # the last committed) and must fold away; base + the latest version
+    # survive, and the surviving state still reads identically
+    from data_pipeline_spark.streaming.entity_stream import compact_entity_state
+    from data_pipeline_spark.streaming.index_util import run_batch_key
+
+    removed = compact_entity_state(state_dir, ckpt)
+    assert removed == {"records": 1, "idmap": 1, "merged": 1}
+    kept = sorted(os.listdir(os.path.join(state_dir, "merged")))
+    assert kept == sorted([f"v=base", f"v={run_batch_key(ckpt, 1)}"])
+    again = latest_state(spark, state_dir, ckpt)
+    assert {(r["yuid"], r["data"]) for r in again["merged"].collect()} == got
+    # idempotent: nothing further to fold
+    assert compact_entity_state(state_dir, ckpt) == {
+        "records": 0, "idmap": 0, "merged": 0
+    }
+
 
 def test_entity_build_batch_retry_idempotent(spark, tmp_path):
     """A retried crawl (same batch_key, same source_key) must reproduce
