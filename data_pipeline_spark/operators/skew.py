@@ -77,7 +77,17 @@ def salted_join(
     When the "small" side ISN'T bounded (both relations scale with the
     corpus and only a few keys are hot), use ``hot_key_salted_join``
     instead — blanket replication multiplies the whole right side by
-    n_salts."""
+    n_salts.
+
+    ``how`` must preserve the right side's multiplicity-per-match
+    (inner/left/semi/anti): an outer form that emits UNMATCHED right
+    rows would emit each one once per salt replica — rejected rather
+    than silently duplicated."""
+    if how in ("right", "rightouter", "right_outer", "full", "outer", "fullouter", "full_outer"):
+        raise ValueError(
+            f"salted_join cannot preserve unmatched right rows under {how!r}: "
+            "the right side is replicated per salt"
+        )
     keys = [key] if isinstance(key, str) else list(key)
     b = salted(big, spread_cols, n_salts)
     s = small.withColumn(

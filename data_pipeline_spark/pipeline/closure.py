@@ -72,7 +72,7 @@ def connected_components(
     sym = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     sym = sym.filter(F.col("src") != F.col("dst")).localCheckpoint()
 
-    budget = auto_halving_budget if algorithm == "auto" else max_iter
+    budget = min(auto_halving_budget, max_iter) if algorithm == "auto" else max_iter
     labels, converged, rounds = _halving_loop(
         sym,
         budget,
