@@ -612,3 +612,97 @@ def test_d35_tier_layering_consistent_with_d07(spark):
     for (a, b), e in est.items():
         if e >= EST_ACCEPT:
             assert pairs35[(a, b)][1] == "estimate"
+
+
+# -------------------------------------------- closure / skew primitives
+
+
+def _uf_components(edges):
+    """Python union-find reference: node -> min reachable node id."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.data())
+def test_closure_algorithms_agree_on_random_graphs(spark, data):
+    """halving, star and auto (incl. its contracted handoff) must all
+    equal a Python union-find reference on random graphs — duplicates,
+    reversals, self-loops, multiple components, and an optional planted
+    long chain that provokes the auto switch."""
+    from data_pipeline_spark.pipeline.closure import connected_components
+
+    n = data.draw(st.integers(min_value=2, max_value=25))
+    raw = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, n), st.integers(0, n)),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    if data.draw(st.booleans()):  # planted chain: auto should switch
+        raw = raw + [(100 + i, 101 + i) for i in range(30)]
+    edges = [(f"n{a:03d}", f"n{b:03d}") for a, b in raw]
+    want = {
+        (u, c)
+        for u, c in _uf_components(edges).items()
+        # the engine drops pure-self-loop nodes (no non-self edge), as
+        # does its symmetrize step — mirror that in the reference
+        if any(a != b and u in (a, b) for a, b in edges)
+    }
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for algo in ("halving", "star", "auto"):
+        got = {
+            (r.node, r.component)
+            for r in connected_components(df, algorithm=algo).collect()
+        }
+        assert got == want, f"{algo} diverged"
+
+
+_HK_KEY = st.sampled_from(["hot", "k1", "k2", "k3", "absent_side"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_hot_key_salted_join_matches_plain_join(spark, data):
+    """hot_key_salted_join == plain join as a row MULTISET for every
+    supported how, across random tables, thresholds and salt counts —
+    including duplicate rows on both sides (multiplicity is where a
+    wrong split double-counts)."""
+    from collections import Counter
+
+    from data_pipeline_spark.operators.skew import hot_key_salted_join
+
+    big_rows = data.draw(
+        st.lists(st.tuples(st.integers(0, 999), _HK_KEY), min_size=1, max_size=40)
+    )
+    right_rows = data.draw(
+        st.lists(st.tuples(_HK_KEY, st.integers(0, 9)), min_size=0, max_size=12)
+    )
+    how = data.draw(st.sampled_from(["inner", "left", "left_semi", "left_anti"]))
+    thr = data.draw(st.sampled_from([0, 2, 5, 10**6]))
+    n_salts = data.draw(st.sampled_from([1, 3, 8]))
+
+    big = spark.createDataFrame(big_rows, "row_id bigint, k string")
+    right = spark.createDataFrame(right_rows, "k string, v bigint")
+    plain = Counter(tuple(r) for r in big.join(right, "k", how).collect())
+    got = Counter(
+        tuple(r)
+        for r in hot_key_salted_join(
+            big, right, "k", spread_cols=["row_id"],
+            n_salts=n_salts, hot_threshold=thr, how=how,
+        ).collect()
+    )
+    assert got == plain
