@@ -1,0 +1,297 @@
+"""Command-line surface: the reference drives its pipeline from shell
+scripts (run-all.sh orchestrating per-phase processes); this engine's
+equivalent is one CLI over the same operators the Python API exposes —
+so a reference user can run builds, incremental crawls, declared
+queries, DSL searches and exports without writing a driver script.
+
+    python -m data_pipeline_spark build --records r.parquet --out /tmp/build
+    python -m data_pipeline_spark incremental --records ... --changes ...
+    python -m data_pipeline_spark query --name q01_pricing_summary --sf-dir ...
+    python -m data_pipeline_spark search --sf-dir ... --query 'AND(type=customer, ...)'
+    python -m data_pipeline_spark export --input merged.parquet --format jsonl --out d/
+    python -m data_pipeline_spark stream-entity --feed f/ --state s/ --checkpoint c/
+    python -m data_pipeline_spark list
+
+Every subcommand reads/writes parquet (or JSONL feeds for streams) so
+invocations chain through the filesystem exactly like the reference's
+phase scripts chain through its caches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+INDEX_SCHEMAS = {
+    "name_index": "source string, name_clean string, target_identifier string, rectype string",
+    "uri_index": "source string, ext_uri string, target_identifier string, rectype string",
+    "same_as": "uri_a string, uri_b string",
+    "different_from": "uri_a string, uri_b string",
+}
+
+BUILD_TIERS = ("merged", "idmap", "edges", "facets", "names", "equiv_edges", "reidentified")
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark("cli", cpus=args.cpus)
+
+
+def _load_indexes(spark, args):
+    out = {}
+    for key in INDEX_SCHEMAS:
+        path = getattr(args, key, None)
+        if path:
+            out[key] = spark.read.parquet(path)
+        else:
+            out[key] = spark.createDataFrame([], INDEX_SCHEMAS[key])
+    return out
+
+
+def _parse_merge_order(spec: str | None) -> dict[str, int] | None:
+    """'srcA=0,srcB=1' -> {'srcA': 0, 'srcB': 1}"""
+    if not spec:
+        return None
+    out = {}
+    for part in spec.split(","):
+        name, _, prio = part.partition("=")
+        if not _ or not prio.lstrip("-").isdigit():
+            raise SystemExit(f"--merge-order entries must be src=int, got {part!r}")
+        out[name.strip()] = int(prio)
+    return out
+
+
+def _write_tiers(tiers: dict, out_dir: str, wanted: list[str]) -> None:
+    from .sinks.exports import write_parquet_atomic
+
+    for name in wanted:
+        if name not in tiers:
+            raise SystemExit(f"unknown tier {name!r}; have {sorted(tiers)}")
+        path = os.path.join(out_dir, f"{name}.parquet")
+        write_parquet_atomic(tiers[name], path)
+        print(f"[cli] wrote {path}")
+
+
+def cmd_build(args) -> int:
+    from .pipeline.build import run_build
+
+    merge_order = _parse_merge_order(args.merge_order)  # validate before Spark
+    spark = _spark(args)
+    records = spark.read.parquet(args.records)
+    idmap_prev = spark.read.parquet(args.idmap_prev) if args.idmap_prev else None
+    out = run_build(
+        spark,
+        records,
+        _load_indexes(spark, args),
+        idmap_prev=idmap_prev,
+        merge_order=merge_order,
+    )
+    _write_tiers(out, args.out, args.tiers.split(","))
+    return 0
+
+
+def cmd_incremental(args) -> int:
+    from .pipeline.incremental import incremental_build
+
+    merge_order = _parse_merge_order(args.merge_order)  # validate before Spark
+    spark = _spark(args)
+    inc = incremental_build(
+        spark,
+        spark.read.parquet(args.records),
+        spark.read.parquet(args.changes),
+        _load_indexes(spark, args),
+        idmap_prev=spark.read.parquet(args.idmap_prev),
+        prev_merged=spark.read.parquet(args.prev_merged),
+        merge_order=merge_order,
+        last_harvest=args.last_harvest,
+    )
+    tiers = {"merged": inc["merged_full"], "idmap": inc["idmap_full"], "records": inc["records"]}
+    _write_tiers(tiers, args.out, args.tiers.split(","))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from .queries import QUERIES
+
+    if args.name not in QUERIES:
+        raise SystemExit(
+            f"unknown query {args.name!r} — `python -m data_pipeline_spark list`"
+        )
+    spark = _spark(args)
+    df = QUERIES[args.name].spark_fn(spark, args.sf_dir)
+    if args.limit:
+        df = df.limit(args.limit)
+    if args.out:
+        from .sinks.exports import write_parquet_atomic
+
+        write_parquet_atomic(df, args.out)
+        print(f"[cli] wrote {args.out}")
+    else:
+        for row in df.toJSON().toLocalIterator():
+            print(row)
+    return 0
+
+
+def cmd_search(args) -> int:
+    from .plans.model import build_planner
+
+    spark = _spark(args)
+    planner = build_planner(spark, args.sf_dir)
+    q = json.loads(args.query) if args.json else args.query
+    if args.json:
+        from .plans.parser import parse_json
+
+        q = parse_json(q)
+    df = planner.search_scored(q) if args.scored else planner.plan(q)
+    if args.limit:
+        df = df.limit(args.limit)
+    for row in df.toJSON().toLocalIterator():
+        print(row)
+    return 0
+
+
+def cmd_export(args) -> int:
+    from .sinks.exports import export_csv, export_jsonl, export_ntriples
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    if args.format == "jsonl":
+        export_jsonl(df, args.out, shards=args.shards)
+    elif args.format == "csv":
+        export_csv(df, args.out)
+    elif args.format == "nt":
+        export_ntriples(df, args.out, shards=args.shards)
+    print(f"[cli] exported {args.format} to {args.out}")
+    return 0
+
+
+def cmd_stream_entity(args) -> int:
+    from .streaming.entity_stream import (
+        compact_entity_state,
+        init_state,
+        stream_entity_builds,
+    )
+
+    spark = _spark(args)
+    indexes = _load_indexes(spark, args)
+    order = _parse_merge_order(args.merge_order)
+    if args.init_records:
+        init_state(
+            spark, spark.read.parquet(args.init_records), indexes,
+            args.state, merge_order=order,
+        )
+        print(f"[cli] initialized state at {args.state}")
+    q = stream_entity_builds(
+        spark, args.feed, args.state, args.checkpoint, indexes,
+        merge_order=order, last_harvest=args.last_harvest,
+    )
+    q.awaitTermination(args.timeout)
+    if args.compact:
+        removed = compact_entity_state(args.state, args.checkpoint)
+        print(f"[cli] compacted superseded versions: {removed}")
+    return 0
+
+
+def cmd_list(args) -> int:
+    from .queries import QUERIES
+
+    for name, q in QUERIES.items():
+        tag = q.survey or "-"
+        oracle = "oracle" if q.oracle else "rows-only"
+        print(f"{name}\t{oracle}\t{tag}")
+    return 0
+
+
+def _add_index_opts(p: argparse.ArgumentParser) -> None:
+    for key in INDEX_SCHEMAS:
+        p.add_argument(f"--{key.replace('_', '-')}", dest=key, metavar="PARQUET")
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--cpus", type=int, default=None, help="local[N] cores")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="data_pipeline_spark", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="full entity build: records -> all tiers")
+    b.add_argument("--records", required=True, metavar="PARQUET")
+    b.add_argument("--idmap-prev", metavar="PARQUET")
+    b.add_argument("--merge-order", metavar="src=0,src=1")
+    b.add_argument("--out", required=True, metavar="DIR")
+    b.add_argument("--tiers", default="merged,idmap,edges")
+    _add_index_opts(b)
+    _add_common(b)
+    b.set_defaults(fn=cmd_build)
+
+    i = sub.add_parser("incremental", help="apply a change feed, rebuild the blast radius")
+    i.add_argument("--records", required=True, metavar="PARQUET")
+    i.add_argument("--changes", required=True, metavar="PARQUET")
+    i.add_argument("--idmap-prev", required=True, metavar="PARQUET")
+    i.add_argument("--prev-merged", required=True, metavar="PARQUET")
+    i.add_argument("--merge-order", metavar="src=0,src=1")
+    i.add_argument("--last-harvest", metavar="ISO_TS")
+    i.add_argument("--out", required=True, metavar="DIR")
+    i.add_argument("--tiers", default="merged,idmap,records")
+    _add_index_opts(i)
+    _add_common(i)
+    i.set_defaults(fn=cmd_incremental)
+
+    q = sub.add_parser("query", help="run a declared query against an SF directory")
+    q.add_argument("--name", required=True)
+    q.add_argument("--sf-dir", required=True)
+    q.add_argument("--out", metavar="PARQUET")
+    q.add_argument("--limit", type=int, default=0)
+    _add_common(q)
+    q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("search", help="run a search-DSL query (string or JSON form)")
+    s.add_argument("--sf-dir", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--json", action="store_true", help="parse --query as the JSON clause form")
+    s.add_argument("--scored", action="store_true", help="emit (id, score) BOOST ranking")
+    s.add_argument("--limit", type=int, default=0)
+    _add_common(s)
+    s.set_defaults(fn=cmd_search)
+
+    e = sub.add_parser("export", help="export a parquet tier as jsonl/csv/nt")
+    e.add_argument("--input", required=True, metavar="PARQUET")
+    e.add_argument("--format", required=True, choices=("jsonl", "csv", "nt"))
+    e.add_argument("--out", required=True)
+    e.add_argument("--shards", type=int, default=24)
+    _add_common(e)
+    e.set_defaults(fn=cmd_export)
+
+    st = sub.add_parser("stream-entity", help="run the streaming incremental entity build")
+    st.add_argument("--feed", required=True, metavar="DIR")
+    st.add_argument("--state", required=True, metavar="DIR")
+    st.add_argument("--checkpoint", required=True, metavar="DIR")
+    st.add_argument("--init-records", metavar="PARQUET")
+    st.add_argument("--merge-order", metavar="src=0,src=1")
+    st.add_argument("--last-harvest", metavar="ISO_TS")
+    st.add_argument("--compact", action="store_true")
+    st.add_argument("--timeout", type=int, default=600, help="awaitTermination seconds")
+    _add_index_opts(st)
+    _add_common(st)
+    st.set_defaults(fn=cmd_stream_entity)
+
+    ls = sub.add_parser("list", help="list declared queries")
+    _add_common(ls)
+    ls.set_defaults(fn=cmd_list)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

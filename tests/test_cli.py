@@ -1,0 +1,152 @@
+"""CLI surface (data_pipeline_spark/cli.py): the shell-script entry point
+a reference user drives the pipeline with.  Commands chain through the
+filesystem (parquet tiers in, parquet tiers out) like the reference's
+phase scripts chain through its caches — each test runs main(argv)
+in-process against tmp dirs and asserts the on-disk contract."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from data_pipeline_spark.cli import main
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def fixture_dirs(spark, tmp_path_factory):
+    """Family-B fixture tables written to parquet, CLI-style."""
+    from data_pipeline_spark.pipeline.fixtures import fixture_tables
+
+    d = tmp_path_factory.mktemp("cli_in")
+    t = fixture_tables(spark)
+    paths = {}
+    for name in ("records", "name_index", "uri_index", "same_as",
+                 "different_from", "idmap_prev"):
+        p = str(d / f"{name}.parquet")
+        t[name].write.mode("overwrite").parquet(p)
+        paths[name] = p
+    return paths
+
+
+def test_cli_build_writes_tiers(spark, fixture_dirs, tmp_path):
+    out = str(tmp_path / "build")
+    rc = main([
+        "build",
+        "--records", fixture_dirs["records"],
+        "--name-index", fixture_dirs["name_index"],
+        "--uri-index", fixture_dirs["uri_index"],
+        "--same-as", fixture_dirs["same_as"],
+        "--different-from", fixture_dirs["different_from"],
+        "--idmap-prev", fixture_dirs["idmap_prev"],
+        "--out", out,
+        "--tiers", "merged,idmap,edges",
+    ])
+    assert rc == 0
+    merged = spark.read.parquet(os.path.join(out, "merged.parquet"))
+    idmap = spark.read.parquet(os.path.join(out, "idmap.parquet"))
+    edges = spark.read.parquet(os.path.join(out, "edges.parquet"))
+    # the golden fixture counts (tests/test_pipeline.py pins the same)
+    assert merged.count() == 15
+    assert idmap.count() == 22
+    assert edges.count() == 22
+
+
+def test_cli_incremental_splices(spark, fixture_dirs, tmp_path):
+    from data_pipeline_spark.pipeline.fixtures import build_changes
+
+    full = str(tmp_path / "full")
+    assert main([
+        "build",
+        "--records", fixture_dirs["records"],
+        "--out", full, "--tiers", "merged,idmap",
+    ]) == 0
+    changes = str(tmp_path / "changes.parquet")
+    spark.createDataFrame(
+        build_changes(),
+        "seq bigint, end_time string, change string, object_uri string, payload string",
+    ).selectExpr(
+        "seq", "CAST(end_time AS timestamp) AS end_time", "change",
+        "object_uri", "payload",
+    ).write.parquet(changes)
+    out = str(tmp_path / "inc")
+    assert main([
+        "incremental",
+        "--records", fixture_dirs["records"],
+        "--changes", changes,
+        "--idmap-prev", os.path.join(full, "idmap.parquet"),
+        "--prev-merged", os.path.join(full, "merged.parquet"),
+        "--last-harvest", "2026-01-15T00:00:00",
+        "--out", out,
+    ]) == 0
+    merged = spark.read.parquet(os.path.join(out, "merged.parquet"))
+    labels = {
+        json.loads(r["data"]).get("_label") for r in merged.collect()
+    }
+    assert "Rembrandt van Rijn (updated)" in labels   # seq-1 update applied
+    assert "New Person" in labels                      # create applied
+    assert "Theo van Gogh" not in labels               # delete applied
+
+
+def test_cli_query_stdout_and_parquet(spark, tmp_path, capsys):
+    assert main([
+        "query", "--name", "q01_pricing_summary", "--sf-dir", SF,
+    ]) == 0
+    rows = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()
+            if x.startswith("{")]
+    assert rows and "l_returnflag" in rows[0]
+
+    out = str(tmp_path / "q01.parquet")
+    assert main([
+        "query", "--name", "q01_pricing_summary", "--sf-dir", SF, "--out", out,
+    ]) == 0
+    assert spark.read.parquet(out).count() == len(rows)
+
+
+def test_cli_query_unknown_name_errors():
+    with pytest.raises(SystemExit):
+        main(["query", "--name", "nope", "--sf-dir", SF])
+
+
+def test_cli_search_string_and_json(capsys):
+    assert main([
+        "search", "--sf-dir", SF,
+        "--query", 'AND(type=customer, in_nation(name="NATION_7"))',
+    ]) == 0
+    ids = {json.loads(x)["id"] for x in capsys.readouterr().out.strip().splitlines()
+           if x.startswith("{")}
+    assert ids and all(i.startswith("customer:") for i in ids)
+
+    assert main([
+        "search", "--sf-dir", SF, "--json",
+        "--query", json.dumps({"AND": [{"type": "customer"},
+                                        {"in_nation": {"name": "NATION_7"}}]}),
+    ]) == 0
+    ids_json = {json.loads(x)["id"] for x in capsys.readouterr().out.strip().splitlines()
+                if x.startswith("{")}
+    assert ids_json == ids
+
+
+def test_cli_export_jsonl(spark, fixture_dirs, tmp_path):
+    out = str(tmp_path / "exp")
+    assert main([
+        "export", "--input", fixture_dirs["records"],
+        "--format", "jsonl", "--out", out, "--shards", "2",
+    ]) == 0
+    back = spark.read.json(out)
+    assert back.count() == spark.read.parquet(fixture_dirs["records"]).count()
+
+
+def test_cli_list(capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "q01_pricing_summary" in out and "b01_entity_build" in out
+
+
+def test_cli_merge_order_rejects_garbage():
+    with pytest.raises(SystemExit):
+        main(["build", "--records", "x", "--out", "y",
+              "--merge-order", "notanumber"])
