@@ -113,6 +113,37 @@ def cmd_incremental(args) -> int:
     return 0
 
 
+def _tables_dir(args) -> str:
+    """The SF directory queries read — either --sf-dir as-is, or (with
+    --table name=path overrides) a scratch directory of symlinks laying
+    the overridden parquets over the base dir's tables.  This is how a
+    CLI user points a declared query at their OWN corpus: every query
+    reads <dir>/<table>.parquet, so a symlinked view IS the override."""
+    overrides = dict(
+        (spec.split("=", 1) + [None])[:2] for spec in (args.table or [])
+    )
+    if None in overrides.values():
+        raise SystemExit("--table entries must be name=path")
+    if not overrides:
+        if not args.sf_dir:
+            raise SystemExit("need --sf-dir and/or --table name=path")
+        return args.sf_dir
+    import tempfile
+
+    from .catalog import TABLES
+
+    d = tempfile.mkdtemp(prefix="dps_tables_")
+    for name, path in overrides.items():
+        os.symlink(os.path.abspath(path), os.path.join(d, f"{name}.parquet"))
+    if args.sf_dir:
+        for name in TABLES:
+            if name not in overrides:
+                src = os.path.join(args.sf_dir, f"{name}.parquet")
+                if os.path.exists(src):
+                    os.symlink(os.path.abspath(src), os.path.join(d, f"{name}.parquet"))
+    return d
+
+
 def cmd_query(args) -> int:
     from .queries import QUERIES
 
@@ -120,8 +151,9 @@ def cmd_query(args) -> int:
         raise SystemExit(
             f"unknown query {args.name!r} — `python -m data_pipeline_spark list`"
         )
+    sf_dir = _tables_dir(args)
     spark = _spark(args)
-    df = QUERIES[args.name].spark_fn(spark, args.sf_dir)
+    df = QUERIES[args.name].spark_fn(spark, sf_dir)
     if args.limit:
         df = df.limit(args.limit)
     if args.out:
@@ -165,6 +197,39 @@ def cmd_export(args) -> int:
     elif args.format == "nt":
         export_ntriples(df, args.out, shards=args.shards)
     print(f"[cli] exported {args.format} to {args.out}")
+    return 0
+
+
+def cmd_curate(args) -> int:
+    """The end-to-end training-data build (d41: exact-substring removal
+    -> tiered near-dup clean -> quality gate) over ANY documents
+    parquet, survivors md5-routed into ordered training shards —
+    the corpus-side twin of `build`."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from .queries.dedup import d41_training_data_build
+    from .sinks.exports import write_training_shards
+
+    sf_dir = _tables_dir(args)
+    spark = _spark(args)
+    surv = d41_training_data_build(spark, sf_dir)
+    n = args.n_shards
+    # deterministic, RNG-free shuffle (the d24 routing): md5 of content
+    # + id picks the shard, per-shard rank over the same hash is the
+    # permutation order a trainer consumes
+    route = F.md5(F.concat(F.col("clean_text"), F.col("doc_id").cast("string")))
+    routed = (
+        surv.withColumn(
+            "shard",
+            (F.conv(F.substring(route, 1, 8), 16, 10).cast("bigint") % n).cast("int"),
+        )
+        .withColumn(
+            "pos", F.row_number().over(W.partitionBy("shard").orderBy(route, "doc_id"))
+        )
+    )
+    write_training_shards(routed, args.out)
+    print(f"[cli] wrote {n}-shard training corpus to {args.out}")
     return 0
 
 
@@ -246,11 +311,29 @@ def build_parser() -> argparse.ArgumentParser:
 
     q = sub.add_parser("query", help="run a declared query against an SF directory")
     q.add_argument("--name", required=True)
-    q.add_argument("--sf-dir", required=True)
+    q.add_argument("--sf-dir")
+    q.add_argument(
+        "--table", action="append", metavar="name=path",
+        help="override a table with your own parquet (repeatable)",
+    )
     q.add_argument("--out", metavar="PARQUET")
     q.add_argument("--limit", type=int, default=0)
     _add_common(q)
     q.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser(
+        "curate",
+        help="d41 training-data build over a documents parquet -> ordered shards",
+    )
+    c.add_argument("--sf-dir")
+    c.add_argument(
+        "--table", action="append", metavar="name=path",
+        help="e.g. --table documents=/data/my_corpus.parquet",
+    )
+    c.add_argument("--out", required=True, metavar="DIR")
+    c.add_argument("--n-shards", type=int, default=16)
+    _add_common(c)
+    c.set_defaults(fn=cmd_curate)
 
     s = sub.add_parser("search", help="run a search-DSL query (string or JSON form)")
     s.add_argument("--sf-dir", required=True)

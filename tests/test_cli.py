@@ -146,6 +146,45 @@ def test_cli_list(capsys):
     assert "q01_pricing_summary" in out and "b01_entity_build" in out
 
 
+def test_cli_query_table_override(spark, tmp_path, capsys):
+    """--table name=path points a declared query at the user's OWN
+    corpus: d01 over a custom documents parquet with a planted exact
+    duplicate must report exactly that duplicate group."""
+    docs = str(tmp_path / "mydocs.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "unique text")],
+        "doc_id bigint, text string",
+    ).write.parquet(docs)
+    assert main([
+        "query", "--name", "d01_dedup_exact",
+        "--table", f"documents={docs}",
+    ]) == 0
+    rows = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()
+            if x.startswith("{")]
+    # d01 unions a re-keyed every-20th-doc branch; for these ids that
+    # adds no copies, so the only group is the planted (1, 2) pair
+    assert len(rows) == 1 and rows[0]["keeper_doc_id"] == 1 and rows[0]["n_copies"] == 2
+
+
+def test_cli_curate_writes_ordered_shards(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    assert main([
+        "curate", "--sf-dir", SF, "--out", out, "--n-shards", "4",
+    ]) == 0
+    shards = spark.read.parquet(out)
+    assert {r.shard for r in shards.select("shard").distinct().collect()} <= set(range(4))
+    n = shards.count()
+    assert n > 0
+    # every (shard, pos) unique and dense from 1 per shard
+    import pyspark.sql.functions as F
+
+    per = shards.groupBy("shard").agg(
+        F.count("*").alias("c"), F.max("pos").alias("mx"),
+        F.countDistinct("pos").alias("d"),
+    ).collect()
+    assert all(r.c == r.mx == r.d for r in per)
+
+
 def test_cli_merge_order_rejects_garbage():
     with pytest.raises(SystemExit):
         main(["build", "--records", "x", "--out", "y",
