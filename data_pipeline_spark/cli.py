@@ -260,6 +260,24 @@ def cmd_stream_entity(args) -> int:
     return 0
 
 
+def cmd_stream_refresh(args) -> int:
+    from .streaming.index_util import compact_index
+    from .streaming.refresh_stream import index_corpus, stream_refresh
+
+    spark = _spark(args)
+    if args.init_corpus:
+        index_corpus(spark.read.parquet(args.init_corpus), args.index)
+        print(f"[cli] indexed base corpus at {args.index}")
+    q = stream_refresh(
+        spark, args.feed, args.index, args.verdicts, checkpoint=args.checkpoint
+    )
+    q.awaitTermination(args.timeout)
+    if args.compact:
+        folded = compact_index(spark, args.index, args.checkpoint)
+        print(f"[cli] compacted committed folds: {folded}")
+    return 0
+
+
 def cmd_list(args) -> int:
     from .queries import QUERIES
 
@@ -364,6 +382,20 @@ def build_parser() -> argparse.ArgumentParser:
     _add_index_opts(st)
     _add_common(st)
     st.set_defaults(fn=cmd_stream_entity)
+
+    sr = sub.add_parser(
+        "stream-refresh",
+        help="stream crawls through the d48 admission gate against persisted indexes",
+    )
+    sr.add_argument("--feed", required=True, metavar="DIR", help="JSONL crawls: doc_id, text")
+    sr.add_argument("--index", required=True, metavar="DIR")
+    sr.add_argument("--verdicts", required=True, metavar="DIR")
+    sr.add_argument("--checkpoint", required=True, metavar="DIR")
+    sr.add_argument("--init-corpus", metavar="PARQUET", help="index this corpus as batch=base first")
+    sr.add_argument("--compact", action="store_true")
+    sr.add_argument("--timeout", type=int, default=600)
+    _add_common(sr)
+    sr.set_defaults(fn=cmd_stream_refresh)
 
     ls = sub.add_parser("list", help="list declared queries")
     _add_common(ls)

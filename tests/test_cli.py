@@ -185,6 +185,35 @@ def test_cli_curate_writes_ordered_shards(spark, tmp_path):
     assert all(r.c == r.mx == r.d for r in per)
 
 
+def test_cli_stream_refresh_end_to_end(spark, tmp_path):
+    """stream-refresh with --init-corpus and --compact: the base corpus
+    is indexed, a crawl is judged against it, and committed folds
+    compact into batch=base."""
+    from data_pipeline_spark.queries.dedup import _D48_W
+
+    words = " ".join(f"mesa{i:02d}" for i in range(22))
+    base = str(tmp_path / "base.parquet")
+    spark.createDataFrame([(1, _D48_W)], "doc_id bigint, text string").write.parquet(base)
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    with open(feed / "c0.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 10, "text": _D48_W}) + "\n")
+        f.write(json.dumps({"doc_id": 11, "text": words}) + "\n")
+
+    idx = str(tmp_path / "idx")
+    verd = str(tmp_path / "verd")
+    assert main([
+        "stream-refresh", "--feed", str(feed), "--index", idx,
+        "--verdicts", verd, "--checkpoint", str(tmp_path / "ck"),
+        "--init-corpus", base, "--compact",
+    ]) == 0
+    got = {r.doc_id: r.reason for r in spark.read.parquet(verd).collect()}
+    assert got == {10: "in_prev_build", 11: "admitted"}
+    # compaction folded the crawl's partitions into base
+    assert sorted(os.listdir(os.path.join(idx, "fp"))) == ["batch=base"]
+
+
 def test_cli_merge_order_rejects_garbage():
     with pytest.raises(SystemExit):
         main(["build", "--records", "x", "--out", "y",
