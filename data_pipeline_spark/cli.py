@@ -278,6 +278,55 @@ def cmd_stream_refresh(args) -> int:
     return 0
 
 
+def cmd_verify(args) -> int:
+    """Run the DuckDB-oracle comparison for declared queries — the same
+    check the correctness driver runs, as a user-facing command.  Exit
+    code 1 if any query diverges."""
+    from .oracle import compare, duckdb_con
+    from .queries import QUERIES
+
+    sf_dir = _tables_dir(args)
+    names = args.name or [n for n, q in QUERIES.items() if q.oracle]
+    if args.first:
+        names = names[: args.first]
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+    spark = _spark(args)
+    con = duckdb_con(sf_dir)
+    failed = []
+    try:
+        for name in names:
+            q = QUERIES[name]
+            if q.oracle is None:
+                n = q.spark_fn(spark, sf_dir).count()
+                print(f"{name}\trows-only\t{n} rows")
+                continue
+            ok, msg = compare(q.spark_fn(spark, sf_dir), con, q.oracle)
+            print(f"{name}\t{'OK' if ok else 'FAIL'}\t{msg}")
+            if not ok:
+                failed.append(name)
+    finally:
+        con.close()
+    if failed:
+        print(f"[cli] {len(failed)} FAILED: {failed}")
+        return 1
+    print(f"[cli] {len(names)} queries verified")
+    return 0
+
+
+def cmd_explain(args) -> int:
+    from .queries import QUERIES
+
+    if args.name not in QUERIES:
+        raise SystemExit(f"unknown query {args.name!r}")
+    sf_dir = _tables_dir(args)
+    spark = _spark(args)
+    df = QUERIES[args.name].spark_fn(spark, sf_dir)
+    df.explain(mode=args.mode)
+    return 0
+
+
 def cmd_list(args) -> int:
     from .queries import QUERIES
 
@@ -396,6 +445,28 @@ def build_parser() -> argparse.ArgumentParser:
     sr.add_argument("--timeout", type=int, default=600)
     _add_common(sr)
     sr.set_defaults(fn=cmd_stream_refresh)
+
+    v = sub.add_parser(
+        "verify",
+        help="compare declared queries against their DuckDB oracles (driver's check)",
+    )
+    v.add_argument("--sf-dir")
+    v.add_argument("--table", action="append", metavar="name=path")
+    v.add_argument("--name", action="append", help="verify only these (repeatable)")
+    v.add_argument("--first", type=int, default=0, help="verify only the first N")
+    _add_common(v)
+    v.set_defaults(fn=cmd_verify)
+
+    ex = sub.add_parser("explain", help="print a declared query's physical plan")
+    ex.add_argument("--name", required=True)
+    ex.add_argument("--sf-dir")
+    ex.add_argument("--table", action="append", metavar="name=path")
+    ex.add_argument(
+        "--mode", default="formatted",
+        choices=("simple", "extended", "formatted", "cost", "codegen"),
+    )
+    _add_common(ex)
+    ex.set_defaults(fn=cmd_explain)
 
     ls = sub.add_parser("list", help="list declared queries")
     _add_common(ls)

@@ -1,91 +1,16 @@
 """Local twin of the driver's DuckDB-oracle comparison.
 
-Stricter than the driver: cells are compared by canonical string repr
-(floats via repr -> bit-exact, Decimals normalized), columns sorted by
-name, and rows compared IN EMITTED ORDER (the driver's hash is row-order
-sensitive; registry.total_order pins the order on both sides) — any drift
-the driver could catch, this catches first.  Column-order parity between
-the Spark plan and the oracle is also asserted, because the total-order
-wrapper relies on it for identical sort priority.
+The implementation moved to ``data_pipeline_spark.oracle`` (round 11) so
+the CLI can expose it as `python -m data_pipeline_spark verify`; this
+module stays as the import path every test (and the verify skill) uses.
 """
 
 from __future__ import annotations
 
-import datetime as dt
-import decimal
-import math
-
-import duckdb
-
-TABLES = (
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
+from data_pipeline_spark.oracle import (  # noqa: F401
+    TABLES,
+    _canon,
+    canon_rows,
+    compare,
+    duckdb_con,
 )
-
-
-def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    return con
-
-
-def _canon(v):
-    if v is None:
-        return "<null>"
-    if isinstance(v, bool):
-        return f"b:{v}"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "f:nan"
-        return f"f:{v!r}"
-    if isinstance(v, decimal.Decimal):
-        return f"d:{v.normalize()}"
-    if isinstance(v, dt.datetime):
-        return f"t:{v.isoformat()}"
-    if isinstance(v, dt.date):
-        return f"t:{v.isoformat()}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon(x) for x in v) + "]"
-    return f"{type(v).__name__}:{v}"
-
-
-def canon_rows(col_names, rows, sort_rows: bool = False):
-    """Canonical form: columns sorted by name; rows kept in emitted order
-    (driver behavior) unless sort_rows=True (order-insensitive debugging)."""
-    order = sorted(range(len(col_names)), key=lambda i: col_names[i])
-    out = [tuple(_canon(r[i]) for i in order) for r in rows]
-    if sort_rows:
-        out.sort()
-    return sorted(c for c in col_names), out
-
-
-def compare(spark_df, con, sql: str, order_sensitive: bool = True):
-    """Return (ok, message) comparing a Spark DataFrame and a DuckDB query."""
-    s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    rel = con.execute(sql)
-    d_cols = [c[0] for c in rel.description]
-    d_rows = rel.fetchall()
-
-    if order_sensitive and list(s_cols) != list(d_cols):
-        return False, f"column ORDER mismatch (total-order wrapper relies on parity): spark={list(s_cols)} duckdb={list(d_cols)}"
-
-    sc, sr = canon_rows(s_cols, s_rows, sort_rows=not order_sensitive)
-    dc, dr = canon_rows(d_cols, d_rows, sort_rows=not order_sensitive)
-    if sc != dc:
-        return False, f"column mismatch: spark={sc} duckdb={dc}"
-    if len(sr) != len(dr):
-        return False, f"rowcount mismatch: spark={len(sr)} duckdb={len(dr)}"
-    if sr != dr:
-        diffs = [(i, a, b) for i, (a, b) in enumerate(zip(sr, dr)) if a != b][:5]
-        return False, f"value/order mismatch, first diffs: {diffs}"
-    return True, f"ok ({len(sr)} rows)"
