@@ -186,7 +186,8 @@ def reconcile(
     records: DataFrame,
     indexes: dict[str, DataFrame],
     min_equivs: int = 3,
-    broadcast_index: bool = True,
+    broadcast_index: bool | str = True,
+    auto_broadcast_max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Full reconcile pass: one equiv_edges relation from all join families.
 
@@ -200,8 +201,17 @@ def reconcile(
     skip it, which both mirrors the reference and prunes the name join's
     probe side at scale.
 
-    ``broadcast_index=False`` routes J1 through the salted shuffle join
-    (see name_join) for authority indexes too large to broadcast."""
+    ``broadcast_index=False`` routes J1 through the hot/cold-split salted
+    shuffle join (see name_join) for authority indexes too large to
+    broadcast.  ``broadcast_index="auto"`` removes the human from the
+    choice (the closure auto-routing principle): one columnar count of
+    the name index picks broadcast below ``auto_broadcast_max_rows``
+    (the measured crossover region — the hot/cold A/B shows blanket
+    replication still winning at 500k and losing 1.6-6x at 5M-20M,
+    SCALE.md round 11; a sub-1M index broadcasts comfortably at ~tens
+    of MB) and the salted shuffle path above it."""
+    if broadcast_index == "auto":
+        broadcast_index = indexes["name_index"].count() <= auto_broadcast_max_rows
     docs = with_doc(records)
     names = extract_names(docs)
     equivs = extract_equivalents(docs)

@@ -159,6 +159,12 @@ def test_name_join_salted_equals_broadcast(spark):
     bc = sorted(map(tuple, reconcile(records, idx).collect()))
     sj = sorted(map(tuple, reconcile(records, idx, broadcast_index=False).collect()))
     assert bc == sj
+    # auto-routing: a tiny index picks the broadcast arm, a forced-low
+    # threshold picks the salted arm — both must keep the same edges
+    assert sorted(map(tuple, reconcile(records, idx, broadcast_index="auto").collect())) == bc
+    assert sorted(map(tuple, reconcile(
+        records, idx, broadcast_index="auto", auto_broadcast_max_rows=0
+    ).collect())) == bc
     # the celebrity fan-out actually happened: every hot-name record got
     # the same target edge
     n_hot = sum(1 for r in bc if r[1].endswith("/idx/T1"))
