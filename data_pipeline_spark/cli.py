@@ -171,10 +171,19 @@ def cmd_query(args) -> int:
 
 
 def cmd_search(args) -> int:
-    from .plans.model import build_planner
+    from .plans.model import build_planner, load_planner, materialize_model
 
     spark = _spark(args)
-    planner = build_planner(spark, args.sf_dir)
+    if args.model:
+        # persisted-model path: --materialize writes it once, later
+        # searches load the parquet model instead of rebuilding the
+        # entity/edge unions per invocation (the production serving form)
+        if args.materialize:
+            materialize_model(spark, args.sf_dir, args.model)
+            print(f"[cli] materialized search model at {args.model}")
+        planner = load_planner(spark, args.model)
+    else:
+        planner = build_planner(spark, args.sf_dir)
     q = json.loads(args.query) if args.json else args.query
     if args.json:
         from .plans.parser import parse_json
@@ -408,6 +417,8 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("search", help="run a search-DSL query (string or JSON form)")
     s.add_argument("--sf-dir", required=True)
     s.add_argument("--query", required=True)
+    s.add_argument("--model", metavar="DIR", help="persisted search model (load, or write with --materialize)")
+    s.add_argument("--materialize", action="store_true", help="(re)build the persisted model at --model first")
     s.add_argument("--json", action="store_true", help="parse --query as the JSON clause form")
     s.add_argument("--scored", action="store_true", help="emit (id, score) BOOST ranking")
     s.add_argument("--limit", type=int, default=0)

@@ -130,6 +130,25 @@ def test_cli_search_string_and_json(capsys):
     assert ids_json == ids
 
 
+def test_cli_search_persisted_model(tmp_path, capsys):
+    """--model --materialize writes the parquet search model once; a
+    second invocation loads it (no rebuild) and returns the same ids."""
+    model = str(tmp_path / "model")
+    q = 'AND(type=customer, in_nation(name="NATION_7"))'
+    assert main([
+        "search", "--sf-dir", SF, "--query", q,
+        "--model", model, "--materialize",
+    ]) == 0
+    first = {json.loads(x)["id"] for x in capsys.readouterr().out.strip().splitlines()
+             if x.startswith("{")}
+    assert main([
+        "search", "--sf-dir", SF, "--query", q, "--model", model,
+    ]) == 0
+    again = {json.loads(x)["id"] for x in capsys.readouterr().out.strip().splitlines()
+             if x.startswith("{")}
+    assert first and again == first
+
+
 def test_cli_export_jsonl(spark, fixture_dirs, tmp_path):
     out = str(tmp_path / "exp")
     assert main([
