@@ -79,10 +79,10 @@ def build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def materialize_model(spark: SparkSession, sf_dir: str, path: str) -> None:
     """Persist the entity/edge model as parquet tables (the production
     form: SURVEY §1.5's extracted relational view). Edges are written
-    twice-sorted — one layout clustered by subject, one by object — so
-    forward and inverse DSL traversals both read co-located data (the
-    bucketed-join strategy of SCALE.md; on a real warehouse use
-    bucketBy(subject)/(object) saveAsTable instead)."""
+    twice-sorted — INVERSE traversals join edges on SUBJECT and forward
+    traversals on OBJECT (planner.Rel), so each direction gets the
+    layout clustered by its join key.  For the exchange-eliminating
+    form use materialize_model_bucketed."""
     import os
 
     build_entities(spark, sf_dir).write.mode("overwrite").parquet(
@@ -99,7 +99,9 @@ def materialize_model(spark: SparkSession, sf_dir: str, path: str) -> None:
 
 def load_planner(spark: SparkSession, path: str):
     """Planner over a materialized model directory (no cache warm-up —
-    lineage is already truncated at the parquet boundary)."""
+    lineage is already truncated at the parquet boundary).  Inverse hops
+    read the subject-clustered layout, forward hops the object-clustered
+    one."""
     import os
 
     from .planner import SearchPlanner
@@ -107,6 +109,46 @@ def load_planner(spark: SparkSession, path: str):
     return SearchPlanner(
         spark.read.parquet(os.path.join(path, "entities")),
         spark.read.parquet(os.path.join(path, "edges_by_subject")),
+        edges_object_keyed=spark.read.parquet(os.path.join(path, "edges_by_object")),
+    )
+
+
+def materialize_model_bucketed(
+    spark: SparkSession, sf_dir: str, prefix: str, n_buckets: int = 32
+) -> None:
+    """The exchange-eliminating model form: edges saved as BUCKETED
+    tables, one bucketed+sorted by subject (inverse hops' join key), one
+    by object (forward hops').  A traversal's edge side then reads
+    pre-partitioned buckets and Catalyst plans NO Exchange on the
+    corpus-scale relation — only the (sub-plan-sized) other side
+    shuffles to the bucket count.  At 100 TB that removes a
+    full-edge-relation exchange PER HOP (41M rows per exchange already
+    at the 30x protocol scale).  Plan-pinned in
+    tests/test_plan_quality.py."""
+    edges = build_edges(spark, sf_dir)
+    build_entities(spark, sf_dir).write.mode("overwrite").saveAsTable(
+        f"{prefix}_entities"
+    )
+    (
+        edges.write.mode("overwrite")
+        .bucketBy(n_buckets, "subject").sortBy("subject")
+        .saveAsTable(f"{prefix}_edges_subj")
+    )
+    (
+        edges.write.mode("overwrite")
+        .bucketBy(n_buckets, "object").sortBy("object")
+        .saveAsTable(f"{prefix}_edges_obj")
+    )
+
+
+def load_planner_bucketed(spark: SparkSession, prefix: str):
+    """Planner over materialize_model_bucketed tables."""
+    from .planner import SearchPlanner
+
+    return SearchPlanner(
+        spark.table(f"{prefix}_entities"),
+        spark.table(f"{prefix}_edges_subj"),
+        edges_object_keyed=spark.table(f"{prefix}_edges_obj"),
     )
 
 

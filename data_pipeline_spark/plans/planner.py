@@ -50,9 +50,19 @@ class SearchPlanner:
         edges: DataFrame,
         field_map: dict[str, str] | None = None,
         any_predicate: str = "any",
+        edges_object_keyed: DataFrame | None = None,
     ):
         self.entities = entities
         self.edges = edges
+        # FORWARD hops join edges on OBJECT (subject where object IN sub),
+        # inverse hops on SUBJECT — so a layout clustered/bucketed by
+        # object serves forward traversals and the subject layout serves
+        # inverse ones.  When the caller has only one relation, both
+        # directions use it (identical results either way; the split is
+        # purely the exchange-elimination lever, model.load_planner_bucketed).
+        self.edges_object_keyed = (
+            edges_object_keyed if edges_object_keyed is not None else edges
+        )
         self.field_map = field_map or {}
         # the reference's `any` relationship (searchConfig.json
         # `any: [lux:*Any, Reference]`, ml_lexer.py:286): a traversal
@@ -204,7 +214,7 @@ class SearchPlanner:
             return self.entities.filter(self._near_condition(node)).select("id")
         if isinstance(node, Rel):
             sub = self._plan(node.child)
-            e = self.edges
+            e = self.edges if node.inverse else self.edges_object_keyed
             wildcard = node.predicate is None or (
                 self.any_predicate is not None
                 and node.predicate == self.any_predicate

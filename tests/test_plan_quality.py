@@ -270,6 +270,75 @@ def test_closure_star_variant_matches_and_converges_fast(spark):
     assert star == default
 
 
+def test_bucketed_model_traversal_edges_side_no_exchange(spark):
+    """The bucketed DSL model (materialize_model_bucketed): a traversal's
+    corpus-scale edges side must read pre-bucketed data with NO Exchange
+    of its own — only the sub-plan side shuffles to the bucket count.
+    This is the per-hop exchange elimination the 100 TB serving design
+    relies on (41M-row edge relations at the 30x protocol scale)."""
+    from data_pipeline_spark.plans.model import (
+        load_planner_bucketed,
+        materialize_model_bucketed,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_abs = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try:
+        materialize_model_bucketed(spark, SF, "pqm", n_buckets=8)
+        # tiny test tables would broadcast; the claim is the shuffle path.
+        # autoBucketedScan off: Spark otherwise MAY fall back to a plain
+        # scan when buckets < target parallelism (a parallelism heuristic,
+        # not a correctness one) — production sizes n_buckets >= cluster
+        # parallelism, which this pin emulates at test scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        planner = load_planner_bucketed(spark, "pqm")
+        from data_pipeline_spark.plans.planner import SearchPlanner
+
+        # the same data WITHOUT bucketing metadata: reading the table's
+        # files as plain parquet drops the bucket spec — the unbucketed twin
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        flat = SearchPlanner(
+            spark.table("pqm_entities"),
+            spark.read.parquet(f"{wh}/pqm_edges_subj"),
+            edges_object_keyed=spark.read.parquet(f"{wh}/pqm_edges_obj"),
+        )
+
+        def n_exchanges(p, q):
+            plan = p.plan(q)._jdf.queryExecution().executedPlan().toString()
+            return (
+                sum(1 for line in plan.splitlines()
+                    if line.lstrip(" :+-*(").startswith("Exchange")),
+                plan,
+            )
+
+        for q in (
+            'AND(type=customer, in_nation(name="NATION_7"))',   # forward: obj-keyed
+            '^placed_by(AND(type=order, number>100))',           # inverse: subj-keyed
+        ):
+            nb, plan_b = n_exchanges(planner, q)
+            nf, _ = n_exchanges(flat, q)
+            # the hop's edges-side exchange is eliminated by the bucket
+            # layout; the scan must actually be the bucketed read
+            assert nb == nf - 1, f"{q}: bucketed {nb} vs flat {nf}\n{plan_b}"
+            assert "Bucketed: true" in plan_b, q
+        # and the two layouts return identical results
+        flat = load_planner_bucketed(spark, "pqm")
+        ids_f = {r.id for r in flat.plan('AND(type=customer, in_nation(name="NATION_7"))').collect()}
+        from data_pipeline_spark.plans.model import build_planner
+
+        ids_c = {r.id for r in build_planner(spark, SF).plan(
+            'AND(type=customer, in_nation(name="NATION_7"))').collect()}
+        assert ids_f == ids_c and ids_f
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev_abs
+        )
+        for t in ("pqm_entities", "pqm_edges_subj", "pqm_edges_obj"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_d19_contamination_broadcasts_benchmark_side(spark):
     """The decontamination join must broadcast the bounded benchmark
     n-gram set and meet on the md5 key — never shuffle raw text or fall
