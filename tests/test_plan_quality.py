@@ -283,15 +283,21 @@ def test_bucketed_model_traversal_edges_side_no_exchange(spark):
 
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     prev_abs = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         materialize_model_bucketed(spark, SF, "pqm", n_buckets=8)
         # tiny test tables would broadcast; the claim is the shuffle path.
-        # autoBucketedScan off: Spark otherwise MAY fall back to a plain
-        # scan when buckets < target parallelism (a parallelism heuristic,
-        # not a correctness one) — production sizes n_buckets >= cluster
-        # parallelism, which this pin emulates at test scale
+        # autoBucketedScan off + shuffle.partitions == n_buckets: the
+        # bucket layout only replaces the exchange when its partitioning
+        # SATISFIES the join's required distribution — production sizes
+        # n_buckets to the cluster's shuffle parallelism (and Spark's
+        # autoBucketedScan heuristic otherwise falls back to a plain scan
+        # when buckets < target parallelism); this pin emulates that
+        # sizing at test scale and must not depend on what partition
+        # count an earlier test left on the shared session
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         planner = load_planner_bucketed(spark, "pqm")
         from data_pipeline_spark.plans.planner import SearchPlanner
 
@@ -335,6 +341,7 @@ def test_bucketed_model_traversal_edges_side_no_exchange(spark):
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev_abs
         )
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         for t in ("pqm_entities", "pqm_edges_subj", "pqm_edges_obj"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
