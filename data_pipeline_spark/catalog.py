@@ -8,6 +8,7 @@ with predicate pushdown and column pruning supplied by Catalyst.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -26,6 +27,13 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# load_table's plan cache is shared by every query in the session; a
+# multi-threaded serving caller (the DSL CLI under a thread pool) must not
+# race the evict-then-insert sequence. Plan construction itself stays
+# outside the lock — it is the slow part, DataFrames are immutable, and a
+# double build on a concurrent miss is benign (last insert wins).
+_CACHE_LOCK = threading.Lock()
+
 
 def input_fingerprint(sf_dir: str, name: str) -> str:
     """Cheap identity of a table's files: (name, size, mtime_ns) of every
@@ -35,13 +43,23 @@ def input_fingerprint(sf_dir: str, name: str) -> str:
     serve a plan whose pinned file listing has been deleted."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     parts: list[str] = []
+    # a file deleted between listdir and stat (concurrent testdata regen)
+    # just drops out of the fingerprint — the next call sees the new
+    # listing and the changed fingerprint misses the cache, which is the
+    # behavior we want; it must not raise out of load_table
     if os.path.isdir(path):
         for entry in sorted(os.listdir(path)):
-            st = os.stat(os.path.join(path, entry))
+            try:
+                st = os.stat(os.path.join(path, entry))
+            except FileNotFoundError:
+                continue
             parts.append(f"{entry}:{st.st_size}:{st.st_mtime_ns}")
     elif os.path.exists(path):
-        st = os.stat(path)
-        parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+        try:
+            st = os.stat(path)
+            parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+        except FileNotFoundError:
+            pass
     return ";".join(parts)
 
 
@@ -55,17 +73,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the fingerprint in the key means an in-place testdata regeneration
     invalidates the entry (same contract as the dedup tier cache) instead
     of serving a plan over deleted part files."""
-    cache = getattr(spark, "_dps_table_cache", None)
-    if cache is None:
-        cache = {}
-        spark._dps_table_cache = cache
-    key = (os.path.abspath(sf_dir), name, input_fingerprint(sf_dir, name))
-    cached = cache.get(key)
-    if cached is not None:
-        return cached
-    # evict superseded plans of the same table (regen under the same path)
-    for stale in [k for k in cache if k[:2] == key[:2]]:
-        del cache[stale]
+    with _CACHE_LOCK:
+        cache = getattr(spark, "_dps_table_cache", None)
+        if cache is None:
+            cache = {}
+            spark._dps_table_cache = cache
+        key = (os.path.abspath(sf_dir), name, input_fingerprint(sf_dir, name))
+        cached = cache.get(key)
+        if cached is not None:
+            return cached
+        # evict superseded plans of the same table (regen under the same path)
+        for stale in [k for k in cache if k[:2] == key[:2]]:
+            del cache[stale]
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
@@ -80,7 +99,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(path)
-    cache[key] = df
+    with _CACHE_LOCK:
+        cache[key] = df
     return df
 
 

@@ -57,11 +57,36 @@ def _parse_merge_order(spec: str | None) -> dict[str, int] | None:
         return None
     out = {}
     for part in spec.split(","):
-        name, _, prio = part.partition("=")
-        if not _ or not prio.lstrip("-").isdigit():
+        name, sep, prio = part.partition("=")
+        try:
+            if not sep or not name.strip():
+                raise ValueError
+            out[name.strip()] = int(prio)
+        except ValueError:
             raise SystemExit(f"--merge-order entries must be src=int, got {part!r}")
-        out[name.strip()] = int(prio)
     return out
+
+
+def _await_drained(q, timeout: float | None) -> bool:
+    """Wait for a stream to drain; stop it if the timeout fires first.
+
+    ``awaitTermination(timeout)`` returns False with the query STILL
+    RUNNING — compacting state (or just exiting, killing an in-flight
+    batch) while micro-batches commit would race the stream.  Stop the
+    query before returning so the caller's post-steps run against
+    quiesced state, and report the undrained feed (callers exit nonzero).
+    """
+    if q.awaitTermination(timeout):
+        return True
+    q.stop()
+    q.awaitTermination()
+    print(
+        "[cli] WARNING: timeout before the feed drained; stream stopped "
+        "cleanly but unprocessed input remains (re-run to resume from the "
+        "checkpoint)",
+        file=sys.stderr,
+    )
+    return False
 
 
 def _write_tiers(tiers: dict, out_dir: str, wanted: list[str]) -> None:
@@ -265,11 +290,11 @@ def cmd_stream_entity(args) -> int:
         spark, args.feed, args.state, args.checkpoint, indexes,
         merge_order=order, last_harvest=args.last_harvest,
     )
-    q.awaitTermination(args.timeout)
+    drained = _await_drained(q, args.timeout)
     if args.compact:
         removed = compact_entity_state(args.state, args.checkpoint)
         print(f"[cli] compacted superseded versions: {removed}")
-    return 0
+    return 0 if drained else 3
 
 
 def cmd_stream_refresh(args) -> int:
@@ -283,11 +308,11 @@ def cmd_stream_refresh(args) -> int:
     q = stream_refresh(
         spark, args.feed, args.index, args.verdicts, checkpoint=args.checkpoint
     )
-    q.awaitTermination(args.timeout)
+    drained = _await_drained(q, args.timeout)
     if args.compact:
         folded = compact_index(spark, args.index, args.checkpoint)
         print(f"[cli] compacted committed folds: {folded}")
-    return 0
+    return 0 if drained else 3
 
 
 def cmd_verify(args) -> int:
@@ -299,11 +324,13 @@ def cmd_verify(args) -> int:
 
     sf_dir = _tables_dir(args)
     names = args.name or [n for n, q in QUERIES.items() if q.oracle]
-    if args.first:
-        names = names[: args.first]
+    # validate BEFORE the --first slice: a typo'd --name beyond the slice
+    # must fail loudly, not be silently dropped from a run that exits 0
     unknown = [n for n in names if n not in QUERIES]
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
+    if args.first:
+        names = names[: args.first]
     spark = _spark(args)
     con = duckdb_con(sf_dir)
     failed = []

@@ -392,7 +392,9 @@ def j16_closure_auto_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats: dict = {}
     out = connected_components(edges, stats=stats)
-    assert stats["algorithm"] == "star", (
-        f"auto did not switch on 200-link chains: {stats}"
-    )
+    # explicit raise, not assert: under `python -O` an assert is stripped
+    # and the gate silently degrades into a plain halving re-test — the
+    # exact degradation this check exists to catch (ADVICE r11)
+    if stats["algorithm"] != "star":
+        raise RuntimeError(f"auto did not switch on 200-link chains: {stats}")
     return out

@@ -233,6 +233,42 @@ def test_cli_stream_refresh_end_to_end(spark, tmp_path):
     assert sorted(os.listdir(os.path.join(idx, "fp"))) == ["batch=base"]
 
 
+def test_cli_await_drained_stops_undrained_stream(capsys):
+    """awaitTermination(timeout) returning False means the stream is
+    STILL RUNNING — the helper must stop it (so --compact never races a
+    live stream), warn, and report undrained (ADVICE r11)."""
+    from data_pipeline_spark.cli import _await_drained
+
+    class FakeQuery:
+        def __init__(self):
+            self.stopped = False
+            self.calls = 0
+
+        def awaitTermination(self, timeout=None):
+            self.calls += 1
+            if timeout is not None:
+                return False  # timed out, query live
+            assert self.stopped, "blocking await only after stop()"
+            return True
+
+        def stop(self):
+            self.stopped = True
+
+    q = FakeQuery()
+    assert _await_drained(q, 0.1) is False
+    assert q.stopped and q.calls == 2
+    assert "WARNING" in capsys.readouterr().err
+
+    class DrainedQuery:
+        def awaitTermination(self, timeout=None):
+            return True
+
+        def stop(self):  # pragma: no cover - must not be called
+            raise AssertionError("drained stream must not be stopped")
+
+    assert _await_drained(DrainedQuery(), 5) is True
+
+
 def test_cli_verify_and_explain(capsys):
     assert main([
         "verify", "--sf-dir", SF,
@@ -267,3 +303,27 @@ def test_cli_merge_order_rejects_garbage():
     with pytest.raises(SystemExit):
         main(["build", "--records", "x", "--out", "y",
               "--merge-order", "notanumber"])
+
+
+def test_cli_merge_order_rejects_double_minus():
+    """'src=--5' used to slip past the isdigit guard (lstrip('-')) and
+    blow up as an unhandled int() ValueError — it must take the same
+    clean SystemExit path as any other malformed priority (ADVICE r11)."""
+    for bad in ("src=--5", "src=- 5", "src=", "=5"):
+        with pytest.raises(SystemExit):
+            main(["build", "--records", "x", "--out", "y",
+                  "--merge-order", bad])
+
+
+def test_cli_merge_order_accepts_negative():
+    from data_pipeline_spark.cli import _parse_merge_order
+
+    assert _parse_merge_order("a=-5, b=2") == {"a": -5, "b": 2}
+
+
+def test_cli_verify_unknown_name_beyond_first_slice_errors():
+    """--first must not mask an unknown --name: validation happens on the
+    full requested list, before truncation (ADVICE r11)."""
+    with pytest.raises(SystemExit, match="no_such_query"):
+        main(["verify", "--sf-dir", SF, "--first", "1",
+              "--name", "q01_pricing_summary", "--name", "no_such_query"])

@@ -180,6 +180,31 @@ def test_load_table_session_plan_cache(spark):
     assert dict(ev.dtypes)["ts"].startswith("timestamp")  # shim applied, cached
 
 
+def test_input_fingerprint_survives_deletion_race(tmp_path, monkeypatch):
+    """A file deleted between listdir and stat (concurrent testdata
+    regen) must drop out of the fingerprint, not raise out of
+    load_table (ADVICE r11)."""
+    import os as _os
+
+    from data_pipeline_spark import catalog
+
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    (d / "part-0").write_text("x")
+    (d / "part-1").write_text("y")
+
+    real_stat = _os.stat
+
+    def racy_stat(p, *a, **kw):
+        if str(p).endswith("part-1"):
+            raise FileNotFoundError(p)
+        return real_stat(p, *a, **kw)
+
+    monkeypatch.setattr(catalog.os, "stat", racy_stat)
+    fp = catalog.input_fingerprint(str(tmp_path), "t")
+    assert "part-0" in fp and "part-1" not in fp
+
+
 def test_name_variants(spark):
     from data_pipeline_spark.pipeline.envelope import name_variants
 
