@@ -50,12 +50,25 @@ HEADLINE = [
     "r01_watermark_window_counts",
     "dsl_q01_customers_in_germany",
     "dsl_q05_parts_in_german_orders",
+    # serving path: the same traversal class over the PERSISTED bucketed
+    # dual-layout model (inverse hop over the lineitem-scale contains
+    # edges — the worst scaler at 30x before the bucketed layout landed;
+    # VERDICT r11 #4). The one-time model materialization is pre-warmed
+    # below with the other planner warm-up — production serves thousands
+    # of queries per materialization, so the bench measures the query.
+    "dsl_q13_bucketed_serving_inverse",
     # the composite ETL chain (map->reconcile->closure->mint->reidentify->
     # merge) at SF scale — the engine's core deliverable, benched so a
     # chain regression is as loud as a query regression (VERDICT r10 #1).
     # Runs LAST with its own pre-canary: it's the most expensive entry,
     # and the bracket isolates host contention from chain drift.
     "b01_entity_build",
+    # the extraction/export half (edges tier -> N-Triples) — the
+    # reference's export phase is a full fourth of its build
+    # (run-export.py:48-69); b01's merged-tier lineage never executes
+    # extract_edges/to_ntriples, so an explode blowup there was
+    # driver-invisible until this row (VERDICT r11 #1).
+    "b02_entity_export",
 ]
 
 
@@ -87,11 +100,14 @@ def main() -> None:
     # query happens to run first, so a contended host can inflate that
     # query's number arbitrarily (observed: dsl_q01 19.3s driver vs 3.1s
     # idle-host on identical plans).
-    from data_pipeline_spark.plans.model import build_planner
+    from data_pipeline_spark.plans.model import build_planner, serving_planner
 
     planner = build_planner(spark, sf_dir)
     planner.entities.count()
     planner.edges.count()
+    # same argument for the bucketed SERVING model: materialization is the
+    # one-time persistent build (dsl_q13 then measures serving reads)
+    serving_planner(spark, sf_dir)
 
     per_query: dict[str, float] = {}
     canary_pre_b01 = None

@@ -55,31 +55,18 @@ GATE_PIN = [
     "a01_merge_fold", "j06_reconcile_min_equivs", "j03_constraint_veto",
     "j08_reidentify", "p05_merge_veto", "p02_validation_rules",
     "j12_metatype_join", "f23_guess_type",
-    # r11: all six r10 code-change pins (g03, d51, v07, dsl_q09, dsl_q11
-    # and the model-change share of dsl_q05) dropped — CORRECTNESS_r10
-    # .json is committed (first r11 commit) and vouches green; their code
-    # is unchanged this round.
-    # r11 code changes that re-gate (old green row no longer vouches):
-    # - closure.py refactor: default algorithm 'halving' -> 'auto'
-    #   (VERDICT r10 #6) — every connected_components consumer re-proves:
-    #   j05 (direct), j09 (star arm, same refactored module), j07 + r11
-    #   (build_idmap/run_build route through the default), d12 (the
-    #   dedup-family CC consumer)
-    "j05_connected_components", "j09_closure_star", "j07_idmap_minting",
-    "r11_incremental_build", "d12_dedup_groups",
-    # - reconcile.py J1 large-authority path moved to hot_key_salted_join
-    #   (ADVICE r10 #4 — hot/cold key split)
-    "j14_salted_celebrity_reconcile",
-    # - planner.py Rel compilation gained the predicate=None wildcard
-    #   sentinel (ADVICE r10 #2).  Per ADVICE r10 #3 (don't rely on age
-    #   ordering to re-front consumers of changed code), the WHOLE dsl
-    #   family pins for this one round — every dsl query compiles through
-    #   the changed planner; q02/q03/q08 arrive via AGE_SLOTS anyway.
-    "dsl_q12_any_rel_date_text", "dsl_q05_parts_in_german_orders",
-    "dsl_q01_customers_in_germany", "dsl_q04_nations_with_rich_customers",
-    "dsl_q06_similar_customers", "dsl_q07_json_form",
-    "dsl_q09_boost_scoring", "dsl_q10_sparql_shape",
-    "dsl_q11_near_andnot_boost",
+    # r12: all fifteen r11 one-round pins dropped (the closure-refactor
+    # cohort j05/j09/j07/r11_incremental/d12, the salted-join j14, and
+    # the nine dsl re-gates) — CORRECTNESS_r11.json is committed and
+    # vouches green; closure.py/reconcile.py/planner.py are unchanged
+    # this round.
+    # r12 code change that re-gates: build_gate._pair_records gained the
+    # with_membership parameter (b02's corpus). b01's input is
+    # default-off and bit-identical, but the shared corpus builder
+    # changed, so b01 re-proves for one round. b02_entity_export and
+    # dsl_q13_bucketed_serving_inverse are NEW and front via the
+    # never-checked rule.
+    "b01_entity_build",
 ]
 
 GATE_WINDOW_SIZE = 50
@@ -94,7 +81,11 @@ GATE_WINDOW_SIZE = 50
 # zero never-green queries the window already fills with stalest greens,
 # but the raised reservation keeps the re-proof rate even as this
 # round's new declarations land.
-AGE_SLOTS = 12
+# r12: raised 12 -> 16 (VERDICT r11 #5): the r11 pin load (15 one-round
+# pins) is gone, so the freed slots go oldest-first at the 55-query
+# r5/r6 cohort — with 11 pins + 2 new declarations the window re-proves
+# 37 stalest greens this round.
+AGE_SLOTS = 16
 
 
 def driver_green_history() -> dict[str, int]:

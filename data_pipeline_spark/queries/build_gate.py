@@ -28,10 +28,36 @@ from .registry import query
 _MERGE_ORDER = {"srcA": 0, "srcB": 1}
 
 
-def _pair_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two pseudo-source Person records per customer; srcA links srcB."""
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+def _pair_records(
+    spark: SparkSession, sf_dir: str, with_membership: bool = False
+) -> DataFrame:
+    """Two pseudo-source Person records per customer; srcA links srcB.
+
+    ``with_membership`` adds a ``member_of`` reference from srcA to a
+    per-nation group URI that is NOT a record and NOT equivalence-linked
+    — so it must survive reidentification UNREWRITTEN (the idmap only
+    covers component members) and come out of the edges tier as an
+    external URI.  b01 keeps the original two-field corpus (its r11
+    driver row vouches for exactly that input); b02 turns this on."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
     key = F.col("c_custkey").cast("string")
+    member_of = (
+        [
+            F.array(
+                F.struct(
+                    F.concat(
+                        F.lit("https://fixture.test/group/"),
+                        F.col("c_nationkey").cast("string"),
+                    ).alias("id"),
+                    F.lit("Group").alias("type"),
+                )
+            ).alias("member_of")
+        ]
+        if with_membership
+        else []
+    )
     a = cust.select(
         F.lit("srcA").alias("source"),
         key.alias("identifier"),
@@ -49,6 +75,7 @@ def _pair_records(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit("Person").alias("type"),
                     )
                 ).alias("equivalent"),
+                *member_of,
             )
         ).alias("data"),
     )
@@ -117,3 +144,85 @@ def b01_entity_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sources",
         )
     )
+
+
+@query(
+    "b02_entity_export",
+    oracle="""
+    WITH k AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS key,
+             CAST(c_nationkey AS VARCHAR) AS nkey
+      FROM customer
+    )
+    SELECT '<https://fixture.test/entity/' || key
+           || '> <https://lux.example/ns/rdf:type> "Person" .' AS nt
+    FROM k
+    UNION ALL
+    SELECT '<https://fixture.test/entity/' || key
+           || '> <https://lux.example/ns/equivalent> <https://fixture.test/entity/'
+           || key || '> .' AS nt
+    FROM k
+    UNION ALL
+    SELECT '<https://fixture.test/entity/' || key
+           || '> <https://lux.example/ns/member_of> <https://fixture.test/group/'
+           || nkey || '> .' AS nt
+    FROM k
+    """,
+    survey="X1,X5,K6,build-chain",
+)
+def b02_entity_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXTRACTION/EXPORT half of the build at SF scale (VERDICT r11
+    #1): run_build -> edges tier -> N-Triples serialization, string-exact
+    against the oracle.  b01 consumes the merged tier; its lineage never
+    executed extract_edges or to_ntriples, leaving the reference's entire
+    export phase (run-export.py:48-69, qlever/mapper2.py — a full fourth
+    of its build) driver-invisible; an explode blowup in X1 would have
+    gone unnoticed.
+
+    The corpus is b01's pair protocol plus a per-nation ``member_of``
+    group reference, so the exported edge inventory exercises the three
+    reidentification outcomes the export must preserve:
+      * rdf:type        -> a plain literal object ("Person"),
+      * equivalent      -> a component-internal URI, rewritten by
+                           reidentify to the minted yuid (emitted here
+                           re-canonicalized to the entity URI — yuids are
+                           uuid5/SHA-1, which DuckDB cannot compute),
+      * member_of       -> an external URI absent from the idmap, which
+                           must pass through reidentify UNREWRITTEN.
+    The NT lines themselves come from the production serializer
+    (pipeline/edges.to_ntriples), covering its URI-vs-literal branching
+    and subject formatting against DuckDB-built expected strings."""
+    from ..pipeline.build import run_build
+    from ..pipeline.edges import to_ntriples
+
+    records = _pair_records(spark, sf_dir, with_membership=True)
+    e = spark.createDataFrame
+    indexes = {
+        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": e([], "uri_a string, uri_b string"),
+        "different_from": e([], "uri_a string, uri_b string"),
+    }
+    out = run_build(spark, records, indexes, merge_order=_MERGE_ORDER)
+    # yuid -> stable member identifier (both pair members share the
+    # custkey); yuid-keyed groupBy + yuid-keyed join, same keys the chain
+    # already shuffles on
+    members = out["reidentified"].groupBy("yuid").agg(
+        F.min("identifier").alias("identifier")
+    )
+    canon = F.concat(F.lit("https://fixture.test/entity/"), F.col("identifier"))
+    edges = (
+        out["edges"]
+        .join(members, out["edges"]["subject"] == members["yuid"])
+        .select(
+            canon.alias("subject"),
+            "predicate",
+            # the equivalent edge points at the entity's own yuid after
+            # reidentification; canonicalize it the same way so the NT
+            # strings are deterministic for the oracle
+            F.when(F.col("object") == F.col("yuid"), canon)
+            .otherwise(F.col("object"))
+            .alias("object"),
+        )
+    )
+    return to_ntriples(edges)

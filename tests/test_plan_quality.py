@@ -891,3 +891,48 @@ def test_round10_queries_no_cartesian(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsl_q13_serves_from_bucketed_tables(spark):
+    """dsl_q13 must actually serve from the PERSISTED bucketed model:
+    its executed plan reads the bucketed edge table (a regression that
+    silently falls back to the in-memory union model would still return
+    correct rows — the read path is the claim).  serving_planner
+    memoizes per (application, sf_dir): the second call must not
+    rematerialize."""
+    from data_pipeline_spark.plans import model
+
+    model._SERVING.clear()
+    df = QUERIES["dsl_q13_bucketed_serving_inverse"].spark_fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "serve_root_testdata_sf0_001_edges_subj" in plan, plan
+    assert "Bucketed: true" in plan, plan
+    n = len(model._SERVING)
+    QUERIES["dsl_q13_bucketed_serving_inverse"].spark_fn(spark, SF)
+    assert len(model._SERVING) == n
+
+
+def test_serving_planner_rematerializes_across_catalog_loss(spark):
+    """materialize_model_bucketed must be re-runnable when the previous
+    process left warehouse directories behind but the (in-memory)
+    catalog registration is gone — the LOCATION_ALREADY_EXISTS failure
+    mode of a fresh driver session reusing the repo CWD (ADVICE-class
+    robustness; hit by the first cross-session dsl_q13 run)."""
+    from data_pipeline_spark.plans import model
+
+    model._SERVING.clear()
+    model.serving_planner(spark, SF)
+    # simulate a fresh process: registrations dropped, directories kept
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    import os
+    import shutil
+
+    for t in ("serve_root_testdata_sf0_001_entities",):
+        src = os.path.join(wh, t)
+        keep = src + "_keepalive"
+        shutil.copytree(src, keep)
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.move(keep, src) if not os.path.isdir(src) else shutil.rmtree(keep)
+    model._SERVING.clear()
+    p = model.serving_planner(spark, SF)  # must not raise
+    assert p.plan("AND(type=nation)").count() == 25
