@@ -936,3 +936,25 @@ def test_serving_planner_rematerializes_across_catalog_loss(spark):
     model._SERVING.clear()
     p = model.serving_planner(spark, SF)  # must not raise
     assert p.plan("AND(type=nation)").count() == 25
+
+
+def test_b02_export_plan_hygiene(spark):
+    """The export gate's full lineage (chain -> extract_edges ->
+    to_ntriples): every join keyed (no CartesianProduct /
+    BroadcastNestedLoopJoin), and the NT serialization adds NO exchange
+    of its own — it must stay a projection over the edges tier (the
+    reference's export phase is scan-shaped: run-export.py streams
+    records through a mapper)."""
+    from data_pipeline_spark.pipeline.edges import to_ntriples
+
+    plan = _plan(spark, "b02_entity_export")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the serializer is a narrow projection: over an exchange-free input
+    # its executed plan must contain no Exchange at all
+    edges = spark.createDataFrame(
+        [("s1", "rdf:type", "Person"), ("s1", "member_of", "https://x.test/g")],
+        "subject string, predicate string, object string",
+    )
+    nt_plan = to_ntriples(edges)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in nt_plan, nt_plan
