@@ -109,7 +109,9 @@ def _pair_records(
     """,
     survey="J2,J5,J7,J8,A1,W2,build-chain",
 )
-def b01_entity_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b01_entity_build(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """The full entity build chain at SF scale, one row per merged
     entity: (identifier, rectype, label, n_sources).  identifier is the
     shared member identifier (both pair members carry the custkey), the
@@ -129,7 +131,15 @@ def b01_entity_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "same_as": e([], "uri_a string, uri_b string"),
         "different_from": e([], "uri_a string, uri_b string"),
     }
-    out = run_build(spark, records, indexes, merge_order=_MERGE_ORDER)
+    # materialize: this gate consumes TWO tiers (merged + reidentified);
+    # without it each lineage re-executes the whole chain — the production
+    # multi-tier consumer (the CLI) persists tiers for exactly this reason,
+    # and the gate should time the chain once, like production does.
+    # (materialize=False is the plan-hygiene test hook: checkpoints
+    # truncate lineage, so full-chain plan pins need the lazy form.)
+    out = run_build(
+        spark, records, indexes, merge_order=_MERGE_ORDER, materialize=materialize
+    )
     members = out["reidentified"].groupBy("yuid").agg(
         F.min("identifier").alias("identifier"),
         F.countDistinct("source").alias("n_sources"),
@@ -170,7 +180,9 @@ def b01_entity_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey="X1,X5,K6,build-chain",
 )
-def b02_entity_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b02_entity_export(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """The EXTRACTION/EXPORT half of the build at SF scale (VERDICT r11
     #1): run_build -> edges tier -> N-Triples serialization, string-exact
     against the oracle.  b01 consumes the merged tier; its lineage never
@@ -203,7 +215,11 @@ def b02_entity_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "same_as": e([], "uri_a string, uri_b string"),
         "different_from": e([], "uri_a string, uri_b string"),
     }
-    out = run_build(spark, records, indexes, merge_order=_MERGE_ORDER)
+    # materialize: two consumed tiers (edges via merged + reidentified) —
+    # same once-not-twice argument as b01; False = plan-hygiene test hook
+    out = run_build(
+        spark, records, indexes, merge_order=_MERGE_ORDER, materialize=materialize
+    )
     # yuid -> stable member identifier (both pair members share the
     # custkey); yuid-keyed groupBy + yuid-keyed join, same keys the chain
     # already shuffles on

@@ -947,7 +947,11 @@ def test_b02_export_plan_hygiene(spark):
     records through a mapper)."""
     from data_pipeline_spark.pipeline.edges import to_ntriples
 
-    plan = _plan(spark, "b02_entity_export")
+    # materialize=False: the gate checkpoints tiers by default (it consumes
+    # two of them), which truncates lineage — the hygiene pin needs the
+    # full lazy chain in one plan
+    df = QUERIES["b02_entity_export"].spark_fn(spark, SF, materialize=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # the serializer is a narrow projection: over an exchange-free input
