@@ -292,8 +292,8 @@ def cmd_stream_entity(args) -> int:
     )
     drained = _await_drained(q, args.timeout)
     if args.compact:
-        removed = compact_entity_state(args.state, args.checkpoint)
-        print(f"[cli] compacted superseded versions: {removed}")
+        removed = compact_entity_state(spark, args.state, args.checkpoint)
+        print(f"[cli] compacted committed deltas into base: {removed}")
     return 0 if drained else 3
 
 

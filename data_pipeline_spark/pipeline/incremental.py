@@ -247,4 +247,15 @@ def incremental_build(
         .unionByName(rebuilt["idmap"].select("qua_uri", "yuid"))
     )
     rebuilt["records"] = new_records
+    # delta-layout outputs (streaming/entity_stream merge-on-read state):
+    # the blast-radius slice per tier plus the touched-key sets — all
+    # delta-sized, so a stateful consumer can persist ONLY these instead
+    # of rewriting full tiers per crawl.  touched keys with no delta row
+    # are deletions; touched_yuids covers both replaced prev components
+    # (affected_yuids) and newly minted ones (the slice idmap).
+    rebuilt["records_delta"] = slice_records
+    rebuilt["touched_uris"] = blast.distinct()
+    rebuilt["touched_yuids"] = (
+        affected_yuids.union(rebuilt["idmap"].select("yuid")).distinct()
+    )
     return rebuilt

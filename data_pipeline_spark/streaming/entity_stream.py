@@ -1,6 +1,6 @@
 """Streaming entity builds: the incremental rebuild (r11 /
 pipeline/incremental.py) run continuously — each micro-batch is a change
-feed crawl folded into versioned state tiers.
+feed crawl folded into DELTA-layout state tiers.
 
 All build logic is the batch operator (incremental_build) inside
 ``foreachBatch`` — the streaming layer only sequences crawls and manages
@@ -9,23 +9,49 @@ state versions, so batch and streaming incremental builds CANNOT diverge
 shared definitions; the streaming test closes the loop by checking the
 final streamed state equals a full rebuild over the final records tier).
 
-State layout (``state_dir/{records,idmap,merged}/v=<key>``): one version
-directory per committed crawl, keys checkpoint-scoped exactly like the
-refresh stream's index folds (index_util.run_batch_key).  A retried
-micro-batch reads the version of the last COMMITTED batch before it —
-never its own partial write — so the retry reproduces the first attempt
-(the at-least-once contract shared with dedup/refresh streams).  At
-production scale the records/merged writes are partition-overwrites of
-the touched components only (the blast radius is delta-sized, SCALE.md
-round 10); the twin writes full tiers because its fixtures are small.
-Superseded version directories fold away via compact_entity_state (the
-entity twin of index_util.compact_index) — without it the layout grows
-one full tier set per crawl forever.
+State layout (merge-on-read, the round-12 scale fix):
+
+    state_dir/{records,idmap,merged}/v=base     full base tiers
+    state_dir/{records,idmap,merged}/d=<key>    PER-CRAWL DELTA rows
+    state_dir/touched/d=<key>                   (tier, k) touched keys
+
+Until round 11 each crawl wrote FULL tiers under its own version key —
+correct, but the write cost per delta-sized crawl was O(corpus): at
+100 TB every crawl would rewrite the corpus three times.  The reference
+never pays this because its update_manager applies row-level UPDATEs
+inside Postgres; the lakehouse restatement of that transactional row
+update is the merge-on-read delta log (what Hudi MOR / Delta DVs do —
+hand-rolled here since neither ships in the env):
+
+- a crawl writes ONLY its blast-radius slice per tier plus a manifest of
+  the keys it touched (records keyed by canonical uri, idmap/merged by
+  yuid).  Touched keys with no delta row are deletions.
+- reading state at crawl N folds base + the committed deltas before N:
+  base rows whose key no delta touched survive (one corpus scan with a
+  BROADCAST anti-join — the touched sets are delta-sized, so no
+  corpus-sized exchange), and each touched key takes its rows from the
+  LAST delta that touched it (winner resolution is delta-sized).
+  The fold is idempotent over an already-folded base, which is what
+  makes compaction crash-safe (below).
+- compact_entity_state folds committed deltas into a NEW base and
+  removes them, bounding read-side fan-in; cadence is the operator's
+  knob (the CLI exposes --compact).
+
+Retry contract (at-least-once, shared with the dedup/refresh streams):
+delta inclusion is gated on the checkpoint COMMIT log AND the delta's
+own touched manifest, so a retried micro-batch folds exactly the state
+the first attempt saw — never its own partial write (a dead attempt's
+delta dirs are uncommitted, hence invisible, and the retry's
+per-delta-dir overwrite owns them).  Keys are checkpoint-scoped
+(index_util.run_batch_key) so a fresh-checkpoint restart replays against
+``v=base`` without colliding with the old run's deltas.
 """
 
 from __future__ import annotations
 
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,9 +65,28 @@ CHANGES_SCHEMA = (
     "payload string"
 )
 
+_TIERS = ("records", "idmap", "merged")
 
-def _tier_dir(state_dir: str, tier: str, key: str) -> str:
-    return os.path.join(state_dir, tier, f"v={key}")
+
+def _base_dir(state_dir: str, tier: str) -> str:
+    return os.path.join(state_dir, tier, "v=base")
+
+
+def _delta_dir(state_dir: str, tier: str, key: str) -> str:
+    return os.path.join(state_dir, tier, f"d={key}")
+
+
+def _touched_dir(state_dir: str, key: str) -> str:
+    return os.path.join(state_dir, "touched", f"d={key}")
+
+
+def _with_key(tier: str, df: DataFrame) -> DataFrame:
+    """Tag tier rows with their fold key ``_k``: records by canonical uri
+    (one JSON path, column-pruned — the incremental module's _with_uri
+    argument), idmap/merged by yuid."""
+    if tier == "records":
+        return df.withColumn("_k", F.get_json_object(F.col("data"), "$.id"))
+    return df.withColumn("_k", F.col("yuid"))
 
 
 def init_state(
@@ -52,19 +97,94 @@ def init_state(
     merge_order: dict[str, int] | None = None,
 ) -> None:
     """Full build over the initial records tier -> ``v=base`` state."""
-    out = run_build(spark, records, indexes, merge_order=merge_order)
-    records.write.mode("overwrite").parquet(_tier_dir(state_dir, "records", "base"))
-    out["idmap"].write.mode("overwrite").parquet(_tier_dir(state_dir, "idmap", "base"))
-    out["merged"].write.mode("overwrite").parquet(_tier_dir(state_dir, "merged", "base"))
+    # materialize: two consumed output tiers (idmap + merged) — execute
+    # the chain once, not per consumed lineage
+    out = run_build(spark, records, indexes, merge_order=merge_order,
+                    materialize=True)
+    records.write.mode("overwrite").parquet(_base_dir(state_dir, "records"))
+    out["idmap"].write.mode("overwrite").parquet(_base_dir(state_dir, "idmap"))
+    out["merged"].write.mode("overwrite").parquet(_base_dir(state_dir, "merged"))
 
 
-def _source_key(checkpoint: str, batch_id: int) -> str:
-    """The state version a (possibly retried) micro-batch must read:
-    the last COMMITTED batch before it, else base.  Commits only advance
-    after a successful batch, so a retry resolves the same source as the
-    first attempt."""
-    prior = [i for i in committed_batch_ids(checkpoint) if i < batch_id]
-    return run_batch_key(checkpoint, max(prior)) if prior else "base"
+def _committed_delta_ids(
+    state_dir: str, checkpoint: str, upto: int | None = None
+) -> list[int]:
+    """Batch ids whose deltas participate in a fold: committed in the
+    checkpoint's commit log, optionally strictly before ``upto`` (the
+    retry contract: batch N sees exactly the state the first attempt
+    saw), and not yet folded into base by compaction (gated on the
+    touched manifest still existing — compaction deletes it FIRST, so a
+    half-deleted delta is excluded rather than misread as all-deletions).
+    """
+    done = committed_batch_ids(checkpoint)
+    if upto is not None:
+        done = {i for i in done if i < upto}
+    return sorted(
+        i
+        for i in done
+        if os.path.isdir(_touched_dir(state_dir, run_batch_key(checkpoint, i)))
+    )
+
+
+def _fold_tier(
+    spark: SparkSession,
+    state_dir: str,
+    checkpoint: str,
+    tier: str,
+    ids: list[int],
+) -> DataFrame:
+    """Merge-on-read: base + deltas ``ids`` (ascending batch order).
+
+    Winner rule: a key's rows come from the LAST delta that touched it
+    (possibly zero rows = deletion), else from base.  Equivalent to
+    applying the deltas one by one, and idempotent over a base that
+    already includes them (re-application re-selects the same winner
+    rows), which is what makes compaction safe to re-run after a
+    mid-delete crash."""
+    base = spark.read.parquet(_base_dir(state_dir, tier))
+    if not ids:
+        return base
+    touched = None
+    rows = None
+    for i in ids:
+        key = run_batch_key(checkpoint, i)
+        t = (
+            spark.read.parquet(_touched_dir(state_dir, key))
+            .filter(F.col("tier") == tier)
+            .select(F.col("k").alias("_wk"), F.lit(i).alias("_wb"))
+        )
+        touched = t if touched is None else touched.unionByName(t)
+        r = _with_key(tier, spark.read.parquet(_delta_dir(state_dir, tier, key)))
+        r = r.withColumn("_b", F.lit(i))
+        rows = r if rows is None else rows.unionByName(r)
+    last = touched.groupBy("_wk").agg(F.max("_wb").alias("_wb"))
+    winners = rows.join(
+        F.broadcast(last),
+        (rows["_k"] == last["_wk"]) & (rows["_b"] == last["_wb"]),
+    ).select(*base.columns)
+    # touched sets are delta-sized (the incremental module's blast
+    # contract) — broadcast, so the only O(corpus) work is this one
+    # scan-side anti-join, never a corpus exchange
+    survivors = (
+        _with_key(tier, base)
+        .join(F.broadcast(last.select("_wk")), F.col("_k") == F.col("_wk"), "left_anti")
+        .select(*base.columns)
+    )
+    return survivors.unionByName(winners)
+
+
+def read_state_at(
+    spark: SparkSession, state_dir: str, checkpoint: str, batch_id: int
+) -> dict[str, DataFrame]:
+    """The state a (possibly retried) micro-batch must build against:
+    base folded with the deltas of committed batches BEFORE it.  Commits
+    only advance after a successful batch, so a retry folds the same
+    sources as the first attempt."""
+    ids = _committed_delta_ids(state_dir, checkpoint, upto=batch_id)
+    return {
+        tier: _fold_tier(spark, state_dir, checkpoint, tier, ids)
+        for tier in _TIERS
+    }
 
 
 def entity_build_batch(
@@ -72,86 +192,141 @@ def entity_build_batch(
     changes: DataFrame,
     state_dir: str,
     indexes: dict[str, DataFrame],
-    batch_key: str,
-    source_key: str,
+    checkpoint: str,
+    batch_id: int,
     merge_order: dict[str, int] | None = None,
     last_harvest: str | None = None,
 ) -> None:
-    """One crawl: incremental_build against the ``source_key`` state,
-    new full tiers written under ``batch_key`` with overwrite (idempotent
-    per-version write — the retry contract)."""
-    records = spark.read.parquet(_tier_dir(state_dir, "records", source_key))
-    idmap_prev = spark.read.parquet(_tier_dir(state_dir, "idmap", source_key))
-    prev_merged = spark.read.parquet(_tier_dir(state_dir, "merged", source_key))
+    """One crawl: incremental_build against the folded pre-state, DELTA
+    tiers + touched manifest written under the crawl's key with overwrite
+    (idempotent per-delta-dir write — the retry contract).  Every write
+    is blast-radius-sized; the full tiers are never rewritten (SCALE.md
+    round 12: per-crawl write bytes flat vs corpus scale)."""
+    st = read_state_at(spark, state_dir, checkpoint, batch_id)
     inc = incremental_build(
-        spark, records, changes, indexes,
-        idmap_prev=idmap_prev, prev_merged=prev_merged,
+        spark, st["records"], changes, indexes,
+        idmap_prev=st["idmap"], prev_merged=st["merged"],
         merge_order=merge_order, last_harvest=last_harvest,
     )
-    inc["records"].write.mode("overwrite").parquet(
-        _tier_dir(state_dir, "records", batch_key)
+    key = run_batch_key(checkpoint, batch_id)
+    inc["records_delta"].write.mode("overwrite").parquet(
+        _delta_dir(state_dir, "records", key)
     )
-    inc["idmap_full"].write.mode("overwrite").parquet(
-        _tier_dir(state_dir, "idmap", batch_key)
+    inc["idmap"].select("qua_uri", "yuid").write.mode("overwrite").parquet(
+        _delta_dir(state_dir, "idmap", key)
     )
-    inc["merged_full"].write.mode("overwrite").parquet(
-        _tier_dir(state_dir, "merged", batch_key)
+    inc["merged"].write.mode("overwrite").parquet(
+        _delta_dir(state_dir, "merged", key)
     )
+    yuids = inc["touched_yuids"].select(F.col("yuid").alias("k"))
+    touched = (
+        inc["touched_uris"].select(
+            F.lit("records").alias("tier"), F.col("uri").alias("k")
+        )
+        .unionByName(yuids.select(F.lit("idmap").alias("tier"), "k"))
+        .unionByName(yuids.select(F.lit("merged").alias("tier"), "k"))
+    )
+    touched.write.mode("overwrite").parquet(_touched_dir(state_dir, key))
 
 
-def latest_state(spark: SparkSession, state_dir: str, checkpoint: str) -> dict[str, DataFrame]:
-    """The tiers of the last committed crawl (base if none committed)."""
-    done = committed_batch_ids(checkpoint)
-    key = run_batch_key(checkpoint, max(done)) if done else "base"
+def latest_state(
+    spark: SparkSession, state_dir: str, checkpoint: str
+) -> dict[str, DataFrame]:
+    """The folded tiers of the last committed crawl (base if none)."""
+    ids = _committed_delta_ids(state_dir, checkpoint)
     return {
-        tier: spark.read.parquet(_tier_dir(state_dir, tier, key))
-        for tier in ("records", "idmap", "merged")
+        tier: _fold_tier(spark, state_dir, checkpoint, tier, ids)
+        for tier in _TIERS
     }
 
 
-def compact_entity_state(state_dir: str, checkpoint: str) -> dict[str, int]:
-    """Delete version directories SUPERSEDED by the last committed crawl.
+def compact_entity_state(
+    spark: SparkSession, state_dir: str, checkpoint: str
+) -> dict[str, int]:
+    """Fold this checkpoint's committed deltas into a NEW ``v=base`` and
+    delete them — the LSM compaction bounding read-side delta fan-in
+    (without it every fold unions one more delta per crawl forever).
 
-    The versioned layout is correct but unbounded: one full tier set per
-    crawl forever — the entity twin of the small-files growth
-    compact_index bounds for the refresh/dedup streams.  Version
-    liveness follows from the retry contract (_source_key): a (possibly
-    retried) batch N reads the last COMMITTED version before N, and
-    Structured Streaming never re-executes a committed batch — so once
-    batch M is committed, every OLDER committed version of this
-    checkpoint is unreachable.  Deleted: this checkpoint's committed
-    versions except the latest.  Kept, each load-bearing:
+    Kept, each load-bearing:
+    - any UNCOMMITTED delta dir (a dead attempt's partial write): its
+      batch may retry, and the retry's per-delta overwrite owns it;
+    - nothing else needs keeping — once batch M commits, the pre-M fold
+      states are unreachable (Structured Streaming never re-executes a
+      committed batch, and batch M+1 folds base+deltas≤M, which the new
+      base now IS).
 
-    - ``base``: the fresh-checkpoint restart path replays the feed from
-      scratch against it (and its keys aren't checkpoint-scoped);
-    - the latest committed version: the next batch's source and the
-      retry source for any in-flight batch;
-    - any UNCOMMITTED version dir (a dead attempt's partial write): its
-      batch may retry, and the retry's per-version overwrite owns it;
-    - other checkpoints' keys: another run may be live against the same
-      state_dir (the compact_index scoping rule, applied verbatim).
+    Refuses when ANOTHER checkpoint's deltas are present: folding
+    rewrites the shared base, which would corrupt the other run's folds.
+    (The full-tier r11 layout tolerated shared state dirs; the delta
+    layout trades that for delta-sized writes — entity state dirs are
+    per-pipeline, unlike the shared dedup/similarity indexes.)
 
-    Returns {tier: number of version directories removed}."""
-    import re
-    import shutil
+    Crash ordering: the new base is written for ALL tiers first (the
+    fold is idempotent over an already-folded base, so a crash after any
+    base write is safe to re-run), then each delta's touched manifest is
+    deleted BEFORE its row dirs (fold membership is gated on the
+    manifest, so a half-deleted delta drops out instead of being misread
+    as all-deletions); orphaned row dirs from a previous crash are swept.
 
-    done = committed_batch_ids(checkpoint)
-    if not done:
-        return {}
-    removable = {run_batch_key(checkpoint, i) for i in done} - {
-        run_batch_key(checkpoint, max(done))
+    Returns {tier: number of delta directories removed}."""
+    own = re.escape(
+        run_batch_key(checkpoint, 0).rsplit("-b", 1)[0]
+    )  # this checkpoint's 32-hex scope
+    foreign = set()
+    for sub in (*_TIERS, "touched"):
+        tdir = os.path.join(state_dir, sub)
+        if not os.path.isdir(tdir):
+            continue
+        for d in os.listdir(tdir):
+            m = re.fullmatch(r"d=(.+)", d)
+            if m and not re.fullmatch(rf"{own}-b\d+", m.group(1)):
+                foreign.add(m.group(1))
+    if foreign:
+        raise ValueError(
+            "compact_entity_state: delta directories from other "
+            f"checkpoints present ({sorted(foreign)[:3]}...); compaction "
+            "rewrites the shared base — entity state dirs must be owned "
+            "by one stream lineage"
+        )
+
+    ids = _committed_delta_ids(state_dir, checkpoint)
+    removed = {tier: 0 for tier in _TIERS}
+    if ids:
+        folded = {
+            tier: _fold_tier(spark, state_dir, checkpoint, tier, ids)
+            # materialize BEFORE the overwrite: base is source AND target
+            .localCheckpoint()
+            for tier in _TIERS
+        }
+        for tier in _TIERS:
+            folded[tier].write.mode("overwrite").parquet(_base_dir(state_dir, tier))
+        for i in ids:
+            key = run_batch_key(checkpoint, i)
+            shutil.rmtree(_touched_dir(state_dir, key))  # gate first
+            for tier in _TIERS:
+                d = _delta_dir(state_dir, tier, key)
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+                    removed[tier] += 1
+    # orphan sweep: COMMITTED deltas whose manifest is gone (a previous
+    # compaction died between deletes) are already folded into base —
+    # their row dirs are garbage.  Uncommitted dirs stay (retry-owned).
+    committed_keys = {
+        run_batch_key(checkpoint, i) for i in committed_batch_ids(checkpoint)
     }
-    removed: dict[str, int] = {}
-    for tier in ("records", "idmap", "merged"):
+    for tier in _TIERS:
         tdir = os.path.join(state_dir, tier)
-        n = 0
-        if os.path.isdir(tdir):
-            for d in sorted(os.listdir(tdir)):
-                m = re.fullmatch(r"v=(.+)", d)
-                if m and m.group(1) in removable:
-                    shutil.rmtree(os.path.join(tdir, d))
-                    n += 1
-        removed[tier] = n
+        if not os.path.isdir(tdir):
+            continue
+        for d in os.listdir(tdir):
+            m = re.fullmatch(r"d=(.+)", d)
+            if (
+                m
+                and m.group(1) in committed_keys
+                and not os.path.isdir(_touched_dir(state_dir, m.group(1)))
+            ):
+                shutil.rmtree(os.path.join(tdir, d))
+                removed[tier] += 1
     return removed
 
 
@@ -176,8 +351,7 @@ def stream_entity_builds(
     def sink(batch: DataFrame, batch_id: int) -> None:
         entity_build_batch(
             spark, batch, state_dir, indexes,
-            batch_key=run_batch_key(checkpoint, batch_id),
-            source_key=_source_key(checkpoint, batch_id),
+            checkpoint=checkpoint, batch_id=batch_id,
             merge_order=merge_order,
             last_harvest=last_harvest,
         )
@@ -200,6 +374,7 @@ __all__ = [
     "CHANGES_SCHEMA",
     "init_state",
     "entity_build_batch",
+    "read_state_at",
     "latest_state",
     "compact_entity_state",
     "stream_entity_builds",

@@ -1148,33 +1148,34 @@ def test_stream_entity_builds_crawl_sequence(spark, tmp_path):
     assert len(n7) == 1                   # srcN/7 folded INTO A7's entity
     assert final["idmap"].filter(F.col("qua_uri") == uri("srcN", 7)).count() == 1
 
-    # state compaction: crawl-1's version dirs are superseded (crawl 2 is
-    # the last committed) and must fold away; base + the latest version
-    # survive, and the surviving state still reads identically
+    # state compaction: BOTH committed crawl deltas fold into a new base
+    # (delta layout, round 12) and their d= dirs vanish; only v=base
+    # survives, and the folded state still reads identically
     from data_pipeline_spark.streaming.entity_stream import compact_entity_state
-    from data_pipeline_spark.streaming.index_util import run_batch_key
 
-    removed = compact_entity_state(state_dir, ckpt)
-    assert removed == {"records": 1, "idmap": 1, "merged": 1}
+    removed = compact_entity_state(spark, state_dir, ckpt)
+    assert removed == {"records": 2, "idmap": 2, "merged": 2}
     kept = sorted(os.listdir(os.path.join(state_dir, "merged")))
-    assert kept == sorted([f"v=base", f"v={run_batch_key(ckpt, 1)}"])
+    assert kept == ["v=base"]
+    assert sorted(os.listdir(os.path.join(state_dir, "touched"))) == []
     again = latest_state(spark, state_dir, ckpt)
     assert {(r["yuid"], r["data"]) for r in again["merged"].collect()} == got
     # idempotent: nothing further to fold
-    assert compact_entity_state(state_dir, ckpt) == {
+    assert compact_entity_state(spark, state_dir, ckpt) == {
         "records": 0, "idmap": 0, "merged": 0
     }
 
 
 def test_entity_build_batch_retry_idempotent(spark, tmp_path):
-    """A retried crawl (same batch_key, same source_key) must reproduce
-    its first attempt exactly: the per-version overwrite plus the
-    committed-source read are the whole at-least-once story for the
+    """A retried crawl (same batch id, same commit log) must reproduce
+    its first attempt exactly: the per-delta-dir overwrite plus the
+    commit-gated fold read are the whole at-least-once story for the
     entity stream (mirrors the refresh stream's retry contract)."""
     from data_pipeline_spark.streaming.entity_stream import (
         entity_build_batch,
         init_state,
     )
+    from data_pipeline_spark.streaming.index_util import run_batch_key
 
     def doc(src, k, label, link=None):
         d = {"id": f"https://fixture.test/{src}/{k}", "type": "Person", "_label": label}
@@ -1207,23 +1208,33 @@ def test_entity_build_batch_retry_idempotent(spark, tmp_path):
         "seq bigint, end_time string, change string, object_uri string, payload string",
     ).withColumn("end_time", F.col("end_time").cast("timestamp"))
 
+    ckpt = str(tmp_path / "ckpt")  # no commit log: batch 1 folds base only
+    key = run_batch_key(ckpt, 1)
+
     def snapshot():
-        return {
+        out = {
             tier: sorted(map(tuple, spark.read.parquet(
-                f"{state_dir}/{tier}/v=k1").collect()))
+                f"{state_dir}/{tier}/d={key}").collect()))
             for tier in ("records", "idmap", "merged")
         }
+        out["touched"] = sorted(map(tuple, spark.read.parquet(
+            f"{state_dir}/touched/d={key}").collect()))
+        return out
 
     entity_build_batch(spark, changes, state_dir, indexes,
-                       batch_key="k1", source_key="base")
+                       checkpoint=ckpt, batch_id=1)
     first = snapshot()
-    # retry: same key, same source — the overwrite must reproduce it
+    # retry: same batch id, same (empty) commit log — the per-delta-dir
+    # overwrite must reproduce the first attempt bit for bit
     entity_build_batch(spark, changes, state_dir, indexes,
-                       batch_key="k1", source_key="base")
+                       checkpoint=ckpt, batch_id=1)
     assert snapshot() == first
     labels = {json.loads(r[2])["_label"] if len(r) == 3 else None
               for r in first["merged"]}
     assert "A3-v2" in labels
+    # the delta is blast-radius-sized: ONLY srcA/3's rows, not the tier
+    assert len(first["records"]) == 1
+    assert ("records", "https://fixture.test/srcA/3") in first["touched"]
 
 
 def test_entity_stream_crash_restart_recovers_from_checkpoint(spark, tmp_path):
@@ -1247,7 +1258,6 @@ def test_entity_stream_crash_restart_recovers_from_checkpoint(spark, tmp_path):
     from data_pipeline_spark.pipeline.build import run_build
     from data_pipeline_spark.streaming.entity_stream import (
         CHANGES_SCHEMA,
-        _source_key,
         entity_build_batch,
         init_state,
         latest_state,
@@ -1317,15 +1327,20 @@ def test_entity_stream_crash_restart_recovers_from_checkpoint(spark, tmp_path):
         key = run_batch_key(ckpt, batch_id)
         if batch_id == 1 and crash["armed"]:
             crash["armed"] = False
-            # mid-write death: a partial, WRONG records tier under the
-            # batch's own version key, then the process "dies"
+            # mid-write death: a partial, WRONG delta (empty rows AND a
+            # poisoned touched manifest claiming an unrelated uri was
+            # deleted) under the batch's own key, then the process "dies".
+            # Commit-gating must keep this invisible to the retry's fold.
             batch.limit(0).write.mode("overwrite").parquet(
-                f"{state_dir}/records/v={key}"
+                f"{state_dir}/records/d={key}"
             )
+            spark.createDataFrame(
+                [("records", uri("srcB", 2))], "tier string, k string"
+            ).write.mode("overwrite").parquet(f"{state_dir}/touched/d={key}")
             raise RuntimeError("injected process death between batches")
         entity_build_batch(
             spark, batch, state_dir, indexes,
-            batch_key=key, source_key=_source_key(ckpt, batch_id),
+            checkpoint=ckpt, batch_id=batch_id,
             merge_order=order,
         )
 
