@@ -52,9 +52,17 @@ def run_build(
     def _m(df: DataFrame) -> DataFrame:
         return df.localCheckpoint() if materialize else df
 
-    equiv_edges = _m(reconcile(records, indexes))
+    # parse the JSON envelope ONCE and share the relation: reconcile's
+    # three extractions (names/equivalents/timespans) and all_uris each
+    # re-execute their input lineage, so an un-shared with_doc costs four
+    # full corpus parses per build.  Under materialize the parsed tier is
+    # checkpointed (the cluster-scale equivalent: persist the envelope
+    # tier once and read it back), truncating every downstream scan to a
+    # columnar read of the already-parsed struct.
+    docs = _m(with_doc(records))
+    equiv_edges = _m(reconcile(docs, indexes))
 
-    all_uris = with_doc(records).select(
+    all_uris = docs.select(
         F.coalesce(F.col("doc.id"), F.concat_ws("/", "source", "identifier")).alias("uri")
     )
     idmap = _m(build_idmap(equiv_edges, all_uris, idmap_prev, delta_sized))

@@ -212,7 +212,9 @@ def reconcile(
     of MB) and the salted shuffle path above it."""
     if broadcast_index == "auto":
         broadcast_index = indexes["name_index"].count() <= auto_broadcast_max_rows
-    docs = with_doc(records)
+    # accept a pre-parsed (and possibly checkpointed) envelope relation —
+    # run_build shares one parse across reconcile and all_uris
+    docs = records if "doc" in records.columns else with_doc(records)
     names = extract_names(docs)
     equivs = extract_equivalents(docs)
     timespans = extract_timespans(docs)

@@ -196,12 +196,20 @@ def entity_build_batch(
     batch_id: int,
     merge_order: dict[str, int] | None = None,
     last_harvest: str | None = None,
+    delta_partitions: int = 8,
 ) -> None:
     """One crawl: incremental_build against the folded pre-state, DELTA
     tiers + touched manifest written under the crawl's key with overwrite
     (idempotent per-delta-dir write — the retry contract).  Every write
     is blast-radius-sized; the full tiers are never rewritten (SCALE.md
-    round 12: per-crawl write bytes flat vs corpus scale)."""
+    round 12: per-crawl write bytes flat vs corpus scale).
+
+    ``delta_partitions`` caps each delta's FILE count: deltas are
+    blast-sized by the incremental module's contract, but their lineage
+    ends at shuffle-partition width (64 near-empty files per tier per
+    crawl — a small-files problem at crawl cadence; measured 5x delta
+    bytes at fixture scale from parquet footers alone).  Coalesce, not
+    repartition: no extra exchange, just narrower writes."""
     st = read_state_at(spark, state_dir, checkpoint, batch_id)
     inc = incremental_build(
         spark, st["records"], changes, indexes,
@@ -209,13 +217,13 @@ def entity_build_batch(
         merge_order=merge_order, last_harvest=last_harvest,
     )
     key = run_batch_key(checkpoint, batch_id)
-    inc["records_delta"].write.mode("overwrite").parquet(
-        _delta_dir(state_dir, "records", key)
-    )
-    inc["idmap"].select("qua_uri", "yuid").write.mode("overwrite").parquet(
-        _delta_dir(state_dir, "idmap", key)
-    )
-    inc["merged"].write.mode("overwrite").parquet(
+    inc["records_delta"].coalesce(delta_partitions).write.mode(
+        "overwrite"
+    ).parquet(_delta_dir(state_dir, "records", key))
+    inc["idmap"].select("qua_uri", "yuid").coalesce(
+        delta_partitions
+    ).write.mode("overwrite").parquet(_delta_dir(state_dir, "idmap", key))
+    inc["merged"].coalesce(delta_partitions).write.mode("overwrite").parquet(
         _delta_dir(state_dir, "merged", key)
     )
     yuids = inc["touched_yuids"].select(F.col("yuid").alias("k"))
@@ -226,7 +234,9 @@ def entity_build_batch(
         .unionByName(yuids.select(F.lit("idmap").alias("tier"), "k"))
         .unionByName(yuids.select(F.lit("merged").alias("tier"), "k"))
     )
-    touched.write.mode("overwrite").parquet(_touched_dir(state_dir, key))
+    touched.coalesce(delta_partitions).write.mode("overwrite").parquet(
+        _touched_dir(state_dir, key)
+    )
 
 
 def latest_state(
