@@ -1530,3 +1530,68 @@ def test_stream_entity_builds_enforces_last_harvest(spark, tmp_path):
     labels = {json.loads(r["data"])["_label"] for r in final["merged"].collect()}
     assert "A3-fresh" in labels
     assert "A2-stale" not in labels and "A2" in labels
+
+
+def test_entity_stream_empty_crawl_folds_to_identity(spark, tmp_path):
+    """An all-stale crawl (every row at/before last_harvest) still
+    commits a micro-batch, so the delta layout must handle a COMMITTED
+    EMPTY delta: zero-row tier dirs + a zero-row touched manifest fold
+    to the identity — latest_state equals base row for row, and the
+    empty delta compacts away cleanly."""
+    from data_pipeline_spark.streaming.entity_stream import (
+        compact_entity_state,
+        init_state,
+        latest_state,
+        stream_entity_builds,
+    )
+    from data_pipeline_spark.streaming.index_util import committed_batch_ids
+
+    def doc(src, k, label):
+        return json.dumps(
+            {"id": f"https://fixture.test/{src}/{k}", "type": "Person",
+             "_label": label}
+        )
+
+    records = spark.createDataFrame(
+        [("srcA", str(k), "Person", "2026-01-01T00:00:00", "create",
+          doc("srcA", k, f"A{k}")) for k in range(5)],
+        "source string, identifier string, rectype string, record_time string, change string, data string",
+    )
+    e = spark.createDataFrame
+    indexes = {
+        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": e([], "uri_a string, uri_b string"),
+        "different_from": e([], "uri_a string, uri_b string"),
+    }
+    state_dir = str(tmp_path / "state")
+    init_state(spark, records, indexes, state_dir)
+    base = sorted(
+        (r["yuid"], r["data"])
+        for r in spark.read.parquet(f"{state_dir}/merged/v=base").collect()
+    )
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    with open(feed_dir / "crawl0.jsonl", "w") as f:
+        f.write(json.dumps(
+            {"seq": 1, "end_time": "2026-01-10T00:00:00", "change": "update",
+             "object_uri": "https://fixture.test/srcA/2",
+             "payload": doc("srcA", 2, "A2-stale")}) + "\n")
+
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_entity_builds(
+        spark, str(feed_dir), state_dir, ckpt, indexes,
+        last_harvest="2026-01-15T00:00:00",
+    )
+    q.awaitTermination(120)
+    assert committed_batch_ids(ckpt) == {0}
+
+    final = latest_state(spark, state_dir, ckpt)
+    got = sorted((r["yuid"], r["data"]) for r in final["merged"].collect())
+    assert got == base
+    # the committed empty delta compacts away like any other
+    removed = compact_entity_state(spark, state_dir, ckpt)
+    assert removed == {"records": 1, "idmap": 1, "merged": 1}
+    again = latest_state(spark, state_dir, ckpt)
+    assert sorted((r["yuid"], r["data"]) for r in again["merged"].collect()) == base
