@@ -197,7 +197,13 @@ def incremental_build(
             F.col("end_time") > F.lit(last_harvest).cast("timestamp")
         )
     new_records = apply_changes_to_records(records, changes)
-    blast = affected_uris(changes, idmap_prev, indexes)
+    # blast is DELTA-SIZED by this module's contract but its lineage
+    # contains two corpus-sized idmap scans; it feeds FOUR consumers
+    # (slice semi-join, affected_yuids, the splice anti-join, and the
+    # delta layout's touched manifest), each of which would re-execute
+    # those scans.  One cheap materialization, ~3 corpus scans saved
+    # per crawl (the streaming protocol's per-crawl wall).
+    blast = affected_uris(changes, idmap_prev, indexes).localCheckpoint()
 
     # slice FIRST, then apply the feed to the delta-sized slice: the only
     # O(corpus) work left in the rebuild is the single-column uri scan of
@@ -231,6 +237,9 @@ def incremental_build(
             F.broadcast(blast.select(F.col("uri").alias("qua_uri")).distinct()),
             "qua_uri",
         ).select("yuid").distinct()
+        # same argument as blast: delta-sized, three consumers (both
+        # splice anti-joins + the touched manifest), corpus scan inside
+        .localCheckpoint()
     )
     # the splice's only O(corpus) pass: one scan of prev_merged with two
     # broadcast (delta-sized) anti-joins — no corpus-sized exchange
