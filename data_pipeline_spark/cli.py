@@ -274,6 +274,7 @@ def cmd_stream_entity(args) -> int:
     from .streaming.entity_stream import (
         compact_entity_state,
         init_state,
+        latest_state,
         stream_entity_builds,
     )
 
@@ -294,6 +295,10 @@ def cmd_stream_entity(args) -> int:
     if args.compact:
         removed = compact_entity_state(spark, args.state, args.checkpoint)
         print(f"[cli] compacted committed deltas into base: {removed}")
+    if args.export_merged:
+        merged = latest_state(spark, args.state, args.checkpoint)["merged"]
+        merged.write.mode("overwrite").parquet(args.export_merged)
+        print(f"[cli] exported folded merged tier to {args.export_merged}")
     return 0 if drained else 3
 
 
@@ -468,6 +473,12 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--merge-order", metavar="src=0,src=1")
     st.add_argument("--last-harvest", metavar="ISO_TS")
     st.add_argument("--compact", action="store_true")
+    st.add_argument(
+        "--export-merged", metavar="DIR",
+        help="after draining, write the FOLDED merged tier as parquet "
+        "(the delta state layout is merge-on-read; downstream readers "
+        "consume this materialized view, not the raw state dirs)",
+    )
     st.add_argument("--timeout", type=int, default=600, help="awaitTermination seconds")
     _add_index_opts(st)
     _add_common(st)

@@ -233,6 +233,48 @@ def test_cli_stream_refresh_end_to_end(spark, tmp_path):
     assert sorted(os.listdir(os.path.join(idx, "fp"))) == ["batch=base"]
 
 
+def test_cli_stream_entity_end_to_end(spark, tmp_path):
+    """stream-entity with --init-records, --compact and --export-merged:
+    init builds v=base, one crawl streams as a delta, compaction folds
+    it into base, and the exported parquet is the FOLDED merged view a
+    downstream reader consumes (the delta state layout is merge-on-read,
+    so raw state dirs are not directly readable)."""
+
+    def doc(src, k, label):
+        return json.dumps(
+            {"id": f"https://fixture.test/{src}/{k}", "type": "Person",
+             "_label": label}
+        )
+
+    recs = str(tmp_path / "recs.parquet")
+    spark.createDataFrame(
+        [("srcA", str(k), "Person", "2026-01-01T00:00:00", "create",
+          doc("srcA", k, f"A{k}")) for k in range(4)],
+        "source string, identifier string, rectype string, record_time string, change string, data string",
+    ).write.parquet(recs)
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    with open(feed / "c0.jsonl", "w") as f:
+        f.write(json.dumps(
+            {"seq": 1, "end_time": "2026-02-01T00:00:00", "change": "update",
+             "object_uri": "https://fixture.test/srcA/2",
+             "payload": doc("srcA", 2, "A2-v2")}) + "\n")
+
+    state = str(tmp_path / "state")
+    exported = str(tmp_path / "merged_out")
+    assert main([
+        "stream-entity", "--feed", str(feed), "--state", state,
+        "--checkpoint", str(tmp_path / "ck"), "--init-records", recs,
+        "--compact", "--export-merged", exported,
+    ]) == 0
+    # compaction folded the crawl's delta into base
+    assert sorted(os.listdir(os.path.join(state, "merged"))) == ["v=base"]
+    labels = {json.loads(r["data"])["_label"]
+              for r in spark.read.parquet(exported).collect()}
+    assert labels == {"A0", "A1", "A2-v2", "A3"}
+
+
 def test_cli_await_drained_stops_undrained_stream(capsys):
     """awaitTermination(timeout) returning False means the stream is
     STILL RUNNING — the helper must stop it (so --compact never races a
