@@ -29,7 +29,10 @@ _MERGE_ORDER = {"srcA": 0, "srcB": 1}
 
 
 def _pair_records(
-    spark: SparkSession, sf_dir: str, with_membership: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    with_membership: bool = False,
+    with_names: bool = False,
 ) -> DataFrame:
     """Two pseudo-source Person records per customer; srcA links srcB.
 
@@ -38,7 +41,11 @@ def _pair_records(
     — so it must survive reidentification UNREWRITTEN (the idmap only
     covers component members) and come out of the edges tier as an
     external URI.  b01 keeps the original two-field corpus (its r11
-    driver row vouches for exactly that input); b02 turns this on."""
+    driver row vouches for exactly that input); b02 turns this on.
+
+    ``with_names`` adds two ``identified_by`` Name entries to srcA
+    (the customer name + an ' ALT' variant) so the facets/names export
+    tiers have real content to extract (b03)."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
@@ -56,6 +63,22 @@ def _pair_records(
             ).alias("member_of")
         ]
         if with_membership
+        else []
+    )
+    names = (
+        [
+            F.array(
+                F.struct(
+                    F.lit("Name").alias("type"),
+                    F.col("c_name").alias("content"),
+                ),
+                F.struct(
+                    F.lit("Name").alias("type"),
+                    F.concat(F.col("c_name"), F.lit(" ALT")).alias("content"),
+                ),
+            ).alias("identified_by")
+        ]
+        if with_names
         else []
     )
     a = cust.select(
@@ -76,6 +99,7 @@ def _pair_records(
                     )
                 ).alias("equivalent"),
                 *member_of,
+                *names,
             )
         ).alias("data"),
     )
@@ -242,3 +266,65 @@ def b02_entity_export(
         )
     )
     return to_ntriples(edges)
+
+
+@query(
+    "b03_entity_facets_names",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS identifier,
+           'Person' AS data_type,
+           TRUE AS has_name,
+           FALSE AS has_geometry,
+           TRUE AS has_equivalents,
+           CAST(0 AS BIGINT) AS n_statements,
+           lower(c_name) || '|' || lower(c_name) || ' alt' AS names
+    FROM customer
+    """,
+    survey="X2,A16-adjacent,F8,build-chain",
+)
+def b03_entity_facets_names(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
+    """The remaining export tiers (VERDICT r11 #1's scope, completed):
+    run_build -> extract_facets + extract_names_table over a pair corpus
+    whose srcA carries two ``identified_by`` Name entries.  b02 proved
+    the edges tier; this proves the facet booleans (X2,
+    marklogic/mapper.py:248-845 analog) and the queryable names relation
+    (clean_name F8 applied at extraction) survive the full chain — one
+    row per merged entity with its facet flags and its sorted
+    pipe-joined clean names (the customer name + ' ALT' variant, both
+    lowered by F8)."""
+    from ..pipeline.build import run_build
+    from ..pipeline.edges import extract_facets, extract_names_table
+
+    records = _pair_records(spark, sf_dir, with_names=True)
+    e = spark.createDataFrame
+    indexes = {
+        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": e([], "uri_a string, uri_b string"),
+        "different_from": e([], "uri_a string, uri_b string"),
+    }
+    out = run_build(
+        spark, records, indexes, merge_order=_MERGE_ORDER, materialize=materialize
+    )
+    members = out["reidentified"].groupBy("yuid").agg(
+        F.min("identifier").alias("identifier")
+    )
+    facets = extract_facets(out["merged"])
+    names = extract_names_table(out["merged"]).groupBy("yuid").agg(
+        F.concat_ws("|", F.sort_array(F.collect_list("name_clean"))).alias("names")
+    )
+    return (
+        facets.join(names, "yuid")
+        .join(members, "yuid")
+        .select(
+            "identifier",
+            F.col("dataType").alias("data_type"),
+            F.col("hasName").alias("has_name"),
+            F.col("hasGeometry").alias("has_geometry"),
+            F.col("hasEquivalents").alias("has_equivalents"),
+            F.col("nStatements").cast("bigint").alias("n_statements"),
+            "names",
+        )
+    )
