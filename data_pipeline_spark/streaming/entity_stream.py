@@ -18,10 +18,13 @@ State layout (merge-on-read, the round-12 scale fix):
 Until round 11 each crawl wrote FULL tiers under its own version key —
 correct, but the write cost per delta-sized crawl was O(corpus): at
 100 TB every crawl would rewrite the corpus three times.  The reference
-never pays this because its update_manager applies row-level UPDATEs
-inside Postgres; the lakehouse restatement of that transactional row
-update is the merge-on-read delta log (what Hudi MOR / Delta DVs do —
-hand-rolled here since neither ships in the env):
+never pays this because its update manager applies per-record cache and
+idmap row updates in place (/root/reference
+pipeline/process/update_manager.py:12-69 — process_change mutates the
+record cache and idmap entries for just the changed identifiers); the
+lakehouse restatement of that transactional row update is the
+merge-on-read delta log (what Hudi MOR / Delta DVs do — hand-rolled
+here since neither ships in the env):
 
 - a crawl writes ONLY its blast-radius slice per tier plus a manifest of
   the keys it touched (records keyed by canonical uri, idmap/merged by

@@ -962,3 +962,70 @@ def test_b02_export_plan_hygiene(spark):
     )
     nt_plan = to_ntriples(edges)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in nt_plan, nt_plan
+
+
+def test_b03_facets_names_plan_hygiene(spark):
+    """The facets/names export tiers' full lineage: keyed joins only —
+    same contract as b02's edges-tier pin."""
+    df = QUERIES["b03_entity_facets_names"].spark_fn(spark, SF, materialize=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_entity_state_fold_broadcasts_touched_keys(spark, tmp_path):
+    """The delta-state fold's load-bearing scale property: the base tier
+    is the corpus, the touched sets are delta-sized — so the fold's base
+    anti-join and the winner join must BROADCAST the touched side.  A
+    silent flip to sort-merge would shuffle the corpus per fold read
+    (exactly the O(corpus) exchange the layout exists to avoid)."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.streaming.entity_stream import (
+        entity_build_batch,
+        init_state,
+        latest_state,
+    )
+
+    def doc(k, label):
+        return _json.dumps(
+            {"id": f"https://fixture.test/srcA/{k}", "type": "Person",
+             "_label": label}
+        )
+
+    records = spark.createDataFrame(
+        [("srcA", str(k), "Person", "2026-01-01T00:00:00", "create",
+          doc(k, f"A{k}")) for k in range(6)],
+        "source string, identifier string, rectype string, record_time string, change string, data string",
+    )
+    e = spark.createDataFrame
+    indexes = {
+        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": e([], "uri_a string, uri_b string"),
+        "different_from": e([], "uri_a string, uri_b string"),
+    }
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    init_state(spark, records, indexes, state_dir)
+    changes = e(
+        [(1, "2026-02-01 00:00:00", "update", "https://fixture.test/srcA/3",
+          doc(3, "A3-v2"))],
+        "seq bigint, end_time string, change string, object_uri string, payload string",
+    ).withColumn("end_time", F.col("end_time").cast("timestamp"))
+    entity_build_batch(spark, changes, state_dir, indexes,
+                       checkpoint=ckpt, batch_id=0)
+    # commit batch 0 by hand (committed_batch_ids lists digit filenames)
+    _os.makedirs(_os.path.join(ckpt, "commits"))
+    open(_os.path.join(ckpt, "commits", "0"), "w").close()
+
+    merged = latest_state(spark, state_dir, ckpt)["merged"]
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    # and the fold still reads correctly through this plan
+    labels = {_json.loads(r["data"])["_label"] for r in merged.collect()}
+    assert "A3-v2" in labels and "A3" not in labels
