@@ -290,6 +290,7 @@ def cmd_stream_entity(args) -> int:
     q = stream_entity_builds(
         spark, args.feed, args.state, args.checkpoint, indexes,
         merge_order=order, last_harvest=args.last_harvest,
+        compact_every=args.compact_every,
     )
     drained = _await_drained(q, args.timeout)
     if args.compact:
@@ -473,6 +474,11 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--merge-order", metavar="src=0,src=1")
     st.add_argument("--last-harvest", metavar="ISO_TS")
     st.add_argument("--compact", action="store_true")
+    st.add_argument(
+        "--compact-every", type=int, metavar="N",
+        help="fold committed deltas into base every N micro-batches "
+        "(bounds fold fan-in on long-running streams)",
+    )
     st.add_argument(
         "--export-merged", metavar="DIR",
         help="after draining, write the FOLDED merged tier as parquet "

@@ -73,9 +73,20 @@ def run_build(
     merged = _m(merge_by_yuid(
         reidentified.select("yuid", "source", "identifier", "data"), merge_order
     ))
-    edges = extract_edges(merged)
-    facets = extract_facets(merged)
-    names = extract_names_table(merged)
+    # same parse-once argument as the input envelope: the three export
+    # extractions each re-parse the merged docs; share one parsed
+    # relation so a multi-tier export consumer (the CLI writing
+    # edges+facets+names) pays one parse.  LAZY checkpoint, unlike the
+    # stage tiers: a consumer that never touches an export tier (b01)
+    # must not pay for materializing the parsed docs.
+    merged_docs = (
+        with_doc(merged).localCheckpoint(eager=False)
+        if materialize
+        else with_doc(merged)
+    )
+    edges = extract_edges(merged_docs)
+    facets = extract_facets(merged_docs)
+    names = extract_names_table(merged_docs)
     return {
         "equiv_edges": equiv_edges,
         "idmap": idmap,

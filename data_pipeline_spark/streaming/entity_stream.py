@@ -351,6 +351,7 @@ def stream_entity_builds(
     indexes: dict[str, DataFrame],
     merge_order: dict[str, int] | None = None,
     last_harvest: str | None = None,
+    compact_every: int | None = None,
 ):
     """Structured-Streaming wrapper: each micro-batch of change feed rows
     (CHANGES_SCHEMA json) drives one incremental build.
@@ -359,9 +360,20 @@ def stream_entity_builds(
     incremental_build exactly as in the batch path — feed rows at or
     before it are ignored, so a crawl file containing already-harvested
     stale rows cannot re-apply them (the batch/streaming twins share the
-    watermark contract, not just the build body)."""
+    watermark contract, not just the build body).
+
+    ``compact_every``: fold committed deltas into base every N
+    micro-batches, bounding the fold's read-side fan-in on long-running
+    streams without an operator in the loop (every fold unions one more
+    delta per crawl otherwise).  Runs INSIDE the sink before the batch
+    commits, which is safe by the same commit-gating that covers
+    retries: it folds only batches committed BEFORE this one, and a
+    retry of this batch folds the new base plus nothing — exactly the
+    state the first attempt saw."""
 
     def sink(batch: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_entity_state(spark, state_dir, checkpoint)
         entity_build_batch(
             spark, batch, state_dir, indexes,
             checkpoint=checkpoint, batch_id=batch_id,

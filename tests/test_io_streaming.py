@@ -1595,3 +1595,71 @@ def test_entity_stream_empty_crawl_folds_to_identity(spark, tmp_path):
     assert removed == {"records": 1, "idmap": 1, "merged": 1}
     again = latest_state(spark, state_dir, ckpt)
     assert sorted((r["yuid"], r["data"]) for r in again["merged"].collect()) == base
+
+
+def test_entity_stream_compact_every_bounds_delta_fanin(spark, tmp_path):
+    """compact_every=2: the batch-2 sink folds batches 0-1 into base
+    BEFORE building, so after draining three crawls only batch 2's
+    delta remains — and the final state equals the same stream run
+    without mid-stream compaction (the fold is cadence-invariant)."""
+    from data_pipeline_spark.streaming.entity_stream import (
+        init_state,
+        latest_state,
+        stream_entity_builds,
+    )
+    from data_pipeline_spark.streaming.index_util import run_batch_key
+
+    def doc(k, label):
+        return json.dumps(
+            {"id": f"https://fixture.test/srcA/{k}", "type": "Person",
+             "_label": label}
+        )
+
+    records = spark.createDataFrame(
+        [("srcA", str(k), "Person", "2026-01-01T00:00:00", "create",
+          doc(k, f"A{k}")) for k in range(6)],
+        "source string, identifier string, rectype string, record_time string, change string, data string",
+    )
+    e = spark.createDataFrame
+    indexes = {
+        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": e([], "uri_a string, uri_b string"),
+        "different_from": e([], "uri_a string, uri_b string"),
+    }
+
+    def crawl_files(feed_dir):
+        now = time.time()
+        for i in range(3):
+            p = feed_dir / f"c{i}.jsonl"
+            with open(p, "w") as f:
+                f.write(json.dumps(
+                    {"seq": i, "end_time": f"2026-02-0{i+1}T00:00:00",
+                     "change": "update",
+                     "object_uri": f"https://fixture.test/srcA/{i}",
+                     "payload": doc(i, f"A{i}-c{i}")}) + "\n")
+            os.utime(p, (now + i, now + i))
+
+    def run(tag, compact_every):
+        state = str(tmp_path / f"state{tag}")
+        feed = tmp_path / f"feed{tag}"
+        feed.mkdir()
+        ckpt = str(tmp_path / f"ck{tag}")
+        init_state(spark, records, indexes, state)
+        crawl_files(feed)
+        q = stream_entity_builds(
+            spark, str(feed), state, ckpt, indexes,
+            compact_every=compact_every,
+        )
+        q.awaitTermination(180)
+        merged = latest_state(spark, state, ckpt)["merged"]
+        labels = sorted(json.loads(r["data"])["_label"] for r in merged.collect())
+        return state, ckpt, labels
+
+    state_a, ckpt_a, labels_a = run("a", 2)
+    _, _, labels_b = run("b", None)
+    assert labels_a == labels_b
+    assert {"A0-c0", "A1-c1", "A2-c2"} <= set(labels_a)
+    # batches 0-1 folded by the batch-2 sink; only batch 2's delta left
+    kept = sorted(os.listdir(os.path.join(state_a, "merged")))
+    assert kept == sorted(["v=base", f"d={run_batch_key(ckpt_a, 2)}"])
