@@ -706,3 +706,87 @@ def test_hot_key_salted_join_matches_plain_join(spark, data):
         ).collect()
     )
     assert got == plain
+
+
+# ------------------------------------------- entity-stream delta fold
+
+_fold_keys = [f"k{i}" for i in range(6)]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_entity_state_fold_matches_sequential_model(
+    spark, tmp_path_factory, data
+):
+    """The merge-on-read fold's winner rule (streaming/entity_stream
+    ._fold_tier) against a sequential reference model: folding base +
+    deltas in one pass must equal applying each delta in order
+    (state = (state \\ touched) ∪ delta_rows).  Generates deletions
+    (touched, zero rows), recreations, multi-row keys, keys absent from
+    base, and empty deltas — the shapes the chain-level tests can't
+    isolate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_spark.streaming.entity_stream import _fold_tier
+    from data_pipeline_spark.streaming.index_util import run_batch_key
+
+    base_keys = data.draw(st.lists(
+        st.sampled_from(_fold_keys), unique=True, max_size=6))
+    n_deltas = data.draw(st.integers(0, 3))
+    deltas = []
+    for i in range(n_deltas):
+        touched = data.draw(st.lists(
+            st.sampled_from(_fold_keys), unique=True, max_size=6))
+        rows = {
+            k: data.draw(st.integers(0, 2), label=f"rows d{i} {k}")
+            for k in touched
+        }
+        deltas.append((touched, rows))
+
+    work = tmp_path_factory.mktemp("foldprop")
+    state_dir = str(work / "state")
+    ckpt = str(work / "ckpt")
+
+    def yuids(k, n, tag):
+        return [(k, f"{tag}-{k}-{j}") for j in range(n)]
+
+    def write(path, pairs):
+        pq.write_table(
+            pa.table({
+                "yuid": pa.array([p[0] for p in pairs], pa.string()),
+                "data": pa.array([p[1] for p in pairs], pa.string()),
+            }),
+            path + ".parquet",
+        )
+
+    import os as _os
+
+    # base: one row per base key
+    _os.makedirs(f"{state_dir}/merged/v=base")
+    write(f"{state_dir}/merged/v=base/part", [(k, f"base-{k}") for k in base_keys])
+    model = {k: [f"base-{k}"] for k in base_keys}
+
+    for i, (touched, rows) in enumerate(deltas):
+        key = run_batch_key(ckpt, i)
+        _os.makedirs(f"{state_dir}/merged/d={key}")
+        delta_pairs = [p for k in touched for p in yuids(k, rows[k], f"d{i}")]
+        write(f"{state_dir}/merged/d={key}/part", delta_pairs)
+        _os.makedirs(f"{state_dir}/touched/d={key}")
+        pq.write_table(
+            pa.table({
+                "tier": pa.array(["merged"] * len(touched), pa.string()),
+                "k": pa.array(touched, pa.string()),
+            }),
+            f"{state_dir}/touched/d={key}/part.parquet",
+        )
+        for k in touched:
+            model[k] = [f"d{i}-{k}-{j}" for j in range(rows[k])]
+
+    got = sorted(
+        (r["yuid"], r["data"])
+        for r in _fold_tier(spark, state_dir, ckpt, "merged",
+                            list(range(n_deltas))).collect()
+    )
+    want = sorted((k, v) for k, vs in model.items() for v in vs)
+    assert got == want
