@@ -56,17 +56,21 @@ GATE_PIN = [
     "j08_reidentify", "p05_merge_veto", "p02_validation_rules",
     "j12_metatype_join", "f23_guess_type",
     # r12: all fifteen r11 one-round pins dropped (the closure-refactor
-    # cohort j05/j09/j07/r11_incremental/d12, the salted-join j14, and
-    # the nine dsl re-gates) — CORRECTNESS_r11.json is committed and
-    # vouches green; closure.py/reconcile.py/planner.py are unchanged
-    # this round.
-    # r12 code change that re-gates: build_gate._pair_records gained the
-    # with_membership parameter (b02's corpus). b01's input is
-    # default-off and bit-identical, but the shared corpus builder
-    # changed, so b01 re-proves for one round. b02_entity_export and
-    # dsl_q13_bucketed_serving_inverse are NEW and front via the
-    # never-checked rule.
+    # cohort j05/j09/j07/d12, the salted-join j14, and the nine dsl
+    # re-gates) — CORRECTNESS_r11.json is committed and vouches green;
+    # closure.py/planner.py are unchanged this round.
+    # r12 code changes that re-gate:
+    # - build_gate._pair_records gained with_membership/with_names
+    #   (b02/b03 corpora); b01's input is default-off and bit-identical,
+    #   but the shared corpus builder changed, so b01 re-proves.
+    #   b02/b03/dsl_q13 are NEW and front via the never-checked rule.
+    # - the build chain itself changed (envelope parsed once and shared
+    #   into reconcile; export extractors share one merged-doc parse;
+    #   incremental_build checkpoints blast/affected_yuids) — b01's pin
+    #   covers run_build+reconcile; r11_incremental_build re-proves the
+    #   incremental path whose r11 row predates those edits.
     "b01_entity_build",
+    "r11_incremental_build",
 ]
 
 GATE_WINDOW_SIZE = 50
