@@ -303,6 +303,31 @@ def cmd_stream_entity(args) -> int:
     return 0 if drained else 3
 
 
+def cmd_state_export(args) -> int:
+    """Materialize a folded entity-state tier as plain parquet —
+    optionally AS OF a past micro-batch (the free time-travel read the
+    delta layout enables: state after batch K = base + committed deltas
+    <= K).  History reaches back to the last compaction; compaction
+    folds deltas into base and truncates it (the standard LSM trade,
+    stated in compact_entity_state's contract)."""
+    from .streaming.entity_stream import latest_state, read_state_at
+
+    if args.as_of_batch is not None and args.as_of_batch < 0:
+        raise SystemExit("[cli] --as-of-batch must be >= 0")
+    spark = _spark(args)
+    if args.as_of_batch is not None:
+        # read_state_at's bound is exclusive (it answers "what did batch
+        # N build against"); as-of K inclusive = the input of batch K+1
+        tiers = read_state_at(spark, args.state, args.checkpoint,
+                              args.as_of_batch + 1)
+    else:
+        tiers = latest_state(spark, args.state, args.checkpoint)
+    tiers[args.tier].write.mode("overwrite").parquet(args.out)
+    asof = "latest" if args.as_of_batch is None else f"batch {args.as_of_batch}"
+    print(f"[cli] exported folded {args.tier} tier (as of {asof}) to {args.out}")
+    return 0
+
+
 def cmd_stream_refresh(args) -> int:
     from .streaming.index_util import compact_index
     from .streaming.refresh_stream import index_corpus, stream_refresh
@@ -489,6 +514,21 @@ def build_parser() -> argparse.ArgumentParser:
     _add_index_opts(st)
     _add_common(st)
     st.set_defaults(fn=cmd_stream_entity)
+
+    se = sub.add_parser(
+        "state-export",
+        help="materialize a folded entity-state tier as parquet, "
+        "optionally as of a past micro-batch (time-travel up to the "
+        "last compaction)",
+    )
+    se.add_argument("--state", required=True, metavar="DIR")
+    se.add_argument("--checkpoint", required=True, metavar="DIR")
+    se.add_argument("--tier", choices=("records", "idmap", "merged"),
+                    default="merged")
+    se.add_argument("--out", required=True, metavar="DIR")
+    se.add_argument("--as-of-batch", type=int, metavar="K")
+    _add_common(se)
+    se.set_defaults(fn=cmd_state_export)
 
     sr = sub.add_parser(
         "stream-refresh",

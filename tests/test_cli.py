@@ -369,3 +369,57 @@ def test_cli_verify_unknown_name_beyond_first_slice_errors():
     with pytest.raises(SystemExit, match="no_such_query"):
         main(["verify", "--sf-dir", SF, "--first", "1",
               "--name", "q01_pricing_summary", "--name", "no_such_query"])
+
+
+def test_cli_state_export_as_of_batch(spark, tmp_path):
+    """state-export time travel: after two streamed crawls, --as-of-batch 0
+    reads the state with only crawl 0 applied; the default reads latest.
+    The delta layout gives this for free (base + committed deltas <= K);
+    history reaches back to the last compaction."""
+    import time as _time
+
+    def doc(k, label):
+        return json.dumps(
+            {"id": f"https://fixture.test/srcA/{k}", "type": "Person",
+             "_label": label}
+        )
+
+    recs = str(tmp_path / "recs.parquet")
+    spark.createDataFrame(
+        [("srcA", str(k), "Person", "2026-01-01T00:00:00", "create",
+          doc(k, f"A{k}")) for k in range(3)],
+        "source string, identifier string, rectype string, record_time string, change string, data string",
+    ).write.parquet(recs)
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    now = _time.time()
+    for i in range(2):
+        p = feed / f"c{i}.jsonl"
+        with open(p, "w") as f:
+            f.write(json.dumps(
+                {"seq": i, "end_time": f"2026-02-0{i+1}T00:00:00",
+                 "change": "update",
+                 "object_uri": f"https://fixture.test/srcA/{i}",
+                 "payload": doc(i, f"A{i}-c{i}")}) + "\n")
+        os.utime(p, (now + i, now + i))
+
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    assert main([
+        "stream-entity", "--feed", str(feed), "--state", state,
+        "--checkpoint", ck, "--init-records", recs,
+    ]) == 0
+
+    def labels(out):
+        return sorted(json.loads(r["data"])["_label"]
+                      for r in spark.read.parquet(out).collect())
+
+    asof0 = str(tmp_path / "asof0")
+    latest = str(tmp_path / "latest")
+    assert main(["state-export", "--state", state, "--checkpoint", ck,
+                 "--out", asof0, "--as-of-batch", "0"]) == 0
+    assert main(["state-export", "--state", state, "--checkpoint", ck,
+                 "--out", latest]) == 0
+    assert labels(asof0) == ["A0-c0", "A1", "A2"]
+    assert labels(latest) == ["A0-c0", "A1-c1", "A2"]
