@@ -86,6 +86,18 @@ def _spin_canary(iters: int = 2_000_000) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _spark_canary(spark) -> float:
+    """Fixed tiny Spark job (codegen'd sum over a synthetic range): its
+    wall-clock isolates JVM/session health — GC pressure, scheduler lag,
+    codegen-cache state — which the CPU spin canary cannot see.  Round
+    12 observed identical plans running 2-4x slower with CLEAN spin
+    canaries (b01 9.6-41 s run-to-run); this canary attributes that
+    class of drift to the JVM, not the plans."""
+    t0 = time.perf_counter()
+    spark.range(2_000_000).selectExpr("sum(id * 2)").collect()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     canary_start = _spin_canary()
@@ -109,11 +121,15 @@ def main() -> None:
     # one-time persistent build (dsl_q13 then measures serving reads)
     serving_planner(spark, sf_dir)
 
+    spark_canary_start = _spark_canary(spark)
+
     per_query: dict[str, float] = {}
     canary_pre_b01 = None
+    spark_canary_pre_b01 = None
     for name in HEADLINE:
         if name == "b01_entity_build":
             canary_pre_b01 = _spin_canary()
+            spark_canary_pre_b01 = _spark_canary(spark)
         q = QUERIES[name]
         t0 = time.perf_counter()
         df = q.spark_fn(spark, sf_dir)
@@ -122,6 +138,7 @@ def main() -> None:
         _ = n
     total = round(sum(per_query.values()), 3)
     canary_end = _spin_canary()
+    spark_canary_end = _spark_canary(spark)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -135,6 +152,11 @@ def main() -> None:
                     "start": canary_start,
                     "pre_b01": canary_pre_b01,
                     "end": canary_end,
+                },
+                "canary_spark_sec": {
+                    "start": spark_canary_start,
+                    "pre_b01": spark_canary_pre_b01,
+                    "end": spark_canary_end,
                 },
             }
         )
