@@ -489,3 +489,160 @@ def r11_incremental_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_names"),
     )
+
+
+@query(
+    "r12_entity_stream_fold",
+    oracle="""
+    SELECT 'K' || c_custkey AS comp_key,
+           CASE c_custkey % 10 WHEN 0 THEN 'B' WHEN 1 THEN 'V' ELSE 'A' END
+             || c_custkey AS label,
+           CAST(CASE c_custkey % 10 WHEN 0 THEN 2 WHEN 2 THEN 4 ELSE 3 END
+                AS BIGINT) AS n_names
+    FROM customer
+    """,
+    survey="R1,R4,R5,R7,A1,J5,J7,stream-state",
+)
+def r12_entity_stream_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING incremental path and its delta (merge-on-read) state
+    layout as one driver gate (round 12): r11_incremental_build proves
+    the batch operator; this runs the real `stream_entity_builds` — two
+    crawl FILES become two micro-batches through the checkpoint
+    machinery, each writing a blast-sized delta, and the returned rows
+    come out of `latest_state`'s fold (base + both deltas,
+    last-writer-wins).
+
+    Same pair corpus and change classes as r11 (k = c_custkey), split so
+    the fold has real winner-over-winner work:
+    - crawl 1: k%10==1 UPDATE srcA (label U<k>); k%10==0 DELETE srcA
+    - crawl 2: k%10==1 UPDATE srcA AGAIN (label V<k> — crawl 2's delta
+      must beat crawl 1's through the fold); k%10==2 CREATE srcN linking
+      srcA; k%10==3 stale DELETE below the R1 watermark (must be vetoed)
+    The oracle states the folded corpus analytically: a fold
+    ordering bug (V turns into U), a tombstone bug (0-class keeps srcA's
+    names), a watermark leak (3-class becomes 0-class) or a lost
+    untouched row breaks it.  State/checkpoint dirs are fresh per
+    invocation (tempfile), so retries and the driver's re-run cannot
+    cross-contaminate."""
+    # NOTE: the returned DataFrame reads the state parquet LAZILY, so the
+    # tempdir must outlive this call — it is left for /tmp cleanup.
+    import os
+    import tempfile
+
+    from ..streaming.entity_stream import (
+        init_state,
+        latest_state,
+        stream_entity_builds,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+
+    def rec(src: str, label_prefix: str, extra_name: str, link_to: str | None):
+        uri = F.concat(F.lit(f"https://fixture.test/{src}/"), ks)
+        fields = [
+            uri.alias("id"),
+            F.lit("Person").alias("type"),
+            F.concat(F.lit(label_prefix), ks).alias("_label"),
+            F.array(
+                F.struct(
+                    F.lit("Name").alias("type"),
+                    F.concat(F.lit("K"), ks).alias("content"),
+                ),
+                F.struct(
+                    F.lit("Name").alias("type"),
+                    F.concat(F.lit(extra_name), ks).alias("content"),
+                ),
+            ).alias("identified_by"),
+        ]
+        if link_to is not None:
+            fields.append(
+                F.array(
+                    F.struct(
+                        F.concat(
+                            F.lit(f"https://fixture.test/{link_to}/"), ks
+                        ).alias("id"),
+                        F.lit("Person").alias("type"),
+                    )
+                ).alias("equivalent")
+            )
+        return F.to_json(F.struct(*fields))
+
+    def envelope(src: str, data):
+        return cust.select(
+            F.lit(src).alias("source"),
+            ks.alias("identifier"),
+            F.lit("Person").alias("rectype"),
+            F.lit("2026-01-01T00:00:00").alias("record_time"),
+            F.lit("create").alias("change"),
+            data.alias("data"),
+        )
+
+    records = envelope("srcA", rec("srcA", "A", "Aname", "srcB")).unionByName(
+        envelope("srcB", rec("srcB", "B", "Bname", None))
+    )
+    e = spark.createDataFrame
+    indexes = {
+        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": e([], "uri_a string, uri_b string"),
+        "different_from": e([], "uri_a string, uri_b string"),
+    }
+    order = {"srcA": 0, "srcB": 1, "srcN": 2}
+
+    a_uri = F.concat(F.lit("https://fixture.test/srcA/"), ks)
+    n_uri = F.concat(F.lit("https://fixture.test/srcN/"), ks)
+    m = k % 10
+    crawl1 = cust.filter(m.isin(0, 1)).select(
+        k.alias("seq"),
+        F.lit("2026-02-01T00:00:00").cast("timestamp").alias("end_time"),
+        F.when(m == 0, F.lit("delete")).otherwise(F.lit("update")).alias("change"),
+        a_uri.alias("object_uri"),
+        F.when(m == 1, rec("srcA", "U", "Uname", "srcB")).alias("payload"),
+    )
+    crawl2 = cust.filter(m.isin(1, 2, 3)).select(
+        k.alias("seq"),
+        F.when(m == 3, F.lit("2026-01-10T00:00:00"))
+        .otherwise(F.lit("2026-02-02T00:00:00"))
+        .cast("timestamp")
+        .alias("end_time"),
+        F.when(m == 3, F.lit("delete"))
+        .when(m == 1, F.lit("update"))
+        .otherwise(F.lit("create"))
+        .alias("change"),
+        F.when(m == 2, n_uri).otherwise(a_uri).alias("object_uri"),
+        F.when(m == 1, rec("srcA", "V", "Vname", "srcB"))
+        .when(m == 2, rec("srcN", "N", "Nname", "srcA"))
+        .alias("payload"),
+    )
+
+    work = tempfile.mkdtemp(prefix="r12_stream_gate_")
+    feed_dir = os.path.join(work, "feed")
+    os.makedirs(feed_dir)
+    for i, crawl in enumerate((crawl1, crawl2)):
+        tmp = os.path.join(work, f"stage{i}")
+        crawl.coalesce(1).write.json(tmp)
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        dst = os.path.join(feed_dir, f"crawl{i}.json")
+        os.rename(os.path.join(tmp, part), dst)
+        # FileStreamSource orders micro-batches by mtime — pin crawl order
+        os.utime(dst, (1000 + i, 1000 + i))
+
+    state_dir = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    init_state(spark, records, indexes, state_dir, merge_order=order)
+    q = stream_entity_builds(
+        spark, feed_dir, state_dir, ckpt, indexes,
+        merge_order=order, last_harvest="2026-01-15T00:00:00",
+    )
+    q.awaitTermination(600)
+
+    names_schema = "identified_by array<struct<type:string,content:string>>"
+    return latest_state(spark, state_dir, ckpt)["merged"].select(
+        F.get_json_object(F.col("data"), "$.identified_by[0].content").alias("comp_key"),
+        F.get_json_object(F.col("data"), "$._label").alias("label"),
+        F.size(F.from_json(F.col("data"), names_schema).identified_by)
+        .cast("long")
+        .alias("n_names"),
+    )
