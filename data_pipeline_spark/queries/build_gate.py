@@ -33,6 +33,7 @@ def _pair_records(
     sf_dir: str,
     with_membership: bool = False,
     with_names: bool = False,
+    with_statement: bool = False,
 ) -> DataFrame:
     """Two pseudo-source Person records per customer; srcA links srcB.
 
@@ -45,7 +46,11 @@ def _pair_records(
 
     ``with_names`` adds two ``identified_by`` Name entries to srcA
     (the customer name + an ' ALT' variant) so the facets/names export
-    tiers have real content to extract (b03)."""
+    tiers have real content to extract (b03).
+
+    ``with_statement`` adds one ``referred_to_by`` statement to srcA
+    ('Resides in nation <nationkey>') so the TEXTS tier has a
+    discriminating token per nation (b04)."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
@@ -81,6 +86,21 @@ def _pair_records(
         if with_names
         else []
     )
+    statement = (
+        [
+            F.array(
+                F.struct(
+                    F.lit("Statement").alias("type"),
+                    F.concat(
+                        F.lit("Resides in nation "),
+                        F.col("c_nationkey").cast("string"),
+                    ).alias("content"),
+                )
+            ).alias("referred_to_by")
+        ]
+        if with_statement
+        else []
+    )
     a = cust.select(
         F.lit("srcA").alias("source"),
         key.alias("identifier"),
@@ -100,6 +120,7 @@ def _pair_records(
                 ).alias("equivalent"),
                 *member_of,
                 *names,
+                *statement,
             )
         ).alias("data"),
     )
@@ -327,4 +348,65 @@ def b03_entity_facets_names(
             F.col("nStatements").cast("bigint").alias("n_statements"),
             "names",
         )
+    )
+
+
+@query(
+    "b04_entity_texts",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS identifier,
+           'statement' AS hit_src
+    FROM customer WHERE c_nationkey = 7
+    UNION ALL
+    SELECT CAST(c_custkey AS VARCHAR) AS identifier,
+           'name' AS hit_src
+    FROM customer WHERE c_custkey = 7
+    """,
+    survey="X1-texts,Q4,F8,build-chain",
+)
+def b04_entity_texts(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
+    """The TEXTS export tier + the word query over it, through the full
+    chain — the last document->relational extraction surface without a
+    driver gate (b02 edges, b03 facets/names).  The corpus carries two
+    Name entries and one 'Resides in nation <nkey>' statement per srcA
+    record; extract_texts must emit one row per name/statement value,
+    and word_query's tokenized whole-word match (the unstemmed core of
+    the reference's cts word queries, SURVEY §7.1) must discriminate:
+
+    - field='statement', term '7': exactly the nation-7 customers (the
+      token '7' matches whole-word only — '17' is a different token);
+    - field='name', term '000000007': exactly customer 7 (TPC-H's
+      zero-padded name), proving the name branch and the tokenizer's
+      punctuation split ('Customer#000000007' -> 'customer',
+      '000000007')."""
+    from ..pipeline.build import run_build
+    from ..pipeline.edges import extract_texts, word_query
+
+    records = _pair_records(spark, sf_dir, with_names=True, with_statement=True)
+    e = spark.createDataFrame
+    indexes = {
+        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": e([], "uri_a string, uri_b string"),
+        "different_from": e([], "uri_a string, uri_b string"),
+    }
+    out = run_build(
+        spark, records, indexes, merge_order=_MERGE_ORDER, materialize=materialize
+    )
+    members = out["reidentified"].groupBy("yuid").agg(
+        F.min("identifier").alias("identifier")
+    )
+    texts = extract_texts(out["merged"])
+    stmt_hits = word_query(texts, "7", field="statement").select(
+        "yuid", F.lit("statement").alias("hit_src")
+    )
+    name_hits = word_query(texts, "000000007", field="name").select(
+        "yuid", F.lit("name").alias("hit_src")
+    )
+    return (
+        stmt_hits.unionByName(name_hits)
+        .join(members, "yuid")
+        .select("identifier", "hit_src")
     )
