@@ -973,6 +973,14 @@ def test_b03_facets_names_plan_hygiene(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_b04_texts_plan_hygiene(spark):
+    """The texts tier + word query full lineage: keyed joins only."""
+    df = QUERIES["b04_entity_texts"].spark_fn(spark, SF, materialize=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_entity_state_fold_broadcasts_touched_keys(spark, tmp_path):
     """The delta-state fold's load-bearing scale property: the base tier
     is the corpus, the touched sets are delta-sized — so the fold's base
