@@ -144,7 +144,14 @@ def _fold_tier(
     already includes them (re-application re-selects the same winner
     rows), which is what makes compaction safe to re-run after a
     mid-delete crash."""
-    base = spark.read.parquet(_base_dir(state_dir, tier))
+    bdir = _base_dir(state_dir, tier)
+    if not os.path.isdir(bdir):
+        raise FileNotFoundError(
+            f"entity state {state_dir!r} has no {tier}/v=base — run "
+            "init_state (CLI: stream-entity --init-records) before "
+            "streaming or reading against this state dir"
+        )
+    base = spark.read.parquet(bdir)
     if not ids:
         return base
     touched = None

@@ -1663,3 +1663,14 @@ def test_entity_stream_compact_every_bounds_delta_fanin(spark, tmp_path):
     # batches 0-1 folded by the batch-2 sink; only batch 2's delta left
     kept = sorted(os.listdir(os.path.join(state_a, "merged")))
     assert kept == sorted(["v=base", f"d={run_batch_key(ckpt_a, 2)}"])
+
+
+def test_entity_state_read_requires_init(spark, tmp_path):
+    """Reading an uninitialized state dir fails with an actionable
+    init_state message, not a cryptic parquet PATH_NOT_FOUND."""
+    import pytest as _pytest
+
+    from data_pipeline_spark.streaming.entity_stream import latest_state
+
+    with _pytest.raises(FileNotFoundError, match="init_state"):
+        latest_state(spark, str(tmp_path / "nostate"), str(tmp_path / "ck"))
