@@ -94,6 +94,48 @@ def main() -> None:
     q.awaitTermination(120)
     n = spark.read.parquet(os.path.join(out, "curated_stream")).count()
     print(f"[stream] curated {n} streamed doc(s)")
+
+    # 4 — the streaming entity build on delta (merge-on-read) state:
+    # one crawl becomes one blast-sized delta; reads fold base + deltas
+    from data_pipeline_spark.streaming.entity_stream import (
+        init_state, latest_state, stream_entity_builds,
+    )
+
+    def _doc(k, label):
+        return _json.dumps(
+            {"id": f"https://fixture.test/srcA/{k}", "type": "Person",
+             "_label": label}
+        )
+
+    recs = spark.createDataFrame(
+        [("srcA", str(k), "Person", "2026-01-01T00:00:00", "create",
+          _doc(k, f"A{k}")) for k in range(5)],
+        "source string, identifier string, rectype string, "
+        "record_time string, change string, data string",
+    )
+    e = spark.createDataFrame
+    idx_empty = {
+        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": e([], "uri_a string, uri_b string"),
+        "different_from": e([], "uri_a string, uri_b string"),
+    }
+    state = os.path.join(out, "entity_state")
+    init_state(spark, recs, idx_empty, state)
+    efeed = os.path.join(out, "entity_feed")
+    os.makedirs(efeed, exist_ok=True)
+    with open(os.path.join(efeed, "crawl0.jsonl"), "w") as f:
+        f.write(_json.dumps(
+            {"seq": 1, "end_time": "2026-02-01T00:00:00", "change": "update",
+             "object_uri": "https://fixture.test/srcA/2",
+             "payload": _doc(2, "A2-updated")}) + "\n")
+    q2 = stream_entity_builds(
+        spark, efeed, state, os.path.join(out, "entity_ckpt"), idx_empty,
+    )
+    q2.awaitTermination(120)
+    folded = latest_state(spark, state, os.path.join(out, "entity_ckpt"))
+    print(f"[entity-stream] folded merged tier: "
+          f"{folded['merged'].count()} entities (delta state under {state})")
     print(f"demo output under {out}")
 
 
