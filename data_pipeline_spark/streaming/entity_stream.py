@@ -9,9 +9,10 @@ state versions, so batch and streaming incremental builds CANNOT diverge
 shared definitions; the streaming test closes the loop by checking the
 final streamed state equals a full rebuild over the final records tier).
 
-State layout (merge-on-read, the round-12 scale fix):
+State layout (merge-on-read + bucketed base, the round-12/13 scale fix):
 
-    state_dir/{records,idmap,merged}/v=base     full base tiers
+    state_dir/_META.json                        {"buckets": N} (round 13)
+    state_dir/{records,idmap,merged}/v=base/b=<n>/  base tier, hash-bucketed
     state_dir/{records,idmap,merged}/d=<key>    PER-CRAWL DELTA rows
     state_dir/touched/d=<key>                   (tier, k) touched keys
 
@@ -36,9 +37,20 @@ here since neither ships in the env):
   LAST delta that touched it (winner resolution is delta-sized).
   The fold is idempotent over an already-folded base, which is what
   makes compaction crash-safe (below).
-- compact_entity_state folds committed deltas into a NEW base and
-  removes them, bounding read-side fan-in; cadence is the operator's
-  knob (the CLI exposes --compact).
+- compact_entity_state folds committed deltas into base and removes
+  them, bounding read-side fan-in; cadence is the operator's knob (the
+  CLI exposes --compact).  Round 13: the base is HASH-BUCKETED on the
+  fold key (``v=base/b=<n>``, the Hudi-MOR file-group shape) and
+  compaction rewrites ONLY the buckets holding touched keys — with
+  buckets sized so each holds a bounded byte range (init's sizing rule),
+  compaction cost scales with the delta, not the corpus.  Every bucket
+  replacement is staged to a dot-dir Spark readers ignore and applied by
+  atomic per-bucket directory renames behind a persisted plan file, so
+  no crash instant exists where neither a complete bucket nor its
+  recovery plan is on disk (ADVICE r12: the previous whole-base
+  ``mode("overwrite")`` had a delete-then-write window that could lose
+  the only full copy).  ``_repair_tier`` resumes or rolls back an
+  interrupted compaction on every read.
 
 Retry contract (at-least-once, shared with the dedup/refresh streams):
 delta inclusion is gated on the checkpoint COMMIT log AND the delta's
@@ -52,6 +64,8 @@ per-delta-dir overwrite owns them).  Keys are checkpoint-scoped
 
 from __future__ import annotations
 
+import json
+import math
 import os
 import re
 import shutil
@@ -86,10 +100,177 @@ def _touched_dir(state_dir: str, key: str) -> str:
 def _with_key(tier: str, df: DataFrame) -> DataFrame:
     """Tag tier rows with their fold key ``_k``: records by canonical uri
     (one JSON path, column-pruned — the incremental module's _with_uri
-    argument), idmap/merged by yuid."""
+    argument), idmap/merged by yuid.  The records key is guaranteed to
+    equal the feed's object_uri by the ingest contract
+    (apply_changes_to_records raises on a payload whose $.id differs —
+    ADVICE r12: a mismatch would silently drop the row from the delta
+    fold's winner join while the batch path applied it)."""
     if tier == "records":
         return df.withColumn("_k", F.get_json_object(F.col("data"), "$.id"))
     return df.withColumn("_k", F.col("yuid"))
+
+
+def _meta_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "_META.json")
+
+
+def read_state_meta(state_dir: str) -> dict | None:
+    """{"buckets": N} for a bucketed-base state dir, None for the flat
+    round-12 layout (readable as-is; bucketized by its next compaction)."""
+    try:
+        with open(_meta_path(state_dir)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _write_state_meta(state_dir: str, meta: dict) -> None:
+    tmp = _meta_path(state_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.rename(tmp, _meta_path(state_dir))  # atomic: no torn meta
+
+
+def _bucket_of(key_col, n_buckets: int):
+    """Bucket of a fold key — MUST be one expression shared by every
+    writer (init, compaction staging) and planner (touched-bucket set):
+    two different hashes would route a key's base row and its delta
+    winner to different buckets and partial compaction would keep both."""
+    return F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
+
+
+def _auto_buckets(n_rows: int, rows_per_bucket: int = 200_000) -> int:
+    """Default bucket count: ~200k keyed rows per bucket, power of two,
+    floor 16.  At 100 TB size explicitly instead — the production rule is
+    corpus_bytes / ~128 MB (the Hudi file-group target), because
+    compaction rewrites whole buckets: bucket bytes, not bucket count,
+    bound the cost of one touched key."""
+    return 2 ** max(4, math.ceil(math.log2(max(1, n_rows / rows_per_bucket))))
+
+
+def _list_buckets(bdir: str) -> list[int]:
+    if not os.path.isdir(bdir):
+        return []
+    out = []
+    for d in os.listdir(bdir):
+        m = re.fullmatch(r"b=(\d+)", d)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _compact_dir(state_dir: str, tier: str) -> str:
+    # dot-prefixed: invisible to Spark's file listing, so staging never
+    # leaks into a concurrent read of v=base or the tier's delta dirs
+    return os.path.join(state_dir, tier, ".compact")
+
+
+def _apply_plan(state_dir: str, tier: str, plan: dict) -> None:
+    """Execute a persisted compaction plan with atomic per-bucket (or
+    whole-base, for the flat->bucketed migration) directory renames.
+    Idempotent and resumable: every step checks on-disk state first, so
+    a crash at ANY instant leaves either the old bucket, the staged new
+    one plus the plan, or the completed swap — never nothing."""
+    bdir = _base_dir(state_dir, tier)
+    cdir = _compact_dir(state_dir, tier)
+    nxt = os.path.join(cdir, "next")
+    trash = os.path.join(cdir, "trash")
+    if plan.get("mode") == "replace_all":
+        # flat->bucketed migration: swap the whole base directory
+        if os.path.isdir(nxt):
+            if os.path.isdir(bdir):
+                os.rename(bdir, trash)
+            os.rename(nxt, bdir)
+        elif not os.path.isdir(bdir):
+            raise RuntimeError(
+                f"compaction plan for {tier} is unrecoverable: neither "
+                f"v=base nor staged replacement present under {cdir}"
+            )
+    else:
+        for n in plan["swap"]:
+            src = os.path.join(nxt, f"b={n}")
+            dst = os.path.join(bdir, f"b={n}")
+            if os.path.isdir(src):
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
+                os.rename(src, dst)
+            elif not os.path.isdir(dst):
+                raise RuntimeError(
+                    f"compaction plan for {tier} bucket {n} is "
+                    "unrecoverable: neither staged nor applied"
+                )
+        for n in plan["drop"]:
+            dst = os.path.join(bdir, f"b={n}")
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)  # all the bucket's keys were deleted
+    shutil.rmtree(cdir)  # removes plan + staging remnants together
+
+
+def _repair_tier(state_dir: str, tier: str) -> None:
+    """Resume (plan present: staging was complete) or roll back (no
+    plan: staging never finished, base untouched) an interrupted
+    compaction.  Runs on every base read — the read path, not an
+    operator, owns crash recovery, matching the retry contract's shape."""
+    cdir = _compact_dir(state_dir, tier)
+    if not os.path.isdir(cdir):
+        return
+    plan_path = os.path.join(cdir, "plan.json")
+    if os.path.isfile(plan_path):
+        with open(plan_path) as f:
+            _apply_plan(state_dir, tier, json.load(f))
+    else:
+        shutil.rmtree(cdir)
+
+
+def _require_delta_layout(state_dir: str, tier: str) -> None:
+    """Refuse the round-11 full-tier layout (v=<key> version dirs) with a
+    migration error instead of silently folding only v=base and serving
+    stale state (ADVICE r12): the r11 layout's committed crawls live in
+    versions this reader does not consult."""
+    tdir = os.path.join(state_dir, tier)
+    if not os.path.isdir(tdir):
+        return
+    legacy = [
+        d for d in os.listdir(tdir)
+        if d.startswith("v=") and d != "v=base"
+    ]
+    if legacy:
+        raise ValueError(
+            f"entity state {state_dir!r} {tier} tier contains pre-delta-"
+            f"layout version dirs {sorted(legacy)[:3]} — reading them as "
+            "base-only would silently drop committed crawls. Rebuild the "
+            "state with init_state over the exported final records tier "
+            "of the old run (state-export on the old layout's reader)."
+        )
+
+
+def read_base_tier(spark: SparkSession, state_dir: str, tier: str) -> DataFrame:
+    """The ``v=base`` rows of a tier with the internal bucket column
+    stripped — the one supported way to read base directly (the bucketed
+    layout adds a ``b`` partition column a raw parquet read would leak
+    into consumer schemas)."""
+    _require_delta_layout(state_dir, tier)
+    _repair_tier(state_dir, tier)
+    bdir = _base_dir(state_dir, tier)
+    if not os.path.isdir(bdir):
+        raise FileNotFoundError(
+            f"entity state {state_dir!r} has no {tier}/v=base — run "
+            "init_state (CLI: stream-entity --init-records) before "
+            "streaming or reading against this state dir"
+        )
+    df = spark.read.parquet(bdir)
+    return df.drop("b") if "b" in df.columns else df
+
+
+def _write_base(df: DataFrame, tier: str, n_buckets: int, path: str) -> None:
+    keyed = _with_key(tier, df)
+    (
+        keyed.withColumn("b", _bucket_of(F.col("_k"), n_buckets))
+        .drop("_k")
+        .write.partitionBy("b")
+        .mode("overwrite")
+        .parquet(path)
+    )
 
 
 def init_state(
@@ -98,15 +279,23 @@ def init_state(
     indexes: dict[str, DataFrame],
     state_dir: str,
     merge_order: dict[str, int] | None = None,
+    buckets: int | None = None,
 ) -> None:
-    """Full build over the initial records tier -> ``v=base`` state."""
+    """Full build over the initial records tier -> bucketed ``v=base``
+    state.  ``buckets`` is the compaction granularity knob: partial
+    compaction rewrites whole buckets, so size them to a bounded byte
+    range (~128 MB at production scale — corpus_bytes/128MB buckets);
+    default auto-sizes from the records row count."""
     # materialize: two consumed output tiers (idmap + merged) — execute
     # the chain once, not per consumed lineage
     out = run_build(spark, records, indexes, merge_order=merge_order,
                     materialize=True)
-    records.write.mode("overwrite").parquet(_base_dir(state_dir, "records"))
-    out["idmap"].write.mode("overwrite").parquet(_base_dir(state_dir, "idmap"))
-    out["merged"].write.mode("overwrite").parquet(_base_dir(state_dir, "merged"))
+    if buckets is None:
+        buckets = _auto_buckets(records.count())
+    _write_base(records, "records", buckets, _base_dir(state_dir, "records"))
+    _write_base(out["idmap"], "idmap", buckets, _base_dir(state_dir, "idmap"))
+    _write_base(out["merged"], "merged", buckets, _base_dir(state_dir, "merged"))
+    _write_state_meta(state_dir, {"layout": "bucketed", "buckets": buckets})
 
 
 def _committed_delta_ids(
@@ -144,16 +333,22 @@ def _fold_tier(
     already includes them (re-application re-selects the same winner
     rows), which is what makes compaction safe to re-run after a
     mid-delete crash."""
-    bdir = _base_dir(state_dir, tier)
-    if not os.path.isdir(bdir):
-        raise FileNotFoundError(
-            f"entity state {state_dir!r} has no {tier}/v=base — run "
-            "init_state (CLI: stream-entity --init-records) before "
-            "streaming or reading against this state dir"
-        )
-    base = spark.read.parquet(bdir)
+    base = read_base_tier(spark, state_dir, tier)
     if not ids:
         return base
+    last, rows = _delta_last_and_rows(spark, state_dir, checkpoint, tier, ids)
+    return _fold_over(tier, base, last, rows)
+
+
+def _delta_last_and_rows(
+    spark: SparkSession,
+    state_dir: str,
+    checkpoint: str,
+    tier: str,
+    ids: list[int],
+):
+    """(last, rows): the touched-key winner table (_wk -> last batch _wb
+    that touched it) and the keyed delta rows tagged with their batch."""
     touched = None
     rows = None
     for i in ids:
@@ -168,6 +363,16 @@ def _fold_tier(
         r = r.withColumn("_b", F.lit(i))
         rows = r if rows is None else rows.unionByName(r)
     last = touched.groupBy("_wk").agg(F.max("_wb").alias("_wb"))
+    return last, rows
+
+
+def _fold_over(
+    tier: str, base: DataFrame, last: DataFrame, rows: DataFrame
+) -> DataFrame:
+    """The winner/survivor fold over an arbitrary base slice — shared by
+    the full merge-on-read fold and partial compaction (which passes only
+    the touched BUCKETS of base; valid because every winner key is a
+    touched key, so winners always land inside touched buckets)."""
     winners = rows.join(
         F.broadcast(last),
         (rows["_k"] == last["_wk"]) & (rows["_b"] == last["_wb"]),
@@ -260,12 +465,74 @@ def latest_state(
     }
 
 
+def _stage_and_apply(
+    state_dir: str,
+    tier: str,
+    keyed: DataFrame,
+    n_buckets: int,
+    plan: dict | None,
+    touched_buckets: list[int] | None = None,
+) -> None:
+    """Stage ``keyed`` rows (carrying the fold key ``_k``) bucketed into
+    the tier's ``.compact/next``, persist the swap plan (atomic
+    tmp+rename — the plan's existence certifies the staging is complete),
+    then apply it.  ``plan=None`` derives the per-bucket plan: staged
+    buckets swap in; touched buckets with no staged rows (every key
+    deleted) drop."""
+    cdir = _compact_dir(state_dir, tier)
+    shutil.rmtree(cdir, ignore_errors=True)  # stale un-planned staging
+    nxt = os.path.join(cdir, "next")
+    (
+        keyed.withColumn("b", _bucket_of(F.col("_k"), n_buckets))
+        .drop("_k")
+        .write.partitionBy("b")
+        .parquet(nxt)
+    )
+    if plan is None:
+        staged = _list_buckets(nxt)
+        plan = {
+            "mode": "buckets",
+            "swap": staged,
+            "drop": sorted(set(touched_buckets or ()) - set(staged)),
+        }
+    tmp = os.path.join(cdir, "plan.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(plan, f)
+    os.rename(tmp, os.path.join(cdir, "plan.json"))
+    _apply_plan(state_dir, tier, plan)
+
+
 def compact_entity_state(
-    spark: SparkSession, state_dir: str, checkpoint: str
+    spark: SparkSession,
+    state_dir: str,
+    checkpoint: str,
+    buckets: int | None = None,
 ) -> dict[str, int]:
-    """Fold this checkpoint's committed deltas into a NEW ``v=base`` and
+    """Fold this checkpoint's committed deltas into ``v=base`` and
     delete them — the LSM compaction bounding read-side delta fan-in
     (without it every fold unions one more delta per crawl forever).
+
+    Round 13 — cost ∝ delta, not corpus: the bucketed base is rewritten
+    ONLY in the buckets holding touched keys (the Hudi-MOR file-group
+    compaction shape).  Each tier's pass:
+
+    1. plan: touched keys -> touched BUCKET set (delta-sized collect of
+       at most n_buckets ints — control plane, not data plane);
+    2. stage: fold (touched base buckets + delta winners) and write the
+       result, re-partitioned by bucket, to the tier's dot-prefixed
+       ``.compact/next`` staging dir (invisible to concurrent readers);
+    3. persist a plan file (atomic tmp+rename) naming the buckets to
+       swap in and the all-keys-deleted buckets to drop;
+    4. apply: per-bucket atomic directory renames; a crash at any
+       instant leaves either the old bucket, or the staged new one plus
+       the plan — ``_repair_tier`` (run on every base read) resumes the
+       plan or rolls back un-planned staging.  This closes the ADVICE
+       r12 window where a whole-base ``mode("overwrite")`` could crash
+       after deleting the only full copy.
+
+    A flat (round-12) base takes the one-time migration path: full fold,
+    staged as a complete bucketed base, swapped in whole behind a
+    ``replace_all`` plan; ``buckets`` overrides the auto-sizing then.
 
     Kept, each load-bearing:
     - any UNCOMMITTED delta dir (a dead attempt's partial write): its
@@ -281,12 +548,14 @@ def compact_entity_state(
     layout trades that for delta-sized writes — entity state dirs are
     per-pipeline, unlike the shared dedup/similarity indexes.)
 
-    Crash ordering: the new base is written for ALL tiers first (the
-    fold is idempotent over an already-folded base, so a crash after any
-    base write is safe to re-run), then each delta's touched manifest is
-    deleted BEFORE its row dirs (fold membership is gated on the
-    manifest, so a half-deleted delta drops out instead of being misread
-    as all-deletions); orphaned row dirs from a previous crash are swept.
+    Crash ordering: bucket swaps are applied per tier behind persisted
+    plans (above) and are idempotent to re-run with the deltas still
+    present (re-folding an already-folded bucket re-selects the same
+    winners); only after ALL tiers applied is each delta's touched
+    manifest deleted BEFORE its row dirs (fold membership is gated on
+    the manifest, so a half-deleted delta drops out instead of being
+    misread as all-deletions); orphaned row dirs from a previous crash
+    are swept.
 
     Returns {tier: number of delta directories removed}."""
     own = re.escape(
@@ -309,17 +578,59 @@ def compact_entity_state(
             "by one stream lineage"
         )
 
+    for tier in _TIERS:
+        _require_delta_layout(state_dir, tier)
+        _repair_tier(state_dir, tier)  # finish any interrupted compaction
+
     ids = _committed_delta_ids(state_dir, checkpoint)
     removed = {tier: 0 for tier in _TIERS}
-    if ids:
+    meta = read_state_meta(state_dir)
+    if ids and meta is None:
+        # one-time migration of a flat round-12 base: full fold, staged
+        # bucketed, whole-dir atomic swap per tier
         folded = {
             tier: _fold_tier(spark, state_dir, checkpoint, tier, ids)
-            # materialize BEFORE the overwrite: base is source AND target
             .localCheckpoint()
             for tier in _TIERS
         }
+        nb = buckets or _auto_buckets(folded["records"].count())
         for tier in _TIERS:
-            folded[tier].write.mode("overwrite").parquet(_base_dir(state_dir, tier))
+            _stage_and_apply(
+                state_dir, tier, _with_key(tier, folded[tier]), nb,
+                {"mode": "replace_all"},
+            )
+        _write_state_meta(state_dir, {"layout": "bucketed", "buckets": nb})
+    elif ids:
+        nb = meta["buckets"]
+        for tier in _TIERS:
+            last, rows = _delta_last_and_rows(
+                spark, state_dir, checkpoint, tier, ids
+            )
+            # materialize the winner table: consumed three times below
+            # (touched-bucket plan, survivor anti-join, winner join) and
+            # its lineage holds every manifest read
+            last = last.localCheckpoint()
+            tb = sorted(
+                r["tb"]
+                for r in last.select(
+                    _bucket_of(F.col("_wk"), nb).alias("tb")
+                ).distinct().collect()
+            )
+            if not tb:
+                continue  # no touched keys for this tier
+            bdir = _base_dir(state_dir, tier)
+            have = [n for n in tb if n in set(_list_buckets(bdir))]
+            base_sub = (
+                spark.read.parquet(*(os.path.join(bdir, f"b={n}") for n in have))
+                if have
+                else read_base_tier(spark, state_dir, tier).limit(0)
+            )
+            folded = _fold_over(tier, base_sub, last, rows)
+            _stage_and_apply(
+                state_dir, tier, _with_key(tier, folded), nb, None,
+                touched_buckets=tb,
+            )
+    if ids:
         for i in ids:
             key = run_batch_key(checkpoint, i)
             shutil.rmtree(_touched_dir(state_dir, key))  # gate first
@@ -407,6 +718,8 @@ __all__ = [
     "init_state",
     "entity_build_batch",
     "read_state_at",
+    "read_base_tier",
+    "read_state_meta",
     "latest_state",
     "compact_entity_state",
     "stream_entity_builds",

@@ -1,0 +1,292 @@
+"""Bucketed entity-state base + partial compaction (round 13).
+
+The state base is hash-bucketed on the fold key (``v=base/b=<n>``, the
+Hudi-MOR file-group shape) so compact_entity_state rewrites ONLY the
+buckets holding touched keys — cost ∝ delta, not corpus.  Bucket
+replacement is staged to a dot-dir and applied by atomic per-bucket
+renames behind a persisted plan; ``_repair_tier`` resumes or rolls back
+an interrupted compaction on every base read (closes the ADVICE r12
+non-atomic whole-base overwrite window).
+
+Reference parity: the reference's update manager applies per-record row
+updates transactionally (/root/reference pipeline/process/
+update_manager.py:12-69); these tests pin the lakehouse restatement —
+bounded-write compaction with no crash instant that loses state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_spark.streaming.entity_stream import (
+    compact_entity_state,
+    init_state,
+    latest_state,
+    read_base_tier,
+    read_state_meta,
+    stream_entity_builds,
+)
+
+
+def _uri(src, k):
+    return f"https://fixture.test/{src}/{k}"
+
+
+def _doc(src, k, label, link=None):
+    d = {"id": _uri(src, k), "type": "Person", "_label": label}
+    if link:
+        d["equivalent"] = [{"id": link, "type": "Person"}]
+    return json.dumps(d)
+
+
+def _records(spark, n=10):
+    rows = [
+        ("srcA", str(k), "Person", "2026-01-01T00:00:00", "create",
+         _doc("srcA", k, f"A{k}"))
+        for k in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "source string, identifier string, rectype string, "
+        "record_time string, change string, data string",
+    )
+
+
+def _indexes(spark):
+    e = spark.createDataFrame
+    return {
+        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": e([], "uri_a string, uri_b string"),
+        "different_from": e([], "uri_a string, uri_b string"),
+    }
+
+
+def _feed(tmp_path, crawls):
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir(exist_ok=True)
+    for i, crawl in enumerate(crawls):
+        p = feed_dir / f"crawl{i}.jsonl"
+        with open(p, "w") as f:
+            for r in crawl:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (1000 + i, 1000 + i))  # pin micro-batch order
+    return str(feed_dir)
+
+
+def _bucket_files(state_dir, tier):
+    """{bucket dir name: {(file, mtime_ns)}} under <tier>/v=base."""
+    bdir = os.path.join(state_dir, tier, "v=base")
+    out = {}
+    for d in os.listdir(bdir):
+        if not d.startswith("b="):
+            continue
+        full = os.path.join(bdir, d)
+        out[d] = {
+            (f, os.stat(os.path.join(full, f)).st_mtime_ns)
+            for f in os.listdir(full)
+            if not f.startswith(("_", "."))
+        }
+    return out
+
+
+def test_bucketed_base_partial_compaction(spark, tmp_path):
+    """init writes a bucketed base + meta; compaction rewrites ONLY the
+    buckets holding touched keys — every untouched bucket's files are
+    bit-for-bit untouched (same names, same mtimes), which is the whole
+    claim: compaction cost scales with the delta, not the corpus."""
+    state_dir = str(tmp_path / "state")
+    init_state(spark, _records(spark, 12), _indexes(spark), state_dir,
+               buckets=16)
+
+    assert read_state_meta(state_dir) == {"layout": "bucketed", "buckets": 16}
+    for tier in ("records", "idmap", "merged"):
+        base = read_base_tier(spark, state_dir, tier)
+        assert "b" not in base.columns  # internal col never leaks
+        assert any(
+            d.startswith("b=")
+            for d in os.listdir(os.path.join(state_dir, tier, "v=base"))
+        )
+
+    feed = _feed(tmp_path, [[
+        {"seq": 1, "end_time": "2026-02-01T10:00:00", "change": "update",
+         "object_uri": _uri("srcA", 3),
+         "payload": _doc("srcA", 3, "A3-v2")},
+        {"seq": 2, "end_time": "2026-02-01T10:00:00", "change": "delete",
+         "object_uri": _uri("srcA", 5), "payload": None},
+    ]])
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_entity_builds(spark, feed, state_dir, ckpt, _indexes(spark))
+    q.awaitTermination(180)
+
+    want = sorted(
+        (r["yuid"], r["data"])
+        for r in latest_state(spark, state_dir, ckpt)["merged"].collect()
+    )
+    before = {t: _bucket_files(state_dir, t) for t in ("records", "idmap", "merged")}
+    removed = compact_entity_state(spark, state_dir, ckpt)
+    assert removed == {"records": 1, "idmap": 1, "merged": 1}
+    after = {t: _bucket_files(state_dir, t) for t in ("records", "idmap", "merged")}
+
+    # the touched records keys are exactly srcA/3 (update) and srcA/5
+    # (delete): their buckets must change; every other bucket must not
+    tb = {
+        r["tb"]
+        for r in spark.createDataFrame(
+            [(_uri("srcA", 3),), (_uri("srcA", 5),)], "k string"
+        ).select(F.pmod(F.xxhash64("k"), F.lit(16)).alias("tb")).collect()
+    }
+    touched_dirs = {f"b={n}" for n in tb}
+    changed = {d for d in before["records"]
+               if before["records"][d] != after["records"].get(d)}
+    changed |= {d for d in after["records"] if d not in before["records"]}
+    assert changed <= touched_dirs and changed  # only touched buckets moved
+    untouched = set(before["records"]) - touched_dirs
+    for d in untouched:
+        assert after["records"][d] == before["records"][d]
+
+    # folded read identical post-compaction; deltas gone
+    got = sorted(
+        (r["yuid"], r["data"])
+        for r in latest_state(spark, state_dir, ckpt)["merged"].collect()
+    )
+    assert got == want
+    labels = {json.loads(d)["_label"] for _, d in got}
+    assert "A3-v2" in labels and "A5" not in labels
+    assert not any(
+        d.startswith("d=") for d in os.listdir(os.path.join(state_dir, "merged"))
+    )
+    # idempotent: second compaction is a no-op
+    assert compact_entity_state(spark, state_dir, ckpt) == {
+        "records": 0, "idmap": 0, "merged": 0
+    }
+
+
+def test_compaction_crash_repair_paths(spark, tmp_path):
+    """Every crash instant of a compaction is recoverable on the next
+    read: un-planned staging rolls back (base untouched); a persisted
+    plan resumes (staged buckets swap in, drop buckets vanish) — no
+    state exists where neither a complete bucket nor its plan is on
+    disk."""
+    state_dir = str(tmp_path / "state")
+    init_state(spark, _records(spark, 8), _indexes(spark), state_dir,
+               buckets=8)
+    merged_dir = os.path.join(state_dir, "merged")
+    want = sorted(
+        (r["yuid"], r["data"])
+        for r in read_base_tier(spark, state_dir, "merged").collect()
+    )
+
+    # (a) staging crashed BEFORE the plan was persisted: base untouched,
+    # staging rolled back on the next read
+    cdir = os.path.join(merged_dir, ".compact")
+    os.makedirs(os.path.join(cdir, "next", "b=0"))
+    got = sorted(
+        (r["yuid"], r["data"])
+        for r in read_base_tier(spark, state_dir, "merged").collect()
+    )
+    assert got == want
+    assert not os.path.isdir(cdir)  # rolled back
+
+    # (b) crash mid-swap WITH a plan: stage a replacement for one bucket
+    # (a real bucket dir copied aside counts as "staged new version"),
+    # plus a drop of another; repair must complete both
+    buckets = sorted(
+        d for d in os.listdir(os.path.join(merged_dir, "v=base"))
+        if d.startswith("b=")
+    )
+    assert len(buckets) >= 2
+    swap_d, drop_d = buckets[0], buckets[1]
+    swap_n, drop_n = int(swap_d[2:]), int(drop_d[2:])
+    os.makedirs(os.path.join(cdir, "next"))
+    shutil.copytree(
+        os.path.join(merged_dir, "v=base", swap_d),
+        os.path.join(cdir, "next", swap_d),
+    )
+    # mutate the staged copy's identity: remove the original bucket so
+    # repair MUST take the staged one (simulates crash after rmtree(dst))
+    shutil.rmtree(os.path.join(merged_dir, "v=base", swap_d))
+    with open(os.path.join(cdir, "plan.json"), "w") as f:
+        json.dump({"mode": "buckets", "swap": [swap_n], "drop": [drop_n]}, f)
+
+    kept_rows = sorted(
+        (r["yuid"], r["data"])
+        for r in read_base_tier(spark, state_dir, "merged").collect()
+    )
+    assert not os.path.isdir(cdir)  # plan applied + cleaned
+    assert os.path.isdir(os.path.join(merged_dir, "v=base", swap_d))
+    assert not os.path.isdir(os.path.join(merged_dir, "v=base", drop_d))
+    # swapped bucket's rows survive, dropped bucket's rows are gone
+    want_set = {r for r in want}
+    assert set(kept_rows) < want_set
+
+    # (c) an unrecoverable plan (neither staged nor applied) raises
+    # loudly instead of serving a hole
+    os.makedirs(cdir)
+    shutil.rmtree(os.path.join(merged_dir, "v=base", swap_d))
+    with open(os.path.join(cdir, "plan.json"), "w") as f:
+        json.dump({"mode": "buckets", "swap": [swap_n], "drop": []}, f)
+    with pytest.raises(RuntimeError, match="unrecoverable"):
+        read_base_tier(spark, state_dir, "merged")
+
+
+def test_flat_base_migration_and_legacy_error(spark, tmp_path):
+    """A round-12 FLAT base (no meta, un-bucketed v=base) reads as-is
+    and is migrated to the bucketed layout by its first compaction via
+    an atomic whole-dir swap; a round-11 versioned layout (v=<key> dirs)
+    raises a migration error instead of silently serving stale base
+    (ADVICE r12)."""
+    state_dir = str(tmp_path / "state")
+    init_state(spark, _records(spark, 8), _indexes(spark), state_dir,
+               buckets=8)
+
+    # flatten: rewrite each tier un-bucketed, drop the meta (exactly the
+    # round-12 on-disk shape)
+    for tier in ("records", "idmap", "merged"):
+        flat = read_base_tier(spark, state_dir, tier).localCheckpoint()
+        bdir = os.path.join(state_dir, tier, "v=base")
+        shutil.rmtree(bdir)
+        flat.write.parquet(bdir)
+    os.remove(os.path.join(state_dir, "_META.json"))
+    assert read_state_meta(state_dir) is None
+
+    feed = _feed(tmp_path, [[
+        {"seq": 1, "end_time": "2026-02-01T10:00:00", "change": "update",
+         "object_uri": _uri("srcA", 2),
+         "payload": _doc("srcA", 2, "A2-v2")},
+    ]])
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_entity_builds(spark, feed, state_dir, ckpt, _indexes(spark))
+    q.awaitTermination(180)
+    want = sorted(
+        (r["yuid"], r["data"])
+        for r in latest_state(spark, state_dir, ckpt)["merged"].collect()
+    )
+
+    removed = compact_entity_state(spark, state_dir, ckpt, buckets=8)
+    meta = read_state_meta(state_dir)
+    assert meta == {"layout": "bucketed", "buckets": 8}
+    assert removed == {"records": 1, "idmap": 1, "merged": 1}
+    for tier in ("records", "idmap", "merged"):
+        assert any(
+            d.startswith("b=")
+            for d in os.listdir(os.path.join(state_dir, tier, "v=base"))
+        )
+    got = sorted(
+        (r["yuid"], r["data"])
+        for r in latest_state(spark, state_dir, ckpt)["merged"].collect()
+    )
+    assert got == want
+    assert any(json.loads(d)["_label"] == "A2-v2" for _, d in got)
+
+    # round-11 layout: versioned dirs other than v=base -> loud error
+    os.makedirs(os.path.join(state_dir, "merged", "v=deadbeef-b0"))
+    with pytest.raises(ValueError, match="pre-delta-layout"):
+        latest_state(spark, state_dir, ckpt)
+    with pytest.raises(ValueError, match="pre-delta-layout"):
+        compact_entity_state(spark, state_dir, ckpt)

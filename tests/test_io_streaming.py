@@ -1063,6 +1063,7 @@ def test_stream_entity_builds_crawl_sequence(spark, tmp_path):
     from data_pipeline_spark.streaming.entity_stream import (
         init_state,
         latest_state,
+        read_base_tier,
         stream_entity_builds,
     )
 
@@ -1129,7 +1130,7 @@ def test_stream_entity_builds_crawl_sequence(spark, tmp_path):
     # chain keeps prev yuids across crawls (e.g. B5 keeps the pair's
     # yuid after srcA/5's delete), so the equivalent batch rebuild must
     # get the same lineage — without it the gold would re-mint B5
-    base_idmap = spark.read.parquet(f"{state_dir}/idmap/v=base")
+    base_idmap = read_base_tier(spark, state_dir, "idmap")
     gold = run_build(
         spark, final["records"], indexes, idmap_prev=base_idmap, merge_order=order
     )
@@ -1261,6 +1262,7 @@ def test_entity_stream_crash_restart_recovers_from_checkpoint(spark, tmp_path):
         entity_build_batch,
         init_state,
         latest_state,
+        read_base_tier,
         stream_entity_builds,
     )
     from data_pipeline_spark.streaming.index_util import (
@@ -1367,7 +1369,7 @@ def test_entity_stream_crash_restart_recovers_from_checkpoint(spark, tmp_path):
     assert committed_batch_ids(ckpt) == {0, 1}
 
     final = latest_state(spark, state_dir, ckpt)
-    base_idmap = spark.read.parquet(f"{state_dir}/idmap/v=base")
+    base_idmap = read_base_tier(spark, state_dir, "idmap")
     gold = run_build(
         spark, final["records"], indexes, idmap_prev=base_idmap, merge_order=order
     )
@@ -1542,6 +1544,7 @@ def test_entity_stream_empty_crawl_folds_to_identity(spark, tmp_path):
         compact_entity_state,
         init_state,
         latest_state,
+        read_base_tier,
         stream_entity_builds,
     )
     from data_pipeline_spark.streaming.index_util import committed_batch_ids
@@ -1568,7 +1571,7 @@ def test_entity_stream_empty_crawl_folds_to_identity(spark, tmp_path):
     init_state(spark, records, indexes, state_dir)
     base = sorted(
         (r["yuid"], r["data"])
-        for r in spark.read.parquet(f"{state_dir}/merged/v=base").collect()
+        for r in read_base_tier(spark, state_dir, "merged").collect()
     )
 
     feed_dir = tmp_path / "feed"

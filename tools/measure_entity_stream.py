@@ -164,6 +164,7 @@ def main(sf_dir: str) -> None:
         compact_entity_state,
         init_state,
         latest_state,
+        read_base_tier,
         stream_entity_builds,
     )
     from data_pipeline_spark.streaming.index_util import (
@@ -250,7 +251,7 @@ def main(sf_dir: str) -> None:
     # ---- gold: folded state == full rebuild over folded records ----
     t0 = time.perf_counter()
     final = latest_state(spark, state_dir, ckpt)
-    base_idmap = spark.read.parquet(f"{state_dir}/idmap/v=base")
+    base_idmap = read_base_tier(spark, state_dir, "idmap")
     gold = run_build(
         spark, final["records"], indexes, idmap_prev=base_idmap,
         merge_order=order, materialize=True,
