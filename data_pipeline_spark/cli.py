@@ -284,7 +284,7 @@ def cmd_stream_entity(args) -> int:
     if args.init_records:
         init_state(
             spark, spark.read.parquet(args.init_records), indexes,
-            args.state, merge_order=order,
+            args.state, merge_order=order, buckets=args.state_buckets,
         )
         print(f"[cli] initialized state at {args.state}")
     q = stream_entity_builds(
@@ -293,6 +293,19 @@ def cmd_stream_entity(args) -> int:
         compact_every=args.compact_every,
     )
     drained = _await_drained(q, args.timeout)
+    if not drained:
+        # ADVICE r12: an export written from an undrained feed is a
+        # PARTIAL fold — a downstream consumer keyed on the output dir's
+        # existence would consume it as the complete merged view.  Skip
+        # the post-steps; rc 3 already tells the operator to re-run.
+        if args.compact or args.export_merged:
+            print(
+                "[cli] skipping --compact/--export-merged: the feed did "
+                "not drain, so the export would be a partial view "
+                "(re-run resumes from the checkpoint)",
+                file=sys.stderr,
+            )
+        return 3
     if args.compact:
         removed = compact_entity_state(spark, args.state, args.checkpoint)
         print(f"[cli] compacted committed deltas into base: {removed}")
@@ -300,7 +313,7 @@ def cmd_stream_entity(args) -> int:
         merged = latest_state(spark, args.state, args.checkpoint)["merged"]
         merged.write.mode("overwrite").parquet(args.export_merged)
         print(f"[cli] exported folded merged tier to {args.export_merged}")
-    return 0 if drained else 3
+    return 0
 
 
 def cmd_state_export(args) -> int:
@@ -511,6 +524,12 @@ def build_parser() -> argparse.ArgumentParser:
         "consume this materialized view, not the raw state dirs)",
     )
     st.add_argument("--timeout", type=int, default=600, help="awaitTermination seconds")
+    st.add_argument(
+        "--state-buckets", type=int, metavar="N",
+        help="bucket count for a fresh --init-records state base "
+        "(compaction rewrites whole buckets: size them to ~128 MB at "
+        "production scale; default auto-sizes from the record count)",
+    )
     _add_index_opts(st)
     _add_common(st)
     st.set_defaults(fn=cmd_stream_entity)

@@ -188,14 +188,21 @@ def build_changes() -> list[dict]:
         # duplicate ident in one crawl — first-seen (highest seq processed first... feed order) wins
         {"seq": 1, "end_time": "2026-02-01T10:00:00", "change": "update",
          "object_uri": uri("srcA", "p1"), "payload": upd["data"]},
+        # the loser carries a REAL payload honoring the ingest contract
+        # (payload $.id == object_uri — apply_changes_to_records raises
+        # otherwise); its distinct label proves first-seen won
         {"seq": 2, "end_time": "2026-02-01T09:00:00", "change": "update",
-         "object_uri": uri("srcA", "p1"), "payload": "{}"},
+         "object_uri": uri("srcA", "p1"),
+         "payload": _rec("srcA", "p1", "Person",
+                         names=["Rembrandt (stale duplicate)"])["data"]},
         # delete-then-update of p7
         {"seq": 3, "end_time": "2026-02-01T08:00:00", "change": "delete",
          "object_uri": uri("srcA", "p7"), "payload": None},
         # older than watermark — must be ignored by the incremental bound
         {"seq": 4, "end_time": "2026-01-01T00:00:00", "change": "update",
-         "object_uri": uri("srcA", "p2"), "payload": "{}"},
+         "object_uri": uri("srcA", "p2"),
+         "payload": _rec("srcA", "p2", "Person",
+                         names=["Jan de Vries (pre-watermark)"])["data"]},
         # create of a new record
         {"seq": 5, "end_time": "2026-02-01T11:00:00", "change": "create",
          "object_uri": uri("srcA", "p9"),

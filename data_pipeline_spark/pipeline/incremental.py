@@ -55,11 +55,35 @@ def apply_changes_to_records(records: DataFrame, changes: DataFrame) -> DataFram
     deletes = ch.filter(F.col("change") == "delete").select(
         F.col("object_uri").alias("_uri")
     )
+    # ingest contract (ADVICE r12): a payload's $.id IS its object_uri.
+    # The records tier is keyed by $.id everywhere downstream (_with_uri
+    # here, the delta fold's _with_key in streaming/entity_stream.py),
+    # while feed upserts are keyed by object_uri — a row where the two
+    # differ would be applied by this batch path but silently dropped by
+    # the streaming delta fold's winner join (or shadow an unrelated
+    # record).  Fail loudly at the boundary instead; the guard is woven
+    # into the data column so Catalyst cannot prune it away.
+    payload_id = F.get_json_object(F.col("payload"), "$.id")
+    checked_payload = F.when(
+        payload_id.isNotNull() & (payload_id == F.col("object_uri")),
+        F.col("payload"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("change feed payload $.id ("),
+                F.coalesce(payload_id, F.lit("<missing>")),
+                F.lit(") does not match object_uri ("),
+                F.col("object_uri"),
+                F.lit(") — the records tier is keyed by $.id, so this row "
+                      "would diverge between the batch and streaming paths"),
+            )
+        )
+    )
     upserts = (
         ch.filter((F.col("change") != "delete") & F.col("payload").isNotNull())
         .select(
             F.col("object_uri").alias("_uri"),
-            F.col("payload").alias("data"),
+            checked_payload.alias("data"),
             F.col("end_time").cast("string").alias("record_time"),
         )
         .withColumn("doc", F.from_json("data", "id string, type string"))

@@ -523,10 +523,10 @@ def r12_entity_stream_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     names), a watermark leak (3-class becomes 0-class) or a lost
     untouched row breaks it.  State/checkpoint dirs are fresh per
     invocation (tempfile), so retries and the driver's re-run cannot
-    cross-contaminate."""
-    # NOTE: the returned DataFrame reads the state parquet LAZILY, so the
-    # tempdir must outlive this call — it is left for /tmp cleanup.
+    cross-contaminate; the workdir is reclaimed before returning (the
+    result is materialized first — it read the state parquet lazily)."""
     import os
+    import shutil
     import tempfile
 
     from ..streaming.entity_stream import (
@@ -639,10 +639,18 @@ def r12_entity_stream_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(600)
 
     names_schema = "identified_by array<struct<type:string,content:string>>"
-    return latest_state(spark, state_dir, ckpt)["merged"].select(
+    out = latest_state(spark, state_dir, ckpt)["merged"].select(
         F.get_json_object(F.col("data"), "$.identified_by[0].content").alias("comp_key"),
         F.get_json_object(F.col("data"), "$._label").alias("label"),
         F.size(F.from_json(F.col("data"), names_schema).identified_by)
         .cast("long")
         .alias("n_names"),
     )
+    # materialize, then reclaim the corpus-scale workdir (ADVICE r12:
+    # the gate runs at least twice per round — verify + bench — and each
+    # run leaked full state tiers + feed + checkpoint into /tmp).  A
+    # driver-local copy is fine: the gate corpus is fixture-sized by
+    # construction (customer keys mod 10).
+    rows = out.collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

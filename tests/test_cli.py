@@ -275,6 +275,45 @@ def test_cli_stream_entity_end_to_end(spark, tmp_path):
     assert labels == {"A0", "A1", "A2-v2", "A3"}
 
 
+def test_cli_stream_entity_undrained_skips_export(spark, tmp_path, monkeypatch, capsys):
+    """rc 3 (undrained feed) must NOT be accompanied by a fresh partial
+    --export-merged / --compact (ADVICE r12): a downstream consumer keyed
+    on the export dir's existence would read the partial fold as the
+    complete merged view."""
+    import data_pipeline_spark.cli as cli
+
+    def doc(src, k, label):
+        return json.dumps(
+            {"id": f"https://fixture.test/{src}/{k}", "type": "Person",
+             "_label": label}
+        )
+
+    recs = str(tmp_path / "recs.parquet")
+    spark.createDataFrame(
+        [("srcA", "0", "Person", "2026-01-01T00:00:00", "create",
+          doc("srcA", 0, "A0"))],
+        "source string, identifier string, rectype string, record_time string, change string, data string",
+    ).write.parquet(recs)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    with open(feed / "c0.jsonl", "w") as f:
+        f.write(json.dumps(
+            {"seq": 1, "end_time": "2026-02-01T00:00:00", "change": "update",
+             "object_uri": "https://fixture.test/srcA/0",
+             "payload": doc("srcA", 0, "A0-v2")}) + "\n")
+
+    monkeypatch.setattr(cli, "_await_drained", lambda q, timeout: (q.stop(), False)[1])
+    exported = str(tmp_path / "merged_out")
+    rc = cli.main([
+        "stream-entity", "--feed", str(feed), "--state",
+        str(tmp_path / "state"), "--checkpoint", str(tmp_path / "ck"),
+        "--init-records", recs, "--compact", "--export-merged", exported,
+    ])
+    assert rc == 3
+    assert not os.path.exists(exported)  # no partial export written
+    assert "skipping --compact/--export-merged" in capsys.readouterr().err
+
+
 def test_cli_await_drained_stops_undrained_stream(capsys):
     """awaitTermination(timeout) returning False means the stream is
     STILL RUNNING — the helper must stop it (so --compact never races a

@@ -39,6 +39,25 @@ def test_apply_changes_to_records(spark, setup):
     assert doc["_label"] == "Rembrandt van Rijn (updated)"
 
 
+def test_apply_changes_rejects_mismatched_payload_id(spark, setup):
+    """Ingest contract (ADVICE r12): an upsert whose payload $.id is
+    missing or differs from object_uri fails LOUDLY — silently applied,
+    the row would be keyed by object_uri here but invisible to every
+    downstream $.id-keyed scan (and dropped by the streaming delta
+    fold's winner join), diverging the batch and streaming twins."""
+    t, _ = setup
+    for bad_payload in (
+        json.dumps({"id": uri("srcA", "somebody-else"), "type": "Person"}),
+        json.dumps({"type": "Person"}),  # $.id missing entirely
+    ):
+        bad = spark.createDataFrame(
+            [(99, "2026-02-01 00:00:00", "update", uri("srcA", "p1"), bad_payload)],
+            "seq bigint, end_time string, change string, object_uri string, payload string",
+        ).withColumn("end_time", F.col("end_time").cast("timestamp"))
+        with pytest.raises(Exception, match="does not match object_uri"):
+            apply_changes_to_records(t["records"], bad).collect()
+
+
 def test_affected_uris_is_component_closed(spark, setup):
     t, idx = setup
     blast = {r.uri for r in affected_uris(t["changes"], t["idmap_prev"], idx).collect()}
