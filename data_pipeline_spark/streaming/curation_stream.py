@@ -87,14 +87,17 @@ def stream_curate(
     index_dir: str,
     out_dir: str,
     checkpoint: str,
+    max_files_per_trigger: int | None = None,
 ) -> "object":
     """Curate a JSONL document feed continuously; returns the started
     query (availableNow trigger: drains what is present, then stops —
-    the test/replay mode; a production deployment drops the trigger)."""
-    stream = (
-        spark.readStream.schema("doc_id bigint, text string")
-        .json(feed_dir)
-    )
+    the test/replay mode; a production deployment drops the trigger).
+    ``max_files_per_trigger`` bounds a micro-batch to N feed files
+    (one-file-per-crawl deployments pass 1, the entity stream's shape)."""
+    reader = spark.readStream.schema("doc_id bigint, text string")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(feed_dir)
     bench = spark.read.parquet(os.path.join(index_dir, "bench_grams"))
 
     def _process(batch: DataFrame, epoch: int) -> None:

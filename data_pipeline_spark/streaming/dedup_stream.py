@@ -124,6 +124,7 @@ def stream_dedup(
     index_dir: str,
     matches_dir: str,
     checkpoint: str,
+    max_files_per_trigger: int | None = None,
 ):
     """Structured-Streaming wrapper: each micro-batch of documents
     (doc_id bigint, text string) is matched and folded into the index;
@@ -143,7 +144,12 @@ def stream_dedup(
             "overwrite"
         ).parquet(os.path.join(matches_dir, f"batch_id={key}"))
 
-    feed = spark.readStream.schema("doc_id bigint, text string").json(feed_path)
+    reader = spark.readStream.schema("doc_id bigint, text string")
+    if max_files_per_trigger is not None:
+        # one-file-per-crawl sequencing: later crawls must probe an index
+        # that already contains earlier crawls' folds
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = reader.json(feed_path)
     return (
         feed.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)

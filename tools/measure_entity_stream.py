@@ -21,6 +21,16 @@ What it measures, on a pair corpus derived from a scaled SF directory
   correct state;
 - **compaction**: fold-to-base wall, state bytes before/after, dirs
   removed;
+- **bucketed compaction proportionality (round 13)**: the base is
+  bucketed (~1k records/bucket here so the effect is visible at fixture
+  crawl sizes); after the first compaction, a TINY fourth crawl (20
+  changes) streams and compacts again — the tool reports how many
+  bucket dirs that compaction rewrote and their bytes vs the whole base.
+  The claim under measurement: compaction cost ∝ touched buckets, not
+  corpus (with production bucket sizing, ∝ delta alone);
+- **read-path fan-in**: wall of a full fold read (latest_state count)
+  at 3 accumulated deltas vs 0 (post-compaction) — the measured basis
+  for the compact_every default;
 - **gold**: folded merged state == full rebuild over the folded records
   tier (exceptAll both ways, Spark-side) — the same invariant the
   fixture tests pin, proven here at scale.
@@ -32,6 +42,7 @@ Usage:
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -129,14 +140,15 @@ def _pair_records(spark, sf_dir: str):
     return a.unionByName(b)
 
 
-def _write_crawl(path: str, crawl_idx: int, mtime: float) -> None:
-    """1,000 changes over keys [crawl_idx*N+1, (crawl_idx+1)*N]: half
+def _write_crawl(path: str, crawl_idx: int, mtime: float,
+                 n: int = N_CHANGES) -> None:
+    """``n`` changes over keys [crawl_idx*N+1, crawl_idx*N+n]: half
     updates, quarter deletes, quarter creates — disjoint ranges so
     crawls chain over distinct components."""
     lo = crawl_idx * N_CHANGES + 1
     day = f"2026-02-0{crawl_idx + 1}T10:00:00"
     with open(path, "w") as f:
-        for k in range(lo, lo + N_CHANGES):
+        for k in range(lo, lo + n):
             m = k % 4
             if m == 2:  # delete srcA's record -> pair shrinks to srcB
                 row = {"seq": k, "end_time": day, "change": "delete",
@@ -202,8 +214,12 @@ def main(sf_dir: str) -> None:
     records = _pair_records(spark, sf_dir).localCheckpoint()
     n_records = records.count()
 
+    # ~1k records/bucket so touched-bucket proportionality is visible at
+    # fixture crawl sizes; production sizes buckets by BYTES (~128 MB)
+    n_buckets = 2 ** max(4, math.ceil(math.log2(max(1, n_records / 1000))))
     t0 = time.perf_counter()
-    init_state(spark, records, indexes, state_dir, merge_order=order)
+    init_state(spark, records, indexes, state_dir, merge_order=order,
+               buckets=n_buckets)
     init_sec = round(time.perf_counter() - t0, 1)
     base_bytes = _tier_bytes(state_dir)["base"]
 
@@ -242,11 +258,67 @@ def main(sf_dir: str) -> None:
 
     sizes_before_compact = _tier_bytes(state_dir)
 
-    # ---- compaction: fold 3 committed deltas into a new base ----
+    # ---- read-path fan-in: full fold read at 3 accumulated deltas ----
+    t0 = time.perf_counter()
+    _ = latest_state(spark, state_dir, ckpt)["merged"].count()
+    fold_read_3_deltas_sec = round(time.perf_counter() - t0, 1)
+
+    # ---- compaction: fold 3 committed deltas into base (touched
+    # buckets only — the round-13 partial rewrite) ----
+    def _bucket_snapshot(tier: str) -> dict[str, tuple[int, int]]:
+        bdir = os.path.join(state_dir, tier, "v=base")
+        out = {}
+        for d in os.listdir(bdir):
+            if d.startswith("b="):
+                full = os.path.join(bdir, d)
+                out[d] = (_du(full), max(
+                    (os.stat(os.path.join(full, f)).st_mtime_ns
+                     for f in os.listdir(full)), default=0))
+        return out
+
+    snap_before = _bucket_snapshot("merged")
     t0 = time.perf_counter()
     removed = compact_entity_state(spark, state_dir, ckpt)
     compact_sec = round(time.perf_counter() - t0, 1)
     sizes_after_compact = _tier_bytes(state_dir)
+    snap_after = _bucket_snapshot("merged")
+    rewritten_1 = {d for d in snap_after
+                   if snap_after[d] != snap_before.get(d)}
+    compact1_buckets = {
+        "total_buckets": len(snap_after),
+        "rewritten_buckets": len(rewritten_1),
+        "rewritten_bytes": sum(snap_after[d][0] for d in rewritten_1),
+        "base_bytes": sum(v[0] for v in snap_after.values()),
+    }
+
+    # ---- fold read with 0 deltas (post-compaction baseline) ----
+    t0 = time.perf_counter()
+    _ = latest_state(spark, state_dir, ckpt)["merged"].count()
+    fold_read_0_deltas_sec = round(time.perf_counter() - t0, 1)
+
+    # ---- round-13 proportionality probe: a TINY crawl (20 changes),
+    # then compaction again — rewritten buckets must track the crawl's
+    # touched keys, not the corpus ----
+    n_tiny = 20
+    _write_crawl(os.path.join(feed_dir, "crawl3.jsonl"), 3, now + 3,
+                 n=n_tiny)
+    t0 = time.perf_counter()
+    q3 = stream_entity_builds(spark, feed_dir, state_dir, ckpt, indexes, order)
+    q3.awaitTermination(1200)
+    tiny_crawl_sec = round(time.perf_counter() - t0, 1)
+    snap_before = _bucket_snapshot("merged")
+    t0 = time.perf_counter()
+    removed_tiny = compact_entity_state(spark, state_dir, ckpt)
+    compact_tiny_sec = round(time.perf_counter() - t0, 1)
+    snap_after = _bucket_snapshot("merged")
+    rewritten_2 = {d for d in snap_after
+                   if snap_after[d] != snap_before.get(d)}
+    compact_tiny_buckets = {
+        "total_buckets": len(snap_after),
+        "rewritten_buckets": len(rewritten_2),
+        "rewritten_bytes": sum(snap_after[d][0] for d in rewritten_2),
+        "base_bytes": sum(v[0] for v in snap_after.values()),
+    }
 
     # ---- gold: folded state == full rebuild over folded records ----
     t0 = time.perf_counter()
@@ -279,10 +351,19 @@ def main(sf_dir: str) -> None:
         "write_amplification_old_layout_bytes_per_crawl": base_bytes,
         "write_amplification_delta_bytes_per_crawl":
             sizes_before_compact["deltas"] // N_CRAWLS,
+        "n_buckets": n_buckets,
+        "fold_read_3_deltas_sec": fold_read_3_deltas_sec,
+        "fold_read_0_deltas_sec": fold_read_0_deltas_sec,
         "compact_sec": compact_sec,
         "compact_removed": removed,
+        "compact_merged_buckets": compact1_buckets,
         "bytes_before_compact": sizes_before_compact,
         "bytes_after_compact": sizes_after_compact,
+        "tiny_crawl_n_changes": n_tiny,
+        "tiny_crawl_sec": tiny_crawl_sec,
+        "compact_tiny_sec": compact_tiny_sec,
+        "compact_tiny_removed": removed_tiny,
+        "compact_tiny_merged_buckets": compact_tiny_buckets,
         "gold_check_sec": gold_sec,
         "n_merged_final": n_merged,
         "gold_mismatch_rows": extra + missing,
