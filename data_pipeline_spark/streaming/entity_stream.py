@@ -263,10 +263,18 @@ def read_base_tier(spark: SparkSession, state_dir: str, tier: str) -> DataFrame:
 
 
 def _write_base(df: DataFrame, tier: str, n_buckets: int, path: str) -> None:
+    # repartition ON the bucket column before the partitioned write: a
+    # bucket then lives entirely in one task, so each bucket dir gets ONE
+    # file instead of one per upstream shuffle partition (first 30x run:
+    # ~70 files/bucket, 67k files/tier — the read path was file-listing
+    # bound).  Production note: cap file size with
+    # spark.sql.files.maxRecordsPerFile if a single bucket outgrows one
+    # task's write; the ~128 MB bucket sizing rule keeps that moot.
     keyed = _with_key(tier, df)
     (
         keyed.withColumn("b", _bucket_of(F.col("_k"), n_buckets))
         .drop("_k")
+        .repartition(F.col("b"))
         .write.partitionBy("b")
         .mode("overwrite")
         .parquet(path)
@@ -485,6 +493,9 @@ def _stage_and_apply(
     (
         keyed.withColumn("b", _bucket_of(F.col("_k"), n_buckets))
         .drop("_k")
+        # one file per staged bucket (see _write_base); the exchange is
+        # touched-bucket-sized, not corpus-sized
+        .repartition(F.col("b"))
         .write.partitionBy("b")
         .parquet(nxt)
     )
