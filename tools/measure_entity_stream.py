@@ -215,8 +215,14 @@ def main(sf_dir: str) -> None:
     n_records = records.count()
 
     # ~1k records/bucket so touched-bucket proportionality is visible at
-    # fixture crawl sizes; production sizes buckets by BYTES (~128 MB)
-    n_buckets = 2 ** max(4, math.ceil(math.log2(max(1, n_records / 1000))))
+    # fixture crawl sizes; production sizes buckets by BYTES (~128 MB).
+    # argv[2] overrides — used to hold the bucket count FIXED across
+    # corpus scales and separate bucket-file-count overhead (a local[32]
+    # listing artifact of tiny buckets) from true corpus scaling.
+    n_buckets = (
+        int(sys.argv[2]) if len(sys.argv) > 2
+        else 2 ** max(4, math.ceil(math.log2(max(1, n_records / 1000))))
+    )
     t0 = time.perf_counter()
     init_state(spark, records, indexes, state_dir, merge_order=order,
                buckets=n_buckets)
