@@ -35,7 +35,12 @@ from ..queries.dedup import (
     minhash_signatures,
     shingles_df,
 )
-from .index_util import require_batch_layout, run_batch_key, tier_dir as _tier_dir
+from .index_util import (
+    repair_index_dir,
+    require_batch_layout,
+    run_batch_key,
+    tier_dir as _tier_dir,
+)
 
 
 def index_corpus(docs: DataFrame, index_dir: str) -> None:
@@ -133,6 +138,8 @@ def stream_dedup(
     so a retry overwrites its own directory while a fresh-checkpoint
     restart cannot collide with — and silently destroy — a previous
     run's batch-0 fold."""
+    # finish or roll back a compaction the previous process died in
+    repair_index_dir(index_dir)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         key = run_batch_key(checkpoint, batch_id)

@@ -13,6 +13,7 @@ exclusion while the other's tests stay green.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import re
 import shutil
@@ -100,7 +101,17 @@ def compact_index(
       a different partition value, and match_batch's retry exclusion
       filters on ``batch != <live key>``, which ``base`` never is.
 
+    Crash safety (round 13, same fix as the entity-state compaction):
+    the folded base is STAGED to a dot-dir (invisible to Spark readers),
+    a plan file is persisted (atomic tmp+rename — its existence
+    certifies the staging is complete), and the swap is two atomic
+    directory renames.  The previous ``mode("overwrite")`` had a
+    delete-then-write window in which a crash lost the only copy of
+    base.  ``repair_index_dir`` (called here and at every stream start)
+    resumes a planned swap or rolls back unplanned staging.
+
     Returns {tier: number of batch directories folded}."""
+    repair_index_dir(index_dir)
     done = committed_batch_ids(checkpoint)
     h = hashlib.md5(os.path.abspath(checkpoint).encode("utf-8")).hexdigest()
     foldable = {f"{h}-b{i}" for i in done}
@@ -123,8 +134,51 @@ def compact_index(
         for k in srcs:
             part = spark.read.parquet(tier_dir(index_dir, tier, k))
             union = part if union is None else union.unionByName(part)
-        union = union.localCheckpoint()  # materialize: base is source AND target
-        union.write.mode("overwrite").parquet(tier_dir(index_dir, tier, "base"))
+        cdir = os.path.join(tpath, ".compact")
+        shutil.rmtree(cdir, ignore_errors=True)
+        union.write.parquet(os.path.join(cdir, "next"))
+        tmp = os.path.join(cdir, "plan.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"swap": "base"}, f)
+        os.rename(tmp, os.path.join(cdir, "plan.json"))
+        _apply_index_plan(tpath)
         for k in fold:
             shutil.rmtree(tier_dir(index_dir, tier, k))
     return out
+
+
+def _apply_index_plan(tpath: str) -> None:
+    """Finish a staged base swap: trash the old base, rename the staged
+    one in, clean up.  Idempotent — every step checks disk state, so a
+    crash at any instant re-runs to the same end state."""
+    cdir = os.path.join(tpath, ".compact")
+    nxt = os.path.join(cdir, "next")
+    base = os.path.join(tpath, "batch=base")
+    if os.path.isdir(nxt):
+        if os.path.isdir(base):
+            os.rename(base, os.path.join(cdir, "trash"))
+        os.rename(nxt, base)
+    elif not os.path.isdir(base):
+        raise RuntimeError(
+            f"index compaction plan at {cdir!r} is unrecoverable: "
+            "neither batch=base nor a staged replacement exists"
+        )
+    shutil.rmtree(cdir)
+
+
+def repair_index_dir(index_dir: str) -> None:
+    """Resume (plan present: staging completed) or roll back (no plan:
+    base untouched) an interrupted compaction in every tier of a
+    batch-keyed index.  Streams call this once at start — the realistic
+    recovery moment for a process that died mid-compaction."""
+    if not os.path.isdir(index_dir):
+        return
+    for tier in sorted(os.listdir(index_dir)):
+        tpath = os.path.join(index_dir, tier)
+        cdir = os.path.join(tpath, ".compact")
+        if not os.path.isdir(cdir):
+            continue
+        if os.path.isfile(os.path.join(cdir, "plan.json")):
+            _apply_index_plan(tpath)
+        else:
+            shutil.rmtree(cdir)

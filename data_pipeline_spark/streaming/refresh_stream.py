@@ -36,7 +36,12 @@ from ..queries.dedup import (
     refresh_features,  # ONE feature construction batch + streaming share
     refresh_verdicts,
 )
-from .index_util import require_batch_layout, run_batch_key, tier_dir as _tier_dir
+from .index_util import (
+    repair_index_dir,
+    require_batch_layout,
+    run_batch_key,
+    tier_dir as _tier_dir,
+)
 
 
 def index_corpus(docs: DataFrame, index_dir: str) -> None:
@@ -110,6 +115,8 @@ def stream_refresh(
     (index_util.run_batch_key) so a retry overwrites its own directory
     while a fresh-checkpoint restart cannot collide with a previous
     run's folds."""
+    # finish or roll back a compaction the previous process died in
+    repair_index_dir(index_dir)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         key = run_batch_key(checkpoint, batch_id)

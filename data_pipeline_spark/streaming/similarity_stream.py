@@ -44,7 +44,12 @@ from ..queries.dedup import (
     hamming1_flips,  # ONE multiprobe construction batch + streaming share
 )
 from ..queries.vector import cosine_expr
-from .index_util import require_batch_layout, run_batch_key, tier_dir as _tier_dir
+from .index_util import (
+    repair_index_dir,
+    require_batch_layout,
+    run_batch_key,
+    tier_dir as _tier_dir,
+)
 
 
 def index_corpus(emb: DataFrame, index_dir: str) -> None:
@@ -156,6 +161,8 @@ def stream_similarity(
     own directory, a fresh-checkpoint restart cannot collide with a
     previous run's batch-0 fold.  Read the whole directory as ordinary
     partitioned parquet."""
+    # finish or roll back a compaction the previous process died in
+    repair_index_dir(index_dir)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         emb = batch.select(

@@ -50,7 +50,12 @@ from ..queries.sketches import (
     merge_cells,
     merge_registers,
 )
-from .index_util import require_batch_layout, run_batch_key, tier_dir as _tier_dir
+from .index_util import (
+    repair_index_dir,
+    require_batch_layout,
+    run_batch_key,
+    tier_dir as _tier_dir,
+)
 
 
 def profile_corpus(docs: DataFrame, profile_dir: str) -> None:
@@ -146,6 +151,8 @@ def stream_profile(
     batch key (one pass over the batch feeds all three sketch tiers).
     Trigger availableNow — the drain-the-feed mode the other streaming
     twins use."""
+    # finish or roll back a compaction the previous process died in
+    repair_index_dir(profile_dir)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         key = run_batch_key(checkpoint, batch_id)

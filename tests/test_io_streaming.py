@@ -7,6 +7,7 @@ from __future__ import annotations
 import gzip
 import json
 import os
+import shutil
 import time
 
 import pytest
@@ -707,6 +708,60 @@ def test_stream_index_flat_layout_and_restart_keys(spark, tmp_path):
     assert run_batch_key("/tmp/ck1", 0) != run_batch_key("/tmp/ck1", 1)
     # keys are non-numeric strings: partition-type inference stays string
     assert not run_batch_key("/tmp/ck1", 3).isdigit()
+
+
+def test_index_compaction_crash_repair(spark, tmp_path):
+    """compact_index stages the folded base and swaps it in behind a
+    persisted plan (round 13 — the previous mode('overwrite') had a
+    delete-then-write window that could lose the only copy of base).
+    Every crash instant is recoverable by repair_index_dir, which the
+    streams run at start."""
+    import pytest
+
+    from data_pipeline_spark.streaming.index_util import (
+        repair_index_dir,
+        tier_dir,
+    )
+
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame([(1,)], "doc_id bigint").write.parquet(
+        tier_dir(idx, "fp", "base")
+    )
+    cdir = os.path.join(idx, "fp", ".compact")
+    base = tier_dir(idx, "fp", "base")
+
+    # (a) staging crashed BEFORE the plan: base untouched, staging gone
+    os.makedirs(os.path.join(cdir, "next"))
+    repair_index_dir(idx)
+    assert not os.path.isdir(cdir)
+    assert spark.read.parquet(base).count() == 1
+
+    # (b) crash between the renames WITH a plan (the two-syscall window):
+    # staged replacement present, old base already trashed — repair must
+    # finish the swap
+    os.makedirs(cdir)
+    spark.createDataFrame([(2,), (3,)], "doc_id bigint").write.parquet(
+        os.path.join(cdir, "next")
+    )
+    with open(os.path.join(cdir, "plan.json"), "w") as f:
+        json.dump({"swap": "base"}, f)
+    shutil.rmtree(base)
+    repair_index_dir(idx)
+    assert not os.path.isdir(cdir)
+    assert spark.read.parquet(base).count() == 2
+
+    # the dot-dir is invisible to partitioned reads while staged
+    os.makedirs(os.path.join(cdir, "next"))
+    assert spark.read.parquet(os.path.join(idx, "fp")).count() == 2
+    shutil.rmtree(cdir)
+
+    # (c) a plan with neither staged nor applied base raises loudly
+    os.makedirs(cdir)
+    with open(os.path.join(cdir, "plan.json"), "w") as f:
+        json.dump({"swap": "base"}, f)
+    shutil.rmtree(base)
+    with pytest.raises(RuntimeError, match="unrecoverable"):
+        repair_index_dir(idx)
 
 
 def test_index_compaction_preserves_probes_and_retry(spark, tmp_path):
