@@ -341,6 +341,20 @@ def cmd_state_export(args) -> int:
     return 0
 
 
+def cmd_state_lookup(args) -> int:
+    """Point lookup against the folded entity state: reads only the
+    bucket dirs the keys hash to plus committed deltas (the reference's
+    record-cache keyed get), never a corpus scan."""
+    from .streaming.entity_stream import lookup_state
+
+    spark = _spark(args)
+    df = lookup_state(spark, args.state, args.checkpoint, args.key,
+                      tier=args.tier)
+    for row in df.toJSON().toLocalIterator():
+        print(row)
+    return 0
+
+
 def cmd_stream_refresh(args) -> int:
     from .streaming.index_util import compact_index
     from .streaming.refresh_stream import index_corpus, stream_refresh
@@ -552,6 +566,21 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--as-of-batch", type=int, metavar="K")
     _add_common(se)
     se.set_defaults(fn=cmd_state_export)
+
+    sl = sub.add_parser(
+        "state-lookup",
+        help="point lookup of fold keys against the folded entity state "
+        "(reads only the keys' bucket dirs + committed deltas)",
+    )
+    sl.add_argument("--state", required=True, metavar="DIR")
+    sl.add_argument("--checkpoint", required=True, metavar="DIR")
+    sl.add_argument("--tier", choices=("records", "idmap", "merged"),
+                    default="records")
+    sl.add_argument("--key", action="append", required=True, metavar="KEY",
+                    help="fold key (records: canonical uri; idmap/merged: "
+                    "yuid); repeatable")
+    _add_common(sl)
+    sl.set_defaults(fn=cmd_state_lookup)
 
     sr = sub.add_parser(
         "stream-refresh",

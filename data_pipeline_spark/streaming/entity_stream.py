@@ -513,6 +513,64 @@ def _stage_and_apply(
     _apply_plan(state_dir, tier, plan)
 
 
+def lookup_state(
+    spark: SparkSession,
+    state_dir: str,
+    checkpoint: str,
+    keys: list[str],
+    tier: str = "records",
+) -> DataFrame:
+    """Point lookup of fold keys (records: canonical uri; idmap/merged:
+    yuid) against the CURRENT folded state — the serving read the
+    bucketed base exists to make cheap.  Reads ONLY the bucket dirs the
+    keys hash to plus the committed deltas: O(|keys| buckets + deltas)
+    instead of a corpus scan (the reference serves this from its record
+    cache's keyed get, /root/reference pipeline/storage/cache/
+    postgres.py:225 — a primary-key SELECT; partition-pruned bucket
+    paths are the lakehouse restatement).  A flat (pre-bucketed) base
+    falls back to the full fold with a filter.
+
+    The bucket set is computed with the exact writer expression
+    (_bucket_of) on a |keys|-row local relation — control plane, not a
+    corpus job."""
+    if not keys:
+        raise ValueError("lookup_state: keys must be non-empty")
+    meta = read_state_meta(state_dir)
+    ids = _committed_delta_ids(state_dir, checkpoint)
+    keys_df = spark.createDataFrame([(k,) for k in keys], "_lk string")
+    if meta is None:
+        folded = _fold_tier(spark, state_dir, checkpoint, tier, ids)
+    else:
+        nb = meta["buckets"]
+        want = sorted(
+            r["b"]
+            for r in keys_df.select(
+                _bucket_of(F.col("_lk"), nb).alias("b")
+            ).distinct().collect()
+        )
+        _require_delta_layout(state_dir, tier)
+        _repair_tier(state_dir, tier)
+        bdir = _base_dir(state_dir, tier)
+        have = [n for n in want if n in set(_list_buckets(bdir))]
+        base_sub = (
+            spark.read.parquet(*(os.path.join(bdir, f"b={n}") for n in have))
+            if have
+            else read_base_tier(spark, state_dir, tier).limit(0)
+        )
+        if ids:
+            last, rows = _delta_last_and_rows(
+                spark, state_dir, checkpoint, tier, ids
+            )
+            folded = _fold_over(tier, base_sub, last, rows)
+        else:
+            folded = base_sub
+    return (
+        _with_key(tier, folded)
+        .join(F.broadcast(keys_df), F.col("_k") == F.col("_lk"), "left_semi")
+        .drop("_k")
+    )
+
+
 def compact_entity_state(
     spark: SparkSession,
     state_dir: str,
@@ -731,6 +789,7 @@ __all__ = [
     "read_state_at",
     "read_base_tier",
     "read_state_meta",
+    "lookup_state",
     "latest_state",
     "compact_entity_state",
     "stream_entity_builds",

@@ -233,7 +233,7 @@ def test_cli_stream_refresh_end_to_end(spark, tmp_path):
     assert sorted(os.listdir(os.path.join(idx, "fp"))) == ["batch=base"]
 
 
-def test_cli_stream_entity_end_to_end(spark, tmp_path):
+def test_cli_stream_entity_end_to_end(spark, tmp_path, capsys):
     """stream-entity with --init-records, --compact and --export-merged:
     init builds v=base, one crawl streams as a delta, compaction folds
     it into base, and the exported parquet is the FOLDED merged view a
@@ -273,6 +273,17 @@ def test_cli_stream_entity_end_to_end(spark, tmp_path):
     labels = {json.loads(r["data"])["_label"]
               for r in spark.read.parquet(exported).collect()}
     assert labels == {"A0", "A1", "A2-v2", "A3"}
+
+    # state-lookup: the keyed serving read over the bucketed base
+    assert main([
+        "state-lookup", "--state", state, "--checkpoint",
+        str(tmp_path / "ck"), "--key", "https://fixture.test/srcA/2",
+    ]) == 0
+    out = capsys.readouterr().out
+    looked = [json.loads(line) for line in out.splitlines()
+              if line.startswith("{")]
+    assert len(looked) == 1
+    assert json.loads(looked[0]["data"])["_label"] == "A2-v2"
 
 
 def test_cli_stream_entity_undrained_skips_export(spark, tmp_path, monkeypatch, capsys):

@@ -167,6 +167,53 @@ def test_bucketed_base_partial_compaction(spark, tmp_path):
     }
 
 
+def test_lookup_state_reads_only_target_buckets(spark, tmp_path):
+    """lookup_state is the serving read the bucketed base exists for:
+    O(|keys| buckets + deltas), never a corpus scan.  Proof by poison —
+    every NON-target bucket's parquet is overwritten with garbage bytes
+    before the lookup; a read that listed or opened them would throw, so
+    success + correct rows means only the target buckets were touched.
+    Also covers the delta overlay (an updated key's lookup returns the
+    delta winner, a deleted key returns nothing)."""
+    from data_pipeline_spark.streaming.entity_stream import lookup_state
+
+    state_dir = str(tmp_path / "state")
+    init_state(spark, _records(spark, 12), _indexes(spark), state_dir,
+               buckets=32)
+    feed = _feed(tmp_path, [[
+        {"seq": 1, "end_time": "2026-02-01T10:00:00", "change": "update",
+         "object_uri": _uri("srcA", 3),
+         "payload": _doc("srcA", 3, "A3-v2")},
+        {"seq": 2, "end_time": "2026-02-01T10:00:00", "change": "delete",
+         "object_uri": _uri("srcA", 5), "payload": None},
+    ]])
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_entity_builds(spark, feed, state_dir, ckpt, _indexes(spark))
+    q.awaitTermination(180)
+
+    targets = [_uri("srcA", 3), _uri("srcA", 5), _uri("srcA", 7)]
+    want_buckets = {
+        r["b"]
+        for r in spark.createDataFrame([(u,) for u in targets], "k string")
+        .select(F.pmod(F.xxhash64("k"), F.lit(32)).alias("b")).collect()
+    }
+    bdir = os.path.join(state_dir, "records", "v=base")
+    poisoned = 0
+    for d in os.listdir(bdir):
+        if d.startswith("b=") and int(d[2:]) not in want_buckets:
+            for f in os.listdir(os.path.join(bdir, d)):
+                with open(os.path.join(bdir, d, f), "wb") as fh:
+                    fh.write(b"not parquet at all")
+                poisoned += 1
+    assert poisoned > 0  # the poison actually covers non-target buckets
+
+    got = {
+        json.loads(r["data"])["_label"]
+        for r in lookup_state(spark, state_dir, ckpt, targets).collect()
+    }
+    assert got == {"A3-v2", "A7"}  # delta winner in, deleted key out
+
+
 def test_compaction_crash_repair_paths(spark, tmp_path):
     """Every crash instant of a compaction is recoverable on the next
     read: un-planned staging rolls back (base untouched); a persisted
