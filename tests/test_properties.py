@@ -790,3 +790,146 @@ def test_entity_state_fold_matches_sequential_model(
     )
     want = sorted((k, v) for k, vs in model.items() for v in vs)
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.data())
+def test_bucketed_compaction_matches_sequential_model(
+    spark, tmp_path_factory, data
+):
+    """compact_entity_state at an arbitrary CUT POINT in the crawl
+    sequence must be invisible to the fold: commit deltas[:c], compact
+    (bucketed partial rewrite — or the flat->bucketed migration when the
+    base starts flat), commit the rest, fold — the result must equal the
+    sequential apply model, and a final compaction must leave base-only
+    state with the same rows.  Exercises deletions, recreations,
+    multi-row keys, new keys, empty deltas, and both base layouts."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_spark.streaming.entity_stream import (
+        _fold_tier,
+        _write_base,
+        _write_state_meta,
+        compact_entity_state,
+        read_state_meta,
+    )
+    from data_pipeline_spark.streaming.index_util import run_batch_key
+
+    base_keys = data.draw(st.lists(
+        st.sampled_from(_fold_keys), unique=True, max_size=6))
+    n_deltas = data.draw(st.integers(0, 3))
+    cut = data.draw(st.integers(0, n_deltas))
+    bucketed_base = data.draw(st.booleans())
+    deltas = []
+    for i in range(n_deltas):
+        touched = data.draw(st.lists(
+            st.sampled_from(_fold_keys), unique=True, max_size=6))
+        rows = {
+            k: data.draw(st.integers(0, 2), label=f"rows d{i} {k}")
+            for k in touched
+        }
+        deltas.append((touched, rows))
+
+    work = tmp_path_factory.mktemp("compactprop")
+    state_dir = str(work / "state")
+    ckpt = str(work / "ckpt")
+
+    def write_pairs(path, pairs, cols=("yuid", "data")):
+        pq.write_table(
+            pa.table({
+                cols[0]: pa.array([p[0] for p in pairs], pa.string()),
+                cols[1]: pa.array([p[1] for p in pairs], pa.string()),
+            }),
+            path + ".parquet",
+        )
+
+    # merged base (the tier under test) + minimal records/idmap bases so
+    # compaction's all-tier pass has real dirs to fold
+    base_pairs = [(k, f"base-{k}") for k in base_keys]
+    if bucketed_base:
+        _write_base(
+            spark.createDataFrame(
+                base_pairs or [("seed", "seed")], "yuid string, data string"
+            ),
+            "merged", 4, f"{state_dir}/merged/v=base",
+        )
+        _write_state_meta(state_dir, {"layout": "bucketed", "buckets": 4})
+    else:
+        _os.makedirs(f"{state_dir}/merged/v=base")
+        write_pairs(f"{state_dir}/merged/v=base/part",
+                    base_pairs or [("seed", "seed")])
+    model = {k: [f"base-{k}"] for k in base_keys}
+    if not base_pairs:
+        model["seed"] = ["seed"]
+
+    _os.makedirs(f"{state_dir}/records/v=base")
+    pq.write_table(
+        pa.table({"data": pa.array(['{"id":"dummy"}'], pa.string())}),
+        f"{state_dir}/records/v=base/part.parquet",
+    )
+    _os.makedirs(f"{state_dir}/idmap/v=base")
+    write_pairs(f"{state_dir}/idmap/v=base/part", [("du", "dy")],
+                cols=("qua_uri", "yuid"))
+
+    empty_records = pa.table({"data": pa.array([], pa.string())})
+    empty_idmap = pa.table({
+        "qua_uri": pa.array([], pa.string()),
+        "yuid": pa.array([], pa.string()),
+    })
+    for i, (touched, rows) in enumerate(deltas):
+        key = run_batch_key(ckpt, i)
+        _os.makedirs(f"{state_dir}/merged/d={key}")
+        write_pairs(
+            f"{state_dir}/merged/d={key}/part",
+            [(k, f"d{i}-{k}-{j}") for k in touched for j in range(rows[k])],
+        )
+        for tier, tbl in (("records", empty_records), ("idmap", empty_idmap)):
+            _os.makedirs(f"{state_dir}/{tier}/d={key}")
+            pq.write_table(tbl, f"{state_dir}/{tier}/d={key}/part.parquet")
+        _os.makedirs(f"{state_dir}/touched/d={key}")
+        pq.write_table(
+            pa.table({
+                "tier": pa.array(["merged"] * len(touched), pa.string()),
+                "k": pa.array(touched, pa.string()),
+            }),
+            f"{state_dir}/touched/d={key}/part.parquet",
+        )
+        for k in touched:
+            model[k] = [f"d{i}-{k}-{j}" for j in range(rows[k])]
+
+    commits = _os.path.join(ckpt, "commits")
+    _os.makedirs(commits)
+
+    def commit(i):
+        open(_os.path.join(commits, str(i)), "w").close()
+
+    def folded():
+        ids = sorted(
+            i for i in range(n_deltas)
+            if _os.path.isdir(f"{state_dir}/touched/d={run_batch_key(ckpt, i)}")
+        )
+        return sorted(
+            (r["yuid"], r["data"])
+            for r in _fold_tier(spark, state_dir, ckpt, "merged", ids).collect()
+        )
+
+    for i in range(cut):
+        commit(i)
+    compact_entity_state(spark, state_dir, ckpt)
+    if cut:  # a compaction that folded anything migrates a flat base
+        assert read_state_meta(state_dir) is not None
+    for i in range(cut, n_deltas):
+        commit(i)
+
+    want = sorted((k, v) for k, vs in model.items() for v in vs)
+    assert folded() == want
+
+    # final compaction folds the rest; base-only state, same rows
+    compact_entity_state(spark, state_dir, ckpt)
+    assert folded() == want
+    leftover = [d for d in _os.listdir(f"{state_dir}/merged")
+                if d.startswith("d=")]
+    assert leftover == []
