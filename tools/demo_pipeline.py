@@ -98,7 +98,7 @@ def main() -> None:
     # 4 — the streaming entity build on delta (merge-on-read) state:
     # one crawl becomes one blast-sized delta; reads fold base + deltas
     from data_pipeline_spark.streaming.entity_stream import (
-        init_state, latest_state, stream_entity_builds,
+        init_state, latest_state, lookup_state, stream_entity_builds,
     )
 
     def _doc(k, label):
@@ -136,6 +136,14 @@ def main() -> None:
     folded = latest_state(spark, state, os.path.join(out, "entity_ckpt"))
     print(f"[entity-stream] folded merged tier: "
           f"{folded['merged'].count()} entities (delta state under {state})")
+    # keyed serving read: touches only the key's bucket + the delta,
+    # never the corpus (CLI twin: `state-lookup --key <uri>`)
+    hit = lookup_state(
+        spark, state, os.path.join(out, "entity_ckpt"),
+        ["https://fixture.test/srcA/2"],
+    ).collect()
+    print(f"[entity-stream] point lookup srcA/2 -> "
+          f"{_json.loads(hit[0]['data'])['_label']}")
     print(f"demo output under {out}")
 
 
