@@ -187,7 +187,9 @@ def compute_gate_window(
 
 
 _missing = [n for n in GATE_PIN if n not in QUERIES]
-assert not _missing, f"GATE_PIN names unknown queries: {_missing}"
+if _missing:  # explicit raise: `python -O` strips asserts, and a typo'd
+    # pin silently dropping from the window is exactly what this guards
+    raise RuntimeError(f"GATE_PIN names unknown queries: {_missing}")
 _names = list(QUERIES.keys())
 _window = compute_gate_window(_names, driver_green_history())
 _ordered = {n: QUERIES[n] for n in _window}
