@@ -355,6 +355,18 @@ def cmd_state_lookup(args) -> int:
     return 0
 
 
+def cmd_state_stats(args) -> int:
+    """Directory-walk state summary (no Spark session): layout, bucket
+    spread, delta fan-in — the compaction-cadence feedback an operator
+    reads before tuning --compact-every or --state-buckets."""
+    import json as _json
+
+    from .streaming.entity_stream import state_stats
+
+    print(_json.dumps(state_stats(args.state, args.checkpoint), indent=2))
+    return 0
+
+
 def cmd_stream_refresh(args) -> int:
     from .streaming.index_util import compact_index
     from .streaming.refresh_stream import index_corpus, stream_refresh
@@ -581,6 +593,15 @@ def build_parser() -> argparse.ArgumentParser:
                     "yuid); repeatable")
     _add_common(sl)
     sl.set_defaults(fn=cmd_state_lookup)
+
+    ss = sub.add_parser(
+        "state-stats",
+        help="entity-state summary: layout, bucket spread, delta fan-in "
+        "(no Spark session — a directory walk)",
+    )
+    ss.add_argument("--state", required=True, metavar="DIR")
+    ss.add_argument("--checkpoint", required=True, metavar="DIR")
+    ss.set_defaults(fn=cmd_state_stats)
 
     sr = sub.add_parser(
         "stream-refresh",

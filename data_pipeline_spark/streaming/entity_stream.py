@@ -513,6 +513,56 @@ def _stage_and_apply(
     _apply_plan(state_dir, tier, plan)
 
 
+def state_stats(state_dir: str, checkpoint: str) -> dict:
+    """Operator-facing state summary (no Spark jobs — pure directory
+    walk): layout + bucket count, per-tier base bytes and bucket-size
+    spread (max/mean — the skew signal for resizing buckets), committed
+    delta fan-in (how many deltas every fold currently unions — the
+    compact_every feedback), and uncommitted (retry-owned) delta dirs."""
+
+    def du(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except FileNotFoundError:
+                    pass
+        return total
+
+    meta = read_state_meta(state_dir)
+    ids = _committed_delta_ids(state_dir, checkpoint)
+    out: dict = {
+        "layout": "bucketed" if meta else "flat",
+        "buckets": (meta or {}).get("buckets"),
+        "committed_delta_fanin": len(ids),
+        "tiers": {},
+    }
+    committed_keys = {run_batch_key(checkpoint, i) for i in ids}
+    for tier in _TIERS:
+        bdir = _base_dir(state_dir, tier)
+        sizes = [
+            du(os.path.join(bdir, f"b={n}")) for n in _list_buckets(bdir)
+        ]
+        tdir = os.path.join(state_dir, tier)
+        deltas = [
+            d for d in (os.listdir(tdir) if os.path.isdir(tdir) else [])
+            if d.startswith("d=")
+        ]
+        out["tiers"][tier] = {
+            "base_bytes": du(bdir),
+            "base_buckets_present": len(sizes),
+            "bucket_bytes_max": max(sizes, default=0),
+            "bucket_bytes_mean": int(sum(sizes) / len(sizes)) if sizes else 0,
+            "delta_dirs": len(deltas),
+            "uncommitted_delta_dirs": sum(
+                1 for d in deltas if d[2:] not in committed_keys
+            ),
+            "delta_bytes": sum(du(os.path.join(tdir, d)) for d in deltas),
+        }
+    return out
+
+
 def lookup_state(
     spark: SparkSession,
     state_dir: str,
@@ -790,6 +840,7 @@ __all__ = [
     "read_base_tier",
     "read_state_meta",
     "lookup_state",
+    "state_stats",
     "latest_state",
     "compact_entity_state",
     "stream_entity_builds",

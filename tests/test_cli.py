@@ -285,6 +285,16 @@ def test_cli_stream_entity_end_to_end(spark, tmp_path, capsys):
     assert len(looked) == 1
     assert json.loads(looked[0]["data"])["_label"] == "A2-v2"
 
+    # state-stats: operator summary without a Spark session
+    assert main([
+        "state-stats", "--state", state, "--checkpoint", str(tmp_path / "ck"),
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["layout"] == "bucketed"
+    assert stats["committed_delta_fanin"] == 0  # everything compacted
+    assert stats["tiers"]["merged"]["delta_dirs"] == 0
+    assert stats["tiers"]["merged"]["base_bytes"] > 0
+
 
 def test_cli_stream_entity_undrained_skips_export(spark, tmp_path, monkeypatch, capsys):
     """rc 3 (undrained feed) must NOT be accompanied by a fresh partial
