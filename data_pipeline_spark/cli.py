@@ -367,6 +367,18 @@ def cmd_state_stats(args) -> int:
     return 0
 
 
+def cmd_state_rebucket(args) -> int:
+    """Rewrite the state base under a new bucket count (the ~128 MB
+    rule's maintenance op; state-stats' bucket_bytes_max is the
+    trigger).  Deliberately O(corpus), atomic per tier, resumable."""
+    from .streaming.entity_stream import rebucket_state
+
+    spark = _spark(args)
+    rebucket_state(spark, args.state, args.checkpoint, args.buckets)
+    print(f"[cli] rebucketed state base to {args.buckets} buckets")
+    return 0
+
+
 def cmd_stream_refresh(args) -> int:
     from .streaming.index_util import compact_index
     from .streaming.refresh_stream import index_corpus, stream_refresh
@@ -602,6 +614,17 @@ def build_parser() -> argparse.ArgumentParser:
     ss.add_argument("--state", required=True, metavar="DIR")
     ss.add_argument("--checkpoint", required=True, metavar="DIR")
     ss.set_defaults(fn=cmd_state_stats)
+
+    sb = sub.add_parser(
+        "state-rebucket",
+        help="rewrite the state base under a new bucket count (run after "
+        "compaction; keeps ~128 MB/bucket as the corpus grows)",
+    )
+    sb.add_argument("--state", required=True, metavar="DIR")
+    sb.add_argument("--checkpoint", required=True, metavar="DIR")
+    sb.add_argument("--buckets", type=int, required=True, metavar="N")
+    _add_common(sb)
+    sb.set_defaults(fn=cmd_state_rebucket)
 
     sr = sub.add_parser(
         "stream-refresh",

@@ -513,6 +513,51 @@ def _stage_and_apply(
     _apply_plan(state_dir, tier, plan)
 
 
+def rebucket_state(
+    spark: SparkSession, state_dir: str, checkpoint: str, buckets: int
+) -> None:
+    """Rewrite the base under a NEW bucket count — the maintenance op
+    that keeps the ~128 MB-per-bucket rule true as the corpus grows
+    (state_stats' bucket_bytes_max is the trigger).  A deliberate
+    O(corpus) rewrite, like init; each tier swaps in atomically behind
+    the same staged plan as compaction, so a crash at any instant leaves
+    either the old base or the new one.  Refuses while committed deltas
+    are pending: their touched keys would land in old-bucket positions —
+    run compact_entity_state first so the fold state is base-only (the
+    meta flips once at the end; readers never see a mixed bucket map)."""
+    if buckets < 1:
+        raise ValueError("rebucket_state: buckets must be >= 1")
+    ids = _committed_delta_ids(state_dir, checkpoint)
+    if ids:
+        raise ValueError(
+            f"rebucket_state: {len(ids)} committed delta(s) pending — "
+            "run compact_entity_state first (rebucketing folds nothing; "
+            "a delta's touched keys must not straddle two bucket maps)"
+        )
+    # marker FIRST: a crash between tier swaps leaves a MIXED bucket map
+    # on disk, which full folds read correctly but partial compaction and
+    # bucket-pruned lookups must not trust.  The marker makes both
+    # degrade safely (compact refuses, lookup falls back to a full fold)
+    # until a re-run of this op — idempotent per tier — finishes and
+    # writes the clean meta.
+    meta = read_state_meta(state_dir) or {}
+    _write_state_meta(state_dir, {**meta, "layout": "bucketed",
+                                  "rebucket_to": buckets})
+    for tier in _TIERS:
+        _require_delta_layout(state_dir, tier)
+        _repair_tier(state_dir, tier)
+        base = read_base_tier(spark, state_dir, tier)
+        _stage_and_apply(
+            state_dir, tier, _with_key(tier, base), buckets,
+            {"mode": "replace_all"},
+        )
+    _write_state_meta(state_dir, {"layout": "bucketed", "buckets": buckets})
+
+
+def _pending_rebucket(meta: dict | None) -> bool:
+    return meta is not None and "rebucket_to" in meta
+
+
 def state_stats(state_dir: str, checkpoint: str) -> dict:
     """Operator-facing state summary (no Spark jobs — pure directory
     walk): layout + bucket count, per-tier base bytes and bucket-size
@@ -588,7 +633,9 @@ def lookup_state(
     meta = read_state_meta(state_dir)
     ids = _committed_delta_ids(state_dir, checkpoint)
     keys_df = spark.createDataFrame([(k,) for k in keys], "_lk string")
-    if meta is None:
+    if meta is None or _pending_rebucket(meta):
+        # flat base, or a mixed bucket map from an interrupted rebucket:
+        # bucket pruning would miss keys — full fold stays correct
         folded = _fold_tier(spark, state_dir, checkpoint, tier, ids)
     else:
         nb = meta["buckets"]
@@ -704,15 +751,23 @@ def compact_entity_state(
     ids = _committed_delta_ids(state_dir, checkpoint)
     removed = {tier: 0 for tier in _TIERS}
     meta = read_state_meta(state_dir)
-    if ids and meta is None:
-        # one-time migration of a flat round-12 base: full fold, staged
-        # bucketed, whole-dir atomic swap per tier
+    if ids and (meta is None or _pending_rebucket(meta)):
+        # full-rewrite path — two cases share it because both must not
+        # trust the on-disk bucket map: (a) one-time migration of a flat
+        # round-12 base; (b) a MIXED bucket map left by an interrupted
+        # rebucket_state (partial compaction keyed on either map would
+        # duplicate touched keys).  Full fold, staged bucketed,
+        # whole-dir atomic swap per tier — which also COMPLETES the
+        # interrupted rebucket at its target count.
         folded = {
             tier: _fold_tier(spark, state_dir, checkpoint, tier, ids)
             .localCheckpoint()
             for tier in _TIERS
         }
-        nb = buckets or _auto_buckets(folded["records"].count())
+        if _pending_rebucket(meta):
+            nb = meta["rebucket_to"]
+        else:
+            nb = buckets or _auto_buckets(folded["records"].count())
         for tier in _TIERS:
             _stage_and_apply(
                 state_dir, tier, _with_key(tier, folded[tier]), nb,
@@ -841,6 +896,7 @@ __all__ = [
     "read_state_meta",
     "lookup_state",
     "state_stats",
+    "rebucket_state",
     "latest_state",
     "compact_entity_state",
     "stream_entity_builds",

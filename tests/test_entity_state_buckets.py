@@ -282,6 +282,66 @@ def test_compaction_crash_repair_paths(spark, tmp_path):
         read_base_tier(spark, state_dir, "merged")
 
 
+def test_rebucket_state_lifecycle(spark, tmp_path):
+    """rebucket_state keeps the bucket-bytes rule maintainable as the
+    corpus grows: atomic per-tier swaps behind a meta MARKER so a crash
+    mid-rebucket (mixed bucket map on disk) degrades safely — lookups
+    fall back to the full fold, partial compaction refuses the stale map
+    and instead completes the rebucket via its full-rewrite path."""
+    from data_pipeline_spark.streaming.entity_stream import (
+        _write_state_meta,
+        lookup_state,
+        rebucket_state,
+        state_stats,
+    )
+
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    init_state(spark, _records(spark, 10), _indexes(spark), state_dir,
+               buckets=4)
+    before = sorted(
+        (r["yuid"], r["data"])
+        for r in read_base_tier(spark, state_dir, "merged").collect()
+    )
+
+    rebucket_state(spark, state_dir, ckpt, 32)
+    assert read_state_meta(state_dir) == {"layout": "bucketed", "buckets": 32}
+    assert state_stats(state_dir, ckpt)["tiers"]["merged"][
+        "base_buckets_present"] > 4
+    after = sorted(
+        (r["yuid"], r["data"])
+        for r in read_base_tier(spark, state_dir, "merged").collect()
+    )
+    assert after == before
+    key = _uri("srcA", 3)
+    got = lookup_state(spark, state_dir, ckpt, [key]).collect()
+    assert len(got) == 1  # bucket pruning agrees with the new map
+
+    # pending committed deltas refuse a rebucket (keys must not straddle
+    # two bucket maps)
+    feed = _feed(tmp_path, [[
+        {"seq": 1, "end_time": "2026-02-01T10:00:00", "change": "update",
+         "object_uri": key, "payload": _doc("srcA", 3, "A3-v2")},
+    ]])
+    q = stream_entity_builds(spark, feed, state_dir, ckpt, _indexes(spark))
+    q.awaitTermination(180)
+    with pytest.raises(ValueError, match="compact_entity_state first"):
+        rebucket_state(spark, state_dir, ckpt, 64)
+
+    # interrupted rebucket (marker on disk, map possibly mixed): lookup
+    # still serves correct rows via the full-fold fallback, and the next
+    # compaction COMPLETES the rebucket at the marker's target
+    _write_state_meta(state_dir, {"layout": "bucketed", "buckets": 32,
+                                  "rebucket_to": 64})
+    got = lookup_state(spark, state_dir, ckpt, [key]).collect()
+    assert json.loads(got[0]["data"])["_label"] == "A3-v2"
+    removed = compact_entity_state(spark, state_dir, ckpt)
+    assert removed == {"records": 1, "idmap": 1, "merged": 1}
+    assert read_state_meta(state_dir) == {"layout": "bucketed", "buckets": 64}
+    got = lookup_state(spark, state_dir, ckpt, [key]).collect()
+    assert json.loads(got[0]["data"])["_label"] == "A3-v2"
+
+
 def test_flat_base_migration_and_legacy_error(spark, tmp_path):
     """A round-12 FLAT base (no meta, un-bucketed v=base) reads as-is
     and is migrated to the bucketed layout by its first compaction via
