@@ -206,6 +206,94 @@ def r13_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r13_state_lookup
+# ---------------------------------------------------------------------------
+@query(
+    "r13_state_lookup",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS identifier,
+           CASE WHEN c_custkey % 7 = 1 THEN 'updated-' || CAST(c_custkey AS VARCHAR)
+                ELSE 'orig-' || CAST(c_custkey AS VARCHAR) END AS label
+    FROM customer
+    WHERE c_custkey % 7 IN (1, 3)
+    """,
+    survey="streaming-state-lookup",
+)
+def r13_state_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keyed serving read (streaming/entity_stream.lookup_state)
+    driver-proven end-to-end: init a BUCKETED state base over a planted
+    corpus, stream one crawl through the real checkpoint machinery
+    (update + delete classes), then point-look-up a key per class —
+    updated keys must serve the crawl's payload (the delta winner),
+    deleted keys must serve nothing, untouched keys the base row.  The
+    lookup reads only the keys' bucket dirs plus the crawl's delta (the
+    poison test in tests/test_entity_state_buckets.py pins the pruning;
+    this gate pins the SEMANTICS against a DuckDB oracle).
+
+    Reference parity: the record cache's primary-key get
+    (/root/reference pipeline/storage/cache/postgres.py:225)."""
+    import os
+    import tempfile
+
+    from ..streaming.entity_stream import (
+        init_state,
+        lookup_state,
+        stream_entity_builds,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    uri = F.concat(F.lit("https://fixture.test/srcA/"), ks)
+
+    def doc(label_prefix):
+        return F.to_json(F.struct(
+            uri.alias("id"), F.lit("Person").alias("type"),
+            F.concat(F.lit(label_prefix), ks).alias("_label"),
+        ))
+
+    records = cust.select(
+        F.lit("srcA").alias("source"), ks.alias("identifier"),
+        F.lit("Person").alias("rectype"),
+        F.lit("2026-01-01T00:00:00").alias("record_time"),
+        F.lit("create").alias("change"), doc("orig-").alias("data"),
+    )
+    crawl = cust.filter((k % 7).isin(1, 2)).select(
+        k.alias("seq"),
+        F.lit("2026-02-01T00:00:00").cast("timestamp").alias("end_time"),
+        F.when(k % 7 == 2, F.lit("delete")).otherwise(F.lit("update"))
+        .alias("change"),
+        uri.alias("object_uri"),
+        F.when(k % 7 == 1, doc("updated-")).alias("payload"),
+    )
+
+    e = spark.createDataFrame
+    indexes = {
+        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": e([], "uri_a string, uri_b string"),
+        "different_from": e([], "uri_a string, uri_b string"),
+    }
+    work = tempfile.mkdtemp(prefix="r13_lookup_gate_")
+    state_dir = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    init_state(spark, records, indexes, state_dir, buckets=64)
+    feed_dir = _write_crawls(spark, work, [crawl])
+    q = stream_entity_builds(spark, feed_dir, state_dir, ckpt, indexes)
+    q.awaitTermination(600)
+
+    keys = [
+        r["u"] for r in cust.filter((k % 7).isin(1, 2, 3))
+        .select(uri.alias("u")).collect()
+    ]
+    out = lookup_state(spark, state_dir, ckpt, keys).select(
+        F.col("identifier"),
+        F.get_json_object("data", "$._label").alias("label"),
+    )
+    return _materialized(spark, out, work)
+
+
+# ---------------------------------------------------------------------------
 # r13_dedup_stream
 # ---------------------------------------------------------------------------
 _DEDUP_PLANTED_SQL = """
