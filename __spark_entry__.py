@@ -2,7 +2,8 @@
 
 entry(spark)   -> flagship query DataFrame on sf0.001
 queries()      -> {name: fn(spark, sf_dir) -> DataFrame} for SURVEY §2 ops
-                  (211 declared queries spanning scans, joins, aggregations,
+                  (len(queries()) declared queries — the registry is the
+                  count of record — spanning scans, joins, aggregations,
                   windows/pivot/rollup/cube/grouping-sets, set ops, scalar
                   fns incl. the F1 date parser and geometry family, graph
                   closure/BFS, search DSL, CDC/sessionization, as-of and

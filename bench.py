@@ -121,6 +121,23 @@ def main() -> None:
     # one-time persistent build (dsl_q13 then measures serving reads)
     serving_planner(spark, sf_dir)
 
+    # Steady-state warm-up (VERDICT r13 #4): the first few timed queries
+    # were absorbing one-time JVM costs — codegen-cache population for the
+    # exchange/sort/aggregate/join operator stack, scheduler/stage-
+    # submission paths, shuffle machinery init — inflating whichever
+    # queries ran first (r13: start canary 0.591 vs end 0.264, all large
+    # movers front-of-suite on untouched bodies).  One synthetic
+    # shuffle+join+window job exercises those paths WITHOUT executing any
+    # headline plan, so the timed loop measures steady state and no query
+    # gets a pre-warmed body.
+    wu = spark.range(500_000).selectExpr("id", "id % 97 AS k", "id % 13 AS g")
+    (
+        wu.groupBy("k").agg({"id": "sum"})
+        .join(wu.groupBy("g").count().withColumnRenamed("g", "k"), "k", "left")
+        .selectExpr("k", "count", "row_number() OVER (ORDER BY k) AS rn")
+        .count()
+    )
+
     spark_canary_start = _spark_canary(spark)
 
     per_query: dict[str, float] = {}

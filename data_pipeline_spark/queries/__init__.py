@@ -60,19 +60,20 @@ GATE_PIN = [
     # cohort j05/j09/j07/d12, the salted-join j14, and the nine dsl
     # re-gates) — CORRECTNESS_r11.json is committed and vouches green;
     # closure.py/planner.py are unchanged this round.
-    # r13 code changes that re-gate:
-    # - entity_stream.py was restructured (bucketed base, plan-file
-    #   compaction, repair-on-read): r12_entity_stream_fold's r12 green
-    #   predates all of it, so it re-proves this round.
-    # - incremental.py gained the ingest $.id==object_uri guard inside
-    #   apply_changes_to_records — r11_incremental_build re-proves.
-    # - b01 stays pinned as the golden full-chain gate (r12 note: the
-    #   shared corpus builder changed then; unchanged this round).
-    # r13_curation_stream / r13_dedup_stream are NEW and front via the
-    # never-checked rule.
+    # r14 code changes that re-gate:
+    # - entity_stream.py changed again (maintenance lock, repair moved
+    #   off the pure read path, foreign-delta fail-fast): the r13 green
+    #   for r12_entity_stream_fold predates it, so it re-proves.
+    # - index_util.py was restructured (bucketed base files, partial
+    #   compaction, fold-deletion inside the plan): r13_dedup_stream is
+    #   the declared gate that runs stream_dedup through the persisted
+    #   index layout, so it re-proves.
+    # - b01 stays pinned as the golden full-chain gate.
+    # r11_incremental_build's r13 pin dropped: its r13 green landed and
+    # incremental.py is unchanged this round.
     "b01_entity_build",
-    "r11_incremental_build",
     "r12_entity_stream_fold",
+    "r13_dedup_stream",
 ]
 
 GATE_WINDOW_SIZE = 50
@@ -91,12 +92,14 @@ GATE_WINDOW_SIZE = 50
 # pins) is gone, so the freed slots go oldest-first at the 55-query
 # r5/r6 cohort — with 11 pins + 2 new declarations the window re-proves
 # 37 stalest greens this round.
-# r13: with 13 pins + 2 new declarations the greens quota is 35 either
-# way (never-checked entries are fewer than the non-age budget, so the
-# remainder fill rule tops greens up to the full 50) — the window
-# re-fronts the 22 r6-stale greens plus 13 of the r7 cohort, finishing
-# the r6 burn-down (VERDICT r12 #4).
-AGE_SLOTS = 16
+# r13: with 13 pins + 3 new declarations the greens quota was 34-35
+# (remainder fill tops greens up to the full 50) — the window re-fronted
+# the whole 22-query r6 cohort plus 12 r7s, finishing the r6 burn-down.
+# r14: raised 16 -> 22 (VERDICT r13 #3): exactly 22 r7-greens remain
+# (a24 a27 d09 d38 f04 f06 q11 q15-q22 rj02 s08 t05 v05 w09-w11) — one
+# reservation-covered round clears the whole cohort and moves the
+# oldest latest-green to r9+, closing the standing burn-down ask.
+AGE_SLOTS = 22
 
 
 def driver_green_history() -> dict[str, int]:

@@ -537,9 +537,10 @@ def rebucket_state(
     # marker FIRST: a crash between tier swaps leaves a MIXED bucket map
     # on disk, which full folds read correctly but partial compaction and
     # bucket-pruned lookups must not trust.  The marker makes both
-    # degrade safely (compact refuses, lookup falls back to a full fold)
-    # until a re-run of this op — idempotent per tier — finishes and
-    # writes the clean meta.
+    # degrade safely — lookups fall back to a full fold, and the next
+    # compact_entity_state takes its full-rewrite path, COMPLETING the
+    # interrupted rebucket at the marker's target count (pinned by
+    # test_rebucket_state_lifecycle) — until the clean meta is written.
     meta = read_state_meta(state_dir) or {}
     _write_state_meta(state_dir, {**meta, "layout": "bucketed",
                                   "rebucket_to": buckets})
