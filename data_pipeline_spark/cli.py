@@ -385,7 +385,8 @@ def cmd_stream_refresh(args) -> int:
 
     spark = _spark(args)
     if args.init_corpus:
-        index_corpus(spark.read.parquet(args.init_corpus), args.index)
+        index_corpus(spark.read.parquet(args.init_corpus), args.index,
+                     buckets=args.index_buckets)
         print(f"[cli] indexed base corpus at {args.index}")
     q = stream_refresh(
         spark, args.feed, args.index, args.verdicts, checkpoint=args.checkpoint
@@ -635,6 +636,12 @@ def build_parser() -> argparse.ArgumentParser:
     sr.add_argument("--verdicts", required=True, metavar="DIR")
     sr.add_argument("--checkpoint", required=True, metavar="DIR")
     sr.add_argument("--init-corpus", metavar="PARQUET", help="index this corpus as batch=base first")
+    sr.add_argument(
+        "--index-buckets", type=int, metavar="N",
+        help="bucket count for a fresh --init-corpus index base "
+        "(compaction rewrites whole bucket files: size them to ~128 MB "
+        "at production scale; default auto-sizes from the row count)",
+    )
     sr.add_argument("--compact", action="store_true")
     sr.add_argument("--timeout", type=int, default=600)
     _add_common(sr)

@@ -40,16 +40,25 @@ from .index_util import (
     require_batch_layout,
     run_batch_key,
     tier_dir as _tier_dir,
+    write_base,
 )
+from .locks import maintenance_lock
 
 
-def index_corpus(docs: DataFrame, index_dir: str) -> None:
-    """Build the persisted LSH index (bands + shingles) for a corpus."""
+def index_corpus(docs: DataFrame, index_dir: str,
+                 buckets: int | None = None) -> None:
+    """Build the persisted LSH index (bands + shingles) for a corpus.
+
+    Both tiers scale with corpus row count, so their base is written
+    HASH-BUCKETED on the document id (index_util.write_base): partial
+    compaction then rewrites only the buckets a crawl's documents hash
+    to — id-keyed, so one document's ~hundreds of shingle rows land in
+    ONE bucket and a 20-doc crawl touches <= 20 buckets per tier, not
+    one per shingle."""
     sh = shingles_df(docs)
-    _bands(minhash_signatures(sh)).write.mode("overwrite").parquet(
-        _tier_dir(index_dir, "bands", "base")
-    )
-    sh.write.mode("overwrite").parquet(_tier_dir(index_dir, "shingles", "base"))
+    write_base(_bands(minhash_signatures(sh)), index_dir, "bands", ["id"],
+               buckets=buckets)
+    write_base(sh, index_dir, "shingles", ["id"], buckets=buckets)
 
 
 def match_batch(
@@ -143,13 +152,19 @@ def stream_dedup(
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         key = run_batch_key(checkpoint, batch_id)
-        out = match_batch(spark, batch, index_dir, batch_key=key)
-        # batch_id is a STRING partition key ('<32hex>-b<N>'); consumers
-        # that filtered/ordered numerically get the numeric micro-batch
-        # id as a real data column (migration note in README §streaming)
-        out.withColumn("micro_batch_id", F.lit(batch_id).cast("bigint")).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(matches_dir, f"batch_id={key}"))
+        # SHARED maintenance lock per micro-batch: an out-of-band
+        # compact_index (exclusive) serializes against live probes/folds
+        # at batch boundaries instead of racing them (index_util/locks)
+        with maintenance_lock(index_dir, shared=True):
+            out = match_batch(spark, batch, index_dir, batch_key=key)
+            # batch_id is a STRING partition key ('<32hex>-b<N>');
+            # consumers that filtered/ordered numerically get the numeric
+            # micro-batch id as a real data column (README §streaming)
+            out.withColumn(
+                "micro_batch_id", F.lit(batch_id).cast("bigint")
+            ).write.mode("overwrite").parquet(
+                os.path.join(matches_dir, f"batch_id={key}")
+            )
 
     reader = spark.readStream.schema("doc_id bigint, text string")
     if max_files_per_trigger is not None:

@@ -50,7 +50,12 @@ here since neither ships in the env):
   recovery plan is on disk (ADVICE r12: the previous whole-base
   ``mode("overwrite")`` had a delete-then-write window that could lose
   the only full copy).  ``_repair_tier`` resumes or rolls back an
-  interrupted compaction on every read.
+  interrupted compaction — ONLY under the exclusive maintenance lock
+  (stream start, compact, rebucket), never on the pure read path
+  (ADVICE r13: a reader applying plans raced a live compactor; reads
+  are correct without repair because a pending plan's deltas are still
+  folded on top of the old/new/mixed base).  The out-of-band serving
+  read takes the SHARED lock while it materializes.
 
 Retry contract (at-least-once, shared with the dedup/refresh streams):
 delta inclusion is gated on the checkpoint COMMIT log AND the delta's
@@ -76,6 +81,7 @@ from pyspark.sql import functions as F
 from ..pipeline.build import run_build
 from ..pipeline.incremental import incremental_build
 from .index_util import committed_batch_ids, run_batch_key
+from .locks import maintenance_lock, try_maintenance_lock
 
 CHANGES_SCHEMA = (
     "seq bigint, end_time timestamp, change string, object_uri string, "
@@ -209,8 +215,18 @@ def _apply_plan(state_dir: str, tier: str, plan: dict) -> None:
 def _repair_tier(state_dir: str, tier: str) -> None:
     """Resume (plan present: staging was complete) or roll back (no
     plan: staging never finished, base untouched) an interrupted
-    compaction.  Runs on every base read — the read path, not an
-    operator, owns crash recovery, matching the retry contract's shape."""
+    compaction.  Round 14 (ADVICE r13): runs ONLY under the maintenance
+    lock — at stream start, and at the head of compact/rebucket — never
+    on the pure read path.  A reader applying a plan concurrently with a
+    live compactor raced it on the same staging dir (rmtree vs rename),
+    and a reader's no-plan ROLLBACK could delete a live compactor's
+    half-written staging, which the compactor would then certify with a
+    plan.  Readers don't need repair for correctness anyway: a pending
+    plan implies its deltas' touched manifests still exist (compaction
+    deletes manifests only after every tier is applied), so the
+    merge-on-read fold re-selects the same winners over an old, new, or
+    mixed base — the fold's idempotence is the crash-consistency story,
+    the repair is just hygiene that unblocks the next compaction."""
     cdir = _compact_dir(state_dir, tier)
     if not os.path.isdir(cdir):
         return
@@ -220,6 +236,17 @@ def _repair_tier(state_dir: str, tier: str) -> None:
             _apply_plan(state_dir, tier, json.load(f))
     else:
         shutil.rmtree(cdir)
+
+
+def repair_state_dir(state_dir: str) -> None:
+    """Finish pending plans and sweep un-planned staging in every tier,
+    under the exclusive maintenance lock — the explicit recovery entry
+    point (stream start calls it; so can an operator after a crash).
+    This is where no-plan staging rollback lives now: under the lock it
+    cannot race a live compactor's staging writes (ADVICE r13)."""
+    with maintenance_lock(state_dir):
+        for tier in _TIERS:
+            _repair_tier(state_dir, tier)
 
 
 def _require_delta_layout(state_dir: str, tier: str) -> None:
@@ -248,15 +275,31 @@ def read_base_tier(spark: SparkSession, state_dir: str, tier: str) -> DataFrame:
     """The ``v=base`` rows of a tier with the internal bucket column
     stripped — the one supported way to read base directly (the bucketed
     layout adds a ``b`` partition column a raw parquet read would leak
-    into consumer schemas)."""
+    into consumer schemas).
+
+    Crash recovery vs concurrency (ADVICE r13): a PENDING PLAN (the
+    compactor crashed after certifying its staging) is finished here
+    under a NON-BLOCKING exclusive lock — if the lock is busy, the
+    holder is a live maintenance op already doing that work, and racing
+    it (the old unconditional repair-on-read) is exactly the
+    rmtree/rename collision being fixed.  Un-planned staging is left
+    alone: it is either a LIVE compactor mid-staging (deleting it would
+    corrupt the plan it is about to certify) or junk a maintenance
+    entry point sweeps later; base is untouched by staging either way,
+    so the read is correct without acting."""
     _require_delta_layout(state_dir, tier)
-    _repair_tier(state_dir, tier)
     bdir = _base_dir(state_dir, tier)
+    plan = os.path.join(_compact_dir(state_dir, tier), "plan.json")
+    if os.path.isfile(plan) or not os.path.isdir(bdir):
+        with try_maintenance_lock(state_dir) as got:
+            if got:
+                _repair_tier(state_dir, tier)
     if not os.path.isdir(bdir):
         raise FileNotFoundError(
             f"entity state {state_dir!r} has no {tier}/v=base — run "
             "init_state (CLI: stream-entity --init-records) before "
-            "streaming or reading against this state dir"
+            "streaming or reading against this state dir (if a "
+            "maintenance op is mid-run, its lock holder restores base)"
         )
     df = spark.read.parquet(bdir)
     return df.drop("b") if "b" in df.columns else df
@@ -524,9 +567,18 @@ def rebucket_state(
     either the old base or the new one.  Refuses while committed deltas
     are pending: their touched keys would land in old-bucket positions —
     run compact_entity_state first so the fold state is base-only (the
-    meta flips once at the end; readers never see a mixed bucket map)."""
+    meta flips once at the end; readers never see a mixed bucket map).
+    Holds the exclusive maintenance lock: one maintenance op per state
+    dir at a time (ADVICE r13)."""
     if buckets < 1:
         raise ValueError("rebucket_state: buckets must be >= 1")
+    with maintenance_lock(state_dir):
+        _rebucket_locked(spark, state_dir, checkpoint, buckets)
+
+
+def _rebucket_locked(
+    spark: SparkSession, state_dir: str, checkpoint: str, buckets: int
+) -> None:
     ids = _committed_delta_ids(state_dir, checkpoint)
     if ids:
         raise ValueError(
@@ -628,45 +680,65 @@ def lookup_state(
 
     The bucket set is computed with the exact writer expression
     (_bucket_of) on a |keys|-row local relation — control plane, not a
-    corpus job."""
+    corpus job.
+
+    Concurrency (ADVICE r13): this is the one read explicitly served
+    OUT-OF-BAND while a stream/compactor may be live, so it holds the
+    SHARED maintenance lock while it materializes — a compactor's
+    per-bucket rmtree+rename window can therefore never be observed
+    mid-listing — and it never applies pending plans itself (pure
+    readers don't repair; see _repair_tier)."""
     if not keys:
         raise ValueError("lookup_state: keys must be non-empty")
-    meta = read_state_meta(state_dir)
-    ids = _committed_delta_ids(state_dir, checkpoint)
-    keys_df = spark.createDataFrame([(k,) for k in keys], "_lk string")
-    if meta is None or _pending_rebucket(meta):
-        # flat base, or a mixed bucket map from an interrupted rebucket:
-        # bucket pruning would miss keys — full fold stays correct
-        folded = _fold_tier(spark, state_dir, checkpoint, tier, ids)
-    else:
-        nb = meta["buckets"]
-        want = sorted(
-            r["b"]
-            for r in keys_df.select(
-                _bucket_of(F.col("_lk"), nb).alias("b")
-            ).distinct().collect()
-        )
-        _require_delta_layout(state_dir, tier)
-        _repair_tier(state_dir, tier)
-        bdir = _base_dir(state_dir, tier)
-        have = [n for n in want if n in set(_list_buckets(bdir))]
-        base_sub = (
-            spark.read.parquet(*(os.path.join(bdir, f"b={n}") for n in have))
-            if have
-            else read_base_tier(spark, state_dir, tier).limit(0)
-        )
-        if ids:
-            last, rows = _delta_last_and_rows(
-                spark, state_dir, checkpoint, tier, ids
-            )
-            folded = _fold_over(tier, base_sub, last, rows)
+    # finish any crashed compaction BEFORE taking the shared lock (the
+    # try-lock inside read_base_tier cannot acquire exclusively while
+    # this process holds the shared lock); if the try fails, a live
+    # maintenance op holds the lock and our shared acquire below waits
+    # it out, observing the finished state
+    with try_maintenance_lock(state_dir) as got:
+        if got:
+            for t in _TIERS:
+                _repair_tier(state_dir, t)
+    with maintenance_lock(state_dir, shared=True):
+        meta = read_state_meta(state_dir)
+        ids = _committed_delta_ids(state_dir, checkpoint)
+        keys_df = spark.createDataFrame([(k,) for k in keys], "_lk string")
+        if meta is None or _pending_rebucket(meta):
+            # flat base, or a mixed bucket map from an interrupted
+            # rebucket: bucket pruning would miss keys — full fold stays
+            # correct
+            folded = _fold_tier(spark, state_dir, checkpoint, tier, ids)
         else:
-            folded = base_sub
-    return (
-        _with_key(tier, folded)
-        .join(F.broadcast(keys_df), F.col("_k") == F.col("_lk"), "left_semi")
-        .drop("_k")
-    )
+            nb = meta["buckets"]
+            want = sorted(
+                r["b"]
+                for r in keys_df.select(
+                    _bucket_of(F.col("_lk"), nb).alias("b")
+                ).distinct().collect()
+            )
+            _require_delta_layout(state_dir, tier)
+            bdir = _base_dir(state_dir, tier)
+            have = [n for n in want if n in set(_list_buckets(bdir))]
+            base_sub = (
+                spark.read.parquet(*(os.path.join(bdir, f"b={n}") for n in have))
+                if have
+                else read_base_tier(spark, state_dir, tier).limit(0)
+            )
+            if ids:
+                last, rows = _delta_last_and_rows(
+                    spark, state_dir, checkpoint, tier, ids
+                )
+                folded = _fold_over(tier, base_sub, last, rows)
+            else:
+                folded = base_sub
+        out = (
+            _with_key(tier, folded)
+            .join(F.broadcast(keys_df), F.col("_k") == F.col("_lk"), "left_semi")
+            .drop("_k")
+        )
+        # materialize INSIDE the lock: the result is |keys|-sized, and a
+        # lazily-returned plan would read the bucket dirs after release
+        return out.localCheckpoint()
 
 
 def compact_entity_state(
@@ -724,7 +796,26 @@ def compact_entity_state(
     misread as all-deletions); orphaned row dirs from a previous crash
     are swept.
 
+    Holds the exclusive maintenance lock for the whole
+    stage->plan->apply critical section (ADVICE r13: repair-on-read is
+    gone, so the lock is what serializes two maintenance processes and
+    excludes the shared-locked serving read during swaps).
+
     Returns {tier: number of delta directories removed}."""
+    require_sole_lineage(state_dir, checkpoint)
+    with maintenance_lock(state_dir):
+        return _compact_locked(spark, state_dir, checkpoint, buckets)
+
+
+def require_sole_lineage(state_dir: str, checkpoint: str) -> None:
+    """Refuse maintenance when ANOTHER checkpoint's deltas are present:
+    folding rewrites the shared base, which would corrupt the other
+    run's folds.  (The full-tier r11 layout tolerated shared state dirs;
+    the delta layout trades that for delta-sized writes — entity state
+    dirs are per-pipeline, unlike the shared dedup/similarity indexes.)
+    Exposed so stream start can FAIL FAST when compaction is scheduled
+    (ADVICE r13: the --compact-every default previously surfaced a
+    shared state dir only at batch N, mid-stream, inside the sink)."""
     own = re.escape(
         run_batch_key(checkpoint, 0).rsplit("-b", 1)[0]
     )  # this checkpoint's 32-hex scope
@@ -739,12 +830,20 @@ def compact_entity_state(
                 foreign.add(m.group(1))
     if foreign:
         raise ValueError(
-            "compact_entity_state: delta directories from other "
+            "entity-state compaction: delta directories from other "
             f"checkpoints present ({sorted(foreign)[:3]}...); compaction "
             "rewrites the shared base — entity state dirs must be owned "
-            "by one stream lineage"
+            "by one stream lineage (run without compaction, or give "
+            "each stream its own state dir)"
         )
 
+
+def _compact_locked(
+    spark: SparkSession,
+    state_dir: str,
+    checkpoint: str,
+    buckets: int | None,
+) -> dict[str, int]:
     for tier in _TIERS:
         _require_delta_layout(state_dir, tier)
         _repair_tier(state_dir, tier)  # finish any interrupted compaction
@@ -863,6 +962,15 @@ def stream_entity_builds(
     retries: it folds only batches committed BEFORE this one, and a
     retry of this batch folds the new base plus nothing — exactly the
     state the first attempt saw."""
+    # crash recovery at the process boundary (the realistic recovery
+    # moment), under the exclusive lock
+    repair_state_dir(state_dir)
+    if compact_every:
+        # fail FAST on a shared state dir instead of dying at batch N
+        # inside the sink (ADVICE r13: --compact-every defaulting on
+        # turned previously-working shared-dir runs into mid-stream
+        # failures)
+        require_sole_lineage(state_dir, checkpoint)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
@@ -895,6 +1003,8 @@ __all__ = [
     "read_state_at",
     "read_base_tier",
     "read_state_meta",
+    "repair_state_dir",
+    "require_sole_lineage",
     "lookup_state",
     "state_stats",
     "rebucket_state",

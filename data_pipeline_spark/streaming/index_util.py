@@ -1,24 +1,56 @@
 """Shared batch-keyed index layout for the streaming twins
-(dedup_stream.py, similarity_stream.py).
+(dedup_stream.py, similarity_stream.py, refresh_stream.py,
+sketch_stream.py).
 
-Both streams persist their index tiers as ``<index_dir>/<tier>/batch=<key>``
+The streams persist their index tiers as ``<index_dir>/<tier>/batch=<key>``
 partition directories and fold each micro-batch with per-partition
 overwrite — the idempotency contract under Structured Streaming's
 at-least-once delivery.  The layout rules live here ONCE because they are
-load-bearing for retry correctness in both modules: a format change
-applied to one stream but not the other would break that stream's retry
-exclusion while the other's tests stay green.
+load-bearing for retry correctness in every stream: a format change
+applied to one stream but not the others would break that stream's retry
+exclusion while the others' tests stay green.
+
+Bucketed base (round 14 — the entity-state template applied to the
+shared indexes): corpus-proportional tiers store ``batch=base`` as ONE
+PARQUET FILE PER HASH BUCKET (``b<n>.<i>.parquet``) with the bucket key
+and count recorded in a Spark-invisible ``_META.json`` inside the base
+directory.  Readers see nothing: the files are ordinary parquet leaves
+of the ``batch=base`` partition, so every probe/read path is unchanged
+and no partition column leaks.  Compaction gains the partial path: the
+folding batches' rows are hashed to their buckets, ONLY those bucket
+files are rewritten (old bucket rows + new rows), and each swap is a
+single atomic ``os.replace`` — no delete-then-write window exists at
+all, strictly stronger than the entity-state per-bucket rmtree+rename.
+At 100 TB this is the same class of fix round 13 made for entity state:
+the fingerprint/band/shingle/vector tiers scale with corpus row count
+(the reference analog is the in-place LMDB reconcile index update of
+/root/reference pipeline/process/base/index_loader.py), so a full index
+rewrite per compaction cadence was the last O(corpus) maintenance write.
+Sketch tiers (regs/cells/bins) stay unbucketed on purpose: they are
+BOUNDED-size relations (registers x sources, depth x width cells), so
+their whole-tier fold is sketch-sized, not corpus-sized.
+
+Crash recovery (ADVICE r13): the compaction plan records the folded
+batch keys, and their directories are deleted INSIDE the plan
+application — so a crash after the plan persists but before the deletes
+is finished by ``repair_index_dir`` instead of leaving batch dirs that
+the next compaction would union into base AGAIN (double-folded shingle
+rows inflate Jaccard on later probes).
 """
 
 from __future__ import annotations
 
 import hashlib
 import json
+import math
 import os
 import re
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .locks import maintenance_lock
 
 
 def tier_dir(index_dir: str, tier: str, key: str) -> str:
@@ -77,16 +109,142 @@ def committed_batch_ids(checkpoint: str) -> set[int]:
     return {int(f) for f in os.listdir(commits) if f.isdigit()}
 
 
+# ---------------------------------------------------------------------------
+# bucketed base (round 14)
+# ---------------------------------------------------------------------------
+
+_META_NAME = "_META.json"  # leading underscore: invisible to Spark reads
+_BUCKET_FILE = re.compile(r"b(\d+)\.(\d+)\.parquet")
+
+
+def _bucket_expr(key_cols: list[str], n_buckets: int) -> Column:
+    """Bucket of an index row — MUST be one expression shared by the base
+    writer (write_base) and the compaction planner/stager: two different
+    hashes would route a key's base rows and its new rows to different
+    buckets and partial compaction would rewrite the wrong file."""
+    return F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
+
+
+def auto_buckets(n_rows: int, rows_per_bucket: int = 1_000_000) -> int:
+    """Default bucket count: ~1M narrow index rows per bucket, power of
+    two, floor 8.  At 100 TB size explicitly instead — the production
+    rule is tier_bytes / ~128 MB (the Hudi file-group target), because
+    partial compaction rewrites whole bucket files: bucket BYTES, not
+    bucket count, bound the cost of one touched key."""
+    return 2 ** max(3, math.ceil(math.log2(max(1, n_rows / rows_per_bucket))))
+
+
+def read_tier_meta(index_dir: str, tier: str) -> dict | None:
+    """{"buckets": N, "key": [cols]} for a bucketed-base tier, None for
+    the flat (pre-round-14) base, which compacts via the legacy
+    whole-tier rewrite until rebuilt with index_corpus."""
+    try:
+        with open(os.path.join(tier_dir(index_dir, tier, "base"), _META_NAME)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _move_bucket_files(src_root: str, dst: str) -> None:
+    """Move a partitionBy('_b') staging output into a flat bucket-file
+    base dir: ``_b=<n>/part-*.parquet`` -> ``b<n>.<i>.parquet``."""
+    for d in sorted(os.listdir(src_root)):
+        m = re.fullmatch(r"_b=(\d+)", d)
+        if not m:
+            continue
+        files = sorted(
+            f for f in os.listdir(os.path.join(src_root, d))
+            if f.endswith(".parquet")
+        )
+        for i, f in enumerate(files):
+            os.replace(
+                os.path.join(src_root, d, f),
+                os.path.join(dst, f"b{m.group(1)}.{i}.parquet"),
+            )
+
+
+def _stage_bucketed(df: DataFrame, key_cols: list[str], n_buckets: int,
+                    path: str) -> None:
+    # repartition ON the bucket column before the partitioned write: a
+    # bucket then lives entirely in one task, so each bucket gets ONE
+    # file (the entity-state _write_base rationale — the read path is
+    # file-listing bound otherwise).  Production note: cap file size
+    # with spark.sql.files.maxRecordsPerFile if a bucket outgrows one
+    # task's write; the ~128 MB bucket sizing rule keeps that moot, and
+    # the plan format carries per-bucket file LISTS so a split write
+    # still applies correctly.
+    (
+        df.withColumn("_b", _bucket_expr(key_cols, n_buckets))
+        .repartition(F.col("_b"))
+        .write.partitionBy("_b")
+        .parquet(path)
+    )
+
+
+def write_base(
+    df: DataFrame,
+    index_dir: str,
+    tier: str,
+    key_cols: list[str],
+    buckets: int | None = None,
+) -> None:
+    """Write a tier's ``batch=base`` as one parquet file per hash bucket
+    plus the ``_META.json`` bucket map — the init-time twin of the
+    partial compaction's bucket writer.  Overwrite semantics match the
+    old ``mode('overwrite')`` init: index_corpus is the rebuild path,
+    not the crash-safe path (there is nothing to lose but the init
+    itself)."""
+    if buckets is None:
+        buckets = auto_buckets(df.count())
+    tpath = os.path.join(index_dir, tier)
+    stage = os.path.join(tpath, ".init")
+    shutil.rmtree(stage, ignore_errors=True)
+    _stage_bucketed(df, key_cols, buckets, stage)
+    base = tier_dir(index_dir, tier, "base")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    _move_bucket_files(stage, base)
+    with open(os.path.join(base, _META_NAME), "w") as f:
+        json.dump({"buckets": buckets, "key": key_cols}, f)
+    shutil.rmtree(stage)
+
+
+def _bucket_files(base: str, n: int) -> list[str]:
+    if not os.path.isdir(base):
+        return []
+    return sorted(
+        f for f in os.listdir(base)
+        if (m := _BUCKET_FILE.fullmatch(f)) and int(m.group(1)) == n
+    )
+
+
 def compact_index(
-    spark: SparkSession, index_dir: str, checkpoint: str
+    spark: SparkSession,
+    index_dir: str,
+    checkpoint: str,
+    bucket_specs: dict[str, tuple[list[str], int | None]] | None = None,
 ) -> dict[str, int]:
     """Fold COMMITTED micro-batch partitions into ``batch=base``.
 
     The batch-keyed layout is correct but unbounded: one partition
     directory per micro-batch forever — a small-files problem at
-    production cadence.  This rewrites, per tier, the partitions of
-    THIS checkpoint's committed batches (plus the existing base) into
-    one ``batch=base`` directory and deletes the folded directories.
+    production cadence.  This folds, per tier, the partitions of THIS
+    checkpoint's committed batches into base and deletes them.
+
+    Two paths:
+    - BUCKETED base (``_META.json`` present — written by the round-14
+      index_corpus, or by a migration via ``bucket_specs``): the folding
+      rows are hashed to their buckets with the writer's own expression,
+      ONLY the touched bucket files are rewritten (old bucket rows + new
+      rows, staged to the dot-dir), and each swap is one atomic
+      ``os.replace`` per file.  Compaction cost scales with the folding
+      batches (a small crawl touches few buckets), never the index.
+    - LEGACY flat base: the whole tier is folded and swapped in behind a
+      ``replace_all`` plan — kept for the bounded-size sketch tiers
+      (regs/cells/bins: a full fold is sketch-sized by construction) and
+      for pre-round-14 indexes.  Passing ``bucket_specs={tier: (key_cols,
+      buckets)}`` migrates such a tier: the full fold is written bucketed
+      with a fresh meta, and every later compaction is partial.
 
     Safety rules, each load-bearing:
     - only batches in the checkpoint's COMMIT log fold (an in-flight or
@@ -95,23 +253,35 @@ def compact_index(
       exclusion keep working);
     - only THIS checkpoint's keys fold (another run's stream may be
       live against the same index — its keys are not ours to move);
-    - the union is materialized (localCheckpoint) BEFORE the base
-      overwrite, since ``base`` is both a source and the target;
+    - the plan file is persisted (atomic tmp+rename) only AFTER staging
+      completes — its existence certifies the staged files are whole;
+    - the plan records the folded batch keys and their directories are
+      deleted INSIDE ``_apply_index_plan`` (ADVICE r13: deleting them
+      after apply, outside the plan, left a crash window in which the
+      next compaction unioned the already-folded batches into base
+      again — duplicated shingle rows, inflated Jaccard);
     - probe results are unchanged by construction: the same rows under
-      a different partition value, and match_batch's retry exclusion
-      filters on ``batch != <live key>``, which ``base`` never is.
+      ``batch=base``, and match_batch's retry exclusion filters on
+      ``batch != <live key>``, which ``base`` never is.
 
-    Crash safety (round 13, same fix as the entity-state compaction):
-    the folded base is STAGED to a dot-dir (invisible to Spark readers),
-    a plan file is persisted (atomic tmp+rename — its existence
-    certifies the staging is complete), and the swap is two atomic
-    directory renames.  The previous ``mode("overwrite")`` had a
-    delete-then-write window in which a crash lost the only copy of
-    base.  ``repair_index_dir`` (called here and at every stream start)
-    resumes a planned swap or rolls back unplanned staging.
+    Concurrency: holds the EXCLUSIVE maintenance lock; the streams take
+    the SHARED lock around each micro-batch, so an out-of-band
+    compact_index serializes against live probes/folds at micro-batch
+    boundaries — a probe can never see both a swapped-in fold and its
+    not-yet-deleted batch dir (double rows would inflate Jaccard).
 
     Returns {tier: number of batch directories folded}."""
-    repair_index_dir(index_dir)
+    with maintenance_lock(index_dir):
+        return _compact_index_locked(spark, index_dir, checkpoint, bucket_specs)
+
+
+def _compact_index_locked(
+    spark: SparkSession,
+    index_dir: str,
+    checkpoint: str,
+    bucket_specs: dict[str, tuple[list[str], int | None]] | None,
+) -> dict[str, int]:
+    _repair_index_locked(index_dir)
     done = committed_batch_ids(checkpoint)
     h = hashlib.md5(os.path.abspath(checkpoint).encode("utf-8")).hexdigest()
     foldable = {f"{h}-b{i}" for i in done}
@@ -129,40 +299,149 @@ def compact_index(
         out[tier] = len(fold)
         if not fold:
             continue
-        srcs = fold + (["base"] if "base" in keys else [])
-        union = None
-        for k in srcs:
+        new_rows = None
+        for k in fold:
             part = spark.read.parquet(tier_dir(index_dir, tier, k))
-            union = part if union is None else union.unionByName(part)
+            new_rows = part if new_rows is None else new_rows.unionByName(part)
         cdir = os.path.join(tpath, ".compact")
         shutil.rmtree(cdir, ignore_errors=True)
-        union.write.parquet(os.path.join(cdir, "next"))
+        meta = read_tier_meta(index_dir, tier)
+        base = tier_dir(index_dir, tier, "base")
+        if meta is not None:
+            plan = _stage_partial(
+                spark, base, cdir, new_rows, meta["key"], meta["buckets"], fold
+            )
+        elif bucket_specs and tier in bucket_specs:
+            # one-time migration: full fold, written bucketed + meta
+            key_cols, buckets = bucket_specs[tier]
+            if "base" in keys:
+                new_rows = new_rows.unionByName(spark.read.parquet(base))
+            if buckets is None:
+                buckets = auto_buckets(new_rows.count())
+            stage = os.path.join(cdir, "stage")
+            _stage_bucketed(new_rows, key_cols, buckets, stage)
+            nxt = os.path.join(cdir, "next")
+            os.makedirs(nxt)
+            _move_bucket_files(stage, nxt)
+            with open(os.path.join(nxt, _META_NAME), "w") as f:
+                json.dump({"buckets": buckets, "key": key_cols}, f)
+            shutil.rmtree(stage)
+            plan = {"mode": "replace_all", "fold": fold}
+        else:
+            # legacy whole-tier fold (sketch tiers; pre-round-14 bases)
+            srcs = [new_rows] + (
+                [spark.read.parquet(base)] if "base" in keys else []
+            )
+            union = srcs[0]
+            for s in srcs[1:]:
+                union = union.unionByName(s)
+            union.write.parquet(os.path.join(cdir, "next"))
+            plan = {"mode": "replace_all", "fold": fold}
         tmp = os.path.join(cdir, "plan.json.tmp")
         with open(tmp, "w") as f:
-            json.dump({"swap": "base"}, f)
+            json.dump(plan, f)
         os.rename(tmp, os.path.join(cdir, "plan.json"))
         _apply_index_plan(tpath)
-        for k in fold:
-            shutil.rmtree(tier_dir(index_dir, tier, k))
     return out
 
 
+def _stage_partial(
+    spark: SparkSession,
+    base: str,
+    cdir: str,
+    new_rows: DataFrame,
+    key_cols: list[str],
+    n_buckets: int,
+    fold: list[str],
+) -> dict:
+    """Stage the touched-bucket rewrite and return its plan: hash the
+    folding rows to buckets (delta-sized distinct collect of at most
+    n_buckets ints — control plane), read ONLY those buckets' base files,
+    write (old + new) bucketed to the dot-dir, and record the exact
+    src-file -> target-file renames so application — and crash recovery —
+    is a list of idempotent atomic ``os.replace`` calls."""
+    keyed = new_rows.withColumn("_b", _bucket_expr(key_cols, n_buckets))
+    touched = sorted(
+        r["_b"] for r in keyed.select("_b").distinct().collect()
+    )
+    old_files = [
+        os.path.join(base, f) for n in touched for f in _bucket_files(base, n)
+    ]
+    staged_rows = keyed.drop("_b")
+    if old_files:
+        old = spark.read.parquet(*old_files)
+        # old bucket rows re-derive their bucket with the same writer
+        # expression — equal to the filename's bucket by construction
+        staged_rows = staged_rows.unionByName(old)
+    nxt = os.path.join(cdir, "next")
+    _stage_bucketed(staged_rows, key_cols, n_buckets, nxt)
+    swap: dict[str, list[list[str]]] = {}
+    for d in sorted(os.listdir(nxt)):
+        m = re.fullmatch(r"_b=(\d+)", d)
+        if not m:
+            continue
+        files = sorted(
+            f for f in os.listdir(os.path.join(nxt, d)) if f.endswith(".parquet")
+        )
+        swap[m.group(1)] = [
+            [f, f"b{m.group(1)}.{i}.parquet"] for i, f in enumerate(files)
+        ]
+    return {"mode": "buckets", "swap": swap, "fold": fold}
+
+
 def _apply_index_plan(tpath: str) -> None:
-    """Finish a staged base swap: trash the old base, rename the staged
-    one in, clean up.  Idempotent — every step checks disk state, so a
-    crash at any instant re-runs to the same end state."""
+    """Finish a staged compaction: swap the staged base (whole-dir
+    rename) or the staged bucket files (atomic per-file ``os.replace``)
+    in, delete the folded batch directories the plan records, clean up.
+    Idempotent — every step checks disk state, so a crash at any instant
+    re-runs to the same end state."""
     cdir = os.path.join(tpath, ".compact")
+    with open(os.path.join(cdir, "plan.json")) as f:
+        plan = json.load(f)
     nxt = os.path.join(cdir, "next")
     base = os.path.join(tpath, "batch=base")
-    if os.path.isdir(nxt):
-        if os.path.isdir(base):
-            os.rename(base, os.path.join(cdir, "trash"))
-        os.rename(nxt, base)
-    elif not os.path.isdir(base):
-        raise RuntimeError(
-            f"index compaction plan at {cdir!r} is unrecoverable: "
-            "neither batch=base nor a staged replacement exists"
-        )
+    # pre-round-14 plan format ({"swap": "base"}): a crashed old-process
+    # plan applied by new code — whole-base swap, no fold list
+    mode = plan.get("mode") or ("replace_all" if plan.get("swap") == "base" else None)
+    if mode == "replace_all":
+        if os.path.isdir(nxt):
+            if os.path.isdir(base):
+                os.rename(base, os.path.join(cdir, "trash"))
+            os.rename(nxt, base)
+        elif not os.path.isdir(base):
+            raise RuntimeError(
+                f"index compaction plan at {cdir!r} is unrecoverable: "
+                "neither batch=base nor a staged replacement exists"
+            )
+    elif mode == "buckets":
+        for n, pairs in plan["swap"].items():
+            srcdir = os.path.join(nxt, f"_b={n}")
+            keep = set()
+            for src, tgt in pairs:
+                keep.add(tgt)
+                s = os.path.join(srcdir, src)
+                t = os.path.join(base, tgt)
+                if os.path.isfile(s):
+                    os.replace(s, t)  # atomic overwrite of the old file
+                elif not os.path.isfile(t):
+                    raise RuntimeError(
+                        f"index compaction plan for bucket {n} at {cdir!r} "
+                        "is unrecoverable: staged file and target both "
+                        f"missing ({src} -> {tgt})"
+                    )
+            # prune the previous generation's extra files of this bucket
+            # (a bucket that shrank from i files to j<i): AFTER the
+            # renames, so every instant keeps at least one complete copy
+            for f in _bucket_files(base, int(n)):
+                if f not in keep:
+                    os.remove(os.path.join(base, f))
+    else:
+        raise RuntimeError(f"unknown index compaction plan mode in {cdir!r}")
+    for k in plan.get("fold", ()):
+        # inside the plan application (ADVICE r13): recovery finishes
+        # these deletes too, so a folded batch can never be union'd into
+        # base a second time by the next compaction
+        shutil.rmtree(os.path.join(tpath, f"batch={k}"), ignore_errors=True)
     shutil.rmtree(cdir)
 
 
@@ -170,11 +449,22 @@ def repair_index_dir(index_dir: str) -> None:
     """Resume (plan present: staging completed) or roll back (no plan:
     base untouched) an interrupted compaction in every tier of a
     batch-keyed index.  Streams call this once at start — the realistic
-    recovery moment for a process that died mid-compaction."""
+    recovery moment for a process that died mid-compaction.  Takes the
+    exclusive maintenance lock: a concurrent LIVE compactor must never
+    race a second repairer on the same staging dir (rmtree vs rename),
+    and a no-plan rollback must never delete staging a live compactor
+    is still writing (ADVICE r13)."""
+    with maintenance_lock(index_dir):
+        _repair_index_locked(index_dir)
+
+
+def _repair_index_locked(index_dir: str) -> None:
     if not os.path.isdir(index_dir):
         return
     for tier in sorted(os.listdir(index_dir)):
         tpath = os.path.join(index_dir, tier)
+        if not os.path.isdir(tpath):
+            continue
         cdir = os.path.join(tpath, ".compact")
         if not os.path.isdir(cdir):
             continue

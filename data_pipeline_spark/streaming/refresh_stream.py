@@ -41,20 +41,26 @@ from .index_util import (
     require_batch_layout,
     run_batch_key,
     tier_dir as _tier_dir,
+    write_base,
 )
+from .locks import maintenance_lock
 
 
-def index_corpus(docs: DataFrame, index_dir: str) -> None:
+def index_corpus(docs: DataFrame, index_dir: str,
+                 buckets: int | None = None) -> None:
     """Build the persisted refresh indexes (exact fp + SimHash64) for an
     existing corpus — e.g. the output of a full d41-style build.
-    ``docs`` is (doc_id, text, ...)."""
+    ``docs`` is (doc_id, text, ...).
+
+    Both tiers scale with the admitted corpus (one row per distinct
+    fingerprint), so their base is written HASH-BUCKETED on the
+    fingerprint itself (index_util.write_base): partial compaction then
+    rewrites only the buckets a crawl's admitted fingerprints hash to."""
     feats = refresh_features(docs)
-    feats.select("fp").distinct().write.mode("overwrite").parquet(
-        _tier_dir(index_dir, "fp", "base")
-    )
-    feats.select("simhash").distinct().write.mode("overwrite").parquet(
-        _tier_dir(index_dir, "sim", "base")
-    )
+    write_base(feats.select("fp").distinct(), index_dir, "fp", ["fp"],
+               buckets=buckets)
+    write_base(feats.select("simhash").distinct(), index_dir, "sim",
+               ["simhash"], buckets=buckets)
 
 
 def refresh_batch(
@@ -120,10 +126,15 @@ def stream_refresh(
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         key = run_batch_key(checkpoint, batch_id)
-        out = refresh_batch(spark, batch, index_dir, batch_key=key)
-        out.withColumn("micro_batch_id", F.lit(batch_id).cast("bigint")).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(verdicts_dir, f"batch_id={key}"))
+        # shared lock per micro-batch: serializes against an out-of-band
+        # compact_index at batch boundaries (index_util/locks)
+        with maintenance_lock(index_dir, shared=True):
+            out = refresh_batch(spark, batch, index_dir, batch_key=key)
+            out.withColumn(
+                "micro_batch_id", F.lit(batch_id).cast("bigint")
+            ).write.mode("overwrite").parquet(
+                os.path.join(verdicts_dir, f"batch_id={key}")
+            )
 
     feed = spark.readStream.schema("doc_id bigint, text string").json(feed_path)
     return (

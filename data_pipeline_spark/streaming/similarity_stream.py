@@ -49,16 +49,23 @@ from .index_util import (
     require_batch_layout,
     run_batch_key,
     tier_dir as _tier_dir,
+    write_base,
 )
+from .locks import maintenance_lock
 
 
-def index_corpus(emb: DataFrame, index_dir: str) -> None:
+def index_corpus(emb: DataFrame, index_dir: str,
+                 buckets: int | None = None) -> None:
     """Build the persisted sign-LSH index (signatures + vectors) for a
-    corpus.  ``emb`` is (id, emb array<double>)."""
-    embedding_signatures(emb).write.mode("overwrite").parquet(
-        _tier_dir(index_dir, "sigs", "base")
-    )
-    emb.write.mode("overwrite").parquet(_tier_dir(index_dir, "vecs", "base"))
+    corpus.  ``emb`` is (id, emb array<double>).
+
+    Both tiers scale with corpus row count, so their base is written
+    HASH-BUCKETED on the vector id (index_util.write_base): partial
+    compaction then rewrites only the buckets a crawl's vectors hash
+    to — one vector's signature rows share its bucket."""
+    write_base(embedding_signatures(emb), index_dir, "sigs", ["id"],
+               buckets=buckets)
+    write_base(emb, index_dir, "vecs", ["id"], buckets=buckets)
 
 
 def probe_candidates(new_sigs: DataFrame, idx_sigs: DataFrame) -> DataFrame:
@@ -170,13 +177,18 @@ def stream_similarity(
             F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
         )
         key = run_batch_key(checkpoint, batch_id)
-        out = match_batch(spark, emb, index_dir, batch_key=key)
-        # batch_id is a STRING partition key ('<32hex>-b<N>'); consumers
-        # that filtered/ordered numerically get the numeric micro-batch
-        # id as a real data column (migration note in README §streaming)
-        out.withColumn("micro_batch_id", F.lit(batch_id).cast("bigint")).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(matches_dir, f"batch_id={key}"))
+        # shared lock per micro-batch: serializes against an out-of-band
+        # compact_index at batch boundaries (index_util/locks)
+        with maintenance_lock(index_dir, shared=True):
+            out = match_batch(spark, emb, index_dir, batch_key=key)
+            # batch_id is a STRING partition key ('<32hex>-b<N>');
+            # consumers that filtered/ordered numerically get the numeric
+            # micro-batch id as a real data column (README §streaming)
+            out.withColumn(
+                "micro_batch_id", F.lit(batch_id).cast("bigint")
+            ).write.mode("overwrite").parquet(
+                os.path.join(matches_dir, f"batch_id={key}")
+            )
 
     feed = spark.readStream.schema("vec_id bigint, embedding array<double>").json(
         feed_path

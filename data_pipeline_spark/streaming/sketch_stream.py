@@ -56,6 +56,7 @@ from .index_util import (
     run_batch_key,
     tier_dir as _tier_dir,
 )
+from .locks import maintenance_lock
 
 
 def profile_corpus(docs: DataFrame, profile_dir: str) -> None:
@@ -156,9 +157,12 @@ def stream_profile(
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         key = run_batch_key(checkpoint, batch_id)
-        fold_batch(batch.select("source", "text"), profile_dir, key)
-        fold_cms_batch(batch.select("source", "text"), profile_dir, key)
-        fold_hist_batch(batch.select("source", "text"), profile_dir, key)
+        # shared lock per micro-batch: serializes against an out-of-band
+        # compact_index at batch boundaries (index_util/locks)
+        with maintenance_lock(profile_dir, shared=True):
+            fold_batch(batch.select("source", "text"), profile_dir, key)
+            fold_cms_batch(batch.select("source", "text"), profile_dir, key)
+            fold_hist_batch(batch.select("source", "text"), profile_dir, key)
 
     feed = spark.readStream.schema(
         "doc_id bigint, source string, text string"

@@ -230,7 +230,12 @@ def test_compaction_crash_repair_paths(spark, tmp_path):
     )
 
     # (a) staging crashed BEFORE the plan was persisted: base untouched,
-    # staging rolled back on the next read
+    # reads stay correct WITHOUT touching the staging (round 14 / ADVICE
+    # r13: a reader must never roll back what may be a LIVE compactor's
+    # half-written staging — sweeping no-plan staging is the maintenance
+    # entry points' job, under the exclusive lock)
+    from data_pipeline_spark.streaming.entity_stream import repair_state_dir
+
     cdir = os.path.join(merged_dir, ".compact")
     os.makedirs(os.path.join(cdir, "next", "b=0"))
     got = sorted(
@@ -238,7 +243,9 @@ def test_compaction_crash_repair_paths(spark, tmp_path):
         for r in read_base_tier(spark, state_dir, "merged").collect()
     )
     assert got == want
-    assert not os.path.isdir(cdir)  # rolled back
+    assert os.path.isdir(cdir)  # the read left the staging alone
+    repair_state_dir(state_dir)
+    assert not os.path.isdir(cdir)  # the locked repair rolled it back
 
     # (b) crash mid-swap WITH a plan: stage a replacement for one bucket
     # (a real bucket dir copied aside counts as "staged new version"),
@@ -397,3 +404,62 @@ def test_flat_base_migration_and_legacy_error(spark, tmp_path):
         latest_state(spark, state_dir, ckpt)
     with pytest.raises(ValueError, match="pre-delta-layout"):
         compact_entity_state(spark, state_dir, ckpt)
+
+
+def test_maintenance_lock_semantics(tmp_path):
+    """The flock contract the round-14 concurrency fix rests on:
+    exclusive excludes everything, shared coexists with shared, and the
+    non-blocking try reports a busy lock instead of deadlocking (flock
+    treats two fds in one process as independent owners, so this also
+    drills the self-deadlock shape try_maintenance_lock exists for)."""
+    import fcntl
+
+    from data_pipeline_spark.streaming.locks import (
+        maintenance_lock,
+        try_maintenance_lock,
+    )
+
+    root = str(tmp_path / "state")
+    with maintenance_lock(root):  # exclusive held
+        with try_maintenance_lock(root) as got:
+            assert got is False  # busy: a second exclusive must not win
+    with try_maintenance_lock(root) as got:
+        assert got is True  # free again after release
+
+    # shared + shared coexist; shared + exclusive-try conflicts
+    import os as _os
+    lock_path = _os.path.join(root, ".maintenance.lock")
+    with maintenance_lock(root, shared=True):
+        fd = _os.open(lock_path, _os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_SH | fcntl.LOCK_NB)  # ok
+        finally:
+            _os.close(fd)
+        with try_maintenance_lock(root) as got:
+            assert got is False
+
+
+def test_stream_fails_fast_on_foreign_deltas(spark, tmp_path):
+    """A state dir holding ANOTHER checkpoint's deltas must be rejected
+    AT STREAM START when compaction is scheduled — not at batch N inside
+    the sink (ADVICE r13: --compact-every defaulting on turned
+    previously-working shared-dir runs into mid-stream deaths)."""
+    state_dir = str(tmp_path / "state")
+    init_state(spark, _records(spark, 4), _indexes(spark), state_dir,
+               buckets=4)
+    # plant a delta owned by a DIFFERENT checkpoint lineage
+    foreign = os.path.join(state_dir, "records", "d=deadbeef" + "0" * 24 + "-b0")
+    os.makedirs(foreign)
+    feed = _feed(tmp_path, [[{
+        "seq": 1, "end_time": "2026-01-02T00:00:00", "change": "update",
+        "object_uri": _uri("srcA", 0),
+        "payload": _doc("srcA", 0, "A0-v2"),
+    }]])
+    ckpt = str(tmp_path / "ckpt")
+    with pytest.raises(ValueError, match="other"):
+        stream_entity_builds(
+            spark, feed, state_dir, ckpt, _indexes(spark), compact_every=2
+        )
+    # without compaction scheduled the same dir streams fine
+    q = stream_entity_builds(spark, feed, state_dir, ckpt, _indexes(spark))
+    q.awaitTermination(120)

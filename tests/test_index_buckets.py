@@ -1,0 +1,320 @@
+"""Bucketed shared-index base + partial compact_index (round 14).
+
+The corpus-proportional index tiers (dedup bands/shingles, refresh
+fp/sim, similarity sigs/vecs) store ``batch=base`` as one parquet FILE
+per hash bucket (``b<n>.<i>.parquet``) with the bucket map in a
+Spark-invisible ``_META.json``; compact_index rewrites ONLY the bucket
+files the folding batches' rows hash to, and each swap is a single
+atomic ``os.replace``.  The plan records the folded batch keys and
+deletes their directories INSIDE the plan application, so no crash
+instant exists where the next compaction would union an already-folded
+batch into base again (the ADVICE r13 double-fold window).
+
+Reference parity: the reference's reconcile indexes update in place
+(/root/reference pipeline/process/base/index_loader.py); the bucketed
+file-group rewrite is the lakehouse restatement, the same shape round 13
+proved for entity state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+import pytest
+
+from data_pipeline_spark.streaming.index_util import (
+    _apply_index_plan,
+    compact_index,
+    read_tier_meta,
+    repair_index_dir,
+    run_batch_key,
+    tier_dir,
+    write_base,
+)
+
+
+def _mk_checkpoint(tmp_path, name, committed):
+    ck = tmp_path / name
+    (ck / "commits").mkdir(parents=True)
+    for i in committed:
+        (ck / "commits" / str(i)).write_text("{}")
+    return str(ck)
+
+
+def _fp_rows(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("md5(cast(id as string)) AS fp")
+
+
+def _bucket_files(idx, tier):
+    base = tier_dir(idx, tier, "base")
+    return sorted(
+        f for f in os.listdir(base) if re.fullmatch(r"b\d+\.\d+\.parquet", f)
+    )
+
+
+def test_write_base_bucket_files_and_meta(spark, tmp_path):
+    """write_base lays the base down as bucket files + meta; a plain
+    partitioned read sees exactly the rows, no extra columns."""
+    idx = str(tmp_path / "idx")
+    write_base(_fp_rows(spark, 0, 500), idx, "fp", ["fp"], buckets=8)
+    meta = read_tier_meta(idx, "fp")
+    assert meta == {"buckets": 8, "key": ["fp"]}
+    files = _bucket_files(idx, "fp")
+    assert 1 <= len(files) <= 8
+    df = spark.read.parquet(os.path.join(idx, "fp"))
+    assert set(df.columns) == {"fp", "batch"}  # no bucket column leaks
+    assert df.count() == 500
+    assert df.select("fp").distinct().count() == 500
+
+
+def test_partial_compaction_touches_only_folding_buckets(spark, tmp_path):
+    """A small fold rewrites only the bucket files its rows hash to —
+    the untouched bucket files are BYTE-IDENTICAL (same inode content,
+    pinned by mtime+size), and the folded rows land in base."""
+    idx = str(tmp_path / "idx")
+    write_base(_fp_rows(spark, 0, 2000), idx, "fp", ["fp"], buckets=16)
+    ck = _mk_checkpoint(tmp_path, "ck", [0])
+    key = run_batch_key(ck, 0)
+    # a 3-row fold: touches at most 3 of 16 buckets
+    _fp_rows(spark, 90000, 90003).write.parquet(tier_dir(idx, "fp", key))
+
+    base = tier_dir(idx, "fp", "base")
+    before = {
+        f: (os.path.getmtime(os.path.join(base, f)),
+            os.path.getsize(os.path.join(base, f)))
+        for f in _bucket_files(idx, "fp")
+    }
+    assert compact_index(spark, idx, ck) == {"fp": 1}
+    after = {
+        f: (os.path.getmtime(os.path.join(base, f)),
+            os.path.getsize(os.path.join(base, f)))
+        for f in _bucket_files(idx, "fp")
+    }
+    changed = {f for f in after if before.get(f) != after[f]}
+    assert 1 <= len(changed) <= 3          # cost ∝ fold, not index
+    assert len(set(before) - changed) >= 13  # the rest untouched
+    df = spark.read.parquet(os.path.join(idx, "fp"))
+    assert df.count() == 2003
+    assert sorted(os.listdir(os.path.join(idx, "fp"))) == ["batch=base"]
+    # idempotent: nothing newly committed -> no-op
+    assert compact_index(spark, idx, ck) == {"fp": 0}
+    assert spark.read.parquet(os.path.join(idx, "fp")).count() == 2003
+
+
+def test_compaction_crash_windows_no_double_fold(spark, tmp_path):
+    """Crash drills at every stage of the partial compaction:
+    (a) staging without a plan -> rolled back, base untouched, batch
+        dirs still foldable;
+    (b) plan persisted, NOTHING applied -> repair finishes swaps AND
+        deletes the folded batch dirs (the ADVICE r13 double-fold
+        window: batch dirs surviving a completed swap would be union'd
+        into base again by the next compaction);
+    (c) plan applied, folded dirs deleted, cdir left -> repair re-runs
+        idempotently (os.replace targets already in place)."""
+    idx = str(tmp_path / "idx")
+    write_base(_fp_rows(spark, 0, 1000), idx, "fp", ["fp"], buckets=8)
+    ck = _mk_checkpoint(tmp_path, "ck", [0])
+    key = run_batch_key(ck, 0)
+    _fp_rows(spark, 90000, 90005).write.parquet(tier_dir(idx, "fp", key))
+    tpath = os.path.join(idx, "fp")
+    cdir = os.path.join(tpath, ".compact")
+
+    # (a) staging crashed before the plan
+    os.makedirs(os.path.join(cdir, "next", "_b=0"))
+    repair_index_dir(idx)
+    assert not os.path.isdir(cdir)
+    assert spark.read.parquet(tpath).count() == 1005  # batch dir survives
+    assert os.path.isdir(tier_dir(idx, "fp", key))
+
+    # (b) run a real compaction but crash BEFORE apply: reconstruct that
+    # instant by re-creating the staged state a finished compaction went
+    # through — run compact, then put the folded batch dir back and
+    # verify a SECOND compaction does NOT double-fold it (the manifest
+    # of doneness is the plan's fold list, already applied)
+    assert compact_index(spark, idx, ck) == {"fp": 1}
+    assert spark.read.parquet(tpath).count() == 1005
+    # the folded batch dir is gone WITH the plan application
+    assert not os.path.isdir(tier_dir(idx, "fp", key))
+    # re-running compaction cannot re-fold: no batch dir, no-op
+    assert compact_index(spark, idx, ck) == {"fp": 0}
+    assert spark.read.parquet(tpath).count() == 1005
+
+    # (c) literal mid-apply crash: stage a second fold, persist its plan,
+    # then CRASH (simulated: stop before _apply_index_plan) — repair must
+    # finish the swap and the batch-dir delete in one pass
+    ck2 = _mk_checkpoint(tmp_path, "ck2", [0])
+    key2 = run_batch_key(ck2, 0)
+    _fp_rows(spark, 95000, 95004).write.parquet(tier_dir(idx, "fp", key2))
+    new = spark.read.parquet(tier_dir(idx, "fp", key2))
+    from data_pipeline_spark.streaming.index_util import _stage_partial
+    base = tier_dir(idx, "fp", "base")
+    plan = _stage_partial(spark, base, cdir, new, ["fp"], 8, [key2])
+    with open(os.path.join(cdir, "plan.json"), "w") as f:
+        json.dump(plan, f)
+    # crash here: plan + staging on disk, nothing applied
+    assert os.path.isdir(tier_dir(idx, "fp", key2))
+    repair_index_dir(idx)
+    assert not os.path.isdir(cdir)
+    assert not os.path.isdir(tier_dir(idx, "fp", key2))  # delete finished
+    assert spark.read.parquet(tpath).count() == 1009
+    # and repairing again is a no-op
+    repair_index_dir(idx)
+    assert spark.read.parquet(tpath).count() == 1009
+
+
+def test_mid_apply_crash_resumes(spark, tmp_path):
+    """Crash HALFWAY through the file swaps: apply the plan, then restore
+    one staged file and its pre-swap target to simulate the other rename
+    never having happened — re-apply must finish without disturbing the
+    already-swapped buckets."""
+    idx = str(tmp_path / "idx")
+    write_base(_fp_rows(spark, 0, 1000), idx, "fp", ["fp"], buckets=4)
+    ck = _mk_checkpoint(tmp_path, "ck", [0])
+    key = run_batch_key(ck, 0)
+    _fp_rows(spark, 90000, 90050).write.parquet(tier_dir(idx, "fp", key))
+    tpath = os.path.join(idx, "fp")
+    cdir = os.path.join(tpath, ".compact")
+    base = tier_dir(idx, "fp", "base")
+    new = spark.read.parquet(tier_dir(idx, "fp", key))
+
+    from data_pipeline_spark.streaming.index_util import _stage_partial
+    plan = _stage_partial(spark, base, cdir, new, ["fp"], 4, [key])
+    assert len(plan["swap"]) >= 2  # 50 rows over 4 buckets: several touched
+    with open(os.path.join(cdir, "plan.json"), "w") as f:
+        json.dump(plan, f)
+    # snapshot the staged dir, apply fully, then reconstruct a half-applied
+    # state: one bucket's staged file back in .compact, its target removed
+    staged_copy = str(tmp_path / "staged_copy")
+    shutil.copytree(cdir, staged_copy)
+    _apply_index_plan(tpath)
+    assert spark.read.parquet(tpath).count() == 1050
+    shutil.copytree(staged_copy, cdir)
+    n, pairs = next(iter(plan["swap"].items()))
+    src, tgt = pairs[0]
+    os.remove(os.path.join(base, tgt))
+    # remove the OTHER buckets' staged files — they were already applied
+    for n2 in plan["swap"]:
+        if n2 != n:
+            shutil.rmtree(os.path.join(cdir, "next", f"_b={n2}"))
+    repair_index_dir(idx)
+    assert not os.path.isdir(cdir)
+    assert spark.read.parquet(tpath).count() == 1050
+
+
+def test_unrecoverable_plan_raises(spark, tmp_path):
+    """A plan whose staged file AND target are both gone raises loudly
+    instead of silently dropping a bucket."""
+    idx = str(tmp_path / "idx")
+    write_base(_fp_rows(spark, 0, 100), idx, "fp", ["fp"], buckets=2)
+    tpath = os.path.join(idx, "fp")
+    cdir = os.path.join(tpath, ".compact")
+    os.makedirs(os.path.join(cdir, "next", "_b=0"))
+    with open(os.path.join(cdir, "plan.json"), "w") as f:
+        json.dump({"mode": "buckets",
+                   "swap": {"0": [["gone.parquet", "b0.9.parquet"]]},
+                   "fold": []}, f)
+    with pytest.raises(RuntimeError, match="unrecoverable"):
+        repair_index_dir(idx)
+
+
+def test_legacy_flat_base_migration(spark, tmp_path):
+    """A pre-round-14 flat base compacts via the legacy whole-tier path
+    by default; passing bucket_specs migrates it — fold + base written
+    bucketed with a fresh meta, and the NEXT compaction is partial."""
+    idx = str(tmp_path / "idx")
+    # legacy flat base: plain parquet dir, no meta
+    _fp_rows(spark, 0, 800).write.parquet(tier_dir(idx, "fp", "base"))
+    assert read_tier_meta(idx, "fp") is None
+    ck = _mk_checkpoint(tmp_path, "ck", [0, 1])
+    for i in range(2):
+        key = run_batch_key(ck, i)
+        _fp_rows(spark, 90000 + 10 * i, 90005 + 10 * i).write.parquet(
+            tier_dir(idx, "fp", key)
+        )
+    # legacy fold keeps the flat layout
+    assert compact_index(spark, idx, ck) == {"fp": 2}
+    assert read_tier_meta(idx, "fp") is None
+    assert spark.read.parquet(os.path.join(idx, "fp")).count() == 810
+
+    # migration: the next fold rewrites the tier bucketed
+    (ck3 := _mk_checkpoint(tmp_path, "ck3", [0]))
+    key3 = run_batch_key(ck3, 0)
+    _fp_rows(spark, 95000, 95002).write.parquet(tier_dir(idx, "fp", key3))
+    assert compact_index(
+        spark, idx, ck3, bucket_specs={"fp": (["fp"], 8)}
+    ) == {"fp": 1}
+    assert read_tier_meta(idx, "fp") == {"buckets": 8, "key": ["fp"]}
+    assert len(_bucket_files(idx, "fp")) >= 1
+    assert spark.read.parquet(os.path.join(idx, "fp")).count() == 812
+    # and the round after that is partial
+    ck4 = _mk_checkpoint(tmp_path, "ck4", [0])
+    key4 = run_batch_key(ck4, 0)
+    _fp_rows(spark, 97000, 97001).write.parquet(tier_dir(idx, "fp", key4))
+    base = tier_dir(idx, "fp", "base")
+    before = {f: os.path.getmtime(os.path.join(base, f))
+              for f in _bucket_files(idx, "fp")}
+    assert compact_index(spark, idx, ck4) == {"fp": 1}
+    after = {f: os.path.getmtime(os.path.join(base, f))
+             for f in _bucket_files(idx, "fp")}
+    changed = {f for f in after if before.get(f) != after[f]}
+    assert len(changed) <= 1
+    assert spark.read.parquet(os.path.join(idx, "fp")).count() == 813
+
+
+def test_dedup_stream_probe_unchanged_across_bucketed_compaction(
+    spark, tmp_path
+):
+    """End-to-end through the REAL dedup stream: index_corpus writes the
+    bucketed base, two streamed crawls fold, compaction rewrites only
+    touched buckets, and a probe returns the same matches before and
+    after — the probe contract the bucketing must not move."""
+    import json as _json
+
+    from data_pipeline_spark.streaming.dedup_stream import (
+        index_corpus,
+        match_batch,
+        stream_dedup,
+    )
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog again and again today "
+        "while the patient grey owl watches from a very tall oak tree and "
+        "counts every single jump with great care and quiet amusement"
+    )
+    corpus = spark.createDataFrame(
+        [(0, base_text), (1, base_text.replace("dog", "cat"))]
+        + [(99, "entirely different words about engines and pipelines")],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "lsh")
+    index_corpus(corpus, idx, buckets=8)
+    assert read_tier_meta(idx, "bands") == {"buckets": 8, "key": ["id"]}
+    assert read_tier_meta(idx, "shingles") == {"buckets": 8, "key": ["id"]}
+
+    ck = str(tmp_path / "ck")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i, txt in enumerate(
+        [base_text.replace("today", "tomorrow"), base_text.replace("owl", "hawk")]
+    ):
+        with open(feed / f"b{i}.jsonl", "w") as f:
+            f.write(_json.dumps({"doc_id": 10 + i, "text": txt}) + "\n")
+        q = stream_dedup(spark, str(feed), idx, str(tmp_path / "m"), checkpoint=ck)
+        q.awaitTermination(120)
+
+    probe = spark.createDataFrame(
+        [(77, base_text.replace("owl", "hawk"))], "doc_id bigint, text string"
+    )
+    before = sorted(map(tuple, match_batch(spark, probe, idx, append=False).collect()))
+    # matches span BOTH index populations: corpus doc 0 (base buckets)
+    # and streamed doc 11 (its crawl is identical to the probe)
+    assert {c for _, c, _ in before} >= {0, 11}
+    folded = compact_index(spark, idx, ck)
+    assert folded == {"bands": 2, "shingles": 2}
+    for tier in ("bands", "shingles"):
+        assert sorted(os.listdir(os.path.join(idx, tier))) == ["batch=base"]
+    after = sorted(map(tuple, match_batch(spark, probe, idx, append=False).collect()))
+    assert after == before
