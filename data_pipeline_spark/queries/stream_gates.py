@@ -402,3 +402,146 @@ def r13_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("micro_batch_id").cast("bigint").alias("micro_batch_id"),
     )
     return _materialized(spark, out, work)
+
+
+# ---------------------------------------------------------------------------
+# r14_index_compact_probe
+# ---------------------------------------------------------------------------
+_COMPACT_PLANTED_SQL = """
+    planted AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 4 = 1 AND d.doc_id % 12 = 1
+                        THEN COALESCE(p1.text, d.text)
+                    WHEN d.doc_id % 4 = 2 AND d.doc_id % 12 = 2
+                        THEN COALESCE(p2.text, d.text)
+                    WHEN d.doc_id % 4 = 2 AND d.doc_id % 12 = 6
+                        THEN COALESCE(p1.text, d.text)
+                    WHEN d.doc_id % 12 = 3
+                        THEN COALESCE(p3.text, d.text)
+                    WHEN d.doc_id % 12 = 7
+                        THEN COALESCE(p2.text, d.text)
+                    WHEN d.doc_id % 12 = 11
+                        THEN COALESCE(p1.text, d.text)
+                    ELSE d.text END AS text
+        FROM documents d
+        LEFT JOIN documents p1 ON p1.doc_id = d.doc_id - 1
+        LEFT JOIN documents p2 ON p2.doc_id = d.doc_id - 2
+        LEFT JOIN documents p3 ON p3.doc_id = d.doc_id - 3
+    )"""
+
+
+@query(
+    "r14_index_compact_probe",
+    oracle=f"""
+    WITH {_COMPACT_PLANTED_SQL},
+    {_shingles_sql("planted")},
+    {_sig_sql()},
+    {_bands_sql()},
+    cands AS (
+        SELECT DISTINCT n.id AS new_id, i.id AS corpus_id
+        FROM bands n JOIN bands i
+          ON n.band = i.band AND n.bh = i.bh
+        WHERE n.id != i.id
+          AND n.id % 4 = 3 AND i.id % 4 IN (0, 1, 2)
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM shingles GROUP BY id),
+    inter AS (
+        SELECT c.new_id, c.corpus_id, COUNT(*) AS n_both
+        FROM cands c
+        JOIN shingles sa ON c.new_id = sa.id
+        JOIN shingles sb ON c.corpus_id = sb.id AND sa.shingle = sb.shingle
+        GROUP BY c.new_id, c.corpus_id
+    )
+    SELECT new_id, corpus_id,
+           ROUND(CAST(n_both AS DOUBLE) / (na.n + nb.n - n_both), 6) AS jaccard
+    FROM inter JOIN sizes na ON new_id = na.id
+               JOIN sizes nb ON corpus_id = nb.id
+    WHERE ROUND(CAST(n_both AS DOUBLE) / (na.n + nb.n - n_both), 6) >= {JACCARD_T}
+    """,
+    survey="streaming-dedup,R5",
+)
+def r14_index_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial index compaction, driver-proven end-to-end (round 14 —
+    VERDICT r13 #1): a BUCKETED LSH index (index_corpus writes base as
+    one file per id-hash bucket), two streamed crawls folding under
+    their batch keys, then compact_index — which rewrites ONLY the
+    buckets the folding rows hash to and deletes the folded batch dirs
+    inside the plan application — then a THIRD crawl probed against the
+    all-in-base index with match_batch.
+
+    Plants route a probe match through EVERY index population the
+    compaction folded: probe docs (doc_id % 4 == 3) copy a prev doc
+    (% 12 == 3 copies doc_id-3), a crawl-0 doc (% 12 == 7 copies
+    doc_id-2), and a crawl-1 doc (% 12 == 11 copies doc_id-1) — if
+    compaction lost a bucket, double-folded a batch (inflating the
+    Jaccard denominator), or mis-hashed a bucket file, the probe's
+    matches diverge from the oracle's analytic recomputation over the
+    same planted corpus.  The gate hard-fails if compaction did not
+    fold exactly the two committed batches per tier.
+
+    Reference parity: the reference updates its reconcile indexes in
+    place per crawl (/root/reference pipeline/process/base/
+    index_loader.py); the bucketed fold is the lakehouse restatement."""
+    import os
+    import tempfile
+
+    from ..streaming.dedup_stream import index_corpus, match_batch, stream_dedup
+    from ..streaming.index_util import compact_index, read_tier_meta, tier_dir
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    p1 = docs.select((k + 1).alias("doc_id"), F.col("text").alias("t1"))
+    p2 = docs.select((k + 2).alias("doc_id"), F.col("text").alias("t2"))
+    p3 = docs.select((k + 3).alias("doc_id"), F.col("text").alias("t3"))
+    planted = (
+        docs.join(p1, "doc_id", "left")
+        .join(p2, "doc_id", "left")
+        .join(p3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when((k % 4 == 1) & (k % 12 == 1), F.coalesce("t1", "text"))
+            .when((k % 4 == 2) & (k % 12 == 2), F.coalesce("t2", "text"))
+            .when((k % 4 == 2) & (k % 12 == 6), F.coalesce("t1", "text"))
+            .when(k % 12 == 3, F.coalesce("t3", "text"))
+            .when(k % 12 == 7, F.coalesce("t2", "text"))
+            .when(k % 12 == 11, F.coalesce("t1", "text"))
+            .otherwise(F.col("text")).alias("text"),
+        )
+    )
+
+    work = tempfile.mkdtemp(prefix="r14_compact_gate_")
+    feed_dir = _write_crawls(spark, work, [
+        planted.filter(k % 4 == 1),
+        planted.filter(k % 4 == 2),
+    ])
+    index_dir = os.path.join(work, "lsh_index")
+    index_corpus(planted.filter(k % 4 == 0), index_dir, buckets=32)
+    ckpt = os.path.join(work, "ckpt")
+    q = stream_dedup(spark, feed_dir, index_dir, os.path.join(work, "m"),
+                     checkpoint=ckpt, max_files_per_trigger=1)
+    q.awaitTermination(600)
+
+    folded = compact_index(spark, index_dir, ckpt)
+    if folded != {"bands": 2, "shingles": 2}:
+        raise RuntimeError(
+            f"r14_index_compact_probe: expected to fold 2 batches per "
+            f"tier, got {folded}"
+        )
+    for tier in ("bands", "shingles"):
+        if read_tier_meta(index_dir, tier) is None:
+            raise RuntimeError(
+                f"r14_index_compact_probe: {tier} base lost its bucket "
+                "meta across compaction"
+            )
+        left = sorted(os.listdir(os.path.join(index_dir, tier)))
+        if left != ["batch=base"]:
+            raise RuntimeError(
+                f"r14_index_compact_probe: {tier} still holds {left} "
+                "after compaction — folded batch dirs must be deleted "
+                "inside the plan application"
+            )
+
+    out = match_batch(
+        spark, planted.filter(k % 4 == 3), index_dir, append=False
+    ).select("new_id", "corpus_id", "jaccard")
+    return _materialized(spark, out, work)
