@@ -389,7 +389,9 @@ def cmd_stream_refresh(args) -> int:
                      buckets=args.index_buckets)
         print(f"[cli] indexed base corpus at {args.index}")
     q = stream_refresh(
-        spark, args.feed, args.index, args.verdicts, checkpoint=args.checkpoint
+        spark, args.feed, args.index, args.verdicts,
+        checkpoint=args.checkpoint,
+        compact_every=args.compact_every or None,
     )
     drained = _await_drained(q, args.timeout)
     if args.compact:
@@ -618,8 +620,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     sb = sub.add_parser(
         "state-rebucket",
-        help="rewrite the state base under a new bucket count (run after "
-        "compaction; keeps ~128 MB/bucket as the corpus grows)",
+        help="rewrite the state base under a new bucket count. Trigger: "
+        "state-stats bucket_bytes_max outgrowing the sizing target "
+        "(~128 MB/bucket at production scale); doubling the count halves "
+        "it (measured at 100x: 37 s over 3M records, SCALE.md round 14). "
+        "Run after compaction; atomic per tier; a mid-run crash degrades "
+        "lookups to the full fold until the next compaction completes "
+        "the rebucket",
     )
     sb.add_argument("--state", required=True, metavar="DIR")
     sb.add_argument("--checkpoint", required=True, metavar="DIR")
@@ -643,6 +650,12 @@ def build_parser() -> argparse.ArgumentParser:
         "at production scale; default auto-sizes from the row count)",
     )
     sr.add_argument("--compact", action="store_true")
+    sr.add_argument(
+        "--compact-every", type=int, metavar="N", default=0,
+        help="fold committed index batches into base every N "
+        "micro-batches (bounds partition-dir growth on long streams; "
+        "0 = only at --compact after draining)",
+    )
     sr.add_argument("--timeout", type=int, default=600)
     _add_common(sr)
     sr.set_defaults(fn=cmd_stream_refresh)

@@ -10,8 +10,15 @@ see it. All heavy work is the existing batch builders inside
 ``foreachBatch`` — the streaming layer only sequences micro-batches, so
 batch and streaming dedup CANNOT diverge.
 
-At scale the index tables are bucketed by (band, bh) and (id): each probe
-is a co-located join, and the fold is an ordinary partitioned write.
+At scale (round 14) the index base IS hash-bucketed — on the document
+id, one parquet file per bucket inside ``batch=base`` (see
+index_util.write_base).  The id is the COMPACTION key, chosen so one
+document's ~dozens of band/shingle rows share a bucket and a small
+crawl's fold rewrites exactly its documents' buckets (measured at 30x:
+a 20-doc fold touches 20/1024 files, ~2% of tier bytes, vs the whole
+tier under the legacy flat layout).  Probe joins scan base either way
+(band keys spread every doc across band space), so the bucket key
+optimizes the write path — the one that was O(corpus).
 
 At-least-once idempotency: Structured Streaming may RETRY a micro-batch
 after a partial failure, so nothing here may blindly append — every
@@ -54,11 +61,31 @@ def index_corpus(docs: DataFrame, index_dir: str,
     compaction then rewrites only the buckets a crawl's documents hash
     to — id-keyed, so one document's ~hundreds of shingle rows land in
     ONE bucket and a 20-doc crawl touches <= 20 buckets per tier, not
-    one per shingle."""
+    one per shingle.
+
+    The shingle tier is written FIRST and the band tier derives from the
+    WRITTEN parquet, not the live lineage: the 8-gram explode over the
+    corpus text is the expensive stage, and deriving bands from the
+    in-memory lineage re-executes it end-to-end (measured at 30x: the
+    double text scan dominated init).  Reading the just-written tier
+    back is the disk-backed reuse — one text scan total, and the bands
+    computation starts from columnar shingles."""
+    import os
+
     sh = shingles_df(docs)
-    write_base(_bands(minhash_signatures(sh)), index_dir, "bands", ["id"],
-               buckets=buckets)
     write_base(sh, index_dir, "shingles", ["id"], buckets=buckets)
+    sh_read = (
+        docs.sparkSession.read.parquet(os.path.join(index_dir, "shingles"))
+        .select("id", "shingle")
+    )
+    if buckets is None:
+        # match the shingle tier's auto-sized bucket count (cheap count
+        # over the written parquet, not the text lineage)
+        from .index_util import read_tier_meta
+
+        buckets = read_tier_meta(index_dir, "shingles")["buckets"]
+    write_base(_bands(minhash_signatures(sh_read)), index_dir, "bands",
+               ["id"], buckets=buckets)
 
 
 def match_batch(
@@ -139,6 +166,7 @@ def stream_dedup(
     matches_dir: str,
     checkpoint: str,
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
 ):
     """Structured-Streaming wrapper: each micro-batch of documents
     (doc_id bigint, text string) is matched and folded into the index;
@@ -146,11 +174,25 @@ def stream_dedup(
     with overwrite.  Keys are checkpoint-scoped (index_util.run_batch_key)
     so a retry overwrites its own directory while a fresh-checkpoint
     restart cannot collide with — and silently destroy — a previous
-    run's batch-0 fold."""
+    run's batch-0 fold.
+
+    ``compact_every``: fold committed batch partitions into base every N
+    micro-batches (round 14 — the entity stream's inline hook applied to
+    the index streams, which otherwise grow one partition dir per
+    micro-batch forever; at production cadence that is the small-files
+    problem compact_index exists for).  Runs BEFORE the sink takes its
+    shared lock — compact_index takes the exclusive lock, and flock
+    does not upgrade — and folds only batches committed BEFORE this
+    one, so a retry of this batch probes exactly the state the first
+    attempt saw."""
     # finish or roll back a compaction the previous process died in
     repair_index_dir(index_dir)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            from .index_util import compact_index
+
+            compact_index(spark, index_dir, checkpoint)
         key = run_batch_key(checkpoint, batch_id)
         # SHARED maintenance lock per micro-batch: an out-of-band
         # compact_index (exclusive) serializes against live probes/folds

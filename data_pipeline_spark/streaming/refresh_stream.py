@@ -113,6 +113,7 @@ def stream_refresh(
     index_dir: str,
     verdicts_dir: str,
     checkpoint: str,
+    compact_every: int | None = None,
 ):
     """Structured-Streaming wrapper: each micro-batch of documents
     (doc_id bigint, text string) is judged and its admitted fingerprints
@@ -120,11 +121,19 @@ def stream_refresh(
     ``verdicts_dir`` with overwrite.  Keys are checkpoint-scoped
     (index_util.run_batch_key) so a retry overwrites its own directory
     while a fresh-checkpoint restart cannot collide with a previous
-    run's folds."""
+    run's folds.
+
+    ``compact_every``: fold committed batch partitions into base every N
+    micro-batches (see stream_dedup — same hook, same lock ordering:
+    compaction runs before the sink's shared lock)."""
     # finish or roll back a compaction the previous process died in
     repair_index_dir(index_dir)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            from .index_util import compact_index
+
+            compact_index(spark, index_dir, checkpoint)
         key = run_batch_key(checkpoint, batch_id)
         # shared lock per micro-batch: serializes against an out-of-band
         # compact_index at batch boundaries (index_util/locks)

@@ -25,10 +25,12 @@ run's partitions instead of over them.  Readers use plain
 ``spark.read.parquet(dir)``: the key directories are ordinary partition
 columns.
 
-At scale the index tables are partitioned by (t, sig) and (id): each
-probe is a partition-pruned read, and the fold is an ordinary
-partitioned write.  All heavy work is the existing batch builders inside
-``foreachBatch`` — the streaming layer only sequences micro-batches.
+At scale (round 14) the index base is hash-bucketed on the vector id —
+one parquet file per bucket inside ``batch=base`` (index_util.write_base)
+— so compact_index rewrites only the buckets a crawl's vectors hash to
+instead of the whole tier.  All heavy work is the existing batch
+builders inside ``foreachBatch`` — the streaming layer only sequences
+micro-batches.
 """
 
 from __future__ import annotations
@@ -159,6 +161,7 @@ def stream_similarity(
     index_dir: str,
     matches_dir: str,
     checkpoint: str,
+    compact_every: int | None = None,
 ):
     """Structured-Streaming wrapper: each micro-batch of vectors
     (vec_id bigint, embedding array<double>) is matched against — and
@@ -167,11 +170,19 @@ def stream_similarity(
     checkpoint-scoped (index_util.run_batch_key): a retry overwrites its
     own directory, a fresh-checkpoint restart cannot collide with a
     previous run's batch-0 fold.  Read the whole directory as ordinary
-    partitioned parquet."""
+    partitioned parquet.
+
+    ``compact_every``: fold committed batch partitions into base every N
+    micro-batches (see stream_dedup — same hook, same lock ordering:
+    compaction runs before the sink's shared lock)."""
     # finish or roll back a compaction the previous process died in
     repair_index_dir(index_dir)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            from .index_util import compact_index
+
+            compact_index(spark, index_dir, checkpoint)
         emb = batch.select(
             F.col("vec_id").alias("id"),
             F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),

@@ -145,17 +145,27 @@ def stream_profile(
     feed_path: str,
     profile_dir: str,
     checkpoint: str,
+    compact_every: int | None = None,
 ):
     """Structured-Streaming wrapper: each micro-batch of documents
     (doc_id bigint, source string, text string) folds its partial HLL
     registers, CMS cells AND histogram bins under a checkpoint-scoped
     batch key (one pass over the batch feeds all three sketch tiers).
     Trigger availableNow — the drain-the-feed mode the other streaming
-    twins use."""
+    twins use.
+
+    ``compact_every``: fold committed batch partitions into base every N
+    micro-batches (see stream_dedup — same hook, same lock ordering;
+    here the fold is sketch-sized by construction, so the hook purely
+    bounds partition-dir count)."""
     # finish or roll back a compaction the previous process died in
     repair_index_dir(profile_dir)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            from .index_util import compact_index
+
+            compact_index(spark, profile_dir, checkpoint)
         key = run_batch_key(checkpoint, batch_id)
         # shared lock per micro-batch: serializes against an out-of-band
         # compact_index at batch boundaries (index_util/locks)

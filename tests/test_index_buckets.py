@@ -318,3 +318,63 @@ def test_dedup_stream_probe_unchanged_across_bucketed_compaction(
         assert sorted(os.listdir(os.path.join(idx, tier))) == ["batch=base"]
     after = sorted(map(tuple, match_batch(spark, probe, idx, append=False).collect()))
     assert after == before
+
+
+def test_stream_dedup_inline_compaction(spark, tmp_path):
+    """stream_dedup's compact_every hook (round 14): with
+    compact_every=2 over three one-file micro-batches, batch 2's sink
+    folds batches 0 and 1 into base BEFORE probing — the final index
+    holds base + only batch 2's fold, and every probe along the way saw
+    the full membership (the planted crawl-2-copies-crawl-0 match
+    proves the folded rows stayed probe-visible)."""
+    import json as _json
+
+    from data_pipeline_spark.streaming.dedup_stream import (
+        index_corpus,
+        stream_dedup,
+    )
+    from data_pipeline_spark.streaming.index_util import run_batch_key
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog again and again today "
+        "while the patient grey owl watches from a very tall oak tree and "
+        "counts every single jump with great care and quiet amusement"
+    )
+    corpus = spark.createDataFrame(
+        [(0, base_text),
+         (99, "entirely different words about engines and pipelines")],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "lsh")
+    index_corpus(corpus, idx, buckets=8)
+    ck = str(tmp_path / "ck")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    texts = [
+        base_text.replace("today", "tomorrow"),   # batch 0
+        base_text.replace("owl", "hawk"),         # batch 1
+        base_text.replace("today", "tomorrow"),   # batch 2: copy of b0's doc
+    ]
+    for i, txt in enumerate(texts):
+        p = feed / f"b{i}.jsonl"
+        with open(p, "w") as f:
+            f.write(_json.dumps({"doc_id": 10 + i, "text": txt}) + "\n")
+        os.utime(p, (1000 + i, 1000 + i))
+    q = stream_dedup(spark, str(feed), idx, str(tmp_path / "m"),
+                     checkpoint=ck, max_files_per_trigger=1,
+                     compact_every=2)
+    q.awaitTermination(180)
+
+    # batches 0 and 1 folded into base at batch 2; batch 2's own fold
+    # survives under its key
+    for tier in ("bands", "shingles"):
+        dirs = sorted(os.listdir(os.path.join(idx, tier)))
+        batch_dirs = [d for d in dirs if d.startswith("batch=")]
+        assert batch_dirs == sorted(
+            ["batch=base", f"batch={run_batch_key(ck, 2)}"]
+        ), batch_dirs
+    # batch 2 (doc 12) matched doc 10 — whose fold was compacted into
+    # base in the same sink invocation that probed
+    matches = spark.read.parquet(str(tmp_path / "m"))
+    pairs = {(r.new_id, r.corpus_id) for r in matches.collect()}
+    assert (12, 10) in pairs
