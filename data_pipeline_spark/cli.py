@@ -367,6 +367,28 @@ def cmd_state_stats(args) -> int:
     return 0
 
 
+def cmd_state_repair(args) -> int:
+    """Finish pending compaction plans / sweep dead staging in an entity
+    state dir or a shared index dir — the operator's recovery entry
+    after a crashed maintenance process, without starting a stream (no
+    Spark session: plan application is pure file renames).  Takes the
+    exclusive maintenance lock, so it is safe to run against a live
+    stream (it waits for the batch boundary)."""
+    if args.state:
+        from .streaming.entity_stream import repair_state_dir
+
+        repair_state_dir(args.state)
+        print(f"[cli] repaired entity state at {args.state}")
+    if args.index:
+        from .streaming.index_util import repair_index_dir
+
+        repair_index_dir(args.index)
+        print(f"[cli] repaired index at {args.index}")
+    if not (args.state or args.index):
+        raise SystemExit("state-repair: pass --state and/or --index")
+    return 0
+
+
 def cmd_state_rebucket(args) -> int:
     """Rewrite the state base under a new bucket count (the ~128 MB
     rule's maintenance op; state-stats' bucket_bytes_max is the
@@ -617,6 +639,16 @@ def build_parser() -> argparse.ArgumentParser:
     ss.add_argument("--state", required=True, metavar="DIR")
     ss.add_argument("--checkpoint", required=True, metavar="DIR")
     ss.set_defaults(fn=cmd_state_stats)
+
+    sp = sub.add_parser(
+        "state-repair",
+        help="finish pending compaction plans / sweep dead staging "
+        "(entity state and/or shared index dirs; no Spark session; "
+        "takes the maintenance lock, so safe against a live stream)",
+    )
+    sp.add_argument("--state", metavar="DIR")
+    sp.add_argument("--index", metavar="DIR")
+    sp.set_defaults(fn=cmd_state_repair)
 
     sb = sub.add_parser(
         "state-rebucket",

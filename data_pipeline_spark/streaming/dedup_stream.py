@@ -43,6 +43,7 @@ from ..queries.dedup import (
     shingles_df,
 )
 from .index_util import (
+    read_tier_meta,
     repair_index_dir,
     require_batch_layout,
     run_batch_key,
@@ -69,20 +70,21 @@ def index_corpus(docs: DataFrame, index_dir: str,
     in-memory lineage re-executes it end-to-end (measured at 30x: the
     double text scan dominated init).  Reading the just-written tier
     back is the disk-backed reuse — one text scan total, and the bands
-    computation starts from columnar shingles."""
-    import os
-
+    computation starts from columnar shingles.  The read-back targets
+    ``batch=base`` SPECIFICALLY, never the whole tier directory: a
+    rebuild over a previously-streamed index dir still holds stale
+    ``batch=<key>`` partitions, and signatures minhashed over the
+    merged shingle set would silently diverge from the base tier
+    (wrong bands -> missed true candidates the Jaccard verify never
+    sees)."""
     sh = shingles_df(docs)
     write_base(sh, index_dir, "shingles", ["id"], buckets=buckets)
-    sh_read = (
-        docs.sparkSession.read.parquet(os.path.join(index_dir, "shingles"))
-        .select("id", "shingle")
-    )
+    sh_read = docs.sparkSession.read.parquet(
+        _tier_dir(index_dir, "shingles", "base")
+    ).select("id", "shingle")
     if buckets is None:
-        # match the shingle tier's auto-sized bucket count (cheap count
-        # over the written parquet, not the text lineage)
-        from .index_util import read_tier_meta
-
+        # match the shingle tier's auto-sized bucket count (recorded in
+        # its meta — no count over the text lineage)
         buckets = read_tier_meta(index_dir, "shingles")["buckets"]
     write_base(_bands(minhash_signatures(sh_read)), index_dir, "bands",
                ["id"], buckets=buckets)

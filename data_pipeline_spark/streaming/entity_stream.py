@@ -343,6 +343,12 @@ def init_state(
                     materialize=True)
     if buckets is None:
         buckets = _auto_buckets(records.count())
+    for tier in _TIERS:
+        # a REBUILD must clear a crashed compaction's staging+plan: a
+        # stale plan under .compact would otherwise be applied onto the
+        # fresh base at the next locked repair (old-corpus buckets
+        # swapped into a new-corpus base)
+        shutil.rmtree(_compact_dir(state_dir, tier), ignore_errors=True)
     _write_base(records, "records", buckets, _base_dir(state_dir, "records"))
     _write_base(out["idmap"], "idmap", buckets, _base_dir(state_dir, "idmap"))
     _write_base(out["merged"], "merged", buckets, _base_dir(state_dir, "merged"))
@@ -690,15 +696,17 @@ def lookup_state(
     readers don't repair; see _repair_tier)."""
     if not keys:
         raise ValueError("lookup_state: keys must be non-empty")
-    # finish any crashed compaction BEFORE taking the shared lock (the
-    # try-lock inside read_base_tier cannot acquire exclusively while
-    # this process holds the shared lock); if the try fails, a live
-    # maintenance op holds the lock and our shared acquire below waits
-    # it out, observing the finished state
-    with try_maintenance_lock(state_dir) as got:
-        if got:
-            for t in _TIERS:
-                _repair_tier(state_dir, t)
+    # finish any crashed compaction BEFORE taking the shared lock — a
+    # BLOCKING exclusive acquire is safe here (this process holds no
+    # lock yet): it waits out a live maintenance op, and if that op DIED
+    # mid-apply while we waited (flock releases on process death), we
+    # acquire and finish its plan — so the shared-locked read below can
+    # never see a half-applied bucket hole.  (read_base_tier's own
+    # try-lock cannot do this later: it would self-deadlock against the
+    # shared lock this process holds by then.)
+    with maintenance_lock(state_dir):
+        for t in _TIERS:
+            _repair_tier(state_dir, t)
     with maintenance_lock(state_dir, shared=True):
         meta = read_state_meta(state_dir)
         ids = _committed_delta_ids(state_dir, checkpoint)
@@ -974,13 +982,21 @@ def stream_entity_builds(
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            # BEFORE the shared lock below: compaction takes the
+            # exclusive lock and flock does not upgrade (no-deadlock
+            # ordering, same as the index-stream sinks)
             compact_entity_state(spark, state_dir, checkpoint)
-        entity_build_batch(
-            spark, batch, state_dir, indexes,
-            checkpoint=checkpoint, batch_id=batch_id,
-            merge_order=merge_order,
-            last_harvest=last_harvest,
-        )
+        # shared lock per micro-batch: an out-of-band maintenance op
+        # (compact/rebucket/state-repair on OUR state dir) serializes at
+        # batch boundaries instead of swapping buckets or deleting
+        # committed delta dirs under the build's in-flight reads
+        with maintenance_lock(state_dir, shared=True):
+            entity_build_batch(
+                spark, batch, state_dir, indexes,
+                checkpoint=checkpoint, batch_id=batch_id,
+                merge_order=merge_order,
+                last_harvest=last_harvest,
+            )
 
     feed = (
         spark.readStream.schema(CHANGES_SCHEMA)

@@ -193,10 +193,22 @@ def write_base(
     partial compaction's bucket writer.  Overwrite semantics match the
     old ``mode('overwrite')`` init: index_corpus is the rebuild path,
     not the crash-safe path (there is nothing to lose but the init
-    itself)."""
+    itself).
+
+    Auto-sizing (``buckets=None``) materializes the input with a
+    localCheckpoint before counting — without it the full lineage (for
+    dedup: the corpus text scan + 8-gram explode) executes once for the
+    count and again for the write.  At production scale pass ``buckets``
+    explicitly (tier_bytes / ~128 MB) and skip the materialization."""
     if buckets is None:
+        df = df.localCheckpoint()
         buckets = auto_buckets(df.count())
     tpath = os.path.join(index_dir, tier)
+    # a REBUILD must also clear a crashed compaction's staging+plan:
+    # a stale plan left under .compact would otherwise be applied onto
+    # the FRESH base at the next stream-start repair — old-corpus bucket
+    # files replaced into a new-corpus base (silent corruption)
+    shutil.rmtree(os.path.join(tpath, ".compact"), ignore_errors=True)
     stage = os.path.join(tpath, ".init")
     shutil.rmtree(stage, ignore_errors=True)
     _stage_bucketed(df, key_cols, buckets, stage)
@@ -401,8 +413,24 @@ def _apply_index_plan(tpath: str) -> None:
     nxt = os.path.join(cdir, "next")
     base = os.path.join(tpath, "batch=base")
     # pre-round-14 plan format ({"swap": "base"}): a crashed old-process
-    # plan applied by new code — whole-base swap, no fold list
-    mode = plan.get("mode") or ("replace_all" if plan.get("swap") == "base" else None)
+    # plan applied by new code — whole-base swap, no fold list.  The old
+    # code deleted folded batch dirs OUTSIDE the plan, so replaying its
+    # plan cannot know which dirs it folded: warn that they may survive
+    # (and would double-fold at the next compaction — verify row counts
+    # or rebuild the index if this upgrade-edge crash actually happened).
+    legacy = "mode" not in plan and plan.get("swap") == "base"
+    if legacy:
+        import warnings
+
+        warnings.warn(
+            f"applying a pre-upgrade index compaction plan at {cdir!r}: "
+            "its folded batch directories are not recorded in the plan "
+            "and may survive — verify tier row counts (a later "
+            "compaction would union them into base again) or rebuild "
+            "the index with index_corpus",
+            stacklevel=2,
+        )
+    mode = plan.get("mode") or ("replace_all" if legacy else None)
     if mode == "replace_all":
         if os.path.isdir(nxt):
             if os.path.isdir(base):

@@ -55,8 +55,10 @@ def index_corpus(docs: DataFrame, index_dir: str,
     Both tiers scale with the admitted corpus (one row per distinct
     fingerprint), so their base is written HASH-BUCKETED on the
     fingerprint itself (index_util.write_base): partial compaction then
-    rewrites only the buckets a crawl's admitted fingerprints hash to."""
-    feats = refresh_features(docs)
+    rewrites only the buckets a crawl's admitted fingerprints hash to.
+    Features are materialized once — the fp and sim tiers would
+    otherwise each re-execute the corpus text scan."""
+    feats = refresh_features(docs).localCheckpoint()
     write_base(feats.select("fp").distinct(), index_dir, "fp", ["fp"],
                buckets=buckets)
     write_base(feats.select("simhash").distinct(), index_dir, "sim",

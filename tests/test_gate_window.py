@@ -60,10 +60,11 @@ def test_age_slots_reserved_under_declaration_flood():
     """Even when never-checked declarations alone could fill the window,
     AGE_SLOTS of the stalest greens still make it in — the age term
     VERDICT r6 #4 asked for (drift risk compounds with row age)."""
-    names = list(GATE_PIN) + [f"g{i:03d}" for i in range(20)] + [
+    n_greens = AGE_SLOTS + 8  # more greens than the reservation holds
+    names = list(GATE_PIN) + [f"g{i:03d}" for i in range(n_greens)] + [
         f"n{i:03d}" for i in range(60)
     ]
-    hist = {f"g{i:03d}": 1 + (i % 3) for i in range(20)}  # greens, rounds 1-3
+    hist = {f"g{i:03d}": 1 + (i % 3) for i in range(n_greens)}  # rounds 1-3
     window = compute_gate_window(names, hist)
     assert len(window) == GATE_WINDOW_SIZE
     greens_in = [n for n in window if n in hist]

@@ -378,3 +378,69 @@ def test_stream_dedup_inline_compaction(spark, tmp_path):
     matches = spark.read.parquet(str(tmp_path / "m"))
     pairs = {(r.new_id, r.corpus_id) for r in matches.collect()}
     assert (12, 10) in pairs
+
+
+def test_rebuild_clears_stale_compaction_state(spark, tmp_path):
+    """index_corpus REBUILD over a dir holding a crashed compaction's
+    staging+plan and stale batch partitions must not let either leak
+    into the fresh index: the stale plan would otherwise be applied
+    onto the new base at the next stream-start repair (old-corpus
+    bucket files swapped into a new-corpus base), and the bands tier
+    must derive from the new base ONLY, never the merged tier dir
+    (stale batch shingles would silently skew the minhash signatures)."""
+    from data_pipeline_spark.streaming.dedup_stream import index_corpus
+
+    docs_a = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "one two three four five six seven eight nine ten")],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "lsh")
+    index_corpus(docs_a, idx, buckets=4)
+
+    # stale batch partition from a previous stream + a crashed plan
+    ck = _mk_checkpoint(tmp_path, "ck", [0])
+    key = run_batch_key(ck, 0)
+    for tier in ("bands", "shingles"):
+        src = spark.read.parquet(tier_dir(idx, tier, "base"))
+        src.write.parquet(tier_dir(idx, tier, key))
+        cdir = os.path.join(idx, tier, ".compact")
+        os.makedirs(os.path.join(cdir, "next", "_b=0"), exist_ok=True)
+        with open(os.path.join(cdir, "plan.json"), "w") as f:
+            json.dump({"mode": "buckets",
+                       "swap": {"0": [["gone.parquet", "b0.0.parquet"]]},
+                       "fold": []}, f)
+
+    # REBUILD with a different corpus (doc 1's text changes)
+    docs_b = spark.createDataFrame(
+        [(1, "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+         (3, "red orange yellow green blue indigo violet gray black white")],
+        "doc_id bigint, text string",
+    )
+    index_corpus(docs_b, idx, buckets=4)
+    for tier in ("bands", "shingles"):
+        assert not os.path.isdir(os.path.join(idx, tier, ".compact"))
+    # repair after the rebuild is a no-op (nothing stale to apply)
+    repair_index_dir(idx)
+
+    # the bands base must equal bands over docs_b ALONE — the stale
+    # batch partition (docs_a shingles, still on disk for its possibly
+    # live stream) must not have fed the signatures
+    from data_pipeline_spark.queries.dedup import (
+        bands_df,
+        minhash_signatures,
+        shingles_df,
+    )
+
+    want = sorted(
+        map(tuple, bands_df(minhash_signatures(shingles_df(docs_b)))
+            .select("id", "band", "bh").collect())
+    )
+    got = sorted(
+        map(tuple, spark.read.parquet(tier_dir(idx, "bands", "base"))
+            .select("id", "band", "bh").collect())
+    )
+    assert got == want
+    # the stale batch partition itself is untouched (not this rebuild's
+    # to delete — it may belong to a live stream's retry contract)
+    assert os.path.isdir(tier_dir(idx, "bands", key))
