@@ -313,9 +313,11 @@ _DEDUP_PLANTED_SQL = """
     )"""
 
 
-@query(
-    "r13_dedup_stream",
-    oracle=f"""
+# Shared by r13_dedup_stream and r14_inline_compact_stream: the oracle
+# is execution-path-independent by design — mid-stream compaction must
+# not move a single match row, so BOTH gates hash against this exact
+# analytic recomputation.
+_DEDUP_STREAM_ORACLE = f"""
     WITH {_DEDUP_PLANTED_SQL},
     {_shingles_sql("planted")},
     {_sig_sql()},
@@ -343,7 +345,12 @@ _DEDUP_PLANTED_SQL = """
     FROM inter JOIN sizes na ON new_id = na.id
                JOIN sizes nb ON corpus_id = nb.id
     WHERE ROUND(CAST(n_both AS DOUBLE) / (na.n + nb.n - n_both), 6) >= {JACCARD_T}
-    """,
+    """
+
+
+@query(
+    "r13_dedup_stream",
+    oracle=_DEDUP_STREAM_ORACLE,
     survey="streaming-dedup",
 )
 def r13_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -362,6 +369,17 @@ def r13_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe-time index membership stated per batch — organic near-dup
     pairs count identically on both engines, so nothing is assumed about
     the synthetic corpus."""
+    out, work, _idx, _ck = _dedup_stream_run(spark, sf_dir,
+                                             "r13_dedup_gate_")
+    return _materialized(spark, out, work)
+
+
+def _dedup_stream_run(spark, sf_dir: str, prefix: str,
+                      compact_every: int | None = None):
+    """The shared r13/r14 dedup-stream gate body: planted corpus, two
+    crawl files through REAL checkpoint machinery, matches read back.
+    Returns (matches_df, workdir, index_dir, checkpoint) so callers can
+    assert index-layout invariants before materializing."""
     import os
     import tempfile
 
@@ -384,23 +402,56 @@ def r13_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    work = tempfile.mkdtemp(prefix="r13_dedup_gate_")
+    work = tempfile.mkdtemp(prefix=prefix)
     feed_dir = _write_crawls(spark, work, [
         planted.filter(k % 4 == 1),
         planted.filter(k % 4 == 2),
     ])
     index_dir = os.path.join(work, "lsh_index")
     matches_dir = os.path.join(work, "matches")
+    ckpt = os.path.join(work, "ckpt")
     index_corpus(planted.filter(k % 4 == 0), index_dir)
     q = stream_dedup(spark, feed_dir, index_dir, matches_dir,
-                     checkpoint=os.path.join(work, "ckpt"),
-                     max_files_per_trigger=1)
+                     checkpoint=ckpt, max_files_per_trigger=1,
+                     compact_every=compact_every)
     q.awaitTermination(600)
 
     out = spark.read.parquet(matches_dir).select(
         "new_id", "corpus_id", "jaccard",
         F.col("micro_batch_id").cast("bigint").alias("micro_batch_id"),
     )
+    return out, work, index_dir, ckpt
+
+
+@query(
+    "r14_inline_compact_stream",
+    oracle=_DEDUP_STREAM_ORACLE,
+    survey="streaming-dedup,R5",
+)
+def r14_inline_compact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13_dedup_stream's EXACT run with ``compact_every=1``: batch 1's
+    sink folds batch 0 into the bucketed base BEFORE probing, so crawl
+    1's planted match against a crawl-0 doc now rides through the
+    COMPACTED base instead of the batch partition.  The oracle is
+    r13_dedup_stream's verbatim — mid-stream compaction must not move a
+    single match row — so the driver hash-verifies the inline
+    compaction hook end to end.  The gate additionally hard-fails if
+    batch 0's partition survived compaction in either tier."""
+    import os
+
+    from ..streaming.index_util import run_batch_key
+
+    out, work, index_dir, ckpt = _dedup_stream_run(
+        spark, sf_dir, "r14_inline_gate_", compact_every=1
+    )
+    b0 = f"batch={run_batch_key(ckpt, 0)}"
+    for tier in ("bands", "shingles"):
+        dirs = sorted(os.listdir(os.path.join(index_dir, tier)))
+        if b0 in dirs:
+            raise RuntimeError(
+                f"r14_inline_compact_stream: {tier} still holds batch 0 "
+                f"({dirs}) — the inline compact_every hook did not fold it"
+            )
     return _materialized(spark, out, work)
 
 
