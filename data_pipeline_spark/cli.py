@@ -401,6 +401,32 @@ def cmd_state_rebucket(args) -> int:
     return 0
 
 
+def cmd_index_stats(args) -> int:
+    """Directory-walk index summary (no Spark session): per-tier bucket
+    spread (the index-rebucket trigger) and batch-partition fan-in (the
+    --compact-every feedback)."""
+    import json as _json
+
+    from .streaming.index_util import index_stats
+
+    print(_json.dumps(index_stats(args.index, args.checkpoint), indent=2))
+    return 0
+
+
+def cmd_index_rebucket(args) -> int:
+    """Rewrite bucketed index base tiers under a new bucket count
+    (index-stats' bucket_bytes_max is the trigger; ~128 MB/bucket-file
+    at production scale).  O(tier) like init, staged + plan-applied so
+    a crash leaves the old base or the new one, lock-safe against a
+    live stream (waits for the batch boundary)."""
+    from .streaming.index_util import rebucket_index
+
+    spark = _spark(args)
+    rebucket_index(spark, args.index, args.buckets, tiers=args.tier or None)
+    print(f"[cli] rebucketed index base to {args.buckets} buckets")
+    return 0
+
+
 def cmd_stream_refresh(args) -> int:
     from .streaming.index_util import compact_index
     from .streaming.refresh_stream import index_corpus, stream_refresh
@@ -665,6 +691,31 @@ def build_parser() -> argparse.ArgumentParser:
     sb.add_argument("--buckets", type=int, required=True, metavar="N")
     _add_common(sb)
     sb.set_defaults(fn=cmd_state_rebucket)
+
+    ix = sub.add_parser(
+        "index-stats",
+        help="shared-index summary: bucket spread (the index-rebucket "
+        "trigger) + batch-partition fan-in (no Spark session)",
+    )
+    ix.add_argument("--index", required=True, metavar="DIR")
+    ix.add_argument("--checkpoint", metavar="DIR",
+                    help="also split batch dirs into committed vs retry-owned")
+    ix.set_defaults(fn=cmd_index_stats)
+
+    ib = sub.add_parser(
+        "index-rebucket",
+        help="rewrite bucketed index base tiers under a new bucket "
+        "count. Trigger: index-stats bucket_bytes_max outgrowing "
+        "~128 MB/bucket-file; staged + plan-applied (crash leaves old "
+        "or new base), lock-safe against a live stream",
+    )
+    ib.add_argument("--index", required=True, metavar="DIR")
+    ib.add_argument("--buckets", type=int, required=True, metavar="N")
+    ib.add_argument("--tier", action="append", metavar="TIER",
+                    help="restrict to these tiers (repeatable; default all "
+                    "bucketed tiers)")
+    _add_common(ib)
+    ib.set_defaults(fn=cmd_index_rebucket)
 
     sr = sub.add_parser(
         "stream-refresh",

@@ -473,6 +473,129 @@ def _apply_index_plan(tpath: str) -> None:
     shutil.rmtree(cdir)
 
 
+def rebucket_index(
+    spark: SparkSession,
+    index_dir: str,
+    buckets: int,
+    tiers: list[str] | None = None,
+) -> None:
+    """Rewrite bucketed base tiers under a NEW bucket count — the
+    maintenance op that keeps the ~128 MB-per-bucket-file rule true as
+    the index grows (``index_stats``' bucket_bytes_max is the trigger),
+    the index twin of entity_stream.rebucket_state.
+
+    Simpler than the entity version: index folds are APPENDS whose
+    bucket is recomputed from the tier meta at fold time, so pending
+    ``batch=<key>`` partitions never straddle bucket maps — no
+    compact-first precondition, and the meta swaps atomically WITH the
+    base (it lives inside ``batch=base``).  Deliberately O(tier), like
+    init; each tier stages the rewrite and swaps it in behind a
+    ``replace_all`` plan (a crash at any instant leaves the old base or
+    the new one, finished by repair).  Holds the exclusive maintenance
+    lock.  Flat (meta-less) tiers are skipped — rebuild those with
+    index_corpus or migrate via compact_index(bucket_specs=...)."""
+    if buckets < 1:
+        raise ValueError("rebucket_index: buckets must be >= 1")
+    with maintenance_lock(index_dir):
+        _repair_index_locked(index_dir)
+        todo = tiers if tiers is not None else sorted(os.listdir(index_dir))
+        for tier in todo:
+            tpath = os.path.join(index_dir, tier)
+            if not os.path.isdir(tpath):
+                continue
+            meta = read_tier_meta(index_dir, tier)
+            if meta is None:
+                if tiers is not None:  # explicitly asked: fail loudly
+                    raise ValueError(
+                        f"rebucket_index: tier {tier!r} has no bucketed "
+                        "base — rebuild with index_corpus or migrate via "
+                        "compact_index(bucket_specs=...)"
+                    )
+                continue
+            base = tier_dir(index_dir, tier, "base")
+            df = spark.read.parquet(base)
+            cdir = os.path.join(tpath, ".compact")
+            shutil.rmtree(cdir, ignore_errors=True)
+            stage = os.path.join(cdir, "stage")
+            _stage_bucketed(df, meta["key"], buckets, stage)
+            nxt = os.path.join(cdir, "next")
+            os.makedirs(nxt)
+            _move_bucket_files(stage, nxt)
+            with open(os.path.join(nxt, _META_NAME), "w") as f:
+                json.dump({"buckets": buckets, "key": meta["key"]}, f)
+            shutil.rmtree(stage)
+            plan = {"mode": "replace_all", "fold": []}
+            tmp = os.path.join(cdir, "plan.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(plan, f)
+            os.rename(tmp, os.path.join(cdir, "plan.json"))
+            _apply_index_plan(tpath)
+
+
+def index_stats(index_dir: str, checkpoint: str | None = None) -> dict:
+    """Operator-facing index summary (no Spark jobs — a directory
+    walk): per-tier layout + bucket count, base bytes, bucket-file
+    spread (max/mean — the rebucket_index trigger), and batch-partition
+    fan-in (how many ``batch=<key>`` dirs every probe currently lists —
+    the compact_every feedback); with ``checkpoint``, how many of those
+    are committed (foldable) vs retry-owned."""
+
+    def du(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except FileNotFoundError:
+                    pass
+        return total
+
+    if not os.path.isdir(index_dir):
+        return {"tiers": {}}
+    committed_keys: set[str] | None = None
+    if checkpoint is not None:
+        h = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()
+        committed_keys = {
+            f"{h}-b{i}" for i in committed_batch_ids(checkpoint)
+        }
+    out: dict = {"tiers": {}}
+    for tier in sorted(os.listdir(index_dir)):
+        tpath = os.path.join(index_dir, tier)
+        if not os.path.isdir(tpath):
+            continue
+        meta = read_tier_meta(index_dir, tier)
+        base = tier_dir(index_dir, tier, "base")
+        sizes = [
+            os.path.getsize(os.path.join(base, f))
+            for f in (os.listdir(base) if os.path.isdir(base) else [])
+            if _BUCKET_FILE.fullmatch(f)
+        ]
+        batches = [
+            m.group(1)
+            for d in (os.listdir(tpath))
+            if (m := re.fullmatch(r"batch=(.+)", d)) and m.group(1) != "base"
+        ]
+        row: dict = {
+            "layout": "bucketed" if meta else "flat",
+            "buckets": (meta or {}).get("buckets"),
+            "key": (meta or {}).get("key"),
+            "base_bytes": du(base),
+            "bucket_files": len(sizes),
+            "bucket_bytes_max": max(sizes, default=0),
+            "bucket_bytes_mean": int(sum(sizes) / len(sizes)) if sizes else 0,
+            "batch_dirs": len(batches),
+            "batch_bytes": sum(
+                du(os.path.join(tpath, f"batch={k}")) for k in batches
+            ),
+        }
+        if committed_keys is not None:
+            row["committed_batch_dirs"] = sum(
+                1 for k in batches if k in committed_keys
+            )
+        out["tiers"][tier] = row
+    return out
+
+
 def repair_index_dir(index_dir: str) -> None:
     """Resume (plan present: staging completed) or roll back (no plan:
     base untouched) an interrupted compaction in every tier of a

@@ -444,3 +444,76 @@ def test_rebuild_clears_stale_compaction_state(spark, tmp_path):
     # the stale batch partition itself is untouched (not this rebuild's
     # to delete — it may belong to a live stream's retry contract)
     assert os.path.isdir(tier_dir(idx, "bands", key))
+
+
+def test_rebucket_index_lifecycle(spark, tmp_path):
+    """rebucket_index closes the index bucket-count lifecycle (the
+    entity rebucket_state twin): base rewritten under the new count with
+    the meta swapped atomically WITH it, pending batch partitions left
+    alone (they re-hash at fold time — no straddle), a later partial
+    compaction works at the new count, and a crash after the plan
+    persists is finished by repair."""
+    from data_pipeline_spark.streaming.index_util import (
+        index_stats,
+        rebucket_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    write_base(_fp_rows(spark, 0, 1000), idx, "fp", ["fp"], buckets=4)
+    ck = _mk_checkpoint(tmp_path, "ck", [0])
+    key = run_batch_key(ck, 0)
+    _fp_rows(spark, 90000, 90003).write.parquet(tier_dir(idx, "fp", key))
+
+    st = index_stats(idx, ck)["tiers"]["fp"]
+    assert st["buckets"] == 4 and st["batch_dirs"] == 1
+    assert st["committed_batch_dirs"] == 1
+    max_before = st["bucket_bytes_max"]
+
+    rebucket_index(spark, idx, 16)
+    assert read_tier_meta(idx, "fp") == {"buckets": 16, "key": ["fp"]}
+    st = index_stats(idx)["tiers"]["fp"]
+    assert st["bucket_files"] > 4
+    assert st["bucket_bytes_max"] < max_before
+    df = spark.read.parquet(os.path.join(idx, "fp"))
+    assert df.count() == 1003  # base 1000 + untouched batch partition
+    assert os.path.isdir(tier_dir(idx, "fp", key))  # batch dir untouched
+
+    # partial compaction at the NEW count folds the pending batch
+    base = tier_dir(idx, "fp", "base")
+    before = {f: os.path.getmtime(os.path.join(base, f))
+              for f in _bucket_files(idx, "fp")}
+    assert compact_index(spark, idx, ck) == {"fp": 1}
+    after = {f: os.path.getmtime(os.path.join(base, f))
+             for f in _bucket_files(idx, "fp")}
+    changed = {f for f in after if before.get(f) != after[f]}
+    assert 1 <= len(changed) <= 3
+    assert spark.read.parquet(os.path.join(idx, "fp")).count() == 1003
+
+    # crash drill: stage a rebucket's plan, die before apply -> repair
+    # finishes the whole-base swap to the staged count
+    from data_pipeline_spark.streaming.index_util import (
+        _META_NAME,
+        _move_bucket_files,
+        _stage_bucketed,
+    )
+
+    tpath = os.path.join(idx, "fp")
+    cdir = os.path.join(tpath, ".compact")
+    stage = os.path.join(cdir, "stage")
+    _stage_bucketed(spark.read.parquet(base), ["fp"], 8, stage)
+    nxt = os.path.join(cdir, "next")
+    os.makedirs(nxt)
+    _move_bucket_files(stage, nxt)
+    with open(os.path.join(nxt, _META_NAME), "w") as f:
+        json.dump({"buckets": 8, "key": ["fp"]}, f)
+    shutil.rmtree(stage)
+    with open(os.path.join(cdir, "plan.json"), "w") as f:
+        json.dump({"mode": "replace_all", "fold": []}, f)
+    repair_index_dir(idx)
+    assert read_tier_meta(idx, "fp") == {"buckets": 8, "key": ["fp"]}
+    assert spark.read.parquet(os.path.join(idx, "fp")).count() == 1003
+
+    # explicit tier without a bucketed base fails loudly
+    _fp_rows(spark, 0, 10).write.parquet(tier_dir(idx, "flattier", "base"))
+    with pytest.raises(ValueError, match="no bucketed base"):
+        rebucket_index(spark, idx, 8, tiers=["flattier"])
