@@ -444,14 +444,24 @@ def r14_inline_compact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, work, index_dir, ckpt = _dedup_stream_run(
         spark, sf_dir, "r14_inline_gate_", compact_every=1
     )
-    b0 = f"batch={run_batch_key(ckpt, 0)}"
-    for tier in ("bands", "shingles"):
-        dirs = sorted(os.listdir(os.path.join(index_dir, tier)))
-        if b0 in dirs:
-            raise RuntimeError(
-                f"r14_inline_compact_stream: {tier} still holds batch 0 "
-                f"({dirs}) — the inline compact_every hook did not fold it"
-            )
+    try:
+        b0 = f"batch={run_batch_key(ckpt, 0)}"
+        for tier in ("bands", "shingles"):
+            dirs = sorted(os.listdir(os.path.join(index_dir, tier)))
+            if b0 in dirs:
+                raise RuntimeError(
+                    f"r14_inline_compact_stream: {tier} still holds batch "
+                    f"0 ({dirs}) — the inline compact_every hook did not "
+                    "fold it"
+                )
+    except BaseException:
+        # the hard-fail path must still reclaim the workdir (the
+        # module's ADVICE-r12 no-/tmp-leak rule; _materialized only
+        # runs on the success path)
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+        raise
     return _materialized(spark, out, work)
 
 

@@ -330,15 +330,8 @@ def _compact_index_locked(
                 new_rows = new_rows.unionByName(spark.read.parquet(base))
             if buckets is None:
                 buckets = auto_buckets(new_rows.count())
-            stage = os.path.join(cdir, "stage")
-            _stage_bucketed(new_rows, key_cols, buckets, stage)
-            nxt = os.path.join(cdir, "next")
-            os.makedirs(nxt)
-            _move_bucket_files(stage, nxt)
-            with open(os.path.join(nxt, _META_NAME), "w") as f:
-                json.dump({"buckets": buckets, "key": key_cols}, f)
-            shutil.rmtree(stage)
-            plan = {"mode": "replace_all", "fold": fold}
+            plan = _stage_replace_all(new_rows, key_cols, buckets, cdir,
+                                      fold=fold)
         else:
             # legacy whole-tier fold (sketch tiers; pre-round-14 bases)
             srcs = [new_rows] + (
@@ -349,12 +342,38 @@ def _compact_index_locked(
                 union = union.unionByName(s)
             union.write.parquet(os.path.join(cdir, "next"))
             plan = {"mode": "replace_all", "fold": fold}
-        tmp = os.path.join(cdir, "plan.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(plan, f)
-        os.rename(tmp, os.path.join(cdir, "plan.json"))
+        _persist_plan(cdir, plan)
         _apply_index_plan(tpath)
     return out
+
+
+def _persist_plan(cdir: str, plan: dict) -> None:
+    """Atomic tmp+rename: the plan file's existence certifies the
+    staging under ``cdir`` is complete."""
+    tmp = os.path.join(cdir, "plan.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(plan, f)
+    os.rename(tmp, os.path.join(cdir, "plan.json"))
+
+
+def _stage_replace_all(
+    df: DataFrame, key_cols: list[str], buckets: int, cdir: str,
+    fold: list[str],
+) -> dict:
+    """Stage a complete bucketed base (bucket files + meta) under
+    ``cdir/next`` and return its ``replace_all`` plan — shared by the
+    flat-base migration and rebucket_index so the two whole-base write
+    paths cannot drift.  The caller persists the plan (_persist_plan)
+    once staging has returned, then applies it."""
+    stage = os.path.join(cdir, "stage")
+    _stage_bucketed(df, key_cols, buckets, stage)
+    nxt = os.path.join(cdir, "next")
+    os.makedirs(nxt)
+    _move_bucket_files(stage, nxt)
+    with open(os.path.join(nxt, _META_NAME), "w") as f:
+        json.dump({"buckets": buckets, "key": key_cols}, f)
+    shutil.rmtree(stage)
+    return {"mode": "replace_all", "fold": fold}
 
 
 def _stage_partial(
@@ -502,6 +521,13 @@ def rebucket_index(
         for tier in todo:
             tpath = os.path.join(index_dir, tier)
             if not os.path.isdir(tpath):
+                if tiers is not None:  # explicitly asked: fail loudly,
+                    # not a silent no-op printed as success (a typo'd
+                    # --tier must not leave oversized buckets in place)
+                    raise ValueError(
+                        f"rebucket_index: tier {tier!r} does not exist "
+                        f"under {index_dir!r}"
+                    )
                 continue
             meta = read_tier_meta(index_dir, tier)
             if meta is None:
@@ -512,23 +538,12 @@ def rebucket_index(
                         "compact_index(bucket_specs=...)"
                     )
                 continue
-            base = tier_dir(index_dir, tier, "base")
-            df = spark.read.parquet(base)
+            df = spark.read.parquet(tier_dir(index_dir, tier, "base"))
             cdir = os.path.join(tpath, ".compact")
             shutil.rmtree(cdir, ignore_errors=True)
-            stage = os.path.join(cdir, "stage")
-            _stage_bucketed(df, meta["key"], buckets, stage)
-            nxt = os.path.join(cdir, "next")
-            os.makedirs(nxt)
-            _move_bucket_files(stage, nxt)
-            with open(os.path.join(nxt, _META_NAME), "w") as f:
-                json.dump({"buckets": buckets, "key": meta["key"]}, f)
-            shutil.rmtree(stage)
-            plan = {"mode": "replace_all", "fold": []}
-            tmp = os.path.join(cdir, "plan.json.tmp")
-            with open(tmp, "w") as f:
-                json.dump(plan, f)
-            os.rename(tmp, os.path.join(cdir, "plan.json"))
+            plan = _stage_replace_all(df, meta["key"], buckets, cdir,
+                                      fold=[])
+            _persist_plan(cdir, plan)
             _apply_index_plan(tpath)
 
 
@@ -554,9 +569,9 @@ def index_stats(index_dir: str, checkpoint: str | None = None) -> dict:
         return {"tiers": {}}
     committed_keys: set[str] | None = None
     if checkpoint is not None:
-        h = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()
         committed_keys = {
-            f"{h}-b{i}" for i in committed_batch_ids(checkpoint)
+            run_batch_key(checkpoint, i)
+            for i in committed_batch_ids(checkpoint)
         }
     out: dict = {"tiers": {}}
     for tier in sorted(os.listdir(index_dir)):
@@ -565,11 +580,15 @@ def index_stats(index_dir: str, checkpoint: str | None = None) -> dict:
             continue
         meta = read_tier_meta(index_dir, tier)
         base = tier_dir(index_dir, tier, "base")
-        sizes = [
-            os.path.getsize(os.path.join(base, f))
-            for f in (os.listdir(base) if os.path.isdir(base) else [])
-            if _BUCKET_FILE.fullmatch(f)
-        ]
+        sizes = []
+        for f in (os.listdir(base) if os.path.isdir(base) else []):
+            if _BUCKET_FILE.fullmatch(f):
+                try:
+                    sizes.append(os.path.getsize(os.path.join(base, f)))
+                except FileNotFoundError:
+                    # lock-free by design (live-stream feedback tool): a
+                    # concurrent swap/prune may remove a listed file
+                    pass
         batches = [
             m.group(1)
             for d in (os.listdir(tpath))
