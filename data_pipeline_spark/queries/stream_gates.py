@@ -571,38 +571,47 @@ def r14_index_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     work = tempfile.mkdtemp(prefix="r14_compact_gate_")
-    feed_dir = _write_crawls(spark, work, [
-        planted.filter(k % 4 == 1),
-        planted.filter(k % 4 == 2),
-    ])
-    index_dir = os.path.join(work, "lsh_index")
-    index_corpus(planted.filter(k % 4 == 0), index_dir, buckets=32)
-    ckpt = os.path.join(work, "ckpt")
-    q = stream_dedup(spark, feed_dir, index_dir, os.path.join(work, "m"),
-                     checkpoint=ckpt, max_files_per_trigger=1)
-    q.awaitTermination(600)
+    try:
+        feed_dir = _write_crawls(spark, work, [
+            planted.filter(k % 4 == 1),
+            planted.filter(k % 4 == 2),
+        ])
+        index_dir = os.path.join(work, "lsh_index")
+        index_corpus(planted.filter(k % 4 == 0), index_dir, buckets=32)
+        ckpt = os.path.join(work, "ckpt")
+        q = stream_dedup(spark, feed_dir, index_dir, os.path.join(work, "m"),
+                         checkpoint=ckpt, max_files_per_trigger=1)
+        q.awaitTermination(600)
 
-    folded = compact_index(spark, index_dir, ckpt)
-    if folded != {"bands": 2, "shingles": 2}:
-        raise RuntimeError(
-            f"r14_index_compact_probe: expected to fold 2 batches per "
-            f"tier, got {folded}"
-        )
-    for tier in ("bands", "shingles"):
-        if read_tier_meta(index_dir, tier) is None:
+        folded = compact_index(spark, index_dir, ckpt)
+        if folded != {"bands": 2, "shingles": 2}:
             raise RuntimeError(
-                f"r14_index_compact_probe: {tier} base lost its bucket "
-                "meta across compaction"
+                f"r14_index_compact_probe: expected to fold 2 batches per "
+                f"tier, got {folded}"
             )
-        left = sorted(os.listdir(os.path.join(index_dir, tier)))
-        if left != ["batch=base"]:
-            raise RuntimeError(
-                f"r14_index_compact_probe: {tier} still holds {left} "
-                "after compaction — folded batch dirs must be deleted "
-                "inside the plan application"
-            )
+        for tier in ("bands", "shingles"):
+            if read_tier_meta(index_dir, tier) is None:
+                raise RuntimeError(
+                    f"r14_index_compact_probe: {tier} base lost its bucket "
+                    "meta across compaction"
+                )
+            left = sorted(os.listdir(os.path.join(index_dir, tier)))
+            if left != ["batch=base"]:
+                raise RuntimeError(
+                    f"r14_index_compact_probe: {tier} still holds {left} "
+                    "after compaction — folded batch dirs must be deleted "
+                    "inside the plan application"
+                )
 
-    out = match_batch(
-        spark, planted.filter(k % 4 == 3), index_dir, append=False
-    ).select("new_id", "corpus_id", "jaccard")
+        out = match_batch(
+            spark, planted.filter(k % 4 == 3), index_dir, append=False
+        ).select("new_id", "corpus_id", "jaccard")
+    except BaseException:
+        # every hard-fail path (the RuntimeErrors above, a stream crash)
+        # must still reclaim the workdir — the module's ADVICE-r12
+        # no-/tmp-leak rule; _materialized only runs on the success path
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+        raise
     return _materialized(spark, out, work)

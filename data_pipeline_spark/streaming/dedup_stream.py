@@ -45,12 +45,12 @@ from ..queries.dedup import (
 from .index_util import (
     read_tier_meta,
     repair_index_dir,
+    shared_index_lease,
     require_batch_layout,
     run_batch_key,
     tier_dir as _tier_dir,
     write_base,
 )
-from .locks import maintenance_lock
 
 
 def index_corpus(docs: DataFrame, index_dir: str,
@@ -196,10 +196,12 @@ def stream_dedup(
 
             compact_index(spark, index_dir, checkpoint)
         key = run_batch_key(checkpoint, batch_id)
-        # SHARED maintenance lock per micro-batch: an out-of-band
-        # compact_index (exclusive) serializes against live probes/folds
-        # at batch boundaries instead of racing them (index_util/locks)
-        with maintenance_lock(index_dir, shared=True):
+        # repair-then-shared per micro-batch (ADVICE r14): finish a DEAD
+        # out-of-band compactor's persisted plan under the exclusive lock
+        # BEFORE probing, then serve the batch under the shared lock —
+        # otherwise this batch could see a fold both swapped into base
+        # and in its surviving batch dirs (index_util.shared_index_lease)
+        with shared_index_lease(index_dir):
             out = match_batch(spark, batch, index_dir, batch_key=key)
             # batch_id is a STRING partition key ('<32hex>-b<N>');
             # consumers that filtered/ordered numerically get the numeric

@@ -50,6 +50,8 @@ import shutil
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from contextlib import contextmanager
+
 from .locks import maintenance_lock
 
 
@@ -181,6 +183,23 @@ def _stage_bucketed(df: DataFrame, key_cols: list[str], n_buckets: int,
     )
 
 
+def _seed_empty_bucket(df: DataFrame, dst: str) -> None:
+    """``partitionBy`` of 0 rows emits no parquet leaves, so a bucketed
+    base written from an empty input would hold only ``_META.json`` and
+    every later ``spark.read.parquet(base)`` dies with schema-inference
+    noise.  The old flat layout left a schema-bearing empty file, so an
+    empty-corpus init WORKED — seed one empty ``b0.0.parquet`` to keep
+    that true (ADVICE r14).  The staging tempdir is dot-prefixed inside
+    the TIER dir (never ``batch=<x>``-shaped), so a crash mid-seed can
+    not leave a directory the batch-partition listing would pick up."""
+    tmp = os.path.join(os.path.dirname(dst), ".empty_seed")
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.limit(0).coalesce(1).write.parquet(tmp)
+    part = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet"))
+    os.replace(os.path.join(tmp, part), os.path.join(dst, "b0.0.parquet"))
+    shutil.rmtree(tmp)
+
+
 def write_base(
     df: DataFrame,
     index_dir: str,
@@ -216,6 +235,8 @@ def write_base(
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base)
     _move_bucket_files(stage, base)
+    if not any(_BUCKET_FILE.fullmatch(f) for f in os.listdir(base)):
+        _seed_empty_bucket(df, base)
     with open(os.path.join(base, _META_NAME), "w") as f:
         json.dump({"buckets": buckets, "key": key_cols}, f)
     shutil.rmtree(stage)
@@ -370,6 +391,10 @@ def _stage_replace_all(
     nxt = os.path.join(cdir, "next")
     os.makedirs(nxt)
     _move_bucket_files(stage, nxt)
+    if not any(_BUCKET_FILE.fullmatch(f) for f in os.listdir(nxt)):
+        # same empty-input hole as write_base: a rebucket/migration of an
+        # empty tier must still stage a readable base
+        _seed_empty_bucket(df, nxt)
     with open(os.path.join(nxt, _META_NAME), "w") as f:
         json.dump({"buckets": buckets, "key": key_cols}, f)
     shutil.rmtree(stage)
@@ -613,6 +638,33 @@ def index_stats(index_dir: str, checkpoint: str | None = None) -> dict:
             )
         out["tiers"][tier] = row
     return out
+
+
+@contextmanager
+def shared_index_lease(index_dir: str):
+    """Repair-then-shared acquisition for the stream sinks (ADVICE r14).
+
+    A stream-start ``repair_index_dir`` is not enough in the documented
+    multi-process shared-index deployment: an OUT-OF-BAND compactor can
+    die mid-``_apply_index_plan`` (plan persisted, some bucket files
+    swapped, folded batch dirs not yet deleted) WHILE a stream is live —
+    the OS releases the dead process's flock, so the stream's next
+    micro-batch would acquire the SHARED lock and probe an index where
+    the folded rows exist both in the new bucket files and in the
+    surviving ``batch=<key>`` dirs (double-counted shingle rows inflate
+    Jaccard denominators — silently wrong matches).  Mirror
+    entity_stream.lookup_state: take the EXCLUSIVE lock first and finish
+    any pending plan (blocking — if a live compactor holds the lock we
+    wait it out; if it died mid-apply while we waited, we acquire and
+    complete its plan), then serve the micro-batch under the SHARED
+    lock.  When no ``.compact`` exists the repair is a directory walk —
+    control-plane cost per micro-batch.  Between the exclusive release
+    and the shared acquire a NEW compactor could start and die
+    mid-apply; the next micro-batch's repair fixes it — the same
+    bounded residual lookup_state carries."""
+    repair_index_dir(index_dir)
+    with maintenance_lock(index_dir, shared=True):
+        yield
 
 
 def repair_index_dir(index_dir: str) -> None:

@@ -28,6 +28,7 @@ already implements via the inline ``compact_every`` hook.  SCALE.md
 
 from __future__ import annotations
 
+import errno
 import fcntl
 import os
 from contextlib import contextmanager
@@ -68,7 +69,13 @@ def try_maintenance_lock(root: str):
         try:
             fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
             got = True
-        except OSError:
+        except OSError as e:
+            # only CONTENTION means "someone else is fixing the state";
+            # any other flock failure (ENOLCK on an NFS mount, EBADF)
+            # must surface, or the caller silently skips crash repair
+            # and proceeds on possibly-broken state (ADVICE r14)
+            if e.errno not in (errno.EWOULDBLOCK, errno.EAGAIN):
+                raise
             got = False
         yield got
     finally:

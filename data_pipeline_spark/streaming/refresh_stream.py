@@ -38,12 +38,12 @@ from ..queries.dedup import (
 )
 from .index_util import (
     repair_index_dir,
+    shared_index_lease,
     require_batch_layout,
     run_batch_key,
     tier_dir as _tier_dir,
     write_base,
 )
-from .locks import maintenance_lock
 
 
 def index_corpus(docs: DataFrame, index_dir: str,
@@ -137,9 +137,12 @@ def stream_refresh(
 
             compact_index(spark, index_dir, checkpoint)
         key = run_batch_key(checkpoint, batch_id)
-        # shared lock per micro-batch: serializes against an out-of-band
-        # compact_index at batch boundaries (index_util/locks)
-        with maintenance_lock(index_dir, shared=True):
+        # repair-then-shared per micro-batch (ADVICE r14): finish a DEAD
+        # out-of-band compactor's persisted plan under the exclusive lock
+        # BEFORE probing, then serve the batch under the shared lock —
+        # otherwise this batch could see a fold both swapped into base
+        # and in its surviving batch dirs (index_util.shared_index_lease)
+        with shared_index_lease(index_dir):
             out = refresh_batch(spark, batch, index_dir, batch_key=key)
             out.withColumn(
                 "micro_batch_id", F.lit(batch_id).cast("bigint")

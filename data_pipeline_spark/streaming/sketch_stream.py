@@ -52,11 +52,11 @@ from ..queries.sketches import (
 )
 from .index_util import (
     repair_index_dir,
+    shared_index_lease,
     require_batch_layout,
     run_batch_key,
     tier_dir as _tier_dir,
 )
-from .locks import maintenance_lock
 
 
 def profile_corpus(docs: DataFrame, profile_dir: str) -> None:
@@ -167,9 +167,12 @@ def stream_profile(
 
             compact_index(spark, profile_dir, checkpoint)
         key = run_batch_key(checkpoint, batch_id)
-        # shared lock per micro-batch: serializes against an out-of-band
-        # compact_index at batch boundaries (index_util/locks)
-        with maintenance_lock(profile_dir, shared=True):
+        # repair-then-shared per micro-batch (ADVICE r14): finish a DEAD
+        # out-of-band compactor's persisted plan under the exclusive lock
+        # BEFORE probing, then serve the batch under the shared lock —
+        # otherwise this batch could see a fold both swapped into base
+        # and in its surviving batch dirs (index_util.shared_index_lease)
+        with shared_index_lease(profile_dir):
             fold_batch(batch.select("source", "text"), profile_dir, key)
             fold_cms_batch(batch.select("source", "text"), profile_dir, key)
             fold_hist_batch(batch.select("source", "text"), profile_dir, key)

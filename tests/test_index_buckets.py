@@ -517,3 +517,115 @@ def test_rebucket_index_lifecycle(spark, tmp_path):
     _fp_rows(spark, 0, 10).write.parquet(tier_dir(idx, "flattier", "base"))
     with pytest.raises(ValueError, match="no bucketed base"):
         rebucket_index(spark, idx, 8, tiers=["flattier"])
+
+
+def test_write_base_empty_input_readable(spark, tmp_path):
+    """write_base on an EMPTY input must leave a readable (empty) base,
+    as the flat layout did — partitionBy of 0 rows emits no parquet
+    leaves, so without the seed file the base held only _META.json and
+    the next read died with schema-inference noise (ADVICE r14;
+    reachable via CLI stream-refresh --init-corpus on an empty parquet).
+    A later fold+compaction onto the empty base must work unchanged."""
+    idx = str(tmp_path / "idx")
+    write_base(_fp_rows(spark, 0, 0), idx, "fp", ["fp"], buckets=8)
+    assert read_tier_meta(idx, "fp") == {"buckets": 8, "key": ["fp"]}
+    assert _bucket_files(idx, "fp") == ["b0.0.parquet"]
+    df = spark.read.parquet(os.path.join(idx, "fp"))
+    assert df.count() == 0
+    assert set(df.columns) == {"fp", "batch"}
+
+    # streams fold onto the empty base and compaction stays partial
+    ck = _mk_checkpoint(tmp_path, "ck", [0])
+    key = run_batch_key(ck, 0)
+    _fp_rows(spark, 100, 150).write.parquet(tier_dir(idx, "fp", key))
+    assert compact_index(spark, idx, ck) == {"fp": 1}
+    assert spark.read.parquet(os.path.join(idx, "fp")).count() == 50
+    assert read_tier_meta(idx, "fp") == {"buckets": 8, "key": ["fp"]}
+
+
+def test_rebucket_index_empty_tier(spark, tmp_path):
+    """rebucket_index over an empty (seeded) base stages through
+    _stage_replace_all, which needs the same empty-input seed —
+    otherwise the swapped-in base would be meta-only and unreadable."""
+    from data_pipeline_spark.streaming.index_util import rebucket_index
+
+    idx = str(tmp_path / "idx")
+    write_base(_fp_rows(spark, 0, 0), idx, "fp", ["fp"], buckets=4)
+    rebucket_index(spark, idx, 16)
+    assert read_tier_meta(idx, "fp") == {"buckets": 16, "key": ["fp"]}
+    df = spark.read.parquet(os.path.join(idx, "fp"))
+    assert df.count() == 0
+    assert set(df.columns) == {"fp", "batch"}
+
+
+def test_shared_lease_repairs_dead_compactor(spark, tmp_path):
+    """ADVICE r14 (medium): an out-of-band compactor dies mid-apply
+    (plan persisted, SOME bucket files swapped, folded batch dirs not
+    yet deleted) while a stream is live on the same index — the OS
+    released the dead process's flock, so the stream's next micro-batch
+    could take the shared lock and see the folded rows BOTH in base and
+    in the surviving batch dir (double-counted rows inflate Jaccard).
+    shared_index_lease must repair (exclusive) before serving (shared):
+    inside the lease the tier reads exactly once-folded."""
+    from data_pipeline_spark.streaming.index_util import (
+        _stage_partial,
+        shared_index_lease,
+    )
+
+    idx = str(tmp_path / "idx")
+    write_base(_fp_rows(spark, 0, 1000), idx, "fp", ["fp"], buckets=4)
+    ck = _mk_checkpoint(tmp_path, "ck", [0])
+    key = run_batch_key(ck, 0)
+    _fp_rows(spark, 90000, 90050).write.parquet(tier_dir(idx, "fp", key))
+    tpath = os.path.join(idx, "fp")
+    cdir = os.path.join(tpath, ".compact")
+    base = tier_dir(idx, "fp", "base")
+    new = spark.read.parquet(tier_dir(idx, "fp", key))
+
+    plan = _stage_partial(spark, base, cdir, new, ["fp"], 4, [key])
+    assert len(plan["swap"]) >= 2
+    with open(os.path.join(cdir, "plan.json"), "w") as f:
+        json.dump(plan, f)
+    # dead-compactor state: ONE bucket swapped in, the rest staged, the
+    # folded batch dir still present (deletes run at the end of apply)
+    n, pairs = next(iter(plan["swap"].items()))
+    src, tgt = pairs[0]
+    os.replace(os.path.join(cdir, "next", f"_b={n}", src),
+               os.path.join(base, tgt))
+    # without repair, a raw read now double-counts the swapped bucket's
+    # folded rows (they are in base AND in the batch dir)
+    assert spark.read.parquet(tpath).count() > 1050
+
+    with shared_index_lease(idx):
+        assert not os.path.isdir(cdir)  # plan finished before serving
+        assert not os.path.isdir(tier_dir(idx, "fp", key))  # fold deleted
+        assert spark.read.parquet(tpath).count() == 1050
+    # idempotent: the next micro-batch's lease is a no-op repair
+    with shared_index_lease(idx):
+        assert spark.read.parquet(tpath).count() == 1050
+
+
+def test_try_lock_surfaces_non_contention_errors(tmp_path, monkeypatch):
+    """try_maintenance_lock must re-raise flock failures that are NOT
+    contention (e.g. ENOLCK on an NFS state dir) — treating them as
+    'busy' made the caller silently skip crash repair (ADVICE r14)."""
+    import errno
+
+    from data_pipeline_spark.streaming import locks
+
+    root = str(tmp_path / "state")
+
+    def boom(fd, op):
+        raise OSError(errno.ENOLCK, "no locks available")
+
+    monkeypatch.setattr(locks.fcntl, "flock", boom)
+    with pytest.raises(OSError, match="no locks"):
+        with locks.try_maintenance_lock(root):
+            pass
+
+    def busy(fd, op):
+        raise OSError(errno.EWOULDBLOCK, "resource temporarily unavailable")
+
+    monkeypatch.setattr(locks.fcntl, "flock", busy)
+    with locks.try_maintenance_lock(root) as got:
+        assert got is False  # contention still reads as busy, not error
