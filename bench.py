@@ -3,6 +3,13 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query value is the MEDIAN across $SPARK_GRAFT_BENCH_REPS (default
+3) whole-suite passes (tier memos cleared between passes) — steady
+state, not the first-execution envelope; the raw samples ship in the
+"reps" key and the canary pair ("canary_spin_sec"/"canary_spark_sec")
+stays the cross-round host normalizer (SCALE.md, 'Bench measurement
+protocol').
 """
 
 from __future__ import annotations
@@ -140,19 +147,53 @@ def main() -> None:
 
     spark_canary_start = _spark_canary(spark)
 
-    per_query: dict[str, float] = {}
+    # Steady-state measurement (VERDICT r14 #1): the WHOLE SUITE runs
+    # REPS times and the artifact records the per-query MEDIAN across
+    # passes.  A raw single sample conflates the plan with the host
+    # envelope — measured first executions carry 1.3-3x one-time
+    # codegen/stage cost (q04 6-rep: 5.36, 1.81, 1.69, 1.46, 1.56, 1.38)
+    # and the host's JVM-op unit cost moved +-25% across rounds while
+    # plan snapshots were pinned unchanged — so the driver's 2x
+    # regression contract was reading noise.  Whole-suite passes, NOT
+    # per-query back-to-back reps: the dedup tier memo (queries/dedup.py
+    # _TIER_CACHE — the production stand-in for persisted tiers that
+    # d07 builds and d12/d13 read) would otherwise serve rep 2+ of d07
+    # from rep 1's checkpoint and the "median" would measure a memo
+    # probe (0.07 s) instead of the plan (~2 s).  Clearing the memo
+    # between passes keeps every query's semantics exactly what the
+    # r1-r14 single-shot history measured: d07 cold-tier, d12/d13
+    # memo-fed.  Raw samples ship in the "reps" side-channel so a drift
+    # analysis never needs to re-run the suite; JSON shape is unchanged
+    # ("queries" still maps name -> one number, now the median; "value"
+    # is still their sum).
+    reps_n = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps: dict[str, list[float]] = {n: [] for n in HEADLINE}
     canary_pre_b01 = None
     spark_canary_pre_b01 = None
-    for name in HEADLINE:
-        if name == "b01_entity_build":
-            canary_pre_b01 = _spin_canary()
-            spark_canary_pre_b01 = _spark_canary(spark)
-        q = QUERIES[name]
-        t0 = time.perf_counter()
-        df = q.spark_fn(spark, sf_dir)
-        n = df.count()
-        per_query[name] = round(time.perf_counter() - t0, 3)
-        _ = n
+    for rep in range(reps_n):
+        if rep:
+            # ONLY the dedup tier memo resets between passes.  The DSL
+            # planner's cached model must NOT be dropped (it is
+            # pre-warmed outside the timed loop on purpose — production
+            # serves thousands of queries per materialization, and
+            # spark.catalog.clearCache() here sent dsl_q05 from 1.5 s to
+            # 60+ s re-deriving the unioned model per pass).
+            from data_pipeline_spark.queries.dedup import clear_tier_cache
+
+            clear_tier_cache()
+        for name in HEADLINE:
+            if name == "b01_entity_build" and rep == reps_n - 1:
+                # bracket the most expensive entry on the LAST (steady)
+                # pass — the scalar canary fields keep their r12+ shape
+                canary_pre_b01 = _spin_canary()
+                spark_canary_pre_b01 = _spark_canary(spark)
+            q = QUERIES[name]
+            t0 = time.perf_counter()
+            df = q.spark_fn(spark, sf_dir)
+            n = df.count()
+            reps[name].append(round(time.perf_counter() - t0, 3))
+            _ = n
+    per_query = {n: sorted(s)[len(s) // 2] for n, s in reps.items()}
     total = round(sum(per_query.values()), 3)
     canary_end = _spin_canary()
     spark_canary_end = _spark_canary(spark)
@@ -175,6 +216,7 @@ def main() -> None:
                     "pre_b01": spark_canary_pre_b01,
                     "end": spark_canary_end,
                 },
+                "reps": reps,
             }
         )
     )
