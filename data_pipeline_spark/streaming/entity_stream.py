@@ -73,7 +73,6 @@ import json
 import math
 import os
 import re
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -82,6 +81,7 @@ from ..pipeline.build import run_build
 from ..pipeline.incremental import incremental_build
 from .index_util import committed_batch_ids, run_batch_key
 from .locks import maintenance_lock, try_maintenance_lock
+from .storage import provider as _storage
 
 CHANGES_SCHEMA = (
     "seq bigint, end_time timestamp, change string, object_uri string, "
@@ -134,7 +134,7 @@ def _write_state_meta(state_dir: str, meta: dict) -> None:
     tmp = _meta_path(state_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
-    os.rename(tmp, _meta_path(state_dir))  # atomic: no torn meta
+    _storage().publish_file(tmp, _meta_path(state_dir))  # atomic: no torn meta
 
 
 def _bucket_of(key_col, n_buckets: int):
@@ -185,8 +185,8 @@ def _apply_plan(state_dir: str, tier: str, plan: dict) -> None:
         # flat->bucketed migration: swap the whole base directory
         if os.path.isdir(nxt):
             if os.path.isdir(bdir):
-                os.rename(bdir, trash)
-            os.rename(nxt, bdir)
+                _storage().swap_dir(bdir, trash)
+            _storage().swap_dir(nxt, bdir)
         elif not os.path.isdir(bdir):
             raise RuntimeError(
                 f"compaction plan for {tier} is unrecoverable: neither "
@@ -198,8 +198,8 @@ def _apply_plan(state_dir: str, tier: str, plan: dict) -> None:
             dst = os.path.join(bdir, f"b={n}")
             if os.path.isdir(src):
                 if os.path.isdir(dst):
-                    shutil.rmtree(dst)
-                os.rename(src, dst)
+                    _storage().remove_dir(dst)
+                _storage().swap_dir(src, dst)
             elif not os.path.isdir(dst):
                 raise RuntimeError(
                     f"compaction plan for {tier} bucket {n} is "
@@ -208,8 +208,8 @@ def _apply_plan(state_dir: str, tier: str, plan: dict) -> None:
         for n in plan["drop"]:
             dst = os.path.join(bdir, f"b={n}")
             if os.path.isdir(dst):
-                shutil.rmtree(dst)  # all the bucket's keys were deleted
-    shutil.rmtree(cdir)  # removes plan + staging remnants together
+                _storage().remove_dir(dst)  # all the bucket's keys were deleted
+    _storage().remove_dir(cdir)  # removes plan + staging remnants together
 
 
 def _repair_tier(state_dir: str, tier: str) -> None:
@@ -235,7 +235,7 @@ def _repair_tier(state_dir: str, tier: str) -> None:
         with open(plan_path) as f:
             _apply_plan(state_dir, tier, json.load(f))
     else:
-        shutil.rmtree(cdir)
+        _storage().remove_dir(cdir)
 
 
 def repair_state_dir(state_dir: str) -> None:
@@ -348,7 +348,7 @@ def init_state(
         # stale plan under .compact would otherwise be applied onto the
         # fresh base at the next locked repair (old-corpus buckets
         # swapped into a new-corpus base)
-        shutil.rmtree(_compact_dir(state_dir, tier), ignore_errors=True)
+        _storage().remove_dir(_compact_dir(state_dir, tier), missing_ok=True)
     _write_base(records, "records", buckets, _base_dir(state_dir, "records"))
     _write_base(out["idmap"], "idmap", buckets, _base_dir(state_dir, "idmap"))
     _write_base(out["merged"], "merged", buckets, _base_dir(state_dir, "merged"))
@@ -537,7 +537,7 @@ def _stage_and_apply(
     buckets swap in; touched buckets with no staged rows (every key
     deleted) drop."""
     cdir = _compact_dir(state_dir, tier)
-    shutil.rmtree(cdir, ignore_errors=True)  # stale un-planned staging
+    _storage().remove_dir(cdir, missing_ok=True)  # stale un-planned staging
     nxt = os.path.join(cdir, "next")
     (
         keyed.withColumn("b", _bucket_of(F.col("_k"), n_buckets))
@@ -558,7 +558,7 @@ def _stage_and_apply(
     tmp = os.path.join(cdir, "plan.json.tmp")
     with open(tmp, "w") as f:
         json.dump(plan, f)
-    os.rename(tmp, os.path.join(cdir, "plan.json"))
+    _storage().publish_file(tmp, os.path.join(cdir, "plan.json"))
     _apply_plan(state_dir, tier, plan)
 
 
@@ -915,11 +915,11 @@ def _compact_locked(
     if ids:
         for i in ids:
             key = run_batch_key(checkpoint, i)
-            shutil.rmtree(_touched_dir(state_dir, key))  # gate first
+            _storage().remove_dir(_touched_dir(state_dir, key))  # gate first
             for tier in _TIERS:
                 d = _delta_dir(state_dir, tier, key)
                 if os.path.isdir(d):
-                    shutil.rmtree(d)
+                    _storage().remove_dir(d)
                     removed[tier] += 1
     # orphan sweep: COMMITTED deltas whose manifest is gone (a previous
     # compaction died between deletes) are already folded into base —
@@ -938,7 +938,7 @@ def _compact_locked(
                 and m.group(1) in committed_keys
                 and not os.path.isdir(_touched_dir(state_dir, m.group(1)))
             ):
-                shutil.rmtree(os.path.join(tdir, d))
+                _storage().remove_dir(os.path.join(tdir, d))
                 removed[tier] += 1
     return removed
 

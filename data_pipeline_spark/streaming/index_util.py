@@ -45,7 +45,6 @@ import json
 import math
 import os
 import re
-import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,6 +52,7 @@ from pyspark.sql import functions as F
 from contextlib import contextmanager
 
 from .locks import maintenance_lock
+from .storage import provider as _storage
 
 
 def tier_dir(index_dir: str, tier: str, key: str) -> str:
@@ -159,7 +159,7 @@ def _move_bucket_files(src_root: str, dst: str) -> None:
             if f.endswith(".parquet")
         )
         for i, f in enumerate(files):
-            os.replace(
+            _storage().publish_file(
                 os.path.join(src_root, d, f),
                 os.path.join(dst, f"b{m.group(1)}.{i}.parquet"),
             )
@@ -193,11 +193,11 @@ def _seed_empty_bucket(df: DataFrame, dst: str) -> None:
     the TIER dir (never ``batch=<x>``-shaped), so a crash mid-seed can
     not leave a directory the batch-partition listing would pick up."""
     tmp = os.path.join(os.path.dirname(dst), ".empty_seed")
-    shutil.rmtree(tmp, ignore_errors=True)
+    _storage().remove_dir(tmp, missing_ok=True)
     df.limit(0).coalesce(1).write.parquet(tmp)
     part = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet"))
-    os.replace(os.path.join(tmp, part), os.path.join(dst, "b0.0.parquet"))
-    shutil.rmtree(tmp)
+    _storage().publish_file(os.path.join(tmp, part), os.path.join(dst, "b0.0.parquet"))
+    _storage().remove_dir(tmp)
 
 
 def write_base(
@@ -227,19 +227,19 @@ def write_base(
     # a stale plan left under .compact would otherwise be applied onto
     # the FRESH base at the next stream-start repair — old-corpus bucket
     # files replaced into a new-corpus base (silent corruption)
-    shutil.rmtree(os.path.join(tpath, ".compact"), ignore_errors=True)
+    _storage().remove_dir(os.path.join(tpath, ".compact"), missing_ok=True)
     stage = os.path.join(tpath, ".init")
-    shutil.rmtree(stage, ignore_errors=True)
+    _storage().remove_dir(stage, missing_ok=True)
     _stage_bucketed(df, key_cols, buckets, stage)
     base = tier_dir(index_dir, tier, "base")
-    shutil.rmtree(base, ignore_errors=True)
+    _storage().remove_dir(base, missing_ok=True)
     os.makedirs(base)
     _move_bucket_files(stage, base)
     if not any(_BUCKET_FILE.fullmatch(f) for f in os.listdir(base)):
         _seed_empty_bucket(df, base)
     with open(os.path.join(base, _META_NAME), "w") as f:
         json.dump({"buckets": buckets, "key": key_cols}, f)
-    shutil.rmtree(stage)
+    _storage().remove_dir(stage)
 
 
 def _bucket_files(base: str, n: int) -> list[str]:
@@ -337,7 +337,7 @@ def _compact_index_locked(
             part = spark.read.parquet(tier_dir(index_dir, tier, k))
             new_rows = part if new_rows is None else new_rows.unionByName(part)
         cdir = os.path.join(tpath, ".compact")
-        shutil.rmtree(cdir, ignore_errors=True)
+        _storage().remove_dir(cdir, missing_ok=True)
         meta = read_tier_meta(index_dir, tier)
         base = tier_dir(index_dir, tier, "base")
         if meta is not None:
@@ -374,7 +374,7 @@ def _persist_plan(cdir: str, plan: dict) -> None:
     tmp = os.path.join(cdir, "plan.json.tmp")
     with open(tmp, "w") as f:
         json.dump(plan, f)
-    os.rename(tmp, os.path.join(cdir, "plan.json"))
+    _storage().publish_file(tmp, os.path.join(cdir, "plan.json"))
 
 
 def _stage_replace_all(
@@ -397,7 +397,7 @@ def _stage_replace_all(
         _seed_empty_bucket(df, nxt)
     with open(os.path.join(nxt, _META_NAME), "w") as f:
         json.dump({"buckets": buckets, "key": key_cols}, f)
-    shutil.rmtree(stage)
+    _storage().remove_dir(stage)
     return {"mode": "replace_all", "fold": fold}
 
 
@@ -478,8 +478,8 @@ def _apply_index_plan(tpath: str) -> None:
     if mode == "replace_all":
         if os.path.isdir(nxt):
             if os.path.isdir(base):
-                os.rename(base, os.path.join(cdir, "trash"))
-            os.rename(nxt, base)
+                _storage().swap_dir(base, os.path.join(cdir, "trash"))
+            _storage().swap_dir(nxt, base)
         elif not os.path.isdir(base):
             raise RuntimeError(
                 f"index compaction plan at {cdir!r} is unrecoverable: "
@@ -494,7 +494,7 @@ def _apply_index_plan(tpath: str) -> None:
                 s = os.path.join(srcdir, src)
                 t = os.path.join(base, tgt)
                 if os.path.isfile(s):
-                    os.replace(s, t)  # atomic overwrite of the old file
+                    _storage().publish_file(s, t)  # atomic overwrite
                 elif not os.path.isfile(t):
                     raise RuntimeError(
                         f"index compaction plan for bucket {n} at {cdir!r} "
@@ -506,15 +506,15 @@ def _apply_index_plan(tpath: str) -> None:
             # renames, so every instant keeps at least one complete copy
             for f in _bucket_files(base, int(n)):
                 if f not in keep:
-                    os.remove(os.path.join(base, f))
+                    _storage().remove_file(os.path.join(base, f))
     else:
         raise RuntimeError(f"unknown index compaction plan mode in {cdir!r}")
     for k in plan.get("fold", ()):
         # inside the plan application (ADVICE r13): recovery finishes
         # these deletes too, so a folded batch can never be union'd into
         # base a second time by the next compaction
-        shutil.rmtree(os.path.join(tpath, f"batch={k}"), ignore_errors=True)
-    shutil.rmtree(cdir)
+        _storage().remove_dir(os.path.join(tpath, f"batch={k}"), missing_ok=True)
+    _storage().remove_dir(cdir)
 
 
 def rebucket_index(
@@ -565,7 +565,7 @@ def rebucket_index(
                 continue
             df = spark.read.parquet(tier_dir(index_dir, tier, "base"))
             cdir = os.path.join(tpath, ".compact")
-            shutil.rmtree(cdir, ignore_errors=True)
+            _storage().remove_dir(cdir, missing_ok=True)
             plan = _stage_replace_all(df, meta["key"], buckets, cdir,
                                       fold=[])
             _persist_plan(cdir, plan)
@@ -693,4 +693,4 @@ def _repair_index_locked(index_dir: str) -> None:
         if os.path.isfile(os.path.join(cdir, "plan.json")):
             _apply_index_plan(tpath)
         else:
-            shutil.rmtree(cdir)
+            _storage().remove_dir(cdir)

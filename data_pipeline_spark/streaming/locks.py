@@ -13,70 +13,50 @@ an ordinary advisory file lock:
 - pure readers never repair; the serving read takes the SHARED lock
   only while it materializes, so it can never observe a bucket
   mid-swap;
-- index-stream sinks take the SHARED lock per micro-batch, so an
-  out-of-band compact_index serializes against live probes/folds at
-  micro-batch boundaries instead of racing them.
+- index-stream sinks take the SHARED lock per micro-batch (after an
+  exclusive repair of any dead compactor's pending plan —
+  index_util.shared_index_lease), so an out-of-band compact_index
+  serializes against live probes/folds at micro-batch boundaries
+  instead of racing them.
 
-``flock`` is single-host advisory locking — exactly right for the
-local/POSIX deployments this repo runs, and for the test harness.  On a
-production object store there is no flock; the contract there is the
-table-service one (Hudi/Delta run compaction from the writer's own
-timeline or a coordinated maintenance job), which the entity stream
-already implements via the inline ``compact_every`` hook.  SCALE.md
-§locking states the deployment rule.
+Round 15: the lock implementation moved behind the storage provider
+seam (storage.py — VERDICT r14 #3); these wrappers keep the call sites
+and their semantics, the provider supplies the backend.  The shipped
+backend is POSIX ``flock`` — single-host advisory locking, exactly
+right for the local deployments this repo runs and for the test
+harness.  On a production object store there is no flock; the
+per-primitive contract an S3/ADLS backend must meet (TTL'd lock-service
+lease, or writer-timeline maintenance that needs no cross-process lock
+at all — the inline ``compact_every`` hook) is documented on
+storage.PosixStorageProvider.  SCALE.md §locking states the deployment
+rule.
 """
 
 from __future__ import annotations
 
-import errno
-import fcntl
-import os
-from contextlib import contextmanager
-
-_LOCK_NAME = ".maintenance.lock"
+from .storage import provider
 
 
-@contextmanager
 def maintenance_lock(root: str, shared: bool = False):
-    """Advisory flock on ``<root>/.maintenance.lock``.  Exclusive by
-    default (maintenance ops); ``shared=True`` for readers that must not
-    overlap a swap.  Blocking: a reader waits out a compaction (seconds)
-    rather than failing; a compactor waits for in-flight readers.
-    Reentrancy is NOT supported — never take the exclusive lock while
-    holding the shared one in the same process (flock self-deadlocks);
-    the call graph keeps maintenance and serving strictly sequential."""
-    os.makedirs(root, exist_ok=True)
-    fd = os.open(os.path.join(root, _LOCK_NAME), os.O_CREAT | os.O_RDWR)
-    try:
-        fcntl.flock(fd, fcntl.LOCK_SH if shared else fcntl.LOCK_EX)
-        yield
-    finally:
-        os.close(fd)  # closing the fd releases the flock
+    """Advisory lease on ``root``.  Exclusive by default (maintenance
+    ops); ``shared=True`` for readers that must not overlap a swap.
+    Blocking: a reader waits out a compaction (seconds) rather than
+    failing; a compactor waits for in-flight readers.  Reentrancy is
+    NOT supported — never take the exclusive lease while holding the
+    shared one in the same process (flock self-deadlocks); the call
+    graph keeps maintenance and serving strictly sequential."""
+    p = provider()
+    return p.shared_lease(root) if shared else p.exclusive_lease(root)
 
 
-@contextmanager
 def try_maintenance_lock(root: str):
-    """Non-blocking exclusive variant: yields True if the lock was
-    taken, False if another holder exists.  For the one read-path repair
-    that remains (a base directory missing entirely after a replace_all
-    crash): a BLOCKING acquire there could self-deadlock when the caller
-    already holds the exclusive lock on another fd (flock treats two fds
-    in one process as independent owners), so the read path tries, and
-    if someone else holds the lock, that someone is fixing the state."""
-    os.makedirs(root, exist_ok=True)
-    fd = os.open(os.path.join(root, _LOCK_NAME), os.O_CREAT | os.O_RDWR)
-    try:
-        try:
-            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            got = True
-        except OSError as e:
-            # only CONTENTION means "someone else is fixing the state";
-            # any other flock failure (ENOLCK on an NFS mount, EBADF)
-            # must surface, or the caller silently skips crash repair
-            # and proceeds on possibly-broken state (ADVICE r14)
-            if e.errno not in (errno.EWOULDBLOCK, errno.EAGAIN):
-                raise
-            got = False
-        yield got
-    finally:
-        os.close(fd)
+    """Non-blocking exclusive variant: yields True if the lease was
+    taken, False if another holder exists (ONLY contention reads as
+    busy — other failures raise; ADVICE r14).  For the one read-path
+    repair that remains (a base directory missing entirely after a
+    replace_all crash): a BLOCKING acquire there could self-deadlock
+    when the caller already holds the exclusive lock on another fd
+    (flock treats two fds in one process as independent owners), so the
+    read path tries, and if someone else holds the lock, that someone
+    is fixing the state."""
+    return provider().try_exclusive_lease(root)

@@ -611,21 +611,84 @@ def test_try_lock_surfaces_non_contention_errors(tmp_path, monkeypatch):
     'busy' made the caller silently skip crash repair (ADVICE r14)."""
     import errno
 
-    from data_pipeline_spark.streaming import locks
+    from data_pipeline_spark.streaming import storage
+    from data_pipeline_spark.streaming.locks import try_maintenance_lock
 
     root = str(tmp_path / "state")
 
     def boom(fd, op):
         raise OSError(errno.ENOLCK, "no locks available")
 
-    monkeypatch.setattr(locks.fcntl, "flock", boom)
+    monkeypatch.setattr(storage.fcntl, "flock", boom)
     with pytest.raises(OSError, match="no locks"):
-        with locks.try_maintenance_lock(root):
+        with try_maintenance_lock(root):
             pass
 
     def busy(fd, op):
         raise OSError(errno.EWOULDBLOCK, "resource temporarily unavailable")
 
-    monkeypatch.setattr(locks.fcntl, "flock", busy)
-    with locks.try_maintenance_lock(root) as got:
+    monkeypatch.setattr(storage.fcntl, "flock", busy)
+    with try_maintenance_lock(root) as got:
         assert got is False  # contention still reads as busy, not error
+
+
+def test_all_mutations_route_through_storage_provider(spark, tmp_path):
+    """The object-store seam (VERDICT r14 #3) is only real if EVERY
+    maintenance mutation goes through it — a future inlined os.replace
+    would silently fall outside a cloud backend.  Run a full
+    write-fold-compact-rebucket cycle under a RECORDING provider and
+    assert the atomic primitives were exercised through the seam (the
+    drills above prove behavior; this proves routing)."""
+    from data_pipeline_spark.streaming import storage
+    from data_pipeline_spark.streaming.index_util import rebucket_index
+
+    class Recording(storage.PosixStorageProvider):
+        def __init__(self):
+            self.calls = {"publish_file": 0, "swap_dir": 0,
+                          "remove_dir": 0, "remove_file": 0,
+                          "exclusive_lease": 0, "shared_lease": 0}
+
+        def publish_file(self, src, dst):
+            self.calls["publish_file"] += 1
+            super().publish_file(src, dst)
+
+        def swap_dir(self, src, dst):
+            self.calls["swap_dir"] += 1
+            super().swap_dir(src, dst)
+
+        def remove_dir(self, path, missing_ok=False):
+            self.calls["remove_dir"] += 1
+            super().remove_dir(path, missing_ok)
+
+        def remove_file(self, path):
+            self.calls["remove_file"] += 1
+            super().remove_file(path)
+
+        def exclusive_lease(self, root):
+            self.calls["exclusive_lease"] += 1
+            return super().exclusive_lease(root)
+
+        def shared_lease(self, root):
+            self.calls["shared_lease"] += 1
+            return super().shared_lease(root)
+
+    rec = Recording()
+    storage.set_provider(rec)
+    try:
+        idx = str(tmp_path / "idx")
+        write_base(_fp_rows(spark, 0, 500), idx, "fp", ["fp"], buckets=4)
+        ck = _mk_checkpoint(tmp_path, "ck", [0])
+        key = run_batch_key(ck, 0)
+        _fp_rows(spark, 90000, 90020).write.parquet(tier_dir(idx, "fp", key))
+        assert compact_index(spark, idx, ck) == {"fp": 1}
+        rebucket_index(spark, idx, 8)
+        assert spark.read.parquet(os.path.join(idx, "fp")).count() == 520
+    finally:
+        storage.set_provider(storage.PosixStorageProvider())
+    # write_base publishes bucket files; compaction publishes the plan +
+    # swapped buckets; rebucket swaps the whole base dir; every
+    # maintenance op took the exclusive lease
+    assert rec.calls["publish_file"] >= 6
+    assert rec.calls["swap_dir"] >= 1        # rebucket's replace_all
+    assert rec.calls["remove_dir"] >= 4      # staging + fold deletes
+    assert rec.calls["exclusive_lease"] >= 2  # compact + rebucket
