@@ -60,20 +60,23 @@ GATE_PIN = [
     # cohort j05/j09/j07/d12, the salted-join j14, and the nine dsl
     # re-gates) — CORRECTNESS_r11.json is committed and vouches green;
     # closure.py/planner.py are unchanged this round.
-    # r14 code changes that re-gate:
-    # - entity_stream.py changed again (maintenance lock, repair moved
-    #   off the pure read path, foreign-delta fail-fast): the r13 green
-    #   for r12_entity_stream_fold predates it, so it re-proves.
-    # - index_util.py was restructured (bucketed base files, partial
-    #   compaction, fold-deletion inside the plan): r13_dedup_stream is
-    #   the declared gate that runs stream_dedup through the persisted
-    #   index layout, so it re-proves.
+    # r15 code changes that re-gate (the r14 greens predate them):
+    # - index_util.py changed (empty-input bucket seed, the
+    #   repair-then-shared shared_index_lease in every stream sink, and
+    #   the storage-provider seam routing every maintenance mutation):
+    #   r13_dedup_stream runs stream_dedup through the persisted layout,
+    #   r14_index_compact_probe runs partial compaction end-to-end,
+    #   r14_inline_compact_stream runs the inline compact_every hook —
+    #   all three re-prove.
+    # - entity_stream.py changed (storage-provider seam):
+    #   r12_entity_stream_fold and r13_state_lookup re-prove.
     # - b01 stays pinned as the golden full-chain gate.
-    # r11_incremental_build's r13 pin dropped: its r13 green landed and
-    # incremental.py is unchanged this round.
     "b01_entity_build",
     "r12_entity_stream_fold",
     "r13_dedup_stream",
+    "r13_state_lookup",
+    "r14_index_compact_probe",
+    "r14_inline_compact_stream",
 ]
 
 GATE_WINDOW_SIZE = 50
@@ -99,7 +102,12 @@ GATE_WINDOW_SIZE = 50
 # (a24 a27 d09 d38 f04 f06 q11 q15-q22 rj02 s08 t05 v05 w09-w11) — one
 # reservation-covered round clears the whole cohort and moves the
 # oldest latest-green to r9+, closing the standing burn-down ask.
-AGE_SLOTS = 22
+# r15: raised 22 -> 24 (VERDICT r14 #4): the oldest cohort is now the
+# 24 r9-greens (d33 d35-d37 d40-d45 d47 d48 j13 k01 r03-r05 r08-r10
+# rj01 v06 v08 x01); with 16 pins and zero never-checked, 24 reserved
+# + remainder fill re-fronts the whole cohort plus the oldest r10s in
+# one round, keeping the ~5-round freshness invariant.
+AGE_SLOTS = 24
 
 
 def driver_green_history() -> dict[str, int]:
