@@ -615,3 +615,143 @@ def r14_index_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
         raise
     return _materialized(spark, out, work)
+
+
+# ---------------------------------------------------------------------------
+# r15_empty_index_bootstrap
+# ---------------------------------------------------------------------------
+_BOOTSTRAP_PLANTED_SQL = """
+    planted AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 6 = 2 THEN COALESCE(p1.text, d.text)
+                    WHEN d.doc_id % 6 = 5 THEN COALESCE(p2.text, d.text)
+                    ELSE d.text END AS text
+        FROM documents d
+        LEFT JOIN documents p1 ON p1.doc_id = d.doc_id - 1
+        LEFT JOIN documents p2 ON p2.doc_id = d.doc_id - 2
+    )"""
+
+
+@query(
+    "r15_empty_index_bootstrap",
+    oracle=f"""
+    WITH {_BOOTSTRAP_PLANTED_SQL},
+    {_shingles_sql("planted")},
+    {_sig_sql()},
+    {_bands_sql()},
+    cands AS (
+        SELECT DISTINCT n.id AS new_id, i.id AS corpus_id
+        FROM bands n JOIN bands i
+          ON n.band = i.band AND n.bh = i.bh
+        WHERE n.id % 3 = 2 AND i.id % 3 IN (0, 1)
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM shingles GROUP BY id),
+    inter AS (
+        SELECT c.new_id, c.corpus_id, COUNT(*) AS n_both
+        FROM cands c
+        JOIN shingles sa ON c.new_id = sa.id
+        JOIN shingles sb ON c.corpus_id = sb.id AND sa.shingle = sb.shingle
+        GROUP BY c.new_id, c.corpus_id
+    )
+    SELECT new_id, corpus_id,
+           ROUND(CAST(n_both AS DOUBLE) / (na.n + nb.n - n_both), 6) AS jaccard
+    FROM inter JOIN sizes na ON new_id = na.id
+               JOIN sizes nb ON corpus_id = nb.id
+    WHERE ROUND(CAST(n_both AS DOUBLE) / (na.n + nb.n - n_both), 6) >= {JACCARD_T}
+    """,
+    survey="streaming-dedup,R5",
+)
+def r15_empty_index_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap a shared LSH index from NOTHING, driver-proven (round
+    15 — the ADVICE r14 empty-input regression, end to end): index_corpus
+    over an EMPTY corpus writes a readable seeded base (one
+    schema-bearing empty bucket file per tier — the flat layout's
+    working empty-init, restored for the bucketed layout), two streamed
+    crawls fold onto that empty base through real checkpoint machinery,
+    compact_index folds them in partially (the seeded meta survives, so
+    the bucketed path — not the legacy whole-rewrite — runs), and a
+    probe batch matches against the all-in-base index.
+
+    Plants: every probe doc (doc_id % 3 == 2) is an exact copy of a
+    crawl doc — % 6 == 2 copies doc_id-1 (a crawl-1 doc), % 6 == 5
+    copies doc_id-2 (a crawl-0 doc) — so a broken empty-seed read, a
+    lost fold onto the seeded base, or a meta dropped across compaction
+    diverges from the oracle's analytic recomputation.  Hard-fails if
+    the empty init is unreadable, if compaction did not fold exactly
+    the two crawl batches per tier, or if the bucket meta was lost.
+
+    Reference parity: the reference bootstraps its reconcile indexes
+    empty and populates them crawl by crawl (/root/reference
+    pipeline/process/base/index_loader.py load path); this is the
+    lakehouse restatement of day-zero onboarding."""
+    import os
+    import tempfile
+
+    from ..streaming.dedup_stream import index_corpus, match_batch, stream_dedup
+    from ..streaming.index_util import compact_index, read_tier_meta
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    p1 = docs.select((k + 1).alias("doc_id"), F.col("text").alias("t1"))
+    p2 = docs.select((k + 2).alias("doc_id"), F.col("text").alias("t2"))
+    planted = (
+        docs.join(p1, "doc_id", "left")
+        .join(p2, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(k % 6 == 2, F.coalesce("t1", "text"))
+            .when(k % 6 == 5, F.coalesce("t2", "text"))
+            .otherwise(F.col("text")).alias("text"),
+        )
+    )
+
+    work = tempfile.mkdtemp(prefix="r15_bootstrap_gate_")
+    try:
+        index_dir = os.path.join(work, "lsh_index")
+        # day zero: NO corpus yet — the seeded empty base must read back
+        index_corpus(planted.limit(0), index_dir, buckets=32)
+        for tier in ("bands", "shingles"):
+            if read_tier_meta(index_dir, tier) is None:
+                raise RuntimeError(
+                    f"r15_empty_index_bootstrap: empty init left no "
+                    f"bucket meta in {tier}"
+                )
+        seeded = spark.read.parquet(os.path.join(index_dir, "shingles"))
+        if seeded.count() != 0:
+            raise RuntimeError(
+                "r15_empty_index_bootstrap: empty init wrote rows"
+            )
+
+        feed_dir = _write_crawls(spark, work, [
+            planted.filter(k % 3 == 0),
+            planted.filter(k % 3 == 1),
+        ])
+        ckpt = os.path.join(work, "ckpt")
+        q = stream_dedup(spark, feed_dir, index_dir,
+                         os.path.join(work, "m"), checkpoint=ckpt,
+                         max_files_per_trigger=1)
+        q.awaitTermination(600)
+
+        folded = compact_index(spark, index_dir, ckpt)
+        if folded != {"bands": 2, "shingles": 2}:
+            raise RuntimeError(
+                f"r15_empty_index_bootstrap: expected to fold 2 batches "
+                f"per tier, got {folded}"
+            )
+        for tier in ("bands", "shingles"):
+            meta = read_tier_meta(index_dir, tier)
+            if meta is None or meta.get("buckets") != 32:
+                raise RuntimeError(
+                    f"r15_empty_index_bootstrap: {tier} lost its seeded "
+                    f"bucket meta across compaction (got {meta})"
+                )
+
+        out = match_batch(
+            spark, planted.filter(k % 3 == 2), index_dir, append=False
+        ).select("new_id", "corpus_id", "jaccard")
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+    return _materialized(spark, out, work)
