@@ -15,6 +15,7 @@ from . import text  # noqa: F401, E402
 from . import text2  # noqa: F401, E402
 from . import text3  # noqa: F401, E402
 from . import text4  # noqa: F401, E402
+from . import text5  # noqa: F401, E402
 from . import vector  # noqa: F401, E402
 from . import cdc  # noqa: F401, E402
 from . import dedup  # noqa: F401, E402

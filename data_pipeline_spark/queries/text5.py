@@ -1,0 +1,245 @@
+"""Round-15 corpus-curation operators: DSIR-shaped importance
+resampling toward a target domain, and vocabulary-coverage filtering.
+
+Both are training-data selection methods a 100 TB pipeline runs between
+dedup and packing: DSIR (Xie et al. 2023, arXiv:2302.03169) picks raw
+documents whose hashed n-gram distribution looks like a small trusted
+target set; vocabulary-coverage filtering (the C4/CCNet family of
+lexicon heuristics) drops documents dominated by out-of-vocabulary
+tokens.  Everything is integer-exact by construction — per-feature
+likelihood ratios are fixed-point BIGINT arithmetic, not ``ln()``
+(libm bits differ across engines; the sketches module pins the same
+rule) — so DuckDB replays both operators bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from .registry import query
+from .text3 import _WS_SPLIT
+from .text4 import _tokens
+
+_WS = r"[ \t\n\f\r]+"
+
+_DSIR_BUCKETS = 4096  # hashed feature space (Xie et al. use 10k)
+_DSIR_SCALE = 1_000_000  # fixed-point scale for the per-feature ratio
+_DSIR_TARGET = "src0"  # the trusted target domain in the testdata
+
+
+def _grams(df: DataFrame) -> DataFrame:
+    """Hashed uni+bigram occurrences, one row per occurrence:
+    (doc_id, fh).  The feature hash is the d23 md5 device (engine-
+    portable, unlike xxhash64 which DuckDB lacks): first 8 md5 hex
+    digits as an integer, mod the bucket count."""
+    toks = df.select(
+        "doc_id", _tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 1)
+    uni = F.explode(F.col("t")).alias("gram")
+    bi = F.explode(
+        F.expr(
+            "transform(sequence(1, greatest(size(t) - 1, 0)),"
+            " i -> concat_ws(' ', t[i-1], t[i]))"
+        )
+    ).alias("gram")
+    grams = toks.select("doc_id", uni).unionByName(
+        toks.filter(F.size("t") >= 2).select("doc_id", bi)
+    )
+    fh = (
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
+        % F.lit(_DSIR_BUCKETS)
+    )
+    return grams.select("doc_id", fh.alias("fh"))
+
+
+_DSIR_GRAMS_SQL = f"""
+    toks AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(lower(trim(text, ' ')), '{_WS}') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source,
+               CAST(CAST(('0x' || substr(md5(gram), 1, 8)) AS UBIGINT)
+                    AS BIGINT) % {_DSIR_BUCKETS} AS fh
+        FROM (
+            SELECT doc_id, source, unnest(t) AS gram FROM toks
+                WHERE len(t) >= 1
+            UNION ALL
+            SELECT doc_id, source,
+                   unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i + 1])) AS gram
+            FROM toks WHERE len(t) >= 2
+        )
+    )"""
+
+
+@query(
+    "d55_dsir_importance",
+    oracle=f"""
+    WITH {_DSIR_GRAMS_SQL},
+    doc_feats AS (
+        SELECT doc_id, fh, CAST(COUNT(*) AS BIGINT) AS c
+        FROM grams GROUP BY doc_id, fh
+    ),
+    raw AS (SELECT fh, CAST(COUNT(*) AS BIGINT) AS cr FROM grams GROUP BY fh),
+    tgt AS (SELECT fh, CAST(COUNT(*) AS BIGINT) AS ct FROM grams
+            WHERE source = '{_DSIR_TARGET}' GROUP BY fh),
+    scored AS (
+        SELECT f.doc_id,
+               CAST(SUM(f.c) AS BIGINT) AS n_grams,
+               CAST(SUM(f.c * (({_DSIR_SCALE} * (COALESCE(t.ct, 0) + 1))
+                               // (r.cr + 1))) AS BIGINT) AS score
+        FROM doc_feats f
+        JOIN raw r ON f.fh = r.fh
+        LEFT JOIN tgt t ON f.fh = t.fh
+        GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_grams, score,
+           (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+            <= (SELECT COUNT(*) // 4 FROM scored)) AS selected
+    FROM scored
+    """,
+    survey="curation-dsir",
+)
+def d55_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023, arXiv:2302.03169 —
+    Data Selection with Importance Resampling, re-expressed
+    Spark-first): hash every uni/bigram into {_DSIR_BUCKETS} buckets,
+    estimate the target-domain and raw feature distributions, score
+    each raw document by its per-feature target/raw likelihood ratios,
+    and select the top quartile.
+
+    Integer-exact variant: the paper's log-ratio sum is replaced by the
+    fixed-point LINEAR ratio sum  sum_f c_f * floor(SCALE*(ct_f+1) /
+    (cr_f+1))  — the add-one-smoothed ratio with the global
+    (N_raw+B)/(N_tgt+B) factor dropped (constant across features, so
+    document RANKING under the linear score is a pure function of the
+    same sufficient statistics).  Everything stays BIGINT, so the
+    oracle replays bit-for-bit; in-engine ``ln()`` is banned here for
+    the same libm reason the HLL correction documents.
+
+    Scale shape: one token scan -> hashed-feature groupBys (the feature
+    relation is bounded at {_DSIR_BUCKETS} rows — broadcast-sized by
+    construction, AQE broadcasts both distribution joins); the only
+    corpus-sized exchange is the per-doc feature aggregation.  The
+    top-quartile window is the test-SF form; at 100 TB the selection
+    threshold comes from a sampled score quantile (no global sort), as
+    d17/d44 document for their quantiles."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    feats = _grams(docs).groupBy("doc_id", "fh").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    raw = feats.groupBy("fh").agg(F.sum("c").cast("bigint").alias("cr"))
+    tgt_ids = docs.filter(F.col("source") == _DSIR_TARGET).select("doc_id")
+    tgt = (
+        feats.join(F.broadcast(tgt_ids), "doc_id")
+        .groupBy("fh").agg(F.sum("c").cast("bigint").alias("ct"))
+    )
+    scored = (
+        feats.join(F.broadcast(raw), "fh")
+        .join(F.broadcast(tgt), "fh", "left")
+        .withColumn(
+            "term",
+            F.expr(
+                f"c * (({_DSIR_SCALE} * (coalesce(ct, 0) + 1))"
+                " div (cr + 1))"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.sum("term").cast("bigint").alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    n4 = F.floor(F.count("*").over(Window.partitionBy(F.lit(1))) / 4)
+    return scored.select(
+        "doc_id", "n_grams", "score",
+        (F.row_number().over(w) <= n4).alias("selected"),
+    )
+
+
+_VOCAB_V = 16  # top-V corpus vocabulary (31 distinct words in testdata)
+_OOV_MAX = 0.35  # keep documents with at most this OOV token fraction
+
+
+@query(
+    "d59_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text, ' ')), '{_WS}') AS t
+        FROM documents
+    ),
+    vocab AS (
+        SELECT word FROM (
+            SELECT word, COUNT(*) AS n FROM (
+                SELECT unnest(t) AS word FROM toks
+            ) GROUP BY word
+            ORDER BY n DESC, word
+            LIMIT {_VOCAB_V}
+        )
+    ),
+    stats AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+        FROM toks WHERE len(t) >= 1
+    ),
+    invocab AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_in_vocab
+        FROM (SELECT doc_id, unnest(t) AS word FROM toks WHERE len(t) >= 1) u
+        JOIN vocab v USING (word)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           COALESCE(n_in_vocab, 0) AS n_in_vocab,
+           ROUND(1.0 - CAST(COALESCE(n_in_vocab, 0) AS DOUBLE) / n_tokens, 6)
+               AS oov_frac,
+           (ROUND(1.0 - CAST(COALESCE(n_in_vocab, 0) AS DOUBLE) / n_tokens, 6)
+            <= {_OOV_MAX}) AS keep
+    FROM stats LEFT JOIN invocab USING (doc_id)
+    """,
+    survey="curation-vocab-coverage",
+)
+def d59_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage filter (the C4/CCNet lexicon-heuristic
+    family): build the corpus top-{_VOCAB_V} vocabulary (count desc,
+    word asc — exact, no RNG), then keep documents whose
+    out-of-vocabulary token fraction is at most {_OOV_MAX}.  A
+    high-OOV document in a web corpus is boilerplate, another language,
+    or garbage encoding — cheap to detect before any model-based
+    scoring runs.
+
+    Scale shape: one token scan -> word-count groupBy -> top-V (V is a
+    constant, so the cutoff is a bounded sort — at 100 TB a top-V over
+    partial counts, never a full vocabulary sort); the vocabulary is
+    broadcast into a row-local array_contains filter, so the per-doc
+    pass is scan-side with no second shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = _tokens(F.col("text"))
+    toks = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 1)
+    vocab = [
+        r["word"]
+        for r in toks.select(F.explode("t").alias("word"))
+        .groupBy("word").count()
+        .orderBy(F.desc("count"), "word")
+        .limit(_VOCAB_V)
+        .collect()
+    ]
+    # |vocab| <= V (a constant): the collect is control-plane, the
+    # filter ships as a literal array inside the row-local expression
+    varr = F.array(*[F.lit(w) for w in vocab])
+    n_in = F.size(F.filter(F.col("t"), lambda w: F.array_contains(varr, w)))
+    oov = F.round(1.0 - n_in.cast("double") / F.size("t"), 6)
+    return toks.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        n_in.cast("bigint").alias("n_in_vocab"),
+        oov.alias("oov_frac"),
+        (oov <= F.lit(_OOV_MAX)).alias("keep"),
+    )

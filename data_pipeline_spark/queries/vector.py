@@ -929,3 +929,116 @@ def v08_ann_scalar_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb")
     )
     return knn_sq(queries_df, corpus, k=_V08_K, rerank=_V08_RERANK)
+
+
+def _v09_oracle() -> str:
+    """DuckDB twin of v09 — the v04 IVF top-k (verbatim CTEs, so the
+    approximate side cannot drift from the gate it evaluates) joined
+    against the exact brute-force top-k (v01's ranking: ROUND-6 cosine,
+    neighbor_id tiebreak), per-query recall@k."""
+    cos = _IVF_COS
+    body, prev = _ivf_indexed_ctes()
+    return f"""{body},
+    probes AS (
+        SELECT query_id, qemb, cluster_id FROM (
+            SELECT v.vec_id AS query_id, v.emb AS qemb, c.cluster_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {cos.format(a='v.emb', b='c.cemb')} DESC,
+                                c.cluster_id) AS rn
+            FROM vecs v CROSS JOIN {prev} c
+            WHERE v.vec_id < 10
+        ) WHERE rn <= {_V04_NPROBE}
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, i.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY {cos.format(a='p.qemb', b='i.nemb')} DESC,
+                                i.neighbor_id) AS rn
+            FROM probes p JOIN indexed i USING (cluster_id)
+            WHERE p.query_id <> i.neighbor_id
+        ) WHERE rn <= {_V04_K}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY ROUND({_COS_SQL}, 6) DESC, b.vec_id) AS rn
+            FROM vecs a JOIN vecs b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < 10
+        ) WHERE rn <= {_V04_K}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / {_V04_K}, 6) AS recall
+    FROM exact e
+    LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@query(
+    "v09_ann_recall_eval",
+    oracle=_v09_oracle(),
+    survey="similarity-ann-eval",
+)
+def v09_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: per-query recall@{_V04_K} of the v04 IVF
+    route against the exact brute-force top-{_V04_K} — the measurement
+    a production ANN deployment runs on every index build before
+    swapping it into serving (recall, not wall-clock, is what nprobe /
+    n_clusters tuning trades away).  Both sides are the engine's own
+    declared constructions (knn_ivf with v04's constants; v01's
+    broadcast brute-force ranking), composed and joined per query — so
+    the evaluation itself is hash-verified cross-engine, not just the
+    routes it compares.
+
+    Scale shape: the eval query set is a SAMPLE (here vec_id < 10; at
+    100 TB a few thousand held-out queries) — the brute-force side is
+    |sample| x corpus with the sample broadcast, the IVF side prunes to
+    nprobe/n_clusters of the corpus, and the recall join is
+    sample-sized.  Evaluation cost scales with the sample, never the
+    corpus squared."""
+    from ..operators.similarity import knn_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb")
+    )
+    approx = knn_ivf(
+        queries_df, corpus, k=_V04_K, n_clusters=_V04_CLUSTERS,
+        nprobe=_V04_NPROBE,
+    ).select("query_id", "neighbor_id")
+
+    pairs = (
+        corpus.join(F.broadcast(queries_df),
+                    F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine_expr("qemb", "nemb"), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    exact = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _V04_K)
+        .select("query_id", "neighbor_id")
+    )
+    hit = approx.withColumn("hit", F.lit(1))
+    return (
+        exact.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_exact"),
+            F.count("hit").cast("bigint").alias("n_hits"),
+            F.round(F.count("hit").cast("double") / _V04_K, 6).alias("recall"),
+        )
+    )
