@@ -53,6 +53,13 @@ HEADLINE = [
     "d08_simhash_pairs",
     "d12_dedup_groups",
     "d13_corpus_clean",
+    # r15 additions: the importance-selection family (hashed-feature
+    # distribution joins — a curation shape none of the other headline
+    # entries exercise) and the ANN evaluation composition (IVF + exact
+    # side by side — a serving-quality regression is as real as a wall
+    # regression).
+    "d55_dsir_importance",
+    "v09_ann_recall_eval",
     "v01_knn_bruteforce",
     "r01_watermark_window_counts",
     "dsl_q01_customers_in_germany",
