@@ -60,6 +60,10 @@ HEADLINE = [
     # regression).
     "d55_dsir_importance",
     "v09_ann_recall_eval",
+    # r15: the CCNet-shaped LM fluency bucketing — three broadcast LM
+    # joins over a bigram explode, the reference-model scoring shape
+    # (distinct from d55's hashed-feature distributions).
+    "d56_lm_fluency_buckets",
     "v01_knn_bruteforce",
     "r01_watermark_window_counts",
     "dsl_q01_customers_in_germany",

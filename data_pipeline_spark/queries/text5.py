@@ -165,6 +165,184 @@ def d55_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_REF = ("src0", "src1")  # the trusted (wiki-like) reference slice
+_LM_SCALE = 1_000_000_000  # fixed-point probability scale
+
+
+_LM_BIGRAMS = """
+           unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+           unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2"""
+
+
+@query(
+    "d56_lm_fluency_buckets",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               regexp_split_to_array(lower(trim(text, ' ')), '{_WS}') AS t
+        FROM documents
+    ),
+    ref_uni AS (
+        SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM (SELECT lang, unnest(t) AS word FROM toks
+              WHERE source IN {_LM_REF} AND len(t) >= 1)
+        GROUP BY lang, word
+    ),
+    ref_stats AS (
+        SELECT lang, CAST(SUM(c1) AS BIGINT) AS tt,
+               CAST(COUNT(*) AS BIGINT) AS vv
+        FROM ref_uni GROUP BY lang
+    ),
+    ref_big AS (
+        SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+        FROM (SELECT lang, {_LM_BIGRAMS}
+              FROM toks WHERE source IN {_LM_REF} AND len(t) >= 2)
+        GROUP BY lang, w1, w2
+    ),
+    doc_big AS (
+        SELECT doc_id, lang, {_LM_BIGRAMS}
+        FROM toks WHERE len(t) >= 2
+    ),
+    scored AS (
+        SELECT d.doc_id, d.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE
+                   WHEN u1.c1 IS NOT NULL THEN
+                       ({_LM_SCALE} * (COALESCE(b.c2, 0) + 1))
+                       // (u1.c1 + s.vv)
+                   WHEN s.vv IS NOT NULL THEN
+                       ({_LM_SCALE} * (COALESCE(u2.c1, 0) + 1))
+                       // (s.tt + s.vv)
+                   ELSE 0 END) AS BIGINT) AS psum
+        FROM doc_big d
+        LEFT JOIN ref_big b
+            ON d.lang = b.lang AND d.w1 = b.w1 AND d.w2 = b.w2
+        LEFT JOIN ref_uni u1 ON d.lang = u1.lang AND d.w1 = u1.word
+        LEFT JOIN ref_uni u2 ON d.lang = u2.lang AND d.w2 = u2.word
+        LEFT JOIN ref_stats s ON d.lang = s.lang
+        GROUP BY d.doc_id, d.lang
+    )
+    SELECT doc_id, lang, n_bigrams,
+           psum // n_bigrams AS fluency_fp,
+           CASE ntile(3) OVER (PARTITION BY lang
+                               ORDER BY psum // n_bigrams DESC, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored
+    """,
+    survey="curation-lm-fluency",
+)
+def d56_lm_fluency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped language-model fluency bucketing (Wenzek et al.
+    2020, arXiv:1911.00359): train an n-gram LM per language on a
+    trusted reference slice (CCNet uses Wikipedia; here sources
+    {_LM_REF}), score every document, and split each language into
+    head/middle/tail terciles — the standard quality stratification a
+    100 TB crawl runs before mixing.
+
+    Integer-exact restatement: CCNet's perplexity (geometric mean of
+    bigram probabilities via KenLM log-probs) is replaced by the
+    arithmetic mean of FIXED-POINT add-one-smoothed bigram
+    probabilities —  floor(SCALE*(c2+1)/(c1[w1]+V))  when the context
+    word is in the reference vocabulary, unigram backoff
+    floor(SCALE*(c1[w2]+1)/(T+V))  when it is not, 0 for a language
+    with no reference data.  Both are means of per-bigram probability
+    transforms, monotone in each bigram's probability, so the
+    rare-bigrams-surprise signal survives while every value stays
+    BIGINT and the oracle replays bit-for-bit (``ln()`` is banned here
+    for the same libm reason d55 documents).
+
+    Scale shape: the LM relations are bounded by the REFERENCE corpus
+    (wiki-sized, not crawl-sized), so all three LM joins broadcast;
+    the crawl side is one token scan -> bigram explode -> per-doc
+    aggregation (the single corpus-sized shuffle, keyed by doc_id).
+    The tercile window is the test-SF form; at 100 TB the head/tail
+    cutoffs come from a sampled score quantile per language (d44's
+    sketch) and bucket assignment becomes a scan-side comparison
+    against broadcast cutoffs — no global sort."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    toks = docs.select(
+        "doc_id", "lang", "source", _tokens(F.col("text")).alias("t")
+    )
+    pairs = F.expr(
+        "transform(sequence(1, size(t) - 1),"
+        " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+    )
+    ref = toks.filter(F.col("source").isin(*_LM_REF))
+    uni = (
+        ref.filter(F.size("t") >= 1)
+        .select("lang", F.explode("t").alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("bigint").alias("c1"))
+    )
+    stats = uni.groupBy("lang").agg(
+        F.sum("c1").cast("bigint").alias("tt"),
+        F.count("*").cast("bigint").alias("vv"),
+    )
+    ref_big = (
+        ref.filter(F.size("t") >= 2)
+        .select("lang", F.explode(pairs).alias("p"))
+        .select("lang", "p.w1", "p.w2")
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c2"))
+    )
+    doc_big = (
+        toks.filter(F.size("t") >= 2)
+        .select("doc_id", "lang", F.explode(pairs).alias("p"))
+        .select("doc_id", "lang", "p.w1", "p.w2")
+    )
+    p_fp = (
+        F.when(
+            F.col("c1w1").isNotNull(),
+            F.expr(
+                f"({_LM_SCALE} * (coalesce(c2, 0) + 1)) div (c1w1 + vv)"
+            ),
+        )
+        .when(
+            F.col("vv").isNotNull(),
+            F.expr(
+                f"({_LM_SCALE} * (coalesce(c1w2, 0) + 1)) div (tt + vv)"
+            ),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+    )
+    scored = (
+        doc_big.join(F.broadcast(ref_big), ["lang", "w1", "w2"], "left")
+        .join(
+            F.broadcast(
+                uni.select("lang", F.col("word").alias("w1"),
+                           F.col("c1").alias("c1w1"))
+            ),
+            ["lang", "w1"], "left",
+        )
+        .join(
+            F.broadcast(
+                uni.select("lang", F.col("word").alias("w2"),
+                           F.col("c1").alias("c1w2"))
+            ),
+            ["lang", "w2"], "left",
+        )
+        .join(F.broadcast(stats), ["lang"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(p_fp).cast("bigint").alias("psum"),
+        )
+        .withColumn("fluency_fp", F.expr("psum div n_bigrams"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("fluency_fp"), "doc_id")
+    bucket = (
+        F.when(F.ntile(3).over(w) == 1, F.lit("head"))
+        .when(F.ntile(3).over(w) == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.select(
+        "doc_id", "lang", "n_bigrams", "fluency_fp", bucket.alias("bucket")
+    )
+
+
 _VOCAB_V = 16  # top-V corpus vocabulary (31 distinct words in testdata)
 _OOV_MAX = 0.35  # keep documents with at most this OOV token fraction
 

@@ -190,3 +190,218 @@ def test_live_stream_vs_out_of_band_maintenance_process(spark, tmp_path):
                        ("shingles", ["id", "shingle"])):
         assert (_index_rows(spark, idx_c, tier, cols)
                 == _index_rows(spark, idx_s, tier, cols)), tier
+
+
+# ---------------------------------------------------------------------------
+# entity-state twin: live entity stream vs out-of-band compact/lookup/rebucket
+# ---------------------------------------------------------------------------
+_ENTITY_MAINT_SCRIPT = """
+import json, os, sys, time, traceback
+state_dir, ckpt, ready, stop, report = sys.argv[1:6]
+sys.path.insert(0, sys.argv[6])
+probe_keys = json.loads(sys.argv[7])
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.host", "127.0.0.1")
+         .appName("oob_entity_maintenance").getOrCreate())
+from data_pipeline_spark.streaming.entity_stream import (
+    compact_entity_state, lookup_state, rebucket_state,
+)
+out = {"compactions": 0, "lookups": 0, "rebuckets": 0,
+       "rebucket_refusals": 0, "events": [], "error": None}
+with open(ready, "w") as f:
+    f.write("1")
+try:
+    while not os.path.exists(stop):
+        t0 = time.time()
+        compact_entity_state(spark, state_dir, ckpt)
+        out["compactions"] += 1
+        out["events"].append({"op": "compact", "t0": t0, "t1": time.time()})
+        t0 = time.time()
+        rows = lookup_state(spark, state_dir, ckpt, probe_keys).collect()
+        # every served row must parse — a torn read (half-swapped
+        # bucket) would surface as a missing/garbled payload here
+        for r in rows:
+            json.loads(r["data"])
+        out["lookups"] += 1
+        out["events"].append({"op": "lookup", "t0": t0, "t1": time.time(),
+                              "rows": len(rows)})
+        if out["rebuckets"] == 0 and out["compactions"] >= 2:
+            try:
+                t0 = time.time()
+                rebucket_state(spark, state_dir, ckpt, 32)
+                out["rebuckets"] += 1
+                out["events"].append({"op": "rebucket", "t0": t0,
+                                      "t1": time.time()})
+            except ValueError:
+                # a batch committed between our compact and the
+                # rebucket: the pending-deltas refusal IS the designed
+                # serialized outcome — retry next loop
+                out["rebucket_refusals"] += 1
+except BaseException:
+    out["error"] = traceback.format_exc()
+with open(report, "w") as f:
+    json.dump(out, f)
+spark.stop()
+sys.exit(1 if out["error"] else 0)
+"""
+
+
+def _uri(src, k):
+    return f"https://fixture.test/{src}/{k}"
+
+
+def _doc(src, k, label):
+    return json.dumps(
+        {"id": _uri(src, k), "type": "Person", "_label": label}
+    )
+
+
+def _entity_fixtures(spark, tmp_path):
+    """40 initial records + 4 crawls of updates/deletes (3 updates and
+    one delete each) — every crawl touches keys no other crawl touches,
+    so the final folded state is a pure function of the feed."""
+    rows = [
+        ("srcA", str(k), "Person", "2026-01-01T00:00:00", "create",
+         _doc("srcA", k, f"A{k}"))
+        for k in range(40)
+    ]
+    records = spark.createDataFrame(
+        rows,
+        "source string, identifier string, rectype string, "
+        "record_time string, change string, data string",
+    )
+    e = spark.createDataFrame
+    indexes = {
+        "name_index": e([], "source string, name_clean string, "
+                            "target_identifier string, rectype string"),
+        "uri_index": e([], "source string, ext_uri string, "
+                           "target_identifier string, rectype string"),
+        "same_as": e([], "uri_a string, uri_b string"),
+        "different_from": e([], "uri_a string, uri_b string"),
+    }
+    feed_dir = tmp_path / "entity_feed"
+    feed_dir.mkdir()
+    seq = 0
+    for j in range(4):
+        p = feed_dir / f"crawl{j}.jsonl"
+        with open(p, "w") as f:
+            for k in range(j * 3, j * 3 + 3):
+                seq += 1
+                f.write(json.dumps({
+                    "seq": seq, "end_time": f"2026-02-0{j + 1}T10:00:00",
+                    "change": "update", "object_uri": _uri("srcA", k),
+                    "payload": _doc("srcA", k, f"A{k}-v{j}"),
+                }) + "\n")
+            seq += 1
+            f.write(json.dumps({
+                "seq": seq, "end_time": f"2026-02-0{j + 1}T10:00:00",
+                "change": "delete", "object_uri": _uri("srcA", 30 + j),
+                "payload": None,
+            }) + "\n")
+        os.utime(p, (1000 + j, 1000 + j))
+    return records, indexes, str(feed_dir)
+
+
+def _merged_rows(spark, state_dir, ckpt):
+    from data_pipeline_spark.streaming.entity_stream import latest_state
+
+    out = latest_state(spark, state_dir, ckpt)
+    return {
+        "records": sorted(
+            (r["source"], r["identifier"], r["data"])
+            for r in out["records"].collect()
+        ),
+        "merged": sorted(
+            (r["yuid"], r["data"]) for r in out["merged"].collect()
+        ),
+    }
+
+
+def test_live_entity_stream_vs_out_of_band_maintenance(spark, tmp_path):
+    """The entity-state twin of the index drill: a subprocess loops
+    compact_entity_state + the lookup_state SERVING READ (the
+    explicitly out-of-band consumer the shared lock exists for) + one
+    rebucket_state against the state dir a live stream_entity_builds is
+    folding into.  Final folded state must equal the serial run's
+    exactly; every mid-stream lookup must serve parseable rows (a torn
+    bucket read would fail the parse)."""
+    from data_pipeline_spark.streaming.entity_stream import (
+        compact_entity_state,
+        init_state,
+        read_state_meta,
+    )
+
+    records, indexes, feed = _entity_fixtures(spark, tmp_path)
+    st_c = str(tmp_path / "state_concurrent")
+    init_state(spark, records, indexes, st_c, buckets=16)
+    st_s = str(tmp_path / "state_serial")
+    shutil.copytree(st_c, st_s)
+
+    ck_c = str(tmp_path / "eck_c")
+    ready = str(tmp_path / "e_ready")
+    stop = str(tmp_path / "e_stop")
+    report_path = str(tmp_path / "e_report.json")
+    script = tmp_path / "entity_maint.py"
+    script.write_text(_ENTITY_MAINT_SCRIPT)
+    probe = [_uri("srcA", 0), _uri("srcA", 3), _uri("srcA", 30)]
+    from data_pipeline_spark.streaming.entity_stream import (
+        stream_entity_builds,
+    )
+
+    proc = subprocess.Popen(
+        [sys.executable, str(script), st_c, ck_c, ready, stop,
+         report_path, REPO, json.dumps(probe)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=REPO,
+    )
+    try:
+        deadline = time.time() + 240
+        while not os.path.exists(ready):
+            assert proc.poll() is None, (
+                f"entity maintenance process died during startup:\n"
+                f"{proc.communicate()[1][-2000:]}"
+            )
+            assert time.time() < deadline, "maintenance process not ready"
+            time.sleep(0.2)
+        stream_t0 = time.time()
+        q = stream_entity_builds(spark, feed, st_c, ck_c, indexes)
+        q.awaitTermination(600)
+        stream_t1 = time.time()
+    finally:
+        with open(stop, "w") as f:
+            f.write("1")
+        try:
+            proc.wait(timeout=300)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            raise
+    report = json.load(open(report_path))
+    assert report["error"] is None, report["error"]
+    assert proc.returncode == 0
+    assert report["compactions"] >= 1 and report["lookups"] >= 1
+    overlapping = [
+        e for e in report["events"]
+        if e["t0"] < stream_t1 and e["t1"] > stream_t0
+    ]
+    assert overlapping, (
+        f"no maintenance op overlapped the stream "
+        f"[{stream_t0:.1f}, {stream_t1:.1f}]: {report['events']}"
+    )
+    compact_entity_state(spark, st_c, ck_c)
+
+    ck_s = str(tmp_path / "eck_s")
+    q = stream_entity_builds(spark, feed, st_s, ck_s, indexes)
+    q.awaitTermination(600)
+    compact_entity_state(spark, st_s, ck_s)
+
+    got = _merged_rows(spark, st_c, ck_c)
+    want = _merged_rows(spark, st_s, ck_s)
+    assert got == want
+    assert len(got["records"]) == 36  # 40 - 4 deletes
+    # the mid-run rebucket (if it won its race) must leave a clean meta
+    meta = read_state_meta(st_c)
+    assert meta is not None and "rebucket_to" not in meta
+    assert meta["buckets"] in (16, 32)
