@@ -71,8 +71,12 @@ GATE_PIN = [
     #   all three re-prove.
     # - entity_stream.py changed (storage-provider seam):
     #   r12_entity_stream_fold and r13_state_lookup re-prove.
+    # - curation_stream.py changed (the LM-quality stage: index_lm /
+    #   stream_lm_bucket landed beside stream_curate): r13_curation_stream
+    #   re-proves the untouched curate path through the changed module.
     # - b01 stays pinned as the golden full-chain gate.
     "b01_entity_build",
+    "r13_curation_stream",
     "r12_entity_stream_fold",
     "r13_dedup_stream",
     "r13_state_lookup",

@@ -755,3 +755,145 @@ def r15_empty_index_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
         raise
     return _materialized(spark, out, work)
+
+
+# ---------------------------------------------------------------------------
+# r15_lm_curation_stream
+# ---------------------------------------------------------------------------
+from .text5 import _LM_BIGRAMS, _LM_REF, _LM_SCALE  # noqa: E402
+
+
+@query(
+    "r15_lm_curation_stream",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               regexp_split_to_array(lower(trim(text, ' ')), '{_WS}') AS t
+        FROM documents
+    ),
+    ref_uni AS (
+        SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM (SELECT lang, unnest(t) AS word FROM toks
+              WHERE source IN {_LM_REF} AND len(t) >= 1)
+        GROUP BY lang, word
+    ),
+    ref_stats AS (
+        SELECT lang, CAST(SUM(c1) AS BIGINT) AS tt,
+               CAST(COUNT(*) AS BIGINT) AS vv
+        FROM ref_uni GROUP BY lang
+    ),
+    ref_big AS (
+        SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+        FROM (SELECT lang, {_LM_BIGRAMS}
+              FROM toks WHERE source IN {_LM_REF} AND len(t) >= 2)
+        GROUP BY lang, w1, w2
+    ),
+    doc_big AS (
+        SELECT doc_id, lang, {_LM_BIGRAMS}
+        FROM toks WHERE len(t) >= 2
+    ),
+    fl AS (
+        SELECT doc_id, lang, n_bigrams, psum // n_bigrams AS fluency_fp
+        FROM (
+            SELECT d.doc_id, d.lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(CASE
+                       WHEN u1.c1 IS NOT NULL THEN
+                           ({_LM_SCALE} * (COALESCE(b.c2, 0) + 1))
+                           // (u1.c1 + s.vv)
+                       WHEN s.vv IS NOT NULL THEN
+                           ({_LM_SCALE} * (COALESCE(u2.c1, 0) + 1))
+                           // (s.tt + s.vv)
+                       ELSE 0 END) AS BIGINT) AS psum
+            FROM doc_big d
+            LEFT JOIN ref_big b
+                ON d.lang = b.lang AND d.w1 = b.w1 AND d.w2 = b.w2
+            LEFT JOIN ref_uni u1 ON d.lang = u1.lang AND d.w1 = u1.word
+            LEFT JOIN ref_uni u2 ON d.lang = u2.lang AND d.w2 = u2.word
+            LEFT JOIN ref_stats s ON d.lang = s.lang
+            GROUP BY d.doc_id, d.lang
+        )
+    ),
+    ref_nt AS (
+        SELECT f.lang, f.fluency_fp,
+               ntile(3) OVER (PARTITION BY f.lang
+                              ORDER BY f.fluency_fp DESC, f.doc_id) AS nt
+        FROM fl f JOIN documents d USING (doc_id)
+        WHERE d.source IN {_LM_REF}
+    ),
+    cuts AS (
+        SELECT lang,
+               MIN(CASE WHEN nt = 1 THEN fluency_fp END) AS head_min,
+               MIN(CASE WHEN nt <= 2 THEN fluency_fp END) AS mid_min
+        FROM ref_nt GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(COALESCE(f.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(f.fluency_fp, -1) AS BIGINT) AS fluency_fp,
+           CASE WHEN f.fluency_fp IS NULL THEN 'unscored'
+                WHEN c.head_min IS NOT NULL AND f.fluency_fp >= c.head_min
+                    THEN 'head'
+                WHEN c.mid_min IS NOT NULL AND f.fluency_fp >= c.mid_min
+                    THEN 'middle'
+                ELSE 'tail' END AS lm_bucket,
+           CAST(d.doc_id % 2 AS BIGINT) AS micro_batch_id
+    FROM documents d
+    LEFT JOIN fl f USING (doc_id)
+    LEFT JOIN cuts c ON d.lang = c.lang
+    """,
+    survey="streaming-lm-quality",
+)
+def r15_lm_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming LM-quality stage end-to-end: ``index_lm`` trains
+    the d56 bigram LM on the trusted slice and persists it WITH the
+    per-language tercile cutoffs; ``stream_lm_bucket`` then scores two
+    crawl files as two micro-batches (maxFilesPerTrigger=1) against the
+    persisted model and buckets each document by scan-side cutoff
+    comparison — the exact 100 TB substitution d56's docstring promises
+    for its test-SF tercile window (CCNet's deployment shape: train
+    once on the trusted corpus, score the crawl incrementally).
+
+    The oracle restates the whole chain analytically — LM training,
+    fixed-point scoring, the reference-slice ntile cutoffs, the bucket
+    comparison, and which micro-batch each doc rode in (pinned by
+    crawl-file mtime) — so a scoring drift, a cutoff drift, a
+    batch/stream divergence or a sequencing bug all break the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.curation_stream import index_lm, stream_lm_bucket
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    work = tempfile.mkdtemp(prefix="r15_lm_gate_")
+    try:
+        feed_dir = _write_crawls(spark, work, [
+            docs.filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "lang", "text"),
+            docs.filter(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "lang", "text"),
+        ])
+        index_dir = os.path.join(work, "lm_index")
+        index_lm(
+            spark,
+            docs.filter(F.col("source").isin(*_LM_REF))
+            .select("doc_id", "lang", "text"),
+            index_dir,
+        )
+        out_dir = os.path.join(work, "bucketed")
+        q = stream_lm_bucket(
+            spark, feed_dir, index_dir, out_dir,
+            checkpoint=os.path.join(work, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(600)
+        out = spark.read.parquet(out_dir).select(
+            "doc_id", "lang", "n_bigrams", "fluency_fp", "lm_bucket",
+            F.col("batch").cast("bigint").alias("micro_batch_id"),
+        )
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+    return _materialized(spark, out, work)

@@ -173,6 +173,94 @@ _LM_BIGRAMS = """
            unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
            unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2"""
 
+_LM_PAIRS = (
+    "transform(sequence(1, size(t) - 1),"
+    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+)
+
+
+def lm_train(ref_docs: DataFrame) -> dict[str, DataFrame]:
+    """Bigram LM relations from a reference slice (columns: lang, text):
+    per-language unigram counts, totals/vocab sizes, bigram counts.
+    Bounded by the REFERENCE corpus (wiki-sized), so every consumer
+    broadcasts them — library form shared by the d56 batch query and
+    the streaming curation LM stage (curation_stream.index_lm)."""
+    toks = ref_docs.select("lang", _tokens(F.col("text")).alias("t"))
+    uni = (
+        toks.filter(F.size("t") >= 1)
+        .select("lang", F.explode("t").alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("bigint").alias("c1"))
+    )
+    stats = uni.groupBy("lang").agg(
+        F.sum("c1").cast("bigint").alias("tt"),
+        F.count("*").cast("bigint").alias("vv"),
+    )
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select("lang", F.explode(F.expr(_LM_PAIRS)).alias("p"))
+        .select("lang", "p.w1", "p.w2")
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c2"))
+    )
+    return {"uni": uni, "stats": stats, "big": big}
+
+
+def lm_score(docs: DataFrame, lm: dict[str, DataFrame]) -> DataFrame:
+    """Score documents (doc_id, lang, text) against a trained LM:
+    (doc_id, lang, n_bigrams, fluency_fp) for every doc with >= 2
+    tokens.  Fixed-point add-one-smoothed bigram probability with
+    unigram backoff, 0 for a language the LM has no data for — the
+    exact arithmetic d56 documents; integer-exact so the DuckDB oracles
+    replay it bit-for-bit."""
+    doc_big = (
+        docs.select("doc_id", "lang", _tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 2)
+        .select("doc_id", "lang", F.explode(F.expr(_LM_PAIRS)).alias("p"))
+        .select("doc_id", "lang", "p.w1", "p.w2")
+    )
+    uni = lm["uni"]
+    p_fp = (
+        F.when(
+            F.col("c1w1").isNotNull(),
+            F.expr(
+                f"({_LM_SCALE} * (coalesce(c2, 0) + 1)) div (c1w1 + vv)"
+            ),
+        )
+        .when(
+            F.col("vv").isNotNull(),
+            F.expr(
+                f"({_LM_SCALE} * (coalesce(c1w2, 0) + 1)) div (tt + vv)"
+            ),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+    )
+    return (
+        doc_big.join(F.broadcast(lm["big"]), ["lang", "w1", "w2"], "left")
+        .join(
+            F.broadcast(
+                uni.select("lang", F.col("word").alias("w1"),
+                           F.col("c1").alias("c1w1"))
+            ),
+            ["lang", "w1"], "left",
+        )
+        .join(
+            F.broadcast(
+                uni.select("lang", F.col("word").alias("w2"),
+                           F.col("c1").alias("c1w2"))
+            ),
+            ["lang", "w2"], "left",
+        )
+        .join(F.broadcast(lm["stats"]), ["lang"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(p_fp).cast("bigint").alias("psum"),
+        )
+        .withColumn("fluency_fp", F.expr("psum div n_bigrams"))
+        .drop("psum")
+    )
+
 
 @query(
     "d56_lm_fluency_buckets",
@@ -263,75 +351,8 @@ def d56_lm_fluency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "text"
     )
-    toks = docs.select(
-        "doc_id", "lang", "source", _tokens(F.col("text")).alias("t")
-    )
-    pairs = F.expr(
-        "transform(sequence(1, size(t) - 1),"
-        " i -> struct(t[i-1] AS w1, t[i] AS w2))"
-    )
-    ref = toks.filter(F.col("source").isin(*_LM_REF))
-    uni = (
-        ref.filter(F.size("t") >= 1)
-        .select("lang", F.explode("t").alias("word"))
-        .groupBy("lang", "word")
-        .agg(F.count("*").cast("bigint").alias("c1"))
-    )
-    stats = uni.groupBy("lang").agg(
-        F.sum("c1").cast("bigint").alias("tt"),
-        F.count("*").cast("bigint").alias("vv"),
-    )
-    ref_big = (
-        ref.filter(F.size("t") >= 2)
-        .select("lang", F.explode(pairs).alias("p"))
-        .select("lang", "p.w1", "p.w2")
-        .groupBy("lang", "w1", "w2")
-        .agg(F.count("*").cast("bigint").alias("c2"))
-    )
-    doc_big = (
-        toks.filter(F.size("t") >= 2)
-        .select("doc_id", "lang", F.explode(pairs).alias("p"))
-        .select("doc_id", "lang", "p.w1", "p.w2")
-    )
-    p_fp = (
-        F.when(
-            F.col("c1w1").isNotNull(),
-            F.expr(
-                f"({_LM_SCALE} * (coalesce(c2, 0) + 1)) div (c1w1 + vv)"
-            ),
-        )
-        .when(
-            F.col("vv").isNotNull(),
-            F.expr(
-                f"({_LM_SCALE} * (coalesce(c1w2, 0) + 1)) div (tt + vv)"
-            ),
-        )
-        .otherwise(F.lit(0).cast("bigint"))
-    )
-    scored = (
-        doc_big.join(F.broadcast(ref_big), ["lang", "w1", "w2"], "left")
-        .join(
-            F.broadcast(
-                uni.select("lang", F.col("word").alias("w1"),
-                           F.col("c1").alias("c1w1"))
-            ),
-            ["lang", "w1"], "left",
-        )
-        .join(
-            F.broadcast(
-                uni.select("lang", F.col("word").alias("w2"),
-                           F.col("c1").alias("c1w2"))
-            ),
-            ["lang", "w2"], "left",
-        )
-        .join(F.broadcast(stats), ["lang"], "left")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count("*").cast("bigint").alias("n_bigrams"),
-            F.sum(p_fp).cast("bigint").alias("psum"),
-        )
-        .withColumn("fluency_fp", F.expr("psum div n_bigrams"))
-    )
+    lm = lm_train(docs.filter(F.col("source").isin(*_LM_REF)))
+    scored = lm_score(docs, lm)
     w = Window.partitionBy("lang").orderBy(F.desc("fluency_fp"), "doc_id")
     bucket = (
         F.when(F.ntile(3).over(w) == 1, F.lit("head"))
