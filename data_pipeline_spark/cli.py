@@ -448,6 +448,35 @@ def cmd_stream_refresh(args) -> int:
     return 0 if drained else 3
 
 
+def cmd_lm_index(args) -> int:
+    from .streaming.curation_stream import index_lm
+
+    spark = _spark(args)
+    ref = spark.read.parquet(args.ref_corpus).select("doc_id", "lang", "text")
+    index_lm(spark, ref, args.index)
+    print(f"[cli] reference LM + tercile cutoffs persisted under "
+          f"{args.index}/lm")
+    return 0
+
+
+def cmd_stream_lm(args) -> int:
+    from .streaming.curation_stream import index_lm, stream_lm_bucket
+
+    spark = _spark(args)
+    if args.init_ref:
+        index_lm(
+            spark,
+            spark.read.parquet(args.init_ref).select("doc_id", "lang", "text"),
+            args.index,
+        )
+        print(f"[cli] reference LM trained at {args.index}")
+    q = stream_lm_bucket(
+        spark, args.feed, args.index, args.out, checkpoint=args.checkpoint
+    )
+    drained = _await_drained(q, args.timeout)
+    return 0 if drained else 3
+
+
 def cmd_verify(args) -> int:
     """Run the DuckDB-oracle comparison for declared queries — the same
     check the correctness driver runs, as a user-facing command.  Exit
@@ -742,6 +771,35 @@ def build_parser() -> argparse.ArgumentParser:
     sr.add_argument("--timeout", type=int, default=600)
     _add_common(sr)
     sr.set_defaults(fn=cmd_stream_refresh)
+
+    li = sub.add_parser(
+        "lm-index",
+        help="train the CCNet-style reference LM (d56's bigram model) "
+        "and persist it with per-language tercile cutoffs — the one-off "
+        "init the LM-quality stream scores against",
+    )
+    li.add_argument("--ref-corpus", required=True, metavar="PARQUET",
+                    help="trusted reference docs: doc_id, lang, text")
+    li.add_argument("--index", required=True, metavar="DIR")
+    _add_common(li)
+    li.set_defaults(fn=cmd_lm_index)
+
+    sm = sub.add_parser(
+        "stream-lm",
+        help="score a JSONL document feed against a persisted reference "
+        "LM, bucketing head/middle/tail by the persisted cutoffs "
+        "(stateless per micro-batch; the streaming twin of d56)",
+    )
+    sm.add_argument("--feed", required=True, metavar="DIR",
+                    help="JSONL crawls: doc_id, lang, text")
+    sm.add_argument("--index", required=True, metavar="DIR")
+    sm.add_argument("--out", required=True, metavar="DIR")
+    sm.add_argument("--checkpoint", required=True, metavar="DIR")
+    sm.add_argument("--init-ref", metavar="PARQUET",
+                    help="train the LM from this reference corpus first")
+    sm.add_argument("--timeout", type=int, default=600)
+    _add_common(sm)
+    sm.set_defaults(fn=cmd_stream_lm)
 
     v = sub.add_parser(
         "verify",

@@ -483,3 +483,47 @@ def test_cli_state_export_as_of_batch(spark, tmp_path):
                  "--out", latest]) == 0
     assert labels(asof0) == ["A0-c0", "A1", "A2"]
     assert labels(latest) == ["A0-c0", "A1-c1", "A2"]
+
+
+def test_cli_stream_lm_end_to_end(spark, tmp_path):
+    """stream-lm with --init-ref: the reference LM + cutoffs persist,
+    one crawl streams through the scoring stage, and the output carries
+    a bucket for every doc.  The fluent doc (pure reference bigrams)
+    must outscore the garbage one (tokens the LM never saw), and the
+    reference docs themselves must split across head/middle/tail (the
+    cutoffs are their own terciles)."""
+    ref_rows = [
+        (i, "en", "the quick brown fox jumps over the lazy dog " * (i + 1))
+        for i in range(6)
+    ]
+    base = str(tmp_path / "ref.parquet")
+    spark.createDataFrame(
+        ref_rows, "doc_id bigint, lang string, text string"
+    ).write.parquet(base)
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    with open(feed / "c0.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 100, "lang": "en",
+                            "text": "the quick brown fox jumps"}) + "\n")
+        f.write(json.dumps({"doc_id": 101, "lang": "en",
+                            "text": "zzq qqz xxj jjx wwk kkw"}) + "\n")
+        f.write(json.dumps({"doc_id": 102, "lang": "en",
+                            "text": "single"}) + "\n")
+
+    idx = str(tmp_path / "lm_idx")
+    out = str(tmp_path / "bucketed")
+    assert main([
+        "stream-lm", "--feed", str(feed), "--index", idx, "--out", out,
+        "--checkpoint", str(tmp_path / "ck"), "--init-ref", base,
+    ]) == 0
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {100, 101, 102}
+    assert got[100].fluency_fp > got[101].fluency_fp
+    assert got[102].lm_bucket == "unscored" and got[102].fluency_fp == -1
+    assert got[100].lm_bucket in ("head", "middle", "tail")
+    # lm-index alone is the same init (idempotent overwrite)
+    assert main(["lm-index", "--ref-corpus", base, "--index", idx]) == 0
+    cuts = {r.lang: r for r in spark.read.parquet(
+        os.path.join(idx, "lm", "cuts")).collect()}
+    assert cuts["en"].head_min >= cuts["en"].mid_min
