@@ -42,11 +42,15 @@ from data_pipeline_spark.streaming.entity_stream import (
     init_state,
     latest_state,
     lookup_state,
+    read_state_meta,
+    rebucket_state,
     repair_state_dir,
     stream_entity_builds,
 )
 from data_pipeline_spark.streaming.index_util import (
     compact_index,
+    read_tier_meta,
+    rebucket_index,
     repair_index_dir,
     run_batch_key,
     tier_dir,
@@ -317,4 +321,105 @@ def test_entity_compaction_crash_sweep(spark, tmp_path):
         assert _entity_rows(spark, work, ck) == want, (
             f"crash before mutation #{k + 1} diverged"
         )
+        shutil.rmtree(work)
+
+
+# ---------------------------------------------------------------------------
+# rebucket sweeps — the remaining two maintenance mutation paths
+# ---------------------------------------------------------------------------
+
+
+def test_index_rebucket_crash_sweep(spark, tmp_path):
+    """rebucket_index crashed before every mutation boundary: repair
+    (plus a re-run when the crash predates the tier's plan) must leave
+    exactly the old rows under the TARGET bucket count — the staged
+    replace_all plan's old-base-or-new contract, proven at every
+    instant instead of the one hand-staged point."""
+    idx_pre, ck = _build_index_fixture(spark, tmp_path)
+    want = _index_rows(spark, idx_pre)  # rebucket moves no rows
+
+    probe_dir = str(tmp_path / "rb_probe")
+    shutil.copytree(idx_pre, probe_dir)
+    probe = FaultInjectingProvider(crash_at=None)
+    storage.set_provider(probe)
+    rebucket_index(spark, probe_dir, 16, tiers=["fp", "sig"])
+    storage.set_provider(PosixStorageProvider())
+    n = len(probe.trace)
+    assert n >= 6, probe.trace
+    assert _index_rows(spark, probe_dir) == want
+    assert all(read_tier_meta(probe_dir, t)["buckets"] == 16
+               for t in ("fp", "sig"))
+
+    for k in range(n):
+        work = str(tmp_path / f"rb_k{k}")
+        shutil.copytree(idx_pre, work)
+        storage.set_provider(FaultInjectingProvider(crash_at=k))
+        with pytest.raises(_Crash):
+            rebucket_index(spark, work, 16, tiers=["fp", "sig"])
+        storage.set_provider(PosixStorageProvider())
+        repair_index_dir(work)  # finishes any persisted plan
+        assert _index_rows(spark, work) == want, f"rows lost at #{k + 1}"
+        if any(read_tier_meta(work, t)["buckets"] != 16
+               for t in ("fp", "sig")):
+            # crash predates some tier's plan: old base survives whole —
+            # re-running the op is the documented recovery
+            rebucket_index(spark, work, 16, tiers=["fp", "sig"])
+        assert _index_rows(spark, work) == want, f"diverged at #{k + 1}"
+        assert all(read_tier_meta(work, t)["buckets"] == 16
+                   for t in ("fp", "sig")), k
+        for tier in ("fp", "sig"):
+            assert ".compact" not in os.listdir(os.path.join(work, tier))
+        shutil.rmtree(work)
+
+
+def test_entity_rebucket_crash_sweep(spark, tmp_path):
+    """rebucket_state crashed before every mutation boundary.  The
+    design's degraded-not-wrong claims, each drilled at every k: the
+    very next lookup_state serves the correct values (a mixed bucket
+    map forces its full-fold fallback via the rebucket_to marker), and
+    re-running the op converges to the target layout with the rows
+    intact.  (The OTHER recovery path — a delta-bearing compaction
+    completing a marked rebucket — is pinned by
+    test_rebucket_state_lifecycle; with no deltas pending, re-run is
+    the documented recovery.)"""
+    state_pre, ck = _build_entity_fixture(spark, tmp_path)
+    compact_entity_state(spark, state_pre, ck)  # rebucket precondition
+    want = _entity_rows(spark, state_pre, ck)
+
+    probe_dir = str(tmp_path / "erb_probe")
+    shutil.copytree(state_pre, probe_dir)
+    probe = FaultInjectingProvider(crash_at=None)
+    storage.set_provider(probe)
+    rebucket_state(spark, probe_dir, ck, 8)
+    storage.set_provider(PosixStorageProvider())
+    n = len(probe.trace)
+    assert n >= 8, probe.trace
+    assert _entity_rows(spark, probe_dir, ck) == want
+    assert read_state_meta(probe_dir)["buckets"] == 8
+
+    for k in range(n):
+        work = str(tmp_path / f"erb_k{k}")
+        shutil.copytree(state_pre, work)
+        storage.set_provider(FaultInjectingProvider(crash_at=k))
+        with pytest.raises(_Crash):
+            rebucket_state(spark, work, ck, 8)
+        storage.set_provider(PosixStorageProvider())
+        # serving read first, before any repair: correct rows even on a
+        # mixed bucket map (marker -> full-fold fallback)
+        served = {
+            json.loads(r["data"])["id"]: r["data"]
+            for r in lookup_state(
+                spark, work, ck, [_uri(3), _uri(5), _uri(7)]
+            ).collect()
+        }
+        assert json.loads(served[_uri(3)])["_label"] == "A3-v2", k
+        assert _uri(5) not in served, k
+        assert json.loads(served[_uri(7)])["_label"] == "A7", k
+        # recovery: re-run the op.  It must cope with every crash
+        # residue — marker-only, mixed bucket map, half-applied plan —
+        # because its own entry repairs tiers and re-reads the FULL base
+        rebucket_state(spark, work, ck, 8)
+        assert _entity_rows(spark, work, ck) == want, f"diverged at #{k + 1}"
+        meta = read_state_meta(work)
+        assert "rebucket_to" not in meta and meta["buckets"] == 8, (k, meta)
         shutil.rmtree(work)
