@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -177,7 +178,7 @@ def main() -> None:
     # analysis never needs to re-run the suite; JSON shape is unchanged
     # ("queries" still maps name -> one number, now the median; "value"
     # is still their sum).
-    reps_n = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps_n = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     reps: dict[str, list[float]] = {n: [] for n in HEADLINE}
     canary_pre_b01 = None
     spark_canary_pre_b01 = None
@@ -204,7 +205,12 @@ def main() -> None:
             n = df.count()
             reps[name].append(round(time.perf_counter() - t0, 3))
             _ = n
-    per_query = {n: sorted(s)[len(s) // 2] for n, s in reps.items()}
+    # statistics.median, not sorted(s)[len//2]: the upper-middle pick
+    # biases even rep counts high (review catch — the 6-rep drift
+    # protocol uses even counts)
+    per_query = {
+        n: round(statistics.median(s), 3) for n, s in reps.items()
+    }
     total = round(sum(per_query.values()), 3)
     canary_end = _spin_canary()
     spark_canary_end = _spark_canary(spark)

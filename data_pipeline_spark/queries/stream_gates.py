@@ -28,7 +28,7 @@ from .registry import query
 from .text3 import EMAIL_RE, IPV4_RE, PHONE_RE, _BENCH_MOD, _CONTAM_MOD, _PLANT
 from .text4 import _STOP_SQL
 
-_WS = r"[ \t\n\f\r]+"
+from .text3 import _WS_SPLIT as _WS  # the one pinned separator (review catch)
 
 
 def _write_crawls(spark, workdir: str, crawls: list[DataFrame]) -> str:

@@ -23,7 +23,7 @@ from .registry import query
 from .text3 import _WS_SPLIT
 from .text4 import _tokens
 
-_WS = r"[ \t\n\f\r]+"
+_WS = _WS_SPLIT  # one pinned separator: Spark tokens and DuckDB oracles share it
 
 _DSIR_BUCKETS = 4096  # hashed feature space (Xie et al. use 10k)
 _DSIR_SCALE = 1_000_000  # fixed-point scale for the per-feature ratio
@@ -441,4 +441,209 @@ def d59_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_in.cast("bigint").alias("n_in_vocab"),
         oov.alias("oov_frac"),
         (oov <= F.lit(_OOV_MAX)).alias("keep"),
+    )
+
+
+# d57: the quality->scrub->LM composition.  The oracle interpolates the
+# shared regex/stopword constants AT RUNTIME (f-string over module
+# constants, the r13/r15 gate pattern) — never paste a regex into SQL
+# source text: literal braces and backslashes silently corrupt there.
+from .text3 import EMAIL_RE as _EMAIL, IPV4_RE as _IP, PHONE_RE as _PHONE  # noqa: E402
+from .text4 import _STOP_SQL  # noqa: E402
+
+_D57_SCORE_SQL = f"""
+            SELECT d.doc_id, d.lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(CASE
+                       WHEN u1.c1 IS NOT NULL THEN
+                           ({_LM_SCALE} * (COALESCE(b.c2, 0) + 1))
+                           // (u1.c1 + s.vv)
+                       WHEN s.vv IS NOT NULL THEN
+                           ({_LM_SCALE} * (COALESCE(u2.c1, 0) + 1))
+                           // (s.tt + s.vv)
+                       ELSE 0 END) AS BIGINT) AS psum
+            FROM __GRAMS__ d
+            LEFT JOIN ref_big b
+                ON d.lang = b.lang AND d.w1 = b.w1 AND d.w2 = b.w2
+            LEFT JOIN ref_uni u1 ON d.lang = u1.lang AND d.w1 = u1.word
+            LEFT JOIN ref_uni u2 ON d.lang = u2.lang AND d.w2 = u2.word
+            LEFT JOIN ref_stats s ON d.lang = s.lang
+            GROUP BY d.doc_id, d.lang
+"""
+
+
+@query(
+    "d57_curation_lm_pipeline",
+    oracle=f"""
+    WITH planted AS (
+        SELECT doc_id, lang, source,
+               CASE doc_id % 3
+                 WHEN 0 THEN text || ' contact user' || doc_id || '@mail.example.org'
+                 WHEN 1 THEN text || ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE text || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+               END AS text
+        FROM documents
+    ),
+    ptoks AS (
+        SELECT doc_id, lang, source, text,
+               regexp_split_to_array(lower(trim(text, ' ')), '{_WS}') AS t
+        FROM planted
+    ),
+    quality AS (
+        SELECT doc_id, lang, source, text FROM ptoks
+        WHERE len(t) BETWEEN 50 AND 100000
+          AND CAST(len(array_to_string(t, '')) AS DOUBLE) / len(t)
+              BETWEEN 3 AND 10
+          AND CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+                   AS DOUBLE) / len(t) >= 0.8
+          AND CAST(len(list_filter(t, w -> w = '#' OR w = '...'))
+                   AS DOUBLE) / len(t) <= 0.1
+          AND len(list_filter(t, w -> w IN ({_STOP_SQL}))) >= 2
+    ),
+    stoks AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(lower(trim(
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '{_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PHONE}', '<PHONE>', 'g'),
+                       '{_IP}', '<IP>', 'g'), ' ')), '{_WS}') AS t
+        FROM quality
+    ),
+    rtoks AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(lower(trim(text, ' ')), '{_WS}') AS t
+        FROM documents WHERE source IN {_LM_REF}
+    ),
+    ref_uni AS (
+        SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM (SELECT lang, unnest(t) AS word FROM rtoks WHERE len(t) >= 1)
+        GROUP BY lang, word
+    ),
+    ref_stats AS (
+        SELECT lang, CAST(SUM(c1) AS BIGINT) AS tt,
+               CAST(COUNT(*) AS BIGINT) AS vv
+        FROM ref_uni GROUP BY lang
+    ),
+    ref_big AS (
+        SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+        FROM (SELECT lang, {_LM_BIGRAMS}
+              FROM rtoks WHERE len(t) >= 2)
+        GROUP BY lang, w1, w2
+    ),
+    doc_big AS (
+        SELECT doc_id, lang, {_LM_BIGRAMS} FROM stoks WHERE len(t) >= 2
+    ),
+    ref_doc_big AS (
+        SELECT doc_id, lang, {_LM_BIGRAMS} FROM rtoks WHERE len(t) >= 2
+    ),
+    fl AS (
+        SELECT doc_id, lang, n_bigrams, psum // n_bigrams AS fluency_fp
+        FROM ({_D57_SCORE_SQL.replace("__GRAMS__", "doc_big")})
+    ),
+    ref_fl AS (
+        SELECT doc_id, lang, psum // n_bigrams AS fluency_fp
+        FROM ({_D57_SCORE_SQL.replace("__GRAMS__", "ref_doc_big")})
+    ),
+    ref_nt AS (
+        SELECT lang, fluency_fp,
+               ntile(3) OVER (PARTITION BY lang
+                              ORDER BY fluency_fp DESC, doc_id) AS nt
+        FROM ref_fl
+    ),
+    cuts AS (
+        SELECT lang,
+               MIN(CASE WHEN nt = 1 THEN fluency_fp END) AS head_min,
+               MIN(CASE WHEN nt <= 2 THEN fluency_fp END) AS mid_min
+        FROM ref_nt GROUP BY lang
+    )
+    SELECT q.doc_id, q.lang, q.source,
+           CAST(COALESCE(f.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(f.fluency_fp, -1) AS BIGINT) AS fluency_fp,
+           CASE WHEN f.fluency_fp IS NULL THEN 'unscored'
+                WHEN c.head_min IS NOT NULL AND f.fluency_fp >= c.head_min
+                    THEN 'head'
+                WHEN c.mid_min IS NOT NULL AND f.fluency_fp >= c.mid_min
+                    THEN 'middle'
+                ELSE 'tail' END AS lm_bucket,
+           (f.fluency_fp IS NOT NULL AND
+            ((c.head_min IS NOT NULL AND f.fluency_fp >= c.head_min) OR
+             (c.mid_min IS NOT NULL AND f.fluency_fp >= c.mid_min)))
+               AS kept
+    FROM quality q
+    LEFT JOIN fl f USING (doc_id)
+    LEFT JOIN cuts c ON q.lang = c.lang
+    """,
+    survey="curation-pipeline-lm",
+)
+def d57_curation_lm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality -> PII scrub -> LM fluency as ONE composition — the
+    CCNet-ordered curation chain (filter junk cheaply, redact PII, THEN
+    spend the model): the LM scores the SCRUBBED text of the
+    quality-survivors against a model trained on the CLEAN reference
+    slice, and a document ships only if it lands head/middle under the
+    reference cutoffs.  Gates the stages' INTERACTION: the scrub
+    replaces PII spans with tokens the LM never saw (the backoff path),
+    so a scrub drift, a quality drift, or an LM/cutoff drift each move
+    the final keep set.
+
+    Reuse is the point of the body: the quality gate is gopher_metrics
+    (d21), the scrub is scrub_pii (d18), and the scoring+bucketing is
+    the STREAM's own lm_bucket_batch over lm_train + the index_lm
+    cutoff construction — the batch pipeline and the streaming stage
+    cannot diverge.
+
+    Scale shape: quality+scrub are scan-side; the LM relations are
+    reference-bounded broadcasts; one corpus-sized shuffle (per-doc
+    bigram aggregation); cutoff bucketing is scan-side — no window over
+    the crawl (the d56 tercile window's production substitution)."""
+    from pyspark.sql.window import Window as W
+
+    from ..streaming.curation_stream import lm_bucket_batch
+    from .text3 import scrub_pii
+    from .text4 import gopher_metrics
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    k = F.col("doc_id")
+    planted = docs.select(
+        "doc_id", "lang", "source",
+        F.when(k % 3 == 0,
+               F.concat(F.col("text"), F.lit(" contact user"),
+                        k.cast("string"), F.lit("@mail.example.org")))
+        .when(k % 3 == 1,
+              F.concat(F.col("text"), F.lit(" call 555-123-"),
+                       F.lpad((k % 10000).cast("string"), 4, "0")))
+        .otherwise(F.concat(F.col("text"), F.lit(" host 10.0."),
+                            (k % 256).cast("string"), F.lit(".7")))
+        .alias("text"),
+    )
+    quality = (
+        gopher_metrics(planted)
+        .filter(F.col("verdict") == "keep")
+        .select("doc_id", "lang", "source", "text")
+    )
+    scrubbed = quality.select(
+        "doc_id", "lang", scrub_pii(F.col("text")).alias("text")
+    )
+    ref = docs.filter(F.col("source").isin(*_LM_REF))
+    lm = lm_train(ref)
+    ref_scored = lm_score(ref.select("doc_id", "lang", "text"), lm)
+    w = W.partitionBy("lang").orderBy(F.desc("fluency_fp"), "doc_id")
+    nt = ref_scored.withColumn("nt", F.ntile(3).over(w))
+    cuts = nt.groupBy("lang").agg(
+        F.min(F.when(F.col("nt") == 1, F.col("fluency_fp")))
+        .alias("head_min"),
+        F.min(F.when(F.col("nt") <= 2, F.col("fluency_fp")))
+        .alias("mid_min"),
+    )
+    bucketed = lm_bucket_batch(scrubbed, {**lm, "cuts": cuts})
+    return (
+        quality.select("doc_id", "lang", "source")
+        .join(bucketed.drop("lang"), "doc_id", "left")
+        .select(
+            "doc_id", "lang", "source", "n_bigrams", "fluency_fp",
+            "lm_bucket",
+            F.col("lm_bucket").isin("head", "middle").alias("kept"),
+        )
     )

@@ -657,14 +657,39 @@ def shared_index_lease(index_dir: str):
     any pending plan (blocking — if a live compactor holds the lock we
     wait it out; if it died mid-apply while we waited, we acquire and
     complete its plan), then serve the micro-batch under the SHARED
-    lock.  When no ``.compact`` exists the repair is a directory walk —
-    control-plane cost per micro-batch.  Between the exclusive release
-    and the shared acquire a NEW compactor could start and die
-    mid-apply; the next micro-batch's repair fixes it — the same
-    bounded residual lookup_state carries."""
-    repair_index_dir(index_dir)
+    lock.
+
+    The exclusive acquisition is gated on a LOCK-FREE probe for a
+    persisted ``plan.json`` — without it, every micro-batch's blocking
+    ``flock(LOCK_EX)`` would wait out every OTHER stream's shared-held
+    micro-batch on the same index dir, serializing streams that
+    overlapped freely pre-r15 (review catch).  The probe is sound
+    because a pending PLAN is the only read hazard: staging without a
+    plan means either a LIVE compactor mid-staging (its exclusive lock
+    excludes our shared one regardless) or a dead pre-plan compactor
+    (base untouched — probes read correctly past garbage staging, which
+    the next maintenance entry sweeps).  A compactor dying right after
+    a no-plan probe is the same bounded residual as the
+    exclusive-release-to-shared-acquire gap below: the next
+    micro-batch's probe sees its plan and repairs."""
+    if _pending_plans(index_dir):
+        repair_index_dir(index_dir)
     with maintenance_lock(index_dir, shared=True):
         yield
+
+
+def _pending_plans(index_dir: str) -> bool:
+    """Lock-free: does any tier hold a persisted compaction/rebucket
+    plan?  plan.json is published atomically (tmp + publish_file), so
+    the probe sees it fully or not at all."""
+    if not os.path.isdir(index_dir):
+        return False
+    for tier in os.listdir(index_dir):
+        if os.path.isfile(
+            os.path.join(index_dir, tier, ".compact", "plan.json")
+        ):
+            return True
+    return False
 
 
 def repair_index_dir(index_dir: str) -> None:

@@ -692,3 +692,36 @@ def test_all_mutations_route_through_storage_provider(spark, tmp_path):
     assert rec.calls["swap_dir"] >= 1        # rebucket's replace_all
     assert rec.calls["remove_dir"] >= 4      # staging + fold deletes
     assert rec.calls["exclusive_lease"] >= 2  # compact + rebucket
+
+
+def test_shared_lease_skips_exclusive_when_no_plan(spark, tmp_path):
+    """Review r15: with NO pending plan, shared_index_lease must not
+    take the blocking exclusive repair lock — otherwise every
+    micro-batch of every stream sharing an index dir serializes behind
+    any other stream's shared-held batch (flock(LOCK_EX) waits out all
+    shared holders).  Two shared holders must coexist when there is
+    nothing to repair; the probe-positive path is covered by
+    test_shared_lease_repairs_dead_compactor."""
+    import threading
+
+    from data_pipeline_spark.streaming.index_util import shared_index_lease
+    from data_pipeline_spark.streaming.locks import maintenance_lock
+
+    idx = str(tmp_path / "idx")
+    write_base(_fp_rows(spark, 0, 10), idx, "fp", ["fp"], buckets=2)
+
+    entered = threading.Event()
+
+    def other_stream_batch():
+        with shared_index_lease(idx):
+            entered.set()
+
+    with maintenance_lock(idx, shared=True):  # a stream mid-micro-batch
+        t = threading.Thread(target=other_stream_batch, daemon=True)
+        t.start()
+        assert entered.wait(15), (
+            "shared_index_lease blocked behind a shared holder with no "
+            "pending plan — the exclusive repair is not gated on the "
+            "plan probe"
+        )
+    t.join(15)
