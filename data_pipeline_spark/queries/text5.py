@@ -262,9 +262,7 @@ def lm_score(docs: DataFrame, lm: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-@query(
-    "d56_lm_fluency_buckets",
-    oracle=f"""
+_D56_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, lang, source,
                regexp_split_to_array(lower(trim(text, ' ')), '{_WS}') AS t
@@ -317,7 +315,12 @@ def lm_score(docs: DataFrame, lm: dict[str, DataFrame]) -> DataFrame:
                 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                 ELSE 'tail' END AS bucket
     FROM scored
-    """,
+    """
+
+
+@query(
+    "d56_lm_fluency_buckets",
+    oracle=_D56_ORACLE,
     survey="curation-lm-fluency",
 )
 def d56_lm_fluency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -646,4 +649,59 @@ def d57_curation_lm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lm_bucket",
             F.col("lm_bucket").isin("head", "middle").alias("kept"),
         )
+    )
+
+
+_QMIX_SALT = "qmix-v1:"
+# keep fractions per fluency bucket, as 16-bit hash thresholds (u16 <
+# threshold keeps): head all, middle 1/2, tail 1/8 — the CCNet-style
+# quality-weighted mixture (they train on head+middle and sample tail)
+_QMIX_U16 = {"head": 65536, "middle": 32768, "tail": 8192}
+
+
+@query(
+    "d58_quality_mixture_sample",
+    oracle=f"""
+    SELECT doc_id, lang, fluency_fp, bucket,
+           CAST(CAST(('0x' || substr(md5('{_QMIX_SALT}' ||
+                CAST(doc_id AS VARCHAR)), 1, 4)) AS UINTEGER)
+                AS BIGINT) AS u16,
+           (CAST(('0x' || substr(md5('{_QMIX_SALT}' ||
+                CAST(doc_id AS VARCHAR)), 1, 4)) AS UINTEGER)
+            < CASE bucket WHEN 'head' THEN {_QMIX_U16["head"]}
+                          WHEN 'middle' THEN {_QMIX_U16["middle"]}
+                          ELSE {_QMIX_U16["tail"]} END) AS keep
+    FROM ({_D56_ORACLE}) b
+    """,
+    survey="curation-quality-mixture",
+)
+def d58_quality_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted mixture sampling over the d56 fluency buckets —
+    the step after CCNet's stratification: keep all of head, half of
+    middle, an eighth of tail (CCNet trains on head+middle and samples
+    the tail to retain some distributional diversity).  RNG-free like
+    d17/d24: each document's keep decision is a 16-bit md5 threshold on
+    a salted doc_id, so the sample is reproducible, incremental-safe
+    (a re-run or a later crawl decides each doc identically), and
+    exactly replayable by the oracle — which wraps d56's ORACLE TEXT
+    verbatim (one constant, no drifting copy), just as this body wraps
+    the d56 query itself.
+
+    Scale shape: d56's plan plus one scan-side projection — the
+    threshold adds no shuffle, no window, no join."""
+    bucketed = d56_lm_fluency_buckets(spark, sf_dir)
+    u16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_QMIX_SALT), F.col("doc_id").cast("string"))),
+            1, 4,
+        ), 16, 10,
+    ).cast("bigint")
+    thresh = (
+        F.when(F.col("bucket") == "head", F.lit(_QMIX_U16["head"]))
+        .when(F.col("bucket") == "middle", F.lit(_QMIX_U16["middle"]))
+        .otherwise(F.lit(_QMIX_U16["tail"]))
+    )
+    return bucketed.select(
+        "doc_id", "lang", "fluency_fp", "bucket",
+        u16.alias("u16"), (u16 < thresh).alias("keep"),
     )
