@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Capture .explain("formatted") for headline (or named) queries into
+plans/r15/<query>_<suffix>.txt — the optimization round's before/after
+plan evidence (guide §1: measure first; §7.2: read the plan).
+
+Usage:
+    python tools/capture_plans.py before [query ...]
+    python tools/capture_plans.py after  [query ...]
+
+With no query names, captures the whole bench HEADLINE list.  Plans are
+built at $SPARK_GRAFT_SF_DIR (default sf0.1 — the driver's bench scale)
+and NOT executed; this is driver-side planning only.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_pipeline_spark.queries import QUERIES  # noqa: E402
+from data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
+    names = sys.argv[2:]
+    if not names:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "bench", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        names = list(mod.HEADLINE)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("capture_plans")
+    for name in names:
+        df = QUERIES[name].spark_fn(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(plan)
+        print(f"wrote {path} ({len(plan)} bytes)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
