@@ -52,6 +52,14 @@ def run_build(
     def _m(df: DataFrame) -> DataFrame:
         return df.localCheckpoint() if materialize else df
 
+    def _m_lazy(df: DataFrame) -> DataFrame:
+        # lazy checkpoint: same execute-once sharing, but materialization
+        # happens inside the FIRST consumer's job instead of a dedicated
+        # blocking job here (r15 opt: tiers with exactly one in-chain
+        # consumer were paying a job barrier for nothing; the chain is
+        # job-count-bound at bench scale and the barrier buys no sharing)
+        return df.localCheckpoint(eager=False) if materialize else df
+
     # parse the JSON envelope ONCE and share the relation: reconcile's
     # three extractions (names/equivalents/timespans) and all_uris each
     # re-execute their input lineage, so an un-shared with_doc costs four
@@ -60,12 +68,16 @@ def run_build(
     # tier once and read it back), truncating every downstream scan to a
     # columnar read of the already-parsed struct.
     docs = _m(with_doc(records))
-    equiv_edges = _m(reconcile(docs, indexes))
+    # lazy: the one in-chain consumer is the closure's own (eager)
+    # symmetrize checkpoint, which executes this exactly once anyway
+    equiv_edges = _m_lazy(reconcile(docs, indexes))
 
     all_uris = docs.select(
         F.coalesce(F.col("doc.id"), F.concat_ws("/", "source", "identifier")).alias("uri")
     )
-    idmap = _m(build_idmap(equiv_edges, all_uris, idmap_prev, delta_sized))
+    # lazy: one in-chain consumer (reidentify's join); CLI tier writes
+    # read the cached blocks the first consumer materialized
+    idmap = _m_lazy(build_idmap(equiv_edges, all_uris, idmap_prev, delta_sized))
 
     reidentified = _m(reidentify(
         records.select("source", "identifier", "rectype", "data"), idmap

@@ -140,27 +140,59 @@ def _halving_loop(
     the graph has long chains / a giant component and the caller should
     re-route to the star algorithm rather than keep paying the full
     label-relation join per round."""
-    labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint()
-    )
+    labels: DataFrame | None = None  # identity mapping until after round 1
 
     rounds = 0
     converged = False
     prev_changed: int | None = None
     for _ in range(max_iter):
         rounds += 1
-        # neighbor labels: for every edge (src->dst), dst can adopt src's label
-        prop = (
-            sym.join(labels, sym.src == labels.node)
-            .select(F.col("dst").alias("node"), F.col("component"))
-        )
+        # Round 1 specialization (r15 opt): against the identity labeling
+        # the propagate join `sym ⋈ labels on src == node` is a no-op —
+        # every neighbor label IS the neighbor id — so the first round
+        # reads labels straight off the edge set (self rows appear once
+        # per incident edge; min/max aggregates are multiplicity-blind).
+        # This removes the labels-init checkpoint job AND round 1's
+        # join exchange (guide §2.4).
+        if labels is None:
+            tagged = (
+                sym.select(
+                    F.col("src").alias("node"),
+                    F.col("src").alias("component"),
+                    F.lit(True).alias("_self"),
+                )
+                .union(
+                    sym.select(
+                        F.col("dst").alias("node"),
+                        F.col("src").alias("component"),
+                        F.lit(False).alias("_self"),
+                    )
+                )
+            )
+        else:
+            # neighbor labels: for every edge (src->dst), dst can adopt
+            # src's label
+            prop = (
+                sym.join(labels, sym.src == labels.node)
+                .select(F.col("dst").alias("node"), F.col("component"))
+            )
+            tagged = labels.select(
+                "node", "component", F.lit(True).alias("_self")
+            ).union(prop.select("node", "component", F.lit(False).alias("_self")))
+        # the self rows are tagged so the round's OLD label rides through
+        # the min-aggregation as a second aggregate (a node's self rows
+        # all carry its current label, so the max-of-when is that label).
+        # Carrying it makes the convergence check below a filter-count
+        # over the already-checkpointed relation — the previous shape
+        # re-joined new vs old labels on node, a 2-exchange shuffle job
+        # per round that existed only to compute `changed` (r15 opt,
+        # guide §2.4: remove shuffles outright).
         new_labels = (
-            labels.union(prop)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            tagged.groupBy("node")
+            .agg(
+                F.min("component").alias("component"),
+                F.max(F.when(F.col("_self"), F.col("component"))).alias("_old"),
+            )
         )
         # pointer shortcut (path halving): component ids are node ids, so
         # every node can also adopt its component's OWN component —
@@ -179,16 +211,12 @@ def _halving_loop(
                     step.component,
                     F.coalesce(F.col("_ptr_comp"), step.component),
                 ).alias("component"),
+                step._old,
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("component") != F.col("_old")).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             converged = True
             break
@@ -199,6 +227,12 @@ def _halving_loop(
         ):
             break
         prev_changed = changed
+    if labels is None:  # max_iter == 0: the identity labeling, unpropagated
+        labels = (
+            sym.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+        )
     return labels, converged, rounds
 
 

@@ -161,11 +161,18 @@ def date_plausibility_filter(edges: DataFrame, timespans: DataFrame) -> DataFram
     years differ by more than ±10 years, and any edge touching a record
     with an implausible lifespan (F5). Equi-join on the edge endpoints +
     a post-join range predicate — the reference's only non-equi check."""
+    # Join-side reduction (r15 opt, guide §3.2): a timespan row with a
+    # null birth AND a passing lifespan check is behaviorally identical
+    # to NO row under the left joins below (coalesce(ok, true) passes,
+    # the date predicate passes via its isNull branch) — so only rows
+    # that can veto an edge need to join.  On real corpora that is the
+    # records with parseable birth dates, a small fraction; the edge
+    # side then joins against a far smaller relation (often broadcast).
     ts = timespans.select(
         "uri",
         "born_begin_sec",
         F.col("lifespan_ok").alias("ok"),
-    )
+    ).filter(~F.col("ok") | F.col("born_begin_sec").isNotNull())
     ten_years = int(10 * 365.25 * 86400)
     a = ts.alias("a")
     b = ts.alias("b")

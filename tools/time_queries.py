@@ -46,21 +46,45 @@ def main() -> None:
         planner.entities.count()
         planner.edges.count()
         serving_planner(spark, sf_dir)
+    # action: "noop" (guide §1.4 — computes every column) or "count"
+    # (bench.py's artifact methodology, for apples-to-apples deltas)
+    action = os.environ.get("SPARK_GRAFT_TIME_ACTION", "noop")
+
+    def spin() -> float:  # host-contention canary (SCALE.md protocol)
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc += i
+        _ = acc
+        return round(time.perf_counter() - t0, 3)
+
     for name in names:
         samples = []
+        canaries = []
         for rep in range(reps_n):
             from data_pipeline_spark.queries.dedup import clear_tier_cache
 
             clear_tier_cache()
-            spark.sparkContext.setJobDescription(f"time:{name} rep{rep}")
+            group = f"time:{name}:rep{rep}"
+            spark.sparkContext.setJobGroup(group, group)
             q = QUERIES[name]
+            canaries.append(spin())
             t0 = time.perf_counter()
             df = q.spark_fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            if action == "count":
+                df.count()
+            else:
+                df.write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))
-            spark.sparkContext.setJobDescription(None)
+            n_jobs = len(
+                spark.sparkContext.statusTracker().getJobIdsForGroup(group)
+            )
+            spark.sparkContext.setJobGroup(None, None)
+            if rep == 0:
+                print(f"  {name}: jobs_per_run={n_jobs}", flush=True)
         print(
-            f"{name}: median={statistics.median(samples):.3f} reps={samples}",
+            f"{name}: median={statistics.median(samples):.3f} reps={samples} "
+            f"spin={canaries}",
             flush=True,
         )
     spark.stop()
