@@ -134,3 +134,17 @@ def spread_scan(df: DataFrame) -> DataFrame:
     if n_files == 0 or n_files >= target:
         return df
     return df.repartition(target)
+
+def empty_relation(spark: SparkSession, schema: str) -> DataFrame:
+    """A PROVABLY-empty DataFrame with the given schema.
+
+    ``createDataFrame([], schema)`` plans as a LogicalRDD whose emptiness
+    the optimizer cannot see; appending ``filter(false)`` lets
+    PruneFilters fold the whole thing into an empty LocalRelation, which
+    ``pipeline.reconcile._statically_empty`` detects at plan time to
+    elide entire join stages against absent curated indexes (r15 opt,
+    guide §2.4).  Zero-cost: the fold happens in the optimizer, no job.
+    """
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame([], schema).filter(F.lit(False))

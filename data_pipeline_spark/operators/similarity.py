@@ -258,7 +258,15 @@ def knn_ivf(
     partition-pruned index at scale), probe each query's ``nprobe``
     nearest clusters, exact-cosine re-rank inside. Candidates ≈
     corpus * nprobe / n_clusters."""
-    cents = ivf_centroids(corpus, n_clusters)
+    # checkpoint the trained centroids (n_clusters rows): they are
+    # broadcast by BOTH the corpus assignment and the query probe, and
+    # without the checkpoint each broadcast re-executes the full Lloyd
+    # lineage — iters corpus scans + per-vector argmin windows apiece
+    # (v09 baseline: 10 physical parquet scans, most of them this
+    # lineage; knn_ivf_pq already does this for its codebook).  At 100 TB
+    # the centroid relation is the persisted coarse-quantizer index;
+    # materializing it once IS the production shape (guide §5).
+    cents = ivf_centroids(corpus, n_clusters).localCheckpoint()
     indexed = _assign(corpus, cents)
     qscored = queries.crossJoin(F.broadcast(cents)).withColumn(
         "sim", F.round(cosine("qemb", "cemb"), 6)

@@ -37,6 +37,26 @@ def local_uri_expr(source_col, ident_col):
     return F.concat(F.lit(URI + "/"), source_col, F.lit("/"), ident_col)
 
 
+def _statically_empty(df: DataFrame) -> bool:
+    """True iff ``df`` is PROVABLY empty at plan time — a literal empty
+    LocalRelation (``createDataFrame([], schema)``), the shape the CLI
+    and gates pass for an absent curated index.  Plan introspection
+    only: no job, no take(1) scan, and a False answer merely means "not
+    provable", never skips real data.  Used to elide whole join stages
+    (r15 opt, guide §2.4 — remove shuffles outright): joining, unioning
+    or anti-joining against a provably-empty relation is the identity,
+    so the stage's broadcast + join + aggregation jobs are pure
+    overhead for every deployment that runs without that index."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        return (
+            plan.getClass().getSimpleName() == "LocalRelation"
+            and plan.data().isEmpty()
+        )
+    except Exception:
+        return False
+
+
 def name_join(
     names: DataFrame, name_index: DataFrame, broadcast_index: bool = True
 ) -> DataFrame:
@@ -138,13 +158,18 @@ def apply_constraints(
     both directions via anti-join. Veto happens BEFORE closure so a vetoed
     pair splits the component (sources/lux/final/reconciler.py:21-55 used
     at process/reconciler.py:133-143)."""
-    sa = same_as.select(
-        F.col("uri_a").alias("src_uri"),
-        F.col("uri_b").alias("dst_uri"),
-        F.lit(None).cast("string").alias("rectype"),
-        F.lit("sameAs").alias("provenance"),
-    )
-    all_edges = edges.unionByName(sa)
+    if _statically_empty(same_as):
+        all_edges = edges  # union with a provably-empty side is the identity
+    else:
+        sa = same_as.select(
+            F.col("uri_a").alias("src_uri"),
+            F.col("uri_b").alias("dst_uri"),
+            F.lit(None).cast("string").alias("rectype"),
+            F.lit("sameAs").alias("provenance"),
+        )
+        all_edges = edges.unionByName(sa)
+    if _statically_empty(different_from):
+        return all_edges  # anti-join against empty removes nothing
     veto = F.broadcast(
         different_from.select("uri_a", "uri_b")
         .union(different_from.select(F.col("uri_b"), F.col("uri_a")))
@@ -226,20 +251,26 @@ def reconcile(
     equivs = extract_equivalents(docs)
     timespans = extract_timespans(docs)
 
-    record_edges = equivs  # J2 input doubles as direct record-asserted edges
-    well_connected = (
-        equivs.groupBy("src_uri")
-        .agg(F.count(F.lit(1)).alias("n_eq"))
-        .filter(F.col("n_eq") >= min_equivs)
-        .select(F.col("src_uri").alias("uri"))
-    )
-    gated_names = names.join(well_connected, "uri", "left_anti")
-    name_edges = name_join(
-        gated_names, indexes["name_index"], broadcast_index=broadcast_index
-    )
-    uri_edges = uri_join(equivs, indexes["uri_index"])
-
-    edges = record_edges.unionByName(name_edges).unionByName(uri_edges)
+    edges = equivs  # J2 input doubles as direct record-asserted edges
+    # Elide whole join families against provably-empty curated indexes
+    # (r15 opt, guide §2.4): a name/uri join against an empty index emits
+    # zero edges by construction, yet still costs the extraction scans,
+    # the gating anti-join, a broadcast build and a window — per stage,
+    # per build.  Skipping them is the identity on the edge relation.
+    if not _statically_empty(indexes["name_index"]):
+        well_connected = (
+            equivs.groupBy("src_uri")
+            .agg(F.count(F.lit(1)).alias("n_eq"))
+            .filter(F.col("n_eq") >= min_equivs)
+            .select(F.col("src_uri").alias("uri"))
+        )
+        gated_names = names.join(well_connected, "uri", "left_anti")
+        name_edges = name_join(
+            gated_names, indexes["name_index"], broadcast_index=broadcast_index
+        )
+        edges = edges.unionByName(name_edges)
+    if not _statically_empty(indexes["uri_index"]):
+        edges = edges.unionByName(uri_join(equivs, indexes["uri_index"]))
     edges = apply_constraints(edges, indexes["same_as"], indexes["different_from"])
     edges = date_plausibility_filter(edges, timespans)
     return edges.dropDuplicates(["src_uri", "dst_uri"])

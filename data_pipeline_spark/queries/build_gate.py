@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import empty_relation, load_table
 from .registry import query
 
 _MERGE_ORDER = {"srcA": 0, "srcB": 1}
@@ -169,12 +169,11 @@ def b01_entity_build(
     from ..pipeline.build import run_build
 
     records = _pair_records(spark, sf_dir)
-    e = spark.createDataFrame
     indexes = {
-        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
-        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
-        "same_as": e([], "uri_a string, uri_b string"),
-        "different_from": e([], "uri_a string, uri_b string"),
+        "name_index": empty_relation(spark, "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": empty_relation(spark, "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": empty_relation(spark, "uri_a string, uri_b string"),
+        "different_from": empty_relation(spark, "uri_a string, uri_b string"),
     }
     # materialize: this gate consumes TWO tiers (merged + reidentified);
     # without it each lineage re-executes the whole chain — the production
@@ -253,12 +252,11 @@ def b02_entity_export(
     from ..pipeline.edges import to_ntriples
 
     records = _pair_records(spark, sf_dir, with_membership=True)
-    e = spark.createDataFrame
     indexes = {
-        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
-        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
-        "same_as": e([], "uri_a string, uri_b string"),
-        "different_from": e([], "uri_a string, uri_b string"),
+        "name_index": empty_relation(spark, "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": empty_relation(spark, "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": empty_relation(spark, "uri_a string, uri_b string"),
+        "different_from": empty_relation(spark, "uri_a string, uri_b string"),
     }
     # materialize: two consumed tiers (edges via merged + reidentified) —
     # same once-not-twice argument as b01; False = plan-hygiene test hook
@@ -319,12 +317,11 @@ def b03_entity_facets_names(
     from ..pipeline.edges import extract_facets, extract_names_table
 
     records = _pair_records(spark, sf_dir, with_names=True)
-    e = spark.createDataFrame
     indexes = {
-        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
-        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
-        "same_as": e([], "uri_a string, uri_b string"),
-        "different_from": e([], "uri_a string, uri_b string"),
+        "name_index": empty_relation(spark, "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": empty_relation(spark, "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": empty_relation(spark, "uri_a string, uri_b string"),
+        "different_from": empty_relation(spark, "uri_a string, uri_b string"),
     }
     out = run_build(
         spark, records, indexes, merge_order=_MERGE_ORDER, materialize=materialize
@@ -385,12 +382,11 @@ def b04_entity_texts(
     from ..pipeline.edges import extract_texts, word_query
 
     records = _pair_records(spark, sf_dir, with_names=True, with_statement=True)
-    e = spark.createDataFrame
     indexes = {
-        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
-        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
-        "same_as": e([], "uri_a string, uri_b string"),
-        "different_from": e([], "uri_a string, uri_b string"),
+        "name_index": empty_relation(spark, "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": empty_relation(spark, "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": empty_relation(spark, "uri_a string, uri_b string"),
+        "different_from": empty_relation(spark, "uri_a string, uri_b string"),
     }
     out = run_build(
         spark, records, indexes, merge_order=_MERGE_ORDER, materialize=materialize

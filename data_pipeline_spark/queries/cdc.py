@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import empty_relation, load_table
 from .registry import query
 
 
@@ -440,12 +440,11 @@ def r11_incremental_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_records = envelope("srcA", rec("srcA", "A", "Aname", "srcB")).unionByName(
         envelope("srcB", rec("srcB", "B", "Bname", None))
     )
-    e = spark.createDataFrame
     indexes = {
-        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
-        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
-        "same_as": e([], "uri_a string, uri_b string"),
-        "different_from": e([], "uri_a string, uri_b string"),
+        "name_index": empty_relation(spark, "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": empty_relation(spark, "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": empty_relation(spark, "uri_a string, uri_b string"),
+        "different_from": empty_relation(spark, "uri_a string, uri_b string"),
     }
     order = {"srcA": 0, "srcB": 1, "srcN": 2}
     prev = run_build(spark, prev_records, indexes, merge_order=order)
@@ -582,12 +581,11 @@ def r12_entity_stream_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     records = envelope("srcA", rec("srcA", "A", "Aname", "srcB")).unionByName(
         envelope("srcB", rec("srcB", "B", "Bname", None))
     )
-    e = spark.createDataFrame
     indexes = {
-        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
-        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
-        "same_as": e([], "uri_a string, uri_b string"),
-        "different_from": e([], "uri_a string, uri_b string"),
+        "name_index": empty_relation(spark, "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": empty_relation(spark, "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": empty_relation(spark, "uri_a string, uri_b string"),
+        "different_from": empty_relation(spark, "uri_a string, uri_b string"),
     }
     order = {"srcA": 0, "srcB": 1, "srcN": 2}
 

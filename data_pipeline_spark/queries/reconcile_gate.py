@@ -22,7 +22,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import empty_relation, load_table
 from .registry import query
 
 # J7 golden yuids: uuid5(NAMESPACE_URL, "h{g}") for every possible hub —
@@ -250,11 +250,11 @@ def j06_reconcile_min_equivs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     indexes = {
         "name_index": name_index,
-        "uri_index": spark.createDataFrame(
-            [], "ext_uri string, source string, target_identifier string, rectype string"
+        "uri_index": empty_relation(
+            spark, "ext_uri string, source string, target_identifier string, rectype string"
         ),
-        "same_as": spark.createDataFrame([], "uri_a string, uri_b string"),
-        "different_from": spark.createDataFrame([], "uri_a string, uri_b string"),
+        "same_as": empty_relation(spark, "uri_a string, uri_b string"),
+        "different_from": empty_relation(spark, "uri_a string, uri_b string"),
     }
     return reconcile(records, indexes, min_equivs=3)
 
@@ -522,12 +522,11 @@ def a02_skewed_merge_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("Person").alias("rectype"),
         data.alias("data"),
     )
-    e = spark.createDataFrame
     indexes = {
-        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
-        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
-        "same_as": e([], "uri_a string, uri_b string"),
-        "different_from": e([], "uri_a string, uri_b string"),
+        "name_index": empty_relation(spark, "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": empty_relation(spark, "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": empty_relation(spark, "uri_a string, uri_b string"),
+        "different_from": empty_relation(spark, "uri_a string, uri_b string"),
     }
     edges = reconcile(records, indexes)
     all_uris = with_doc(records).select(
@@ -606,8 +605,8 @@ def j14_salted_celebrity_reconcile(spark: SparkSession, sf_dir: str) -> DataFram
              ("idx", "unique 7", "T7", "Person")],
             "source string, name_clean string, target_identifier string, rectype string",
         ),
-        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
-        "same_as": e([], "uri_a string, uri_b string"),
-        "different_from": e([], "uri_a string, uri_b string"),
+        "uri_index": empty_relation(spark, "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": empty_relation(spark, "uri_a string, uri_b string"),
+        "different_from": empty_relation(spark, "uri_a string, uri_b string"),
     }
     return reconcile(records, indexes, broadcast_index=False)

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import empty_relation, load_table
 from .dedup import JACCARD_T, _bands_sql, _shingles_sql, _sig_sql
 from .registry import query
 from .text3 import EMAIL_RE, IPV4_RE, PHONE_RE, _BENCH_MOD, _CONTAM_MOD, _PLANT
@@ -267,12 +267,11 @@ def r13_state_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k % 7 == 1, doc("updated-")).alias("payload"),
     )
 
-    e = spark.createDataFrame
     indexes = {
-        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
-        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
-        "same_as": e([], "uri_a string, uri_b string"),
-        "different_from": e([], "uri_a string, uri_b string"),
+        "name_index": empty_relation(spark, "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": empty_relation(spark, "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": empty_relation(spark, "uri_a string, uri_b string"),
+        "different_from": empty_relation(spark, "uri_a string, uri_b string"),
     }
     work = tempfile.mkdtemp(prefix="r13_lookup_gate_")
     state_dir = os.path.join(work, "state")

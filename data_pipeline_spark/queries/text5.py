@@ -132,18 +132,38 @@ def d55_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    feats = _grams(docs).groupBy("doc_id", "fh").agg(
-        F.count("*").cast("bigint").alias("c")
+    # checkpoint the per-doc feature relation (r15 opt, guide §5): it is
+    # consumed by BOTH the distribution build and the scoring join, and
+    # without the checkpoint each consumer re-executes the token scan +
+    # gram explode + corpus-sized groupBy (baseline plan: 7 physical
+    # parquet scans of documents).  At 100 TB this relation is the
+    # persisted feature tier a DSIR run writes once per corpus.
+    feats = (
+        _grams(docs)
+        .groupBy("doc_id", "fh")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()
     )
-    raw = feats.groupBy("fh").agg(F.sum("c").cast("bigint").alias("cr"))
     tgt_ids = docs.filter(F.col("source") == _DSIR_TARGET).select("doc_id")
-    tgt = (
-        feats.join(F.broadcast(tgt_ids), "doc_id")
-        .groupBy("fh").agg(F.sum("c").cast("bigint").alias("ct"))
+    # ONE distribution pass instead of two (r15 opt, guide §2.3): the raw
+    # and target feature counts come from the same feats relation, so a
+    # single fh-aggregation with a conditional target sum replaces the
+    # separate raw groupBy + tgt join/groupBy.  Exact equivalence: cr is
+    # the same unconditional sum; ct = sum(when(_t, c)) is NULL for a
+    # feature with no target occurrences — exactly the missing-row NULL
+    # the old left join produced — and coalesce(ct, 0) handles both.
+    dist = (
+        feats.join(
+            F.broadcast(tgt_ids.withColumn("_t", F.lit(True))), "doc_id", "left"
+        )
+        .groupBy("fh")
+        .agg(
+            F.sum("c").cast("bigint").alias("cr"),
+            F.sum(F.when(F.col("_t"), F.col("c"))).cast("bigint").alias("ct"),
+        )
     )
     scored = (
-        feats.join(F.broadcast(raw), "fh")
-        .join(F.broadcast(tgt), "fh", "left")
+        feats.join(F.broadcast(dist), "fh")
         .withColumn(
             "term",
             F.expr(
@@ -186,11 +206,19 @@ def lm_train(ref_docs: DataFrame) -> dict[str, DataFrame]:
     broadcasts them — library form shared by the d56 batch query and
     the streaming curation LM stage (curation_stream.index_lm)."""
     toks = ref_docs.select("lang", _tokens(F.col("text")).alias("t"))
+    # checkpoint the unigram relation (r15 opt, guide §5): it is bounded
+    # by the reference corpus (every consumer broadcasts it) yet feeds
+    # THREE consumers — stats below, and lm_score's two word-side
+    # broadcast joins — each of which otherwise re-executes the
+    # reference token scan + explode + groupBy (d56 baseline plan: 5
+    # physical scans of documents, 3 of them this lineage; the streaming
+    # index_lm writer re-derived it for the stats tier the same way).
     uni = (
         toks.filter(F.size("t") >= 1)
         .select("lang", F.explode("t").alias("word"))
         .groupBy("lang", "word")
         .agg(F.count("*").cast("bigint").alias("c1"))
+        .localCheckpoint()
     )
     stats = uni.groupBy("lang").agg(
         F.sum("c1").cast("bigint").alias("tt"),

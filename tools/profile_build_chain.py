@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from data_pipeline_spark.session import get_spark  # noqa: E402
+from data_pipeline_spark.catalog import empty_relation  # noqa: E402
 
 
 def main() -> None:
@@ -43,12 +44,11 @@ def main() -> None:
     from data_pipeline_spark.pipeline.reidentify import reidentify
     from data_pipeline_spark.queries.build_gate import _MERGE_ORDER, _pair_records
 
-    e = spark.createDataFrame
     indexes = {
-        "name_index": e([], "source string, name_clean string, target_identifier string, rectype string"),
-        "uri_index": e([], "source string, ext_uri string, target_identifier string, rectype string"),
-        "same_as": e([], "uri_a string, uri_b string"),
-        "different_from": e([], "uri_a string, uri_b string"),
+        "name_index": empty_relation(spark, "source string, name_clean string, target_identifier string, rectype string"),
+        "uri_index": empty_relation(spark, "source string, ext_uri string, target_identifier string, rectype string"),
+        "same_as": empty_relation(spark, "uri_a string, uri_b string"),
+        "different_from": empty_relation(spark, "uri_a string, uri_b string"),
     }
 
     for p in range(passes):
