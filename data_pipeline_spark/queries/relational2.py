@@ -297,12 +297,22 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+    # r15 opt (guide §2.3 aggregate-before-shuffle, §3): sum l_quantity
+    # per l_orderkey BEFORE the joins.  o_orderkey is unique in orders
+    # and c_custkey unique in customer, so the inner joins never split a
+    # group (all-or-nothing match) and grouping by the single bigint key
+    # is exactly the original 3-column grouping; the HAVING filter then
+    # shrinks the join probe to the few % of orders over 250 before any
+    # join happens, instead of streaming every lineitem row through two
+    # joins and shuffling 3 group columns + payload.
+    big = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("_q"))
         .filter(F.col("_q") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey", "o_orderkey", "o_orderdate",
             F.col("_q").cast("double").alias("total_qty"),
