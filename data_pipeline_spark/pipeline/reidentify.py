@@ -41,9 +41,19 @@ def reidentify(records: DataFrame, idmap: DataFrame) -> DataFrame:
     keyed = records.withColumn(
         "_rk", F.concat_ws("|", F.col("source"), F.col("identifier"))
     )
+    # per-record URI dedup is ROW-LOCAL (array_distinct before the
+    # explode) — map_from_entries below only needs uniqueness within a
+    # record, and the old global .distinct() paid a full exchange of the
+    # exploded refs to get a guarantee a row-local op already gives
+    # (r15 opt, guide §2.4; same trick as the r5 shingle-array rewrite)
     refs = keyed.select(
-        "_rk", F.explode(F.regexp_extract_all(F.col("data"), F.lit(_URI_RE), 1)).alias("uri")
-    ).distinct()
+        "_rk",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.col("data"), F.lit(_URI_RE), 1)
+            )
+        ).alias("uri"),
+    )
     mapped = refs.join(idmap, refs.uri == idmap.qua_uri).select(
         "_rk", "uri", "yuid"
     )
