@@ -71,7 +71,13 @@ def extract_features(
                 }
             )
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    # ship ONLY the columns the decoder touches across the Arrow
+    # boundary (guide §4.1: Spark cannot see inside the function, so an
+    # unprojected mapInPandas reads and transfers width/height/
+    # duration_ms for nothing — and defeats column pruning at the scan)
+    return media.select("media_id", "kind", "mime", "content").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
@@ -135,7 +141,13 @@ def extract_frames(
                     out["frame_sha"].append(hashlib.sha256(frame).hexdigest())
             yield pd.DataFrame(out)
 
-    return media.filter(F.col("kind") == "video").mapInPandas(run, schema=FRAME_SCHEMA)
+    # same column-pruning rule as extract_features: the frame slicer
+    # reads media_id/content/duration_ms only
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "content", "duration_ms")
+        .mapInPandas(run, schema=FRAME_SCHEMA)
+    )
 
 
 def sample_frames(media: DataFrame, every_ms: int) -> DataFrame:
