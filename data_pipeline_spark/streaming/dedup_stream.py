@@ -101,8 +101,15 @@ def match_batch(
     (optionally) fold the batch into the index under its own
     ``batch=<batch_key>`` partition with overwrite (idempotent under
     at-least-once retry). Returns matches (new_id, corpus_id, jaccard)."""
-    new_sh = shingles_df(batch)
-    new_bands = _bands(minhash_signatures(new_sh))
+    # materialize the batch's shingle tier once (r15 opt, guide §5): it
+    # feeds FOUR subtrees — the band derivation, the verify join, the
+    # size aggregate and the index fold write — and each would otherwise
+    # re-execute the tokenize + explode + distinct (a shuffle) against
+    # the micro-batch source.  Batches are delta-sized, so the
+    # checkpoint is small; the bands tier is likewise read twice
+    # (probe join + fold write).
+    new_sh = shingles_df(batch).localCheckpoint()
+    new_bands = _bands(minhash_signatures(new_sh)).localCheckpoint()
     idx_bands = spark.read.parquet(os.path.join(index_dir, "bands"))
     idx_sh = spark.read.parquet(os.path.join(index_dir, "shingles"))
     if batch_key is not None:
