@@ -328,3 +328,72 @@ def test_closure_long_chain_converges(spark):
     comps = connected_components(edges, max_iter=15)
     assert {r.component for r in comps.collect()} == {0}
     assert comps.count() == 121
+
+
+def test_empty_index_elision_is_identity(spark):
+    """r15 opt regression net: reconcile's provably-empty-index stage
+    elision (guide §2.4) must be pure plan surgery — identical edges to
+    the full plan, and must NEVER fire on an index whose emptiness is
+    not provable at plan time."""
+    from data_pipeline_spark.catalog import empty_relation
+    from data_pipeline_spark.pipeline.envelope import with_doc
+    from data_pipeline_spark.pipeline.reconcile import (
+        _statically_empty,
+        reconcile,
+    )
+
+    name_sch = "source string, name_clean string, target_identifier string, rectype string"
+    uri_sch = "source string, ext_uri string, target_identifier string, rectype string"
+    pair_sch = "uri_a string, uri_b string"
+
+    # provability contract: only the optimizer-foldable literal counts
+    assert _statically_empty(empty_relation(spark, name_sch))
+    # a plain empty createDataFrame plans as LogicalRDD — NOT provable,
+    # so the conservative answer keeps the full join plan
+    assert not _statically_empty(spark.createDataFrame([], name_sch))
+    # a filtered-to-empty real relation is not provable either
+    assert not _statically_empty(
+        spark.createDataFrame([("s", "n", "t", "r")], name_sch).filter(
+            F.col("source") == "nope"
+        )
+    )
+    # a NON-empty literal must never be treated as empty
+    assert not _statically_empty(
+        spark.createDataFrame([("s", "n", "t", "r")], name_sch)
+    )
+
+    t = fixture_tables(spark)
+    docs = with_doc(t["records"])
+
+    # elided (provably-empty) vs full-plan (opaque-empty) runs must
+    # produce the identical edge relation
+    provable = {
+        "name_index": empty_relation(spark, name_sch),
+        "uri_index": empty_relation(spark, uri_sch),
+        "same_as": empty_relation(spark, pair_sch),
+        "different_from": empty_relation(spark, pair_sch),
+    }
+    opaque = {
+        "name_index": spark.createDataFrame([], name_sch),
+        "uri_index": spark.createDataFrame([], uri_sch),
+        "same_as": spark.createDataFrame([], pair_sch),
+        "different_from": spark.createDataFrame([], pair_sch),
+    }
+    cols = ["src_uri", "dst_uri", "rectype", "provenance"]
+    got_elided = sorted(map(tuple, reconcile(docs, provable).select(*cols).collect()))
+    got_full = sorted(map(tuple, reconcile(docs, opaque).select(*cols).collect()))
+    assert got_elided == got_full
+
+    # with the REAL (non-empty) fixture indexes the elision must not
+    # fire: the curated indexes contribute edges (sameAs bridges / uri
+    # matches) beyond the record-asserted set, and the name join runs
+    # (its p2<->e2 hit is then vetoed by different_from — FIXTURES.md)
+    full_rows = sorted(
+        map(tuple, reconcile(docs, t).select(*cols).collect())
+    )
+    assert set(full_rows) - set(got_full), "non-empty indexes must add edges"
+    from data_pipeline_spark.pipeline.reconcile import _statically_empty as se
+
+    assert not any(
+        se(t[k]) for k in ("name_index", "uri_index", "same_as", "different_from")
+    )
