@@ -48,18 +48,30 @@ def apply_changes(
     last_harvest: str | None = None,
     harvest_from: str | None = None,
     edges: DataFrame | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """cache(object_uri, record_time, data) + change feed -> new cache.
 
     Deletes cascade only when nothing else references the target (R8:
     inbound-reference anti-join on edges(subject, predicate, object));
-    upserts skip when the cache already holds a fresher record (R6)."""
+    upserts skip when the cache already holds a fresher record (R6).
+
+    ``materialize``: localCheckpoint the deduped change set — it feeds
+    THREE subtrees (deletes, the upsert freshness join, and the final
+    survivors anti-join), each of which otherwise re-executes the
+    dedupe window against the source (r15 opt, guide §5 — the same
+    once-per-micro-batch pattern as dedup_stream.match_batch).  The
+    streaming sink turns this on (batches are delta-sized); the batch
+    oracle twins keep the single-pass default so declared-query shapes
+    are unchanged."""
     ch = changes
     if last_harvest is not None:
         ch = ch.filter(F.col("end_time") > F.lit(last_harvest).cast("timestamp"))  # R1
     if harvest_from is not None:
         ch = ch.filter(F.col("end_time") <= F.lit(harvest_from).cast("timestamp"))  # R2
     ch = dedupe_first_seen(ch)
+    if materialize:
+        ch = ch.localCheckpoint()
 
     deletes = ch.filter(F.col("change") == "delete").select("object_uri")
     if edges is not None:
@@ -139,7 +151,7 @@ def stream_changes(
             )
         # new_cache IS the full next state (deletes applied) -> atomic
         # overwrite, not merge (merge would resurrect deleted keys).
-        new_cache = apply_changes(cache, batch, edges=edges)
+        new_cache = apply_changes(cache, batch, edges=edges, materialize=True)
         write_parquet_atomic(new_cache, cache_path)
 
     return (
