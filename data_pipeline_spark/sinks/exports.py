@@ -35,6 +35,19 @@ def write_parquet_atomic(df: DataFrame, path: str) -> None:
     simply absent — running merge_upsert on it would resurrect them from
     the old table via the left-anti 'kept' branch)."""
     tmp = path + ".__new__"
+    # Output-file sizing (guide §6, r15 opt): committed tiers are one
+    # file PER SHUFFLE PARTITION regardless of bytes — fine locally
+    # (few MB per tier), but thousands of under-sized files per write at
+    # cluster scale.  SPARK_GRAFT_SIZED_WRITES=1 inserts a REBALANCE
+    # hint so AQE coalesces write partitions toward
+    # spark.sql.adaptive.advisoryPartitionSizeInBytes (bytes-derived,
+    # scale-adaptive).  Default OFF: the extra exchange measured +13% on
+    # the micro-batch cache-tier cycle at local scale (8x5k-change
+    # feed: 5.1 -> 5.9 s steady) where every file is small anyway; on a
+    # real deployment turn it on (or use a table format whose writer
+    # sizes files, SCALE.md §output-layout).
+    if os.environ.get("SPARK_GRAFT_SIZED_WRITES", "0") == "1":
+        df = df.hint("rebalance")
     df.write.mode("overwrite").parquet(tmp)
     old = path + ".__old__"
     if os.path.exists(path):
