@@ -40,6 +40,14 @@ def run_build(
     incremental rebuild) — size-asymmetric joins against prev-build
     relations broadcast the slice side (see idmap.assign_yuids).
 
+    Reliability caveat (ADVICE r15): localCheckpoint stores
+    non-replicated executor-local blocks with TRUNCATED lineage — on a
+    cluster with dynamic allocation or executor loss the blocks cannot
+    be recomputed and the job fails.  It is the right tool for the
+    single-JVM bench/gate shape this function serves; a cluster
+    deployment consuming several tiers should persist them (the CLI's
+    write-per-tier layout IS that) or use a reliable checkpoint dir.
+
     ``materialize``: localCheckpoint each stage tier so a caller
     consuming SEVERAL tiers in one session (the CLI writing
     merged+idmap+edges) executes the shared chain once instead of once
@@ -49,18 +57,25 @@ def run_build(
     or when tiers are persisted externally anyway; at cluster scale the
     equivalent is writing each tier and reading it back, which the CLI
     write-per-tier layout gives you on the NEXT invocation for free."""
+    def _m(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint() if materialize else df
+
     def _m_lazy(df: DataFrame) -> DataFrame:
         # lazy checkpoint: same execute-once sharing, but materialization
         # happens inside the FIRST consumer's job instead of a dedicated
         # blocking job here (r15 opt: tiers with exactly one in-chain
         # consumer were paying a job barrier for nothing; the chain is
         # job-count-bound at bench scale and the barrier buys no sharing).
-        # r16: EVERY tier is lazy now, multi-consumer ones included — a
-        # lazily checkpointed RDD is one node in the job DAG, so two
-        # consumers inside one downstream job still compute it exactly
-        # once (first job caches, later jobs read blocks); the eager form
-        # only added a result-stage barrier job per tier (guide §5,
-        # measured: 1 job saved per conversion, ~7 fewer jobs per chain).
+        # r16 boundary (measured, TRIED AND PARTIALLY REVERTED): lazy is
+        # ONLY safe when the tier's consumers materialize SEQUENTIALLY.
+        # When two consumer subtrees sit in ONE downstream job, AQE
+        # materializes their stages CONCURRENTLY and both race to compute
+        # the deferred final stage before either has cached it — the tier
+        # executes twice (observed: all-lazy b02 9.3-18.8 s/run vs 6.4 s
+        # eager-reidentified; same double-broadcast race measured on
+        # knn_ivf's centroid checkpoint, v04 3.7 -> 4.3 s).  Tiers with
+        # concurrent consumers stay EAGER (_m); lazy is for exactly-one
+        # consumer or strictly sequential consumers.
         return df.localCheckpoint(eager=False) if materialize else df
 
     # parse the JSON envelope ONCE and share the relation: reconcile's
@@ -82,10 +97,15 @@ def run_build(
     # read the cached blocks the first consumer materialized
     idmap = _m_lazy(build_idmap(equiv_edges, all_uris, idmap_prev, delta_sized))
 
-    reidentified = _m_lazy(reidentify(
+    # EAGER: reidentified has two consumers IN ONE downstream job (the
+    # merge fold's exchange and the caller's members aggregation) — see
+    # the _m_lazy boundary note
+    reidentified = _m(reidentify(
         records.select("source", "identifier", "rectype", "data"), idmap
     ))
-    merged = _m_lazy(merge_by_yuid(
+    # EAGER: merged feeds concurrent extract subtrees in multi-tier
+    # consumers (b03's facets+names join in one job)
+    merged = _m(merge_by_yuid(
         reidentified.select("yuid", "source", "identifier", "data"), merge_order
     ))
     # same parse-once argument as the input envelope: the three export

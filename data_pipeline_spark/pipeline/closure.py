@@ -70,12 +70,11 @@ def connected_components(
         raise ValueError(f"unknown closure algorithm: {algorithm!r}")
     fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     sym = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    # lazy checkpoint (r16 opt): the distinct's shuffle stages still run
-    # here (AQE finalizes the plan at toRdd), but the result-stage job
-    # that an eager checkpoint pays to cache the blocks is deferred into
-    # round 1's first job — one fewer job barrier per build, identical
-    # blocks cached (guide §5; measured 1 job saved per conversion)
-    sym = sym.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=False)
+    # EAGER checkpoint: round 1's tagged relation unions TWO scans of
+    # sym inside one stage — with a lazy checkpoint each branch's tasks
+    # race to compute the deferred final stage per partition (the r16
+    # lazy-checkpoint boundary: lazy only for sequential consumers)
+    sym = sym.filter(F.col("src") != F.col("dst")).localCheckpoint()
 
     budget = min(auto_halving_budget, max_iter) if algorithm == "auto" else max_iter
     labels, converged, rounds = _halving_loop(
@@ -296,15 +295,18 @@ def connected_components_star(
     where per-round label propagation degrades — and every round is the
     same bounded-fanout groupBy+join primitive, so no single key ever
     accumulates more than its current neighborhood."""
-    # lazy checkpoints (r16 opt, same as the halving loop): the exceptAll
-    # convergence check's shuffle computes every partition of new_e, so
-    # its job materializes the cached blocks — the eager result-stage job
-    # per round bought nothing
+    # new_e is lazily checkpointed (r16, same as the halving loop): its
+    # FIRST consumer is the exceptAll convergence job, which computes
+    # every partition sequentially before anything else reads it.  The
+    # INITIAL e stays eager — its first consumer is _large_star's
+    # two-branch union, whose branches scan e concurrently inside one
+    # stage (the r16 lazy-checkpoint boundary: lazy only for sequential
+    # consumers).
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     rounds = 0
     for _ in range(max_iter):

@@ -247,7 +247,6 @@ def reconcile(
     # accept a pre-parsed (and possibly checkpointed) envelope relation —
     # run_build shares one parse across reconcile and all_uris
     docs = records if "doc" in records.columns else with_doc(records)
-    names = extract_names(docs)
     equivs = extract_equivalents(docs)
     timespans = extract_timespans(docs)
 
@@ -255,16 +254,32 @@ def reconcile(
     # Elide whole join families against provably-empty curated indexes
     # (r15 opt, guide §2.4): a name/uri join against an empty index emits
     # zero edges by construction, yet still costs the extraction scans,
-    # the gating anti-join, a broadcast build and a window — per stage,
+    # the gating work, a broadcast build and a window — per stage,
     # per build.  Skipping them is the identity on the edge relation.
     if not _statically_empty(indexes["name_index"]):
-        well_connected = (
-            equivs.groupBy("src_uri")
-            .agg(F.count(F.lit(1)).alias("n_eq"))
-            .filter(F.col("n_eq") >= min_equivs)
-            .select(F.col("src_uri").alias("uri"))
+        # J6 gate, ROW-LOCAL (r16 opt, VERDICT r15 #3): the reference's
+        # gate is per RECORD — "records that still hold fewer than
+        # min_equivs asserted equivalents" (process/reconciler.py:23-25)
+        # — and a record's asserted-equivalent count is a property of its
+        # own doc.equivalent array, so it is computable in the scan with
+        # the SAME filter extract_equivalents applies (non-null dst, not
+        # a self-loop).  The previous shape re-derived it globally: a
+        # groupBy(src_uri) exchange over the exploded equivalents plus a
+        # corpus-sized anti-join of the names relation — two shuffles per
+        # build that existed to recompute row-local information (guide
+        # §2.4).  Identical gating on per-record-unique URIs (the
+        # envelope contract; j06's oracle pins it); on a pathological
+        # corpus where two records assert the SAME doc id, the row-local
+        # form is the reference-faithful one (each record gates on its
+        # own count, not the collision-pooled sum).
+        uri = F.coalesce(F.col("doc.id"), F.concat_ws("/", "source", "identifier"))
+        n_eq = F.size(
+            F.filter(
+                F.coalesce(F.col("doc.equivalent"), F.array()),
+                lambda e: e["id"].isNotNull() & (e["id"] != uri),
+            )
         )
-        gated_names = names.join(well_connected, "uri", "left_anti")
+        gated_names = extract_names(docs.filter(n_eq < min_equivs))
         name_edges = name_join(
             gated_names, indexes["name_index"], broadcast_index=broadcast_index
         )

@@ -37,17 +37,24 @@ _URI_RE = r'"(https?://[^"]+)"'
 
 def reidentify(records: DataFrame, idmap: DataFrame) -> DataFrame:
     """records(source, identifier, rectype, data) + idmap(qua_uri, yuid)
-    -> same rows with `data` rewritten and a `yuid` column attached."""
-    keyed = records.withColumn(
-        "_rk", F.concat_ws("|", F.col("source"), F.col("identifier"))
-    )
+    -> same rows with `data` rewritten and a `yuid` column attached.
+
+    Record-key contract (ADVICE r15): identifiers are unique per source —
+    the envelope model's primary key, which every upstream source mapper
+    enforces.  The reference-set join below keys on the (source,
+    identifier) PAIR (no string concat, so no 'a|b'/'c' vs 'a'/'b|c'
+    ambiguity), and the per-record map aggregates with collect_SET, so
+    even a duplicated record row (two identical keys carrying the same
+    refs) folds to one (uri, yuid) entry per uri instead of tripping
+    map_from_entries' duplicate-key exception."""
     # per-record URI dedup is ROW-LOCAL (array_distinct before the
     # explode) — map_from_entries below only needs uniqueness within a
     # record, and the old global .distinct() paid a full exchange of the
     # exploded refs to get a guarantee a row-local op already gives
     # (r15 opt, guide §2.4; same trick as the r5 shingle-array rewrite)
-    refs = keyed.select(
-        "_rk",
+    refs = records.select(
+        "source",
+        "identifier",
         F.explode(
             F.array_distinct(
                 F.regexp_extract_all(F.col("data"), F.lit(_URI_RE), 1)
@@ -55,12 +62,12 @@ def reidentify(records: DataFrame, idmap: DataFrame) -> DataFrame:
         ).alias("uri"),
     )
     mapped = refs.join(idmap, refs.uri == idmap.qua_uri).select(
-        "_rk", "uri", "yuid"
+        "source", "identifier", "uri", "yuid"
     )
-    per_record = mapped.groupBy("_rk").agg(
-        F.map_from_entries(F.collect_list(F.struct("uri", "yuid"))).alias("_submap")
+    per_record = mapped.groupBy("source", "identifier").agg(
+        F.map_from_entries(F.collect_set(F.struct("uri", "yuid"))).alias("_submap")
     )
-    joined = keyed.join(per_record, "_rk", "left")
+    joined = records.join(per_record, ["source", "identifier"], "left")
 
     # exact quoted-string matches only, so partial-prefix URIs never
     # clobber longer ones; see the module docstring for why the fold is
@@ -85,4 +92,4 @@ def reidentify(records: DataFrame, idmap: DataFrame) -> DataFrame:
     # rewrites the top-level id, reidentifier.py:190-218)
     return rewritten.withColumn(
         "yuid", F.get_json_object(F.col("data"), "$.id")
-    ).drop("_rk")
+    )
