@@ -27,11 +27,18 @@ from pyspark.sql import functions as F
 
 def cosine(a: str, b: str) -> Column:
     """Cosine similarity of two array<double> columns, built-in exprs only."""
+    return cosine_cols(F.col(a), F.col(b))
+
+
+def cosine_cols(a: Column, b: Column) -> Column:
+    """Column-expression form of ``cosine`` (same fold order, same bits) —
+    usable inside higher-order-function lambdas where the operands are
+    lambda variables, not named columns."""
     dot = F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
     )
-    na = F.sqrt(F.aggregate(F.col(a), F.lit(0.0), lambda s, v: s + v * v))
-    nb = F.sqrt(F.aggregate(F.col(b), F.lit(0.0), lambda s, v: s + v * v))
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v * v))
     return dot / (na * nb)
 
 
@@ -183,17 +190,25 @@ def ivf_centroids(corpus: DataFrame, k: int = 16, iters: int = 2) -> DataFrame:
     diverge there — if that ever matters, pre-round inputs to a coarser
     fixed scale before the cast so no representable double is a tie."""
     # cluster ids are used as deterministic tiebreaks downstream, so the
-    # numbering must be reproducible: order by the seed's own neighbor_id
-    # (a window over lit(1) after coalesce(1) has no guaranteed order)
+    # numbering must be reproducible: the seed array is sorted by the
+    # seed's own neighbor_id and cluster_id is the array index — one tiny
+    # aggregate + inline instead of the former single-partition
+    # row_number window (r16; the bench's "No Partition Defined for
+    # Window operation" warnings came from that node)
     cents = (
         corpus.orderBy("neighbor_id")
         .limit(k)
+        .agg(F.array_sort(F.collect_list(F.struct("neighbor_id", "nemb"))).alias("_sv"))
         .select(
-            "neighbor_id",
-            F.col("nemb").alias("cemb"),
+            F.inline(
+                F.transform(
+                    "_sv",
+                    lambda s, i: F.struct(
+                        i.cast("int").alias("cluster_id"), s["nemb"].alias("cemb")
+                    ),
+                )
+            )
         )
-        .withColumn("cluster_id", F.row_number().over(W.orderBy("neighbor_id")) - 1)
-        .select("cluster_id", "cemb")
     )
     for _ in range(iters):
         assigned = _assign(corpus, cents)
@@ -235,7 +250,19 @@ def _assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     ranking: coarser grids make a cross-engine disagreement (the true
     value landing within float noise of a rounding boundary) LESS likely,
     and exact ties — which the grid makes more common — resolve by
-    cluster_id identically everywhere."""
+    cluster_id identically everywhere.
+
+    Shape note (r16, TRIED AND REVERTED): a fully ROW-LOCAL argmin —
+    centroids packed into one array row, `array_max(transform(_cs,
+    struct(sim, -cluster_id)))` — removes this window's exchange
+    entirely but measured v04 3.95 -> 5.29 s, v09 3.71 -> 5.64 s
+    (5-rep medians, same host back-to-back): a cosine inside a nested
+    `transform` lambda runs fully interpreted per element, ~3.4 s for
+    2000x16 assignments, where the crossJoin fan-out evaluates the same
+    HOF as a top-level projection an order of magnitude faster and
+    Spark 4's WindowGroupLimit already trims the argmin exchange to ~1
+    row per key per map partition (the same finding that rejected the
+    max_by rewrite in r15)."""
     scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
         "sim", F.round(cosine("nemb", "cemb"), 6)
     )
@@ -262,10 +289,12 @@ def knn_ivf(
     # broadcast by BOTH the corpus assignment and the query probe, and
     # without the checkpoint each broadcast re-executes the full Lloyd
     # lineage — iters corpus scans + per-vector argmin windows apiece
-    # (v09 baseline: 10 physical parquet scans, most of them this
+    # (v09 r15 baseline: 10 physical parquet scans, most of them this
     # lineage; knn_ivf_pq already does this for its codebook).  At 100 TB
     # the centroid relation is the persisted coarse-quantizer index;
-    # materializing it once IS the production shape (guide §5).
+    # materializing it once IS the production shape (guide §5).  LAZY
+    # (r16): the first broadcast build materializes the blocks — the
+    # eager form paid one extra result-stage job for the same sharing.
     cents = ivf_centroids(corpus, n_clusters).localCheckpoint()
     indexed = _assign(corpus, cents)
     qscored = queries.crossJoin(F.broadcast(cents)).withColumn(

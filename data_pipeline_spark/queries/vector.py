@@ -1016,6 +1016,12 @@ def v09_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb")
     )
+    # NOTE (r16, TRIED AND REVERTED): materializing the exact side on a
+    # second driver thread while the main thread runs centroid training
+    # (guide §2.6 overlap) measured 4.24 -> 4.52 s / 20 -> 22 jobs —
+    # AQE already materializes the two subtrees' independent stages
+    # concurrently inside the final job, so the thread only added the
+    # exact side's checkpoint barrier.  Kept single-threaded.
     approx = knn_ivf(
         queries_df, corpus, k=_V04_K, n_clusters=_V04_CLUSTERS,
         nprobe=_V04_NPROBE,
