@@ -648,18 +648,30 @@ def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         # (measured ~15% off the tier build at sf0.1)
         .withColumn("v", F.conv(F.substring(F.md5(F.col("w")), 1, N_BITS // 4), 16, 10).cast("long"))
     )
+    # Packed accumulators (r16 opt, VERDICT r15 #7): two 32-bit ones-counts
+    # per long instead of 32 separate ±1 sums — halves the aggregation
+    # buffer (33 -> 17 slots) and the partial rows crossing the exchange.
+    # Exact sign equivalence: the old vote sum is 2*ones_j - n_words, so
+    # b_j > 0  <=>  2*ones_j > n_words; counts are integers, no rounding.
+    # 32-bit fields cannot overflow (ones <= distinct words per doc < 2^31)
+    # and the long sum stays under 2^63 for any doc below ~2e9 words.
     sums = []
-    for j in range(N_BITS):
-        bit = F.shiftright(F.col("v"), N_BITS - 1 - j).bitwiseAND(F.lit(1))
-        sums.append(F.sum(bit * 2 - 1).alias(f"b{j}"))
+    for p in range(N_BITS // 2):
+        bit_lo = F.shiftright(F.col("v"), N_BITS - 1 - 2 * p).bitwiseAND(F.lit(1))
+        bit_hi = F.shiftright(F.col("v"), N_BITS - 2 - 2 * p).bitwiseAND(F.lit(1))
+        sums.append(F.sum(bit_lo + F.shiftleft(bit_hi, 32)).alias(f"p{p}"))
+    sums.append(F.count(F.lit(1)).alias("nw"))
     agg = words.groupBy("id").agg(*sums)
     # flat shift-add, not a 32-branch CASE chain: the deep when/otherwise
     # tree cost ~2.5s of one-time janino compilation per session
     # (measured); boolean-cast + shiftleft compiles in half the time and
-    # evaluates identically (b_j > 0 -> bit j set)
+    # evaluates identically (2*ones_j > n_words -> bit j set)
     sim = None
     for j in range(N_BITS):
-        term = F.shiftleft((F.col(f"b{j}") > 0).cast("long"), j)
+        ones = F.shiftright(F.col(f"p{j // 2}"), 32 * (j % 2)).bitwiseAND(
+            F.lit(0xFFFFFFFF)
+        )
+        term = F.shiftleft((ones * 2 > F.col("nw")).cast("long"), j)
         sim = term if sim is None else sim + term
     return agg.select("id", sim.cast("bigint").alias("simhash"))
 
@@ -810,15 +822,25 @@ def simhash64_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
             F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("v1"),
         )
     )
-    sums = []
-    for j in range(N_BITS64):
+    # same packed-accumulator shape as simhash_df (r16): 64 ±1 sums ->
+    # 32 packed ones-count longs + one word count, exact sign equivalence
+    def bit_at(j: int):
         word = F.col("v0") if j < 32 else F.col("v1")
-        bit = F.shiftright(word, 31 - j % 32).bitwiseAND(F.lit(1))
-        sums.append(F.sum(bit * 2 - 1).alias(f"b{j}"))
+        return F.shiftright(word, 31 - j % 32).bitwiseAND(F.lit(1))
+
+    sums = []
+    for p in range(N_BITS64 // 2):
+        sums.append(
+            F.sum(bit_at(2 * p) + F.shiftleft(bit_at(2 * p + 1), 32)).alias(f"p{p}")
+        )
+    sums.append(F.count(F.lit(1)).alias("nw"))
     agg = words.groupBy("id").agg(*sums)
     sim = None
     for j in range(N_BITS64):
-        term = F.shiftleft((F.col(f"b{j}") > 0).cast("long"), j)
+        ones = F.shiftright(F.col(f"p{j // 2}"), 32 * (j % 2)).bitwiseAND(
+            F.lit(0xFFFFFFFF)
+        )
+        term = F.shiftleft((ones * 2 > F.col("nw")).cast("long"), j)
         sim = term if sim is None else sim + term
     return agg.select("id", sim.cast("bigint").alias("simhash"))
 
