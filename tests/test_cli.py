@@ -185,6 +185,7 @@ def test_cli_query_table_override(spark, tmp_path, capsys):
     assert len(rows) == 1 and rows[0]["keeper_doc_id"] == 1 and rows[0]["n_copies"] == 2
 
 
+@pytest.mark.slow  # full-coverage tier (r16 split): fast siblings cover the surface
 def test_cli_curate_writes_ordered_shards(spark, tmp_path):
     out = str(tmp_path / "shards")
     assert main([
@@ -233,6 +234,7 @@ def test_cli_stream_refresh_end_to_end(spark, tmp_path):
     assert sorted(os.listdir(os.path.join(idx, "fp"))) == ["batch=base"]
 
 
+@pytest.mark.slow  # full-coverage tier (r16 split): fast siblings cover the surface
 def test_cli_stream_entity_end_to_end(spark, tmp_path, capsys):
     """stream-entity with --init-records, --compact and --export-merged:
     init builds v=base, one crawl streams as a delta, compaction folds
@@ -431,6 +433,7 @@ def test_cli_verify_unknown_name_beyond_first_slice_errors():
               "--name", "q01_pricing_summary", "--name", "no_such_query"])
 
 
+@pytest.mark.slow  # full-coverage tier (r16 split): fast siblings cover the surface
 def test_cli_state_export_as_of_batch(spark, tmp_path):
     """state-export time travel: after two streamed crawls, --as-of-batch 0
     reads the state with only crawl 0 applied; the default reads latest.

@@ -18,7 +18,7 @@ import pytest
 
 from data_pipeline_spark.queries import QUERIES
 
-from .conftest import SF_ORACLE
+from .conftest import SF_ORACLE, query_params
 from .oracle_harness import duckdb_con
 
 FORBIDDEN = {"HUGEINT", "UHUGEINT"}
@@ -64,7 +64,9 @@ def con():
     c.close()
 
 
-@pytest.mark.parametrize("name", sorted(n for n, q in QUERIES.items() if q.oracle))
+@pytest.mark.parametrize(
+    "name", query_params(sorted(n for n, q in QUERIES.items() if q.oracle))
+)
 def test_oracle_types_hash_safe(spark, con, name):
     q = QUERIES[name]
     desc = con.execute(f"DESCRIBE {q.oracle}").fetchall()

@@ -72,6 +72,7 @@ def test_affected_uris_is_component_closed(spark, setup):
     assert uri("srcA", "pl1") not in blast
 
 
+@pytest.mark.slow  # full-coverage tier (r16 split): fast siblings cover the surface
 def test_incremental_equals_full_rebuild(spark, setup):
     t, idx = setup
     order = {"srcA": 0, "extX": 1, "extY": 2}

@@ -1106,6 +1106,7 @@ def test_stream_refresh_matches_batch_and_is_retry_idempotent(spark, tmp_path):
     }
 
 
+@pytest.mark.slow  # full-coverage tier (r16 split): fast siblings cover the surface
 def test_stream_entity_builds_crawl_sequence(spark, tmp_path):
     """The entity-chain streaming twin (streaming/entity_stream.py): two
     crawl files -> two micro-batch incremental builds over versioned
@@ -1655,6 +1656,7 @@ def test_entity_stream_empty_crawl_folds_to_identity(spark, tmp_path):
     assert sorted((r["yuid"], r["data"]) for r in again["merged"].collect()) == base
 
 
+@pytest.mark.slow  # full-coverage tier (r16 split): fast siblings cover the surface
 def test_entity_stream_compact_every_bounds_delta_fanin(spark, tmp_path):
     """compact_every=2: the batch-2 sink folds batches 0-1 into base
     BEFORE building, so after draining three crawls only batch 2's

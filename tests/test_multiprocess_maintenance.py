@@ -18,8 +18,14 @@ import json
 import os
 import shutil
 import subprocess
+
+import pytest
 import sys
 import time
+
+# crash/two-process drills: full-coverage tier, excluded from the
+# default (driver-window) selection — run with -m 'slow or not slow'
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

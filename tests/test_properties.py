@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -483,6 +484,7 @@ def test_year_ranges_are_ordered_across_calendar_boundary(y0, span):
 
 @settings(max_examples=10, deadline=None)
 @given(st.data())
+@pytest.mark.slow  # full-coverage tier (r16 split): fast siblings cover the surface
 def test_d33_d34_match_oracle_on_pathological_corpora(
     spark, tmp_path_factory, data
 ):
@@ -637,6 +639,7 @@ def _uf_components(edges):
 
 @settings(max_examples=6, deadline=None)
 @given(st.data())
+@pytest.mark.slow  # full-coverage tier (r16 split): fast siblings cover the surface
 def test_closure_algorithms_agree_on_random_graphs(spark, data):
     """halving, star and auto (incl. its contracted handoff) must all
     equal a Python union-find reference on random graphs — duplicates,

@@ -34,6 +34,10 @@ import os
 import shutil
 
 import pytest
+
+# crash/two-process drills: full-coverage tier, excluded from the
+# default (driver-window) selection — run with -m 'slow or not slow'
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from data_pipeline_spark.streaming import storage
