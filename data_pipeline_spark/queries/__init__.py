@@ -82,6 +82,25 @@ GATE_PIN = [
     "r13_state_lookup",
     "r14_index_compact_probe",
     "r14_inline_compact_stream",
+    # r16 re-fronts (VERDICT r15 #6): q18 was rewritten r15 and b02/m01/
+    # m02/v04 touched r15, but all five rotated out of the r15 oracle
+    # sample — their driver proof is two rounds stale by now; pin for one
+    # round so CORRECTNESS_r16 re-vouches the current code.
+    "q18_large_orders",
+    "b02_entity_export",
+    "m01_multimodal_features",
+    "m02_frame_sample",
+    "v04_ann_ivf",
+    # r16 code changes that re-gate (the r15 greens predate them):
+    # - operators/similarity.py k-means rewrote to the packed row-local
+    #   assignment (v04 above; v07/v09/d37 cover the IVF-PQ, recall-eval
+    #   and SemDeDup shapes over the same trainer);
+    # - pipeline/edges.py extract_names_table went row-local (b03).
+    # b01/b02 (pinned above) re-prove the lazy-checkpoint chain.
+    "v07_ann_ivf_pq",
+    "v09_ann_recall_eval",
+    "d37_semantic_dedup",
+    "b03_entity_facets_names",
 ]
 
 GATE_WINDOW_SIZE = 50

@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") for headline (or named) queries into
-plans/r15/<query>_<suffix>.txt — the optimization round's before/after
+plans/$SPARK_GRAFT_PLANS_ROUND (default r16)/<query>_<suffix>.txt — the optimization round's before/after
 plan evidence (guide §1: measure first; §7.2: read the plan).
 
 Usage:
@@ -37,7 +37,7 @@ def main() -> None:
         names = list(mod.HEADLINE)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16")
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
