@@ -35,19 +35,20 @@ def write_parquet_atomic(df: DataFrame, path: str) -> None:
     simply absent — running merge_upsert on it would resurrect them from
     the old table via the left-anti 'kept' branch)."""
     tmp = path + ".__new__"
-    # Output-file sizing (guide §6, r15 opt): committed tiers are one
-    # file PER SHUFFLE PARTITION regardless of bytes — fine locally
-    # (few MB per tier), but thousands of under-sized files per write at
-    # cluster scale.  SPARK_GRAFT_SIZED_WRITES=1 inserts a REBALANCE
-    # hint so AQE coalesces write partitions toward
-    # spark.sql.adaptive.advisoryPartitionSizeInBytes (bytes-derived,
-    # scale-adaptive).  Default OFF: the extra exchange measured +13% on
-    # the micro-batch cache-tier cycle at local scale (8x5k-change
-    # feed: 5.1 -> 5.9 s steady) where every file is small anyway; on a
-    # real deployment turn it on (or use a table format whose writer
-    # sizes files, SCALE.md §output-layout).
-    if os.environ.get("SPARK_GRAFT_SIZED_WRITES", "0") == "1":
-        df = df.hint("rebalance")
+    # Output-file sizing (guide §6): committed tiers are one file PER
+    # SHUFFLE PARTITION regardless of bytes.  The r15 knob that inserted
+    # a REBALANCE hint here (SPARK_GRAFT_SIZED_WRITES) was VALIDATED AT
+    # 30x IN r16 AND DELETED: the keyless rebalance round-robins rows,
+    # destroying each tier's clustering and with it parquet compression
+    # — measured on the 30x pair-corpus build, edges 33.0 -> 47.6 MB
+    # (+44%) and idmap 21.4 -> 38.0 MB (+78%) on-disk for the SAME rows,
+    # write wall +56% on edges — while only 1 of 3 tiers actually
+    # coalesced toward the advisory size (AQE sizes on in-memory stats,
+    # not on-disk bytes).  The production answer is a table format whose
+    # writer sizes files while preserving sort order (Iceberg
+    # write.target-file-size-bytes + write.distribution-mode, SCALE.md
+    # §output-layout), not a clustering-destroying exchange bolted on
+    # here.
     df.write.mode("overwrite").parquet(tmp)
     old = path + ".__old__"
     if os.path.exists(path):
