@@ -5,6 +5,8 @@ triples+facets form, SURVEY §1.5/§2.9).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -175,6 +177,59 @@ def load_planner_bucketed(spark: SparkSession, prefix: str):
     )
 
 
+def serving_prefix(sf_dir: str) -> str:
+    """Process-unique managed-table prefix for the serving model.
+
+    The pid suffix is load-bearing: processes sharing one repo CWD share
+    one spark-warehouse, and with a shared name every fresh process
+    REBUILDS the tables (a new session's catalog never knows the old
+    registration — that is what _drop_managed exists for), so a rebuild
+    in process B deletes the part-files process A is mid-read on
+    (observed twice: FAILED_READ_FILE.FILE_NOT_EXIST on dsl_q13 whenever
+    a bench/sweep ran beside the test suite).  Cross-process sharing was
+    already zero; the unique name removes only the interference.  Dirs
+    orphaned by dead processes are reaped in serving_planner."""
+    import os
+
+    return (
+        "serve_" + re.sub(r"\W+", "_", sf_dir).strip("_") + f"_p{os.getpid()}"
+    )
+
+
+def _reap_stale_serving_dirs(spark: SparkSession) -> None:
+    """Best-effort removal of serving-model warehouse dirs whose owning
+    process is gone (plus legacy un-suffixed ones from older builds).
+    Only dirs of DEAD pids are touched, so a live concurrent session's
+    tables are never disturbed."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    parsed = urlparse(warehouse)
+    root = parsed.path if parsed.scheme in ("", "file") else None
+    if not root or not os.path.isdir(root):
+        return
+    pat = re.compile(r"^serve_.+_p(\d+)_(entities|edges_subj|edges_obj)$")
+    legacy = re.compile(r"^serve_.+_(entities|edges_subj|edges_obj)$")
+    for d in os.listdir(root):
+        m = pat.match(d)
+        if m:
+            pid = int(m.group(1))
+            if pid == os.getpid():
+                continue
+            try:
+                os.kill(pid, 0)
+                continue  # owner alive — leave its tables alone
+            except ProcessLookupError:
+                pass
+            except PermissionError:
+                continue  # alive under another uid
+        elif not legacy.match(d):
+            continue
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
 def serving_planner(spark: SparkSession, sf_dir: str, n_buckets: int = 32):
     """The production SERVING path as one call: materialize the bucketed
     model once per (application, sf_dir) and answer every subsequent
@@ -188,12 +243,11 @@ def serving_planner(spark: SparkSession, sf_dir: str, n_buckets: int = 32):
     serving win (dual-layout routing + bucketed layout,
     tools/measure_dsl_scale.py) lived only in a self-reported tool —
     a routing regression was driver-invisible (VERDICT r11 #4)."""
-    import re
-
     key = (spark.sparkContext.applicationId, sf_dir, n_buckets)
     p = _SERVING.get(key)
     if p is None:
-        prefix = "serve_" + re.sub(r"\W+", "_", sf_dir).strip("_")
+        _reap_stale_serving_dirs(spark)
+        prefix = serving_prefix(sf_dir)
         materialize_model_bucketed(spark, sf_dir, prefix, n_buckets)
         p = load_planner_bucketed(spark, prefix)
         _SERVING[key] = p

@@ -92,9 +92,11 @@ GATE_PIN = [
     "m02_frame_sample",
     "v04_ann_ivf",
     # r16 code changes that re-gate (the r15 greens predate them):
-    # - operators/similarity.py k-means rewrote to the packed row-local
-    #   assignment (v04 above; v07/v09/d37 cover the IVF-PQ, recall-eval
-    #   and SemDeDup shapes over the same trainer);
+    # - operators/similarity.py k-means changed: seeds now come from the
+    #   collect_list aggregate instead of the single-partition window
+    #   (the packed row-local assignment was tried and REVERTED — see
+    #   _assign's docstring) (v04 above; v07/v09/d37 cover the IVF-PQ,
+    #   recall-eval and SemDeDup shapes over the same trainer);
     # - pipeline/edges.py extract_names_table went row-local (b03).
     # b01/b02 (pinned above) re-prove the lazy-checkpoint chain.
     "v07_ann_ivf_pq",

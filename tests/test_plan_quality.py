@@ -905,7 +905,7 @@ def test_dsl_q13_serves_from_bucketed_tables(spark):
     model._SERVING.clear()
     df = QUERIES["dsl_q13_bucketed_serving_inverse"].spark_fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "serve_root_testdata_sf0_001_edges_subj" in plan, plan
+    assert model.serving_prefix(SF) + "_edges_subj" in plan, plan
     assert "Bucketed: true" in plan, plan
     n = len(model._SERVING)
     QUERIES["dsl_q13_bucketed_serving_inverse"].spark_fn(spark, SF)
@@ -927,7 +927,7 @@ def test_serving_planner_rematerializes_across_catalog_loss(spark):
     import os
     import shutil
 
-    for t in ("serve_root_testdata_sf0_001_entities",):
+    for t in (model.serving_prefix(SF) + "_entities",):
         src = os.path.join(wh, t)
         keep = src + "_keepalive"
         shutil.copytree(src, keep)
@@ -936,6 +936,35 @@ def test_serving_planner_rematerializes_across_catalog_loss(spark):
     model._SERVING.clear()
     p = model.serving_planner(spark, SF)  # must not raise
     assert p.plan("AND(type=nation)").count() == 25
+
+
+def test_serving_tables_are_process_unique_and_reaped(spark):
+    """Concurrent processes sharing one spark-warehouse must not rebuild
+    each other's serving tables mid-read (the dsl_q13
+    FAILED_READ_FILE.FILE_NOT_EXIST flake): the prefix carries this
+    process's pid, and the reaper removes only dirs whose owning pid is
+    dead — a live peer's tables and this process's own are untouched."""
+    import os
+    import shutil
+
+    from data_pipeline_spark.plans import model
+
+    assert model.serving_prefix(SF).endswith(f"_p{os.getpid()}")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    os.makedirs(wh, exist_ok=True)
+    dead = os.path.join(wh, "serve_x_p999999999_entities")
+    legacy = os.path.join(wh, "serve_x_entities")
+    mine = os.path.join(wh, f"serve_x_p{os.getpid()}_entities")
+    for d in (dead, legacy, mine):
+        os.makedirs(d, exist_ok=True)
+    try:
+        model._reap_stale_serving_dirs(spark)
+        assert not os.path.isdir(dead), "dead pid's dir must be reaped"
+        assert not os.path.isdir(legacy), "legacy un-suffixed dir must be reaped"
+        assert os.path.isdir(mine), "own (live) dir must survive"
+    finally:
+        for d in (dead, legacy, mine):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def test_b02_export_plan_hygiene(spark):

@@ -12,7 +12,8 @@ anti-patterns:
     (reported as widest-scan column count; §6: column pruning)
   - Exchange counts (shuffle inventory; §2)
 
-Writes a JSON report to plans/r15/plan_sweep.json and prints a summary.
+Writes a JSON report to plans/$SPARK_GRAFT_PLAN_ROUND/plan_sweep.json
+(default r16) and prints a summary.
 Planning only — nothing executes.
 """
 
@@ -91,7 +92,7 @@ def main() -> None:
         }
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r15", "plan_sweep.json",
+        "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r16"), "plan_sweep.json",
     )
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as fh:
